@@ -1,0 +1,105 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType}
+
+import TextHash._
+
+/** Deduplication operators for large-scale document pipelines.
+  *
+  * Scale design: every signature here is computed with array-level column
+  * math (whole-stage codegen, zero shuffle) — the only shuffles are the
+  * final groupBy/self-join on compact keys, which is the theoretical
+  * minimum. At 100 TB: signatures stream through scans; candidate joins key
+  * on band hashes whose cardinality ≈ #docs, so the shuffle is O(|keys|),
+  * never O(|pairs|).
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: one row per distinct hash with the
+    * smallest id as the deterministic keeper and the duplicate count.
+    */
+  def exactByHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("h"))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("dup_cnt"))
+
+  /** Whitespace tokens of a text column. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct word n-grams ("shingles") of a text column; empty array when
+    * the document has fewer than n tokens (never a decreasing `sequence`).
+    */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - n), i =>
+        concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))))
+      .otherwise(array().cast(ArrayType(StringType)))
+  }
+
+  /** MinHash signature columns mh0..mh{k-1} over whitespace tokens:
+    * mh_j = min over tokens of (a_j·h(t) + b_j) mod P. Computed per-row with
+    * array_min∘transform — no explode, no shuffle.
+    */
+  def minHashSignature(df: DataFrame, textCol: String): DataFrame = {
+    val hs = transform(tokens(col(textCol)), t => tokenHash(t))
+    Seeds.zipWithIndex.foldLeft(df) { case (acc, ((a, b), j)) =>
+      acc.withColumn(s"mh$j",
+        array_min(transform(hs, h => (lit(a) * h + lit(b)) % lit(P))))
+    }
+  }
+
+  /** LSH banding over a minhash signature: documents sharing a band emit a
+    * candidate pair (doc_a < doc_b, tagged with the band). Each band is an
+    * equi-join on the band tuple — broadcast/sort-merge chosen by AQE.
+    */
+  def lshCandidatePairs(sig: DataFrame, idCol: String,
+      bands: Seq[Seq[String]]): DataFrame = {
+    bands.zipWithIndex.map { case (cols, bi) =>
+      val x = sig.select(col(idCol).as("doc_a"), struct(cols.map(col): _*).as("band"))
+      val y = sig.select(col(idCol).as("doc_b"), struct(cols.map(col): _*).as("band"))
+      x.join(y, Seq("band")).filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), lit(bi).as("band_id"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** 16-bit SimHash over whitespace tokens: bit j is the sign of the sum of
+    * ±1 contributions of each token's hash bit j. Pure array math.
+    */
+  def simHash16(text: Column): Column = {
+    val hs = transform(tokens(text), t => tokenHash(t))
+    (0 until 16).map { j =>
+      val contrib = aggregate(hs, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1, 1L).otherwise(-1L))
+      when(contrib >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Jaccard similarity of distinct word-n-gram sets between each doc and
+    * its successor by id (a deterministic, oracle-friendly pairing).
+    * General near-dup pairing composes [[lshCandidatePairs]] with this same
+    * intersection/union arithmetic.
+    */
+  def consecutiveNgramJaccard(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val bg = df.select(col(idCol).as("doc_id"),
+        explode(wordNgrams(col(textCol), n)).as("g"))
+    val counts = bg.groupBy("doc_id").agg(count(lit(1)).as("nb"))
+    val inter = bg.alias("x")
+      .join(bg.alias("y"),
+        col("y.g") === col("x.g") && col("y.doc_id") === col("x.doc_id") + 1)
+      .groupBy(col("x.doc_id").as("doc_id"))
+      .agg(count(lit(1)).as("ni"))
+    counts.alias("a")
+      .join(counts.alias("b"), col("b.doc_id") === col("a.doc_id") + 1)
+      .join(inter.alias("i"), col("i.doc_id") === col("a.doc_id"), "left")
+      .select(
+        col("a.doc_id").as("doc_a"),
+        (col("a.doc_id") + 1).as("doc_b"),
+        round(
+          coalesce(col("i.ni"), lit(0L)).cast("double") /
+            (col("a.nb") + col("b.nb") - coalesce(col("i.ni"), lit(0L))).cast("double"),
+          6).as("jac"))
+  }
+}

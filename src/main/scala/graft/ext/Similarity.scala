@@ -1,0 +1,74 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k (exact). Scale path: sign-bit bucket
+  * LSH — block candidates by the sign pattern of the leading dimensions so
+  * the self-join shuffles on a small key instead of materializing O(n²)
+  * pairs. Both are pure column math (zip_with/aggregate — codegen'd, no
+  * UDFs, no driver collect).
+  */
+object Similarity {
+
+  /** Elementwise float→double so downstream math is double-precision. */
+  def asDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  /** Sequential (left-to-right) dot product — deterministic fold order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Exact top-k by cosine against the single query vector in `queryDf`
+    * (one row, column `qv`); the query side is broadcast.
+    */
+  def bruteForceTopK(emb: DataFrame, vecCol: String, idCol: String,
+      queryDf: DataFrame, k: Int): DataFrame =
+    emb.crossJoin(broadcast(queryDf))
+      .select(col(idCol),
+        round(cosine(asDouble(col(vecCol)), col("qv")), 6).as("cos_r"))
+      .orderBy(desc("cos_r"), col(idCol))
+      .limit(k)
+
+  /** Sign-pattern bucket of the first `bits` dimensions: Σ 2^i·[v_i > 0].
+    * A deterministic LSH for cosine similarity (random-hyperplane LSH with
+    * axis-aligned planes).
+    */
+  def signBucket(v: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      when(element_at(v, i + 1) > 0.0f, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** ANN: candidates share the query's sign bucket; exact cosine rescoring
+    * within the bucket. At 100 TB the bucket join replaces the O(n) scan of
+    * brute force with a partition-pruned equi-join.
+    */
+  def bucketedTopK(emb: DataFrame, vecCol: String, idCol: String,
+      queryDf: DataFrame, bits: Int, k: Int): DataFrame = {
+    val bucketed = emb.withColumn("bucket", signBucket(col(vecCol), bits))
+    val q = queryDf.withColumn("qbucket", signBucket(col("qv"), bits))
+    bucketed.join(broadcast(q), col("bucket") === col("qbucket"))
+      .select(col(idCol),
+        round(cosine(asDouble(col(vecCol)), asDouble(col("qv"))), 6).as("cos_r"))
+      .orderBy(desc("cos_r"), col(idCol))
+      .limit(k)
+  }
+
+  /** All pairs (a < b) with rounded cosine ≥ threshold — embedding-space
+    * near-duplicate detection. Brute force here; compose with
+    * [[signBucket]] blocking for the at-scale variant.
+    */
+  def nearDupPairs(emb: DataFrame, vecCol: String, idCol: String,
+      threshold: Double): DataFrame = {
+    val e = emb.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
+    e.alias("x").join(e.alias("y"), col("x.vid") < col("y.vid"))
+      .select(
+        col("x.vid").as("vec_a"), col("y.vid").as("vec_b"),
+        round(cosine(col("x.v"), col("y.v")), 6).as("cos_r"))
+      .filter(col("cos_r") >= threshold)
+  }
+}

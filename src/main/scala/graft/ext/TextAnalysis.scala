@@ -1,0 +1,72 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import TextHash._
+
+/** Text-analysis operators: language ID, quality scoring, token counting,
+  * document fingerprinting. All pure column math over whitespace tokens —
+  * codegen-friendly, shuffle-free per document.
+  */
+object TextAnalysis {
+
+  /** Stopword marker lists per language for the n-gram/stopword-ratio
+    * language-ID heuristic. Deterministic and SQL-mirrorable.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein"),
+    "fr" -> Seq("le", "les", "et", "des", "un", "une"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有"))
+
+  /** Per-language marker-hit count over the document's tokens. */
+  def langScore(text: Column, markers: Seq[String]): Column =
+    size(filter(Dedup.tokens(text), t => t.isin(markers: _*))).cast("long")
+
+  /** Predicted language: argmax of marker scores, ties broken by the fixed
+    * [[LangMarkers]] order (first language with a maximal score wins).
+    */
+  def languageId(text: Column): Column = {
+    val scores = LangMarkers.map { case (lang, m) => lang -> langScore(text, m) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit(LangMarkers.last._1)) { case ((lang, s), els) =>
+      when(s === best, lit(lang)).otherwise(els)
+    }
+  }
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(split(text, " ")).cast("long")
+
+  /** BPE-ish token count: maximal runs of lowercase letters, digit runs, or
+    * single non-space symbols (a regex stand-in for a real tokenizer).
+    */
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long")
+
+  /** Distinct-token ratio ∈ (0,1] — low values flag boilerplate/spam. */
+  def uniqueTokenRatio(text: Column): Column = {
+    val toks = split(text, " ")
+    round(size(array_distinct(toks)).cast("double") / size(toks).cast("double"), 6)
+  }
+
+  /** Mean characters per token (including the separator overhead). */
+  def charsPerToken(text: Column): Column =
+    round(length(text).cast("double") / tokenCount(text).cast("double"), 6)
+
+  /** Stopword ratio against the combined marker list. */
+  def stopwordRatio(text: Column): Column = {
+    val all = LangMarkers.flatMap(_._2)
+    round(langScore(text, all).cast("double") / tokenCount(text).cast("double"), 6)
+  }
+
+  /** Order-sensitive document fingerprint: Σ position·h(token) mod P over
+    * 1-based token positions (a commutative-safe rolling hash).
+    */
+  def fingerprint(text: Column): Column = {
+    val contribs = transform(split(text, " "),
+      (t, i) => ((i + 1).cast("long") * tokenHash(t)) % lit(P))
+    aggregate(contribs, lit(0L), (acc, x) => acc + x) % lit(P)
+  }
+}

@@ -1,0 +1,323 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.{Dedup, Similarity, TextAnalysis}
+import graft.ext.TextHash.{tokenHashSql, P, Seeds}
+
+/** Extension surface (BASELINE.json north_star): LLM-pipeline operators —
+  * dedup (exact / minhash-LSH / simhash / n-gram Jaccard / embedding
+  * near-dup), similarity search (brute-force + LSH-bucketed ANN), text
+  * analysis (language-ID, quality, token counts, fingerprint), sessionization
+  * and windowed event aggregates (batch mirrors of the streaming ops).
+  */
+object ExtQueries {
+
+  /** Q18 [X]: exact dedup by content hash (md5 is identical across engines). */
+  val q18 = OracleQuery(
+    "q18_exact_dedup",
+    (s, d) => Dedup.exactByHash(Tables.documents(s, d), "doc_id", "text"),
+    Some("""SELECT md5(text) AS h, min(doc_id) AS keeper,
+                   CAST(count(*) AS BIGINT) AS dup_cnt
+            FROM documents GROUP BY md5(text)"""),
+  )
+
+  private val minhashSigSql: String = {
+    val mins = Seeds.zipWithIndex.map { case ((a, b), j) =>
+      s"min(($a * h + $b) % $P) AS mh$j"
+    }.mkString(",\n                   ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+            h AS (SELECT doc_id, ${tokenHashSql("w")} AS h FROM tok)
+            SELECT doc_id, $mins
+            FROM h GROUP BY doc_id"""
+  }
+
+  /** Q19 [X]: minhash signatures (4 hashes, deterministic seeds). */
+  val q19 = OracleQuery(
+    "q19_minhash_sig",
+    (s, d) =>
+      Dedup.minHashSignature(Tables.documents(s, d), "text")
+        .select("doc_id", "mh0", "mh1", "mh2", "mh3"),
+    Some(minhashSigSql),
+  )
+
+  /** Q19b [X]: LSH banding — candidate pairs sharing either 2-row band. */
+  val q19b = OracleQuery(
+    "q19b_lsh_pairs",
+    (s, d) => {
+      val sig = Dedup.minHashSignature(Tables.documents(s, d), "text")
+      Dedup.lshCandidatePairs(sig, "doc_id",
+        Seq(Seq("mh0", "mh1"), Seq("mh2", "mh3")))
+    },
+    Some(s"""WITH sig AS ($minhashSigSql)
+            SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, 0 AS band_id
+            FROM sig x JOIN sig y ON x.mh0 = y.mh0 AND x.mh1 = y.mh1 AND x.doc_id < y.doc_id
+            UNION ALL
+            SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, 1 AS band_id
+            FROM sig x JOIN sig y ON x.mh2 = y.mh2 AND x.mh3 = y.mh3 AND x.doc_id < y.doc_id"""),
+  )
+
+  /** Q20 [X]: brute-force cosine top-k against vec 0 (exact baseline). */
+  val q20 = OracleQuery(
+    "q20_cosine_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(Similarity.asDouble(col("embedding")).as("qv"))
+      Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") > 0), "embedding", "vec_id", q, 10)
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+                 q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_dot_product(v, qv) /
+                         (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_r
+            FROM e, q WHERE vec_id > 0
+            ORDER BY cos_r DESC, vec_id LIMIT 10"""),
+  )
+
+  private val bucketSql: String =
+    (0 until 6).map(i =>
+      s"(CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+
+  /** Q20b [X]: LSH-bucketed ANN — sign-pattern blocking then exact rescore. */
+  val q20b = OracleQuery(
+    "q20b_ann_bucketed",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      Similarity.bucketedTopK(emb, "embedding", "vec_id", q, 6, 5)
+    },
+    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   CAST($bucketSql AS BIGINT) AS bucket
+                   FROM embeddings),
+                 q AS (SELECT v AS qv, bucket AS qb FROM e WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_dot_product(v, qv) /
+                         (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_r
+            FROM e, q WHERE bucket = qb
+            ORDER BY cos_r DESC, vec_id LIMIT 5"""),
+  )
+
+  /** Q21 [X]: token frequencies per language (stopword-filtered). */
+  val q21 = OracleQuery(
+    "q21_token_freq",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 2 && !col("w").isin("the", "and", "for"))
+        .groupBy("lang", "w")
+        .agg(count(lit(1)).as("cnt")),
+    Some("""SELECT lang, w, CAST(count(*) AS BIGINT) AS cnt
+            FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+            WHERE length(w) > 2 AND w NOT IN ('the', 'and', 'for')
+            GROUP BY lang, w"""),
+  )
+
+  /** Q22 (W2, batch mirror of ST3): 30-minute-gap sessionization. Gaps are
+    * compared in integer µs on both engines (ns truncated identically).
+    */
+  val q22 = OracleQuery(
+    "q22_sessionization",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      val frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"),
+          unix_micros(col("ts")).as("tus"))
+        .withColumn("is_new",
+          when(col("tus") - lag("tus", 1).over(w) > 1800000000L, 1L).otherwise(0L))
+        .withColumn("session_id", sum("is_new").over(frame))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("val_sum"),
+          min("event_id").as("first_event"))
+    },
+    Some("""WITH e AS (SELECT event_id, user_id, value,
+                              epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events),
+                 g AS (SELECT *, CASE WHEN tus - lag(tus) OVER
+                         (PARTITION BY user_id ORDER BY event_id) > 1800000000
+                         THEN 1 ELSE 0 END AS is_new FROM e),
+                 se AS (SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+                        FROM g)
+            SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n,
+                   round(sum(value), 6) AS val_sum, min(event_id) AS first_event
+            FROM se GROUP BY user_id, session_id"""),
+  )
+
+  /** Q23 (ST2 batch parity): tumbling 1h windows per event type. */
+  val q23 = OracleQuery(
+    "q23_tumbling_window",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(
+          unix_micros(date_trunc("hour", col("ts"))).as("bucket_us"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("val_sum")),
+    Some("""SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS bucket_us,
+                   event_type, CAST(count(*) AS BIGINT) AS n,
+                   round(sum(value), 6) AS val_sum
+            FROM events GROUP BY 1, 2"""),
+  )
+
+  private val simhashSql: String = {
+    val sums = (0 until 16).map(j =>
+      s"CAST(SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s$j")
+      .mkString(",\n                   ")
+    val bits = (0 until 16).map(j =>
+      s"(CASE WHEN s$j >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+            h AS (SELECT doc_id, ${tokenHashSql("w")} AS h FROM tok),
+            b AS (SELECT doc_id, $sums FROM h GROUP BY doc_id)
+            SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM b"""
+  }
+
+  /** Q25 [X]: 16-bit SimHash per document. */
+  val q25 = OracleQuery(
+    "q25_simhash",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), Dedup.simHash16(col("text")).as("simhash")),
+    Some(simhashSql),
+  )
+
+  /** Q26 [X]: word-bigram Jaccard between consecutive documents. */
+  val q26 = OracleQuery(
+    "q26_ngram_jaccard",
+    (s, d) =>
+      Dedup.consecutiveNgramJaccard(Tables.documents(s, d), "doc_id", "text", 2),
+    Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+                 bg AS (SELECT DISTINCT doc_id, g FROM
+                        (SELECT doc_id, unnest([t[i] || ' ' || t[i+1]
+                                FOR i IN generate_series(1, len(t) - 1)]) AS g FROM tok)),
+                 n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nb FROM bg GROUP BY doc_id),
+                 i AS (SELECT x.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS ni
+                       FROM bg x JOIN bg y ON y.g = x.g AND y.doc_id = x.doc_id + 1
+                       GROUP BY x.doc_id)
+            SELECT a.doc_id AS doc_a, a.doc_id + 1 AS doc_b,
+                   round(CAST(COALESCE(ni, 0) AS DOUBLE) /
+                         CAST(a.nb + b.nb - COALESCE(ni, 0) AS DOUBLE), 6) AS jac
+            FROM n a JOIN n b ON b.doc_id = a.doc_id + 1
+            LEFT JOIN i ON i.doc_id = a.doc_id"""),
+  )
+
+  /** Q27 [X]: embedding-cosine near-duplicate pairs (brute force; the
+    * blocked variant is q20b's bucketing composed with the same rescore).
+    */
+  val q27 = OracleQuery(
+    "q27_embedding_near_dup",
+    (s, d) =>
+      Similarity.nearDupPairs(Tables.embeddings(s, d), "embedding", "vec_id", 0.5),
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+            SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+                   round(list_dot_product(x.v, y.v) /
+                         (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6) AS cos_r
+            FROM e x JOIN e y ON x.vec_id < y.vec_id
+            WHERE round(list_dot_product(x.v, y.v) /
+                        (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6) >= 0.5"""),
+  )
+
+  private val langidSql: String = {
+    val scores = TextAnalysis.LangMarkers.map { case (lang, m) =>
+      val list = m.map(w => s"'$w'").mkString(", ")
+      s"CAST(SUM(CASE WHEN w IN ($list) THEN 1 ELSE 0 END) AS BIGINT) AS s_$lang"
+    }.mkString(",\n                   ")
+    val langs = TextAnalysis.LangMarkers.map(_._1)
+    val chain = langs.init.zipWithIndex.map { case (lang, i) =>
+      val rest = langs.drop(i + 1).map(l => s"s_$lang >= s_$l").mkString(" AND ")
+      s"WHEN $rest THEN '$lang'"
+    }.mkString("\n                   ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+            sc AS (SELECT doc_id, $scores FROM tok GROUP BY doc_id)
+            SELECT doc_id, CASE $chain ELSE '${langs.last}' END AS pred_lang,
+                   s_en, s_es, s_de, s_fr, s_zh
+            FROM sc"""
+  }
+
+  /** Q28 [X]: marker-based language ID (argmax with fixed tie order). */
+  val q28 = OracleQuery(
+    "q28_langid",
+    (s, d) => {
+      val doc = Tables.documents(s, d)
+      val scored = TextAnalysis.LangMarkers.foldLeft(doc) { case (acc, (lang, m)) =>
+        acc.withColumn(s"s_$lang", TextAnalysis.langScore(col("text"), m))
+      }
+      scored.select(col("doc_id"),
+        TextAnalysis.languageId(col("text")).as("pred_lang"),
+        col("s_en"), col("s_es"), col("s_de"), col("s_fr"), col("s_zh"))
+    },
+    Some(langidSql),
+  )
+
+  /** Q29 [X]: quality-score features. */
+  val q29 = OracleQuery(
+    "q29_quality",
+    (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars2"),
+        TextAnalysis.tokenCount(col("text")).as("n_tok"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("n_uniq"),
+        TextAnalysis.charsPerToken(col("text")).as("chars_per_tok"),
+        TextAnalysis.uniqueTokenRatio(col("text")).as("uniq_ratio")),
+    Some("""SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars2,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+                   round(CAST(length(text) AS DOUBLE) /
+                         CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS chars_per_tok,
+                   round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+                         CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS uniq_ratio
+            FROM documents"""),
+  )
+
+  /** Q30 [X]: whitespace vs BPE-ish regex token counts. */
+  val q30 = OracleQuery(
+    "q30_token_count",
+    (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_ws"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("n_bpe")),
+    Some("""SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+                   CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe
+            FROM documents"""),
+  )
+
+  /** Q31 [X]: order-sensitive document fingerprint (rolling-hash analog). */
+  val q31 = OracleQuery(
+    "q31_fingerprint",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp")),
+    Some(s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            ph AS (SELECT doc_id, (i * ${tokenHashSql("t[i]")}) % $P AS c
+                   FROM tok, UNNEST(generate_series(1, len(t))) AS u(i))
+            SELECT doc_id, CAST(SUM(c) % $P AS BIGINT) AS fp
+            FROM ph GROUP BY doc_id"""),
+  )
+
+  /** Q32 [X]: multimodal/binary column metadata — byte length + content
+    * hash of the utf-8 payload (the decode stage itself is the stubbed
+    * TileStore/Multimodal path; this pins the binary plumbing).
+    */
+  val q32 = OracleQuery(
+    "q32_binary_meta",
+    (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        md5(col("text")).as("h")),
+    Some("""SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   md5(text) AS h
+            FROM documents"""),
+  )
+
+  val all: Seq[OracleQuery] = Seq(
+    q18, q19, q19b, q20, q20b, q21, q22, q23,
+    q25, q26, q27, q28, q29, q30, q31, q32)
+}

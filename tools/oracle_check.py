@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate: run each oracle SQL in
+DuckDB over the testdata tables, canonicalize both sides (sort columns by
+name, round doubles to 1e-9, sort rows), and compare against the parquet
+written by graft.Verify.
+
+Usage: oracle_check.py <sfDir> <verifyOutDir> [query ...]
+"""
+import json, math, sys
+
+import duckdb
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                v = round(v, 9)
+                if v == 0:
+                    v = 0.0
+            vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=lambda t: tuple((x is None, str(type(x)), str(x)) for x in t))
+    return [cols[i] for i in order], out
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        try:
+            spark_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            s_cols, s_rows = canon(spark_rel.fetchall(), spark_rel.columns)
+        except Exception as e:
+            print(f"FAIL {name}: spark result unreadable: {e}")
+            n_fail += 1
+            continue
+        try:
+            duck_rel = con.sql(sql)
+            d_cols, d_rows = canon(duck_rel.fetchall(), duck_rel.columns)
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {e}")
+            n_fail += 1
+            continue
+        if s_cols != d_cols:
+            print(f"FAIL {name}: columns {s_cols} != {d_cols}")
+            n_fail += 1
+        elif s_rows != d_rows:
+            n_fail += 1
+            print(f"FAIL {name}: {len(s_rows)} spark rows vs {len(d_rows)} duck rows")
+            sset, dset = set(s_rows), set(d_rows)
+            for r in list(sset - dset)[:3]:
+                print(f"   spark-only: {r}")
+            for r in list(dset - sset)[:3]:
+                print(f"   duck-only:  {r}")
+        else:
+            n_pass += 1
+            print(f"PASS {name} ({len(s_rows)} rows)")
+    print(f"\n{n_pass} pass, {n_fail} fail, {len(oracle)} total")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
