@@ -1,0 +1,126 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video carried as opaque `binary`
+  * columns with typed metadata structs, processed batch-at-a-time in
+  * `mapPartitions` (the JVM analog of Python's `mapInPandas` — one iterator
+  * pass, no per-row UDF dispatch, no driver collect).
+  *
+  * The actual codec step is STUBBED (no image/audio libraries in this
+  * container): [[StubCodec.decode]] produces a deterministic fake pixel grid
+  * from the payload bytes, so every downstream operator — metadata
+  * extraction, resize, frame sampling, feature pooling — exercises real
+  * Spark plumbing (schemas, encoders, partition batching) with verifiable
+  * outputs. Swapping in a real codec changes exactly one function.
+  */
+object Multimodal {
+
+  /** Typed metadata for an opaque media payload. */
+  case class MediaMeta(format: String, width: Int, height: Int, nBytes: Long)
+
+  /** A decoded frame: row-major grayscale grid. */
+  case class Frame(width: Int, height: Int, pixels: Array[Int])
+
+  case class MediaRow(media_id: Long, payload: Array[Byte])
+  case class MediaFeature(media_id: Long, meta: MediaMeta,
+      mean_px: Double, max_px: Int)
+  case class FrameRow(media_id: Long, frame_idx: Int, mean_px: Double)
+
+  /** STUB codec — deterministic fake decode. A real deployment replaces
+    * this object with an actual image/audio decoder; everything else in
+    * this file is production plumbing.
+    */
+  object StubCodec {
+    private def mix(seed: Long, v: Long): Long = {
+      var h = seed ^ (v + 0x9e3779b97f4a7c15L) + (seed << 6) + (seed >>> 2)
+      h *= 0xff51afd7ed558ccdL
+      h ^ (h >>> 33)
+    }
+
+    /** Payload bytes → fake WxH grayscale frame; dimensions derived from the
+      * payload hash (8..64 px) so they are stable per payload.
+      */
+    def decode(payload: Array[Byte]): Frame = {
+      var seed = 0x2545f4914f6cdd1dL
+      var i = 0
+      while (i < payload.length) { seed = mix(seed, payload(i).toLong); i += 1 }
+      val w = 8 + math.floorMod(seed, 57).toInt
+      val h = 8 + math.floorMod(seed >>> 7, 57).toInt
+      val px = new Array[Int](w * h)
+      var j = 0
+      while (j < px.length) { px(j) = math.floorMod(mix(seed, j), 256).toInt; j += 1 }
+      Frame(w, h, px)
+    }
+
+    /** Fake video decode: `n` frames, each a shifted variant of the base. */
+    def decodeFrames(payload: Array[Byte], n: Int): Seq[Frame] = {
+      val base = decode(payload)
+      (0 until n).map { f =>
+        Frame(base.width, base.height,
+          base.pixels.map(p => (p + f * 7) % 256))
+      }
+    }
+  }
+
+  /** Nearest-neighbor resize — real logic, runs on stub or real frames. */
+  def resize(f: Frame, w2: Int, h2: Int): Frame = {
+    val out = new Array[Int](w2 * h2)
+    var y = 0
+    while (y < h2) {
+      val sy = y * f.height / h2
+      var x = 0
+      while (x < w2) {
+        out(y * w2 + x) = f.pixels(sy * f.width + x * f.width / w2)
+        x += 1
+      }
+      y += 1
+    }
+    Frame(w2, h2, out)
+  }
+
+  /** Decode + feature-extract each payload: metadata struct plus pooled
+    * pixel statistics, one partition-batched pass.
+    */
+  def imageFeatures(media: Dataset[MediaRow]): Dataset[MediaFeature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val f = StubCodec.decode(m.payload)
+        val sum = f.pixels.foldLeft(0L)(_ + _)
+        MediaFeature(m.media_id,
+          MediaMeta("stub-gray", f.width, f.height, m.payload.length.toLong),
+          sum.toDouble / f.pixels.length, f.pixels.max)
+      }
+    }
+  }
+
+  /** Frame sampling: decode every `stride`-th of `nFrames` frames, emit one
+    * row per kept frame with its pooled mean (the video → training-frames
+    * shape). Generator-style: one input row fans out to many.
+    */
+  def sampleFrames(media: Dataset[MediaRow], nFrames: Int,
+      stride: Int): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        StubCodec.decodeFrames(m.payload, nFrames).zipWithIndex
+          .collect { case (f, i) if i % stride == 0 =>
+            FrameRow(m.media_id, i,
+              f.pixels.foldLeft(0L)(_ + _).toDouble / f.pixels.length)
+          }
+      }
+    }
+  }
+
+  /** Attach a binary payload column derived from text (harness adapter: the
+    * testdata has no binary tables, so documents.text doubles as payload).
+    */
+  def asMedia(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("media_id"),
+        encode(col(textCol), "UTF-8").as("payload"))
+      .as[MediaRow]
+  }
+}

@@ -1,0 +1,69 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** [X] dedup operators: exact, minhash/LSH, simhash, n-gram Jaccard. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox leaps over the lazy dog"), // near dup
+    (4L, "completely different content about spark engines")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts under the min-id keeper") {
+    val out = Dedup.exactByHash(docs, "doc_id", "text")
+    out.count() shouldBe 3
+    val dup = out.filter($"dup_cnt" === 2).head()
+    dup.getAs[Long]("keeper") shouldBe 1L
+  }
+
+  test("wordNgrams: distinct n-grams, empty for short docs") {
+    val g = Seq((1L, "a b c b a b"), (2L, "solo"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", Dedup.wordNgrams($"text", 2).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Seq[String]]("g")).toMap
+    g(1L).toSet shouldBe Set("a b", "b c", "c b", "b a") // distinct
+    g(2L) shouldBe Seq.empty
+  }
+
+  test("minhash: identical docs get identical signatures; sigs in range") {
+    val sig = Dedup.minHashSignature(docs, "text")
+      .select("doc_id", "mh0", "mh1", "mh2", "mh3").collect()
+      .map(r => r.getLong(0) -> (1 to 4).map(r.getLong)).toMap
+    sig(1L) shouldBe sig(2L)
+    sig(1L) should not be sig(4L)
+    all(sig.values.flatten) should be >= 0L
+  }
+
+  test("LSH banding: exact dups are candidates in every band; distinct docs are not") {
+    val sig = Dedup.minHashSignature(docs, "text")
+    val pairs = Dedup.lshCandidatePairs(sig, "doc_id",
+      Seq(Seq("mh0", "mh1"), Seq("mh2", "mh3")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    pairs should contain((1L, 2L, 0))
+    pairs should contain((1L, 2L, 1))
+    pairs.map(p => (p._1, p._2)) should not contain ((1L, 4L))
+  }
+
+  test("simhash: identical→equal, near-dup closer than unrelated (Hamming)") {
+    val h = docs.select($"doc_id", Dedup.simHash16($"text").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    h(1L) shouldBe h(2L)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    ham(h(1L), h(3L)) should be < ham(h(1L), h(4L))
+    all(h.values) should (be >= 0L and be < 65536L)
+  }
+
+  test("consecutive n-gram Jaccard: dup pair ≈ 1, near-dup high, unrelated 0") {
+    val j = Dedup.consecutiveNgramJaccard(docs, "doc_id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    j(1L) shouldBe 1.0 // docs 1-2 identical
+    j(2L) should (be > 0.5 and be < 1.0) // docs 2-3 near dup
+    j(3L) shouldBe 0.0 // docs 3-4 unrelated
+  }
+}

@@ -1,0 +1,59 @@
+package graft.ext
+
+import graft.{SparkSpec, TestSpark}
+import Multimodal._
+
+/** [X] multimodal binary-column plumbing: stub decode, features, resize,
+  * frame sampling — schemas and partition batching are the real contract.
+  */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val media = Seq(
+    MediaRow(1L, "payload-one".getBytes("UTF-8")),
+    MediaRow(2L, "payload-two-longer".getBytes("UTF-8")),
+    MediaRow(3L, "payload-one".getBytes("UTF-8")) // same bytes as 1
+  ).toDS()
+
+  test("stub decode is deterministic and bounded") {
+    val a = StubCodec.decode("abc".getBytes)
+    val b = StubCodec.decode("abc".getBytes)
+    a.pixels.toSeq shouldBe b.pixels.toSeq
+    a.width should (be >= 8 and be <= 64)
+    a.height should (be >= 8 and be <= 64)
+    all(a.pixels.toSeq) should (be >= 0 and be <= 255)
+  }
+
+  test("imageFeatures: typed metadata + pooled stats, same bytes → same row") {
+    val f = imageFeatures(media).collect().map(x => x.media_id -> x).toMap
+    f(1L).meta.nBytes shouldBe 11L
+    f(1L).meta.format shouldBe "stub-gray"
+    (f(1L).mean_px, f(1L).max_px) shouldBe ((f(3L).mean_px, f(3L).max_px))
+    f(1L).meta.width shouldBe f(3L).meta.width
+    f(1L).mean_px should (be >= 0.0 and be <= 255.0)
+  }
+
+  test("sampleFrames: stride-sampled generator fan-out") {
+    val frames = sampleFrames(media, nFrames = 6, stride = 2).collect()
+    frames.length shouldBe 9 // 3 media × frames {0, 2, 4}
+    frames.map(_.frame_idx).distinct.sorted.toSeq shouldBe Seq(0, 2, 4)
+  }
+
+  test("resize: nearest-neighbor to exact target dims, corners preserved") {
+    val f = Frame(4, 4, (0 until 16).toArray)
+    val r = resize(f, 2, 2)
+    (r.width, r.height) shouldBe ((2, 2))
+    r.pixels.toSeq shouldBe Seq(0, 2, 8, 10)
+    val up = resize(f, 8, 8)
+    up.pixels(0) shouldBe 0
+    up.pixels(63) shouldBe 15
+  }
+
+  test("asMedia adapts a text table into the binary schema") {
+    val docs = graft.Tables.documents(spark, TestSpark.Sf0001)
+    val ds = asMedia(docs, "doc_id", "text")
+    val row = ds.head()
+    row.payload.length should be > 0
+    imageFeatures(ds).count() shouldBe docs.count()
+  }
+}

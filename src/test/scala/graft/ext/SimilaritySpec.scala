@@ -1,0 +1,66 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** [X] similarity search: exact cosine math, brute-force and bucketed ANN. */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val emb = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(1.0f, 0.0f, 0.0f)),   // identical to query
+    (2L, Array(0.9f, 0.1f, 0.0f)),   // close
+    (3L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal
+    (4L, Array(-1.0f, 0.0f, 0.0f))   // opposite
+  ).toDF("vec_id", "embedding")
+
+  test("cosine column math: identity=1, orthogonal=0, opposite=-1") {
+    val c = emb.select($"vec_id",
+      Similarity.cosine(
+        Similarity.asDouble($"embedding"),
+        array(lit(1.0), lit(0.0), lit(0.0))).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    c(1L) shouldBe 1.0 +- 1e-9
+    c(3L) shouldBe 0.0 +- 1e-9
+    c(4L) shouldBe -1.0 +- 1e-9
+  }
+
+  test("bruteForceTopK: correct ranking with deterministic ties") {
+    val q = emb.filter($"vec_id" === 0L)
+      .select(Similarity.asDouble($"embedding").as("qv"))
+    val top = Similarity.bruteForceTopK(
+      emb.filter($"vec_id" > 0), "embedding", "vec_id", q, 3)
+      .collect().map(_.getLong(0)).toSeq
+    top shouldBe Seq(1L, 2L, 3L)
+  }
+
+  test("signBucket blocks by leading-dimension signs") {
+    val b = emb.select($"vec_id",
+      Similarity.signBucket($"embedding", 3).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    b(0L) shouldBe b(1L) // same signs → same bucket
+    b(0L) should not be b(3L)
+    b(0L) should not be b(4L)
+  }
+
+  test("bucketedTopK finds same-bucket neighbors (exact rescoring inside)") {
+    val q = emb.filter($"vec_id" === 0L)
+      .select($"embedding".as("qv"))
+    val top = Similarity.bucketedTopK(emb, "embedding", "vec_id", q, 3, 5)
+      .collect().map(_.getLong(0)).toSeq
+    // bucket 0b001 (only dim 1 positive) contains exactly vecs 0 and 1;
+    // vec 2's positive second dim puts it in 0b011 — blocked out by design
+    top shouldBe Seq(0L, 1L)
+  }
+
+  test("nearDupPairs: only ≥-threshold pairs, a<b canonical order") {
+    val pairs = Similarity.nearDupPairs(emb, "embedding", "vec_id", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain((0L, 1L))
+    pairs should contain((0L, 2L))
+    pairs.foreach { case (a, b) => a should be < b }
+    pairs.map(_._2) should not contain 4L
+  }
+}

@@ -1,0 +1,72 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** [X] text analysis: language ID, quality features, token counts,
+  * fingerprints.
+  */
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("languageId picks the marker-richest language, fixed tie order") {
+    val docs = Seq(
+      (1L, "the cat and the dog is a friend of mine"),
+      (2L, "el perro y la casa de que en madrid"),
+      (3L, "der hund und das haus ist ein freund"),
+      (4L, "le chat et les maisons un une paris"),
+      (5L, "xyzzy plugh") // no markers at all → tie → first lang wins
+    ).toDF("doc_id", "text")
+    val out = docs.select($"doc_id", TextAnalysis.languageId($"text").as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out shouldBe Map(1L -> "en", 2L -> "es", 3L -> "de", 4L -> "fr", 5L -> "en")
+  }
+
+  test("token counts: whitespace vs BPE-ish regex") {
+    val df = Seq((1L, "hello world42 foo-bar")).toDF("doc_id", "text")
+    val r = df.select(
+      TextAnalysis.tokenCount($"text"),
+      TextAnalysis.bpeishTokenCount($"text")).head()
+    r.getLong(0) shouldBe 3L
+    // runs: hello, world, 42, foo, -, bar
+    r.getLong(1) shouldBe 6L
+  }
+
+  test("quality features: ratios bounded and sensitive to repetition") {
+    val df = Seq(
+      (1L, "spam spam spam spam"),
+      (2L, "all words here differ nicely")
+    ).toDF("doc_id", "text")
+    val r = df.select($"doc_id",
+      TextAnalysis.uniqueTokenRatio($"text").as("u"),
+      TextAnalysis.charsPerToken($"text").as("c"),
+      TextAnalysis.stopwordRatio($"text").as("s"))
+      .collect().map(x => x.getLong(0) -> x).toMap
+    r(1L).getAs[Double]("u") shouldBe 0.25
+    r(2L).getAs[Double]("u") shouldBe 1.0
+    r(1L).getAs[Double]("c") shouldBe (19.0 / 4) +- 1e-6
+    r(2L).getAs[Double]("s") shouldBe 0.0
+  }
+
+  test("fingerprint is order-sensitive (rolling-hash contract)") {
+    val df = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "gamma beta alpha"),
+      (3L, "alpha beta gamma")
+    ).toDF("doc_id", "text")
+    val fp = df.select($"doc_id", TextAnalysis.fingerprint($"text").as("f"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    fp(1L) shouldBe fp(3L)
+    fp(1L) should not be fp(2L)
+  }
+
+  test("approx_count_distinct within 5% of exact (A6 sanity, Q24 Spark side)") {
+    val li = graft.Tables.lineitem(spark, graft.TestSpark.Sf0001)
+    val r = li.agg(
+      countDistinct($"l_partkey").as("exact"),
+      approx_count_distinct($"l_partkey", 0.02).as("approx")).head()
+    val (exact, approx) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    math.abs(approx - exact) / exact should be < 0.05
+  }
+}

@@ -1,0 +1,110 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+case class Ev(event_id: Long, user_id: Long, event_type: String,
+    ts: Timestamp, value: Double, props: String)
+
+/** ST1–ST5: batch/stream parity — every transform produces identical
+  * results when fed the same rows as a batch DataFrame and as a
+  * MemoryStream (complete/append modes as appropriate).
+  */
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(min: Int): Timestamp = new Timestamp(1700000000000L + min * 60000L)
+
+  private val rows = Seq(
+    Ev(1, 1, "click", t(0), 1.0, "{}"),
+    Ev(2, 1, "click", t(10), 2.0, "{}"),
+    Ev(3, 1, "view", t(65), 3.0, "{}"),   // new hour, new session (55' gap)
+    Ev(4, 2, "click", t(5), 4.0, "{}"),
+    Ev(5, 2, "click", t(200), 5.0, "{}"), // 195' gap → new session
+    Ev(3, 1, "view", t(65), 3.0, "{}")    // duplicate event_id for ST4
+  )
+
+  private def runStream(transform: DataFrame => DataFrame,
+      outputMode: String): Array[org.apache.spark.sql.Row] = {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(rows)
+    val name = s"st_${System.nanoTime()}"
+    val q = transform(mem.toDF())
+      .writeStream.format("memory").queryName(name)
+      .outputMode(outputMode).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name).collect()
+  }
+
+  test("ST2 windowed counts: stream(complete) == batch on same rows") {
+    val batch = EventStreams.windowedCounts(rows.toDF())
+      .orderBy("win_start", "event_type").collect()
+    val stream = runStream(EventStreams.windowedCounts(_), "complete")
+      .sortBy(r => (r.getTimestamp(0).getTime, r.getString(1)))
+    stream.toSeq shouldBe batch.toSeq
+    // tumbling hours: (h0: click×3), (h1: view×2 incl. the dup), (h3: click×1)
+    batch.map(r => (r.getString(1), r.getLong(2))).toSeq shouldBe
+      Seq(("click", 3L), ("view", 2L), ("click", 1L))
+  }
+
+  test("ST2 sliding windows emit overlapping buckets") {
+    val out = EventStreams.windowedCounts(rows.toDF(), "1 hour", Some("30 minutes"))
+      .collect()
+    // event at min 10 lands in windows starting at -30 and 0
+    out.length should be > 3
+  }
+
+  test("ST3 session windows: 30-minute gap splits sessions (== batch shape)") {
+    val batch = EventStreams.sessionAggregates(rows.toDF().dropDuplicates("event_id"))
+      .orderBy("user_id", "session_start").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getDouble(4)))
+    // user 1: events 0',10' merge (gap<30), 65' separate; user 2: 5' vs 200'
+    batch.toSeq shouldBe Seq(
+      (1L, 2L, 3.0), (1L, 1L, 3.0), (2L, 1L, 4.0), (2L, 1L, 5.0))
+    val stream = runStream(
+      df => EventStreams.sessionAggregates(df.dropDuplicates("event_id")),
+      "complete")
+      .sortBy(r => (r.getLong(0), r.getTimestamp(1).getTime))
+      .map(r => (r.getLong(0), r.getLong(3), r.getDouble(4)))
+    stream.toSeq shouldBe batch.toSeq
+  }
+
+  test("ST4 dropDuplicatesWithinWatermark removes the replayed event") {
+    val out = runStream(EventStreams.dedupWithinWatermark(_), "append")
+    out.length shouldBe 5 // 6 rows, one duplicate event_id dropped
+    out.map(_.getLong(0)).distinct.length shouldBe 5
+  }
+
+  test("ST5 incremental upsert sink: stream result == batch aggregate") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("st5").toString
+    val mem = MemoryStream[Ev]
+    mem.addData(rows.take(3))
+    val q = EventStreams.incrementalUpsert(
+      mem.toDF(), s"$dir/t", s"$dir/cp")
+    q.processAllAvailable()
+    q.stop()
+    // later data arrives; a restarted query resumes from the checkpoint and
+    // must MERGE into the table, not replace it
+    mem.addData(rows.drop(3))
+    val q2 = EventStreams.incrementalUpsert(
+      mem.toDF(), s"$dir/t", s"$dir/cp")
+    q2.processAllAvailable()
+    q2.stop()
+    val got = spark.read.parquet(s"$dir/t")
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val want = rows.toDF().groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum("value").as("val_sum"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    got.toSeq shouldBe want.toSeq
+  }
+}
