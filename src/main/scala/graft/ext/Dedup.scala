@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, StringType}
 
@@ -38,6 +39,28 @@ object Dedup {
       .otherwise(array().cast(ArrayType(StringType)))
   }
 
+  /** Distinct (id, n-gram) rows — the relational formulation of
+    * [[wordNgrams]]+explode: posexplode tokens once, assemble each n-gram
+    * from the `lead` window over positions. Everything stays in
+    * whole-stage codegen + one per-document window; the array/HOF form
+    * re-splits the text inside every interpreted lambda element, which at
+    * corpus scale is the entire runtime.
+    */
+  def ngramsExploded(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val tok = df.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "w0")))
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    val withLeads = (1 until n).foldLeft(tok) { (acc, k) =>
+      acc.withColumn(s"w$k", lead(col("w0"), k).over(w))
+    }
+    withLeads
+      .filter(col(s"w${n - 1}").isNotNull)
+      .select(col(idCol),
+        concat_ws(" ", (0 until n).map(k => col(s"w$k")): _*).as("g"))
+      .distinct()
+  }
+
   /** MinHash signature columns mh0..mh{k-1} over whitespace tokens:
     * mh_j = min over tokens of (a_j·h(t) + b_j) mod P. Computed per-row with
     * array_min∘transform — no explode, no shuffle.
@@ -52,14 +75,16 @@ object Dedup {
 
   /** LSH banding over a minhash signature: documents sharing a band emit a
     * candidate pair (doc_a < doc_b, tagged with the band). Each band is an
-    * equi-join on the band tuple — broadcast/sort-merge chosen by AQE.
+    * equi-join on the band's plain hash columns (no struct packing — struct
+    * equality costs per-row allocation; the output side is tens of millions
+    * of candidate pairs). Broadcast/sort-merge chosen by AQE.
     */
   def lshCandidatePairs(sig: DataFrame, idCol: String,
       bands: Seq[Seq[String]]): DataFrame = {
     bands.zipWithIndex.map { case (cols, bi) =>
-      val x = sig.select(col(idCol).as("doc_a"), struct(cols.map(col): _*).as("band"))
-      val y = sig.select(col(idCol).as("doc_b"), struct(cols.map(col): _*).as("band"))
-      x.join(y, Seq("band")).filter(col("doc_a") < col("doc_b"))
+      val x = sig.select(col(idCol).as("doc_a") +: cols.map(col): _*)
+      val y = sig.select(col(idCol).as("doc_b") +: cols.map(col): _*)
+      x.join(y, cols, "inner").filter(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"), lit(bi).as("band_id"))
     }.reduce(_ unionByName _)
   }
@@ -83,8 +108,8 @@ object Dedup {
     */
   def consecutiveNgramJaccard(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
-    val bg = df.select(col(idCol).as("doc_id"),
-        explode(wordNgrams(col(textCol), n)).as("g"))
+    val bg = ngramsExploded(df, idCol, textCol, n)
+      .withColumnRenamed(idCol, "doc_id")
     val counts = bg.groupBy("doc_id").agg(count(lit(1)).as("nb"))
     val inter = bg.alias("x")
       .join(bg.alias("y"),

@@ -3,22 +3,29 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorExpressions
+
 /** Similarity search over an embedding column (`array<float>`).
   *
   * Baseline: brute-force cosine top-k (exact). Scale path: sign-bit bucket
   * LSH — block candidates by the sign pattern of the leading dimensions so
   * the self-join shuffles on a small key instead of materializing O(n²)
-  * pairs. Both are pure column math (zip_with/aggregate — codegen'd, no
-  * UDFs, no driver collect).
+  * pairs. All vector math runs through the native codegen'd DotProduct
+  * expression (no UDFs, no interpreted lambdas, no driver collect).
   */
 object Similarity {
 
   /** Elementwise float→double so downstream math is double-precision. */
   def asDouble(v: Column): Column = transform(v, _.cast("double"))
 
-  /** Sequential (left-to-right) dot product — deterministic fold order. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Sequential (left-to-right) dot product as a native codegen'd Catalyst
+    * expression (graft.functions.DotProduct). The built-in higher-order
+    * route — `aggregate(zip_with(a, b, _*_), 0.0, _+_)` — evaluates
+    * interpreted lambdas per element and allocates an intermediate array
+    * per call; on an all-pairs join that is the entire runtime. Fold order
+    * is identical, so results are bit-equal.
+    */
+  def dot(a: Column, b: Column): Column = VectorExpressions.dotNative(a, b)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
@@ -61,14 +68,21 @@ object Similarity {
   /** All pairs (a < b) with rounded cosine ≥ threshold — embedding-space
     * near-duplicate detection. Brute force here; compose with
     * [[signBucket]] blocking for the at-scale variant.
+    *
+    * Per-pair cost is ONE native codegen'd dot product: per-row norms are
+    * precomputed on the n-row side before the O(n²) pair join
+    * (sqrt(dot(v,v)) once per row, not per pair — same doubles, same
+    * multiply order, so cosines are bit-identical to the naive form).
     */
   def nearDupPairs(emb: DataFrame, vecCol: String, idCol: String,
       threshold: Double): DataFrame = {
     val e = emb.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
     e.alias("x").join(e.alias("y"), col("x.vid") < col("y.vid"))
       .select(
         col("x.vid").as("vec_a"), col("y.vid").as("vec_b"),
-        round(cosine(col("x.v"), col("y.v")), 6).as("cos_r"))
+        round(dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")), 6)
+          .as("cos_r"))
       .filter(col("cos_r") >= threshold)
   }
 }

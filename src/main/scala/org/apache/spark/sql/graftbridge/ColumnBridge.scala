@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ Expression bridge. Spark 4 made the direct constructors
+  * `private[sql]` (the Column API is ColumnNode-based); custom Catalyst
+  * expressions still need to surface as Columns, so this one-file package
+  * sits inside org.apache.spark.sql to reach ExpressionUtils — the same
+  * approach third-party Spark extension libraries use.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
