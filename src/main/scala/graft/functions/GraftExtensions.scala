@@ -1,0 +1,40 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL-surface registration for the engine's native expressions, so
+  * `spark.sql("... graft_dot(a, b) ...")` works alongside the Column API.
+  *
+  * Two entry points:
+  *   - `spark.sql.extensions=graft.functions.GraftExtensions` at session
+  *     build (the production route — survives session cloning);
+  *   - [[GraftFunctions.register]] on a live session (the route for
+  *     driver-provided sessions we didn't build).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
+}
+
+object GraftFunctions {
+
+  type FunctionDescription =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  val dotDescription: FunctionDescription = (
+    FunctionIdentifier("graft_dot"),
+    new ExpressionInfo(classOf[DotProduct].getName, null, "graft_dot",
+      "graft_dot(a, b) - sequential dot product of two double arrays", ""),
+    (children: Seq[Expression]) => DotProduct(children(0), children(1)))
+
+  val all: Seq[FunctionDescription] = Seq(dotDescription)
+
+  /** Register every graft function into an existing session's registry. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (ident, info, builder) =>
+      org.apache.spark.sql.graftbridge.FunctionBridge
+        .register(spark, ident, info, builder)
+    }
+}

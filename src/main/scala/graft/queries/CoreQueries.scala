@@ -336,6 +336,48 @@ object CoreQueries {
             FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"""),
   )
 
+  /** Q11b (A6): cube + explicit grouping sets (the rest of the grouped-agg
+    * surface next to q11's rollup). Spark 4's `groupingSets` API; grouping
+    * level disambiguated via `grouping()` so the (NULL-label vs real-NULL)
+    * encoding never reaches the hash compare.
+    */
+  val q11b = OracleQuery(
+    "q11b_cube_groupingsets",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val cubed = li
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sumDecimal(col("l_quantity"), 2).as("sum_qty"))
+        .select(
+          lit("cube").as("src"),
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"))
+      val sets = li
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(sumDecimal(col("l_quantity"), 2).as("sum_qty"))
+        .select(
+          lit("gsets").as("src"),
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"))
+      cubed.unionByName(sets)
+    },
+    Some("""SELECT 'cube' AS src,
+                   COALESCE(l_returnflag, 'ALL') AS rf,
+                   COALESCE(l_linestatus, 'ALL') AS ls,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+            FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+            UNION ALL
+            SELECT 'gsets' AS src,
+                   COALESCE(l_returnflag, 'ALL') AS rf,
+                   COALESCE(l_linestatus, 'ALL') AS ls,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+            FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))"""),
+  )
+
   /** Q12 (§2.8): union / intersect / except, tagged into one result. */
   val q12 = OracleQuery(
     "q12_set_ops",
@@ -467,5 +509,5 @@ object CoreQueries {
 
   val all: Seq[OracleQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09,
-    q10, q10b, q11, q12, q13, q14, q15, q16, q17, q24)
+    q10, q10b, q11, q11b, q12, q13, q14, q15, q16, q17, q24)
 }
