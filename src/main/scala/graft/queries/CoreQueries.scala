@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.{DecimalType, LongType, MapType, StringType}
 
 import graft.Tables
 import graft.geo.Mercator
-import graft.ops.Upsert
+import graft.ops.{RangeJoin, Upsert}
 
 /** Core oracle query set — SURVEY.md §2.12 Q1–Q17 + Q24, re-expressed over
   * the synthetic star schema. Each query exercises one [R]/[D] semantic from
@@ -106,13 +106,16 @@ object CoreQueries {
 
   /** Q5 (J3/F5/W1): distance-bounded nearest neighbor — POI→edge snap
     * (README.md:48-54) re-keyed to acctbal distance; rank-1 per customer
-    * with a total-order tiebreak.
+    * with a total-order tiebreak. Planned as a cell-bucketed equi-join
+    * (RangeJoin.banded), never a nested-loop band join.
     */
   val q05 = OracleQuery(
     "q05_nearest_within",
     (s, d) => {
       val diff = abs(col("c_acctbal") - col("s_acctbal"))
-      val j = Tables.customer(s, d).join(Tables.supplier(s, d), diff <= 50.0)
+      val j = RangeJoin.banded(
+        Tables.customer(s, d), Tables.supplier(s, d),
+        "c_acctbal", "s_acctbal", 50.0)
       val w = Window.partitionBy("c_custkey").orderBy(diff, col("s_suppkey"))
       j.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
