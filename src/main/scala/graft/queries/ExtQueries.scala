@@ -317,7 +317,71 @@ object ExtQueries {
             FROM documents"""),
   )
 
+  /** Q33 [X]: multimodal decode→feature pipeline (stubbed codec, real
+    * plumbing). No SQL oracle — the stub decode is not SQL-expressible;
+    * the driver records a rows-only check, and MultimodalSpec pins the
+    * semantics.
+    */
+  val q33 = OracleQuery(
+    "q33_multimodal_features",
+    (s, d) => {
+      import graft.ext.Multimodal
+      Multimodal.imageFeatures(
+        Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text"))
+        .toDF()
+        .select(col("media_id"), col("meta.width").as("w"),
+          col("meta.height").as("h"), col("meta.nBytes").as("n_bytes"),
+          round(col("mean_px"), 6).as("mean_px"))
+    },
+    None,
+  )
+
+  /** Q34 [X]: video-style frame sampling fan-out (rows-only check). */
+  val q34 = OracleQuery(
+    "q34_frame_sample",
+    (s, d) => {
+      import graft.ext.Multimodal
+      Multimodal.sampleFrames(
+        Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text"),
+        nFrames = 8, stride = 3)
+        .toDF()
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("n_frames"), round(avg("mean_px"), 6).as("avg_px"))
+    },
+    None,
+  )
+
+  /** Q35 (P2/P3): GeoJSON round-trip — geometry → LineString text → parsed
+    * back; the oracle checks the identity (the JSON text itself never
+    * leaves the engine).
+    */
+  val q35 = OracleQuery(
+    "q35_geojson_roundtrip",
+    (s, d) => {
+      import graft.geo.GeoJson
+      val geom = Tables.customer(s, d).select(
+        col("c_custkey"),
+        array(
+          struct((col("c_acctbal") / 100.0).as("lng"),
+            (col("c_nationkey").cast("double")).as("lat")),
+          struct((col("c_acctbal") / 200.0).as("lng"),
+            (col("c_nationkey").cast("double") + 0.5).as("lat"))).as("geom"))
+      val roundTripped = geom.select(col("c_custkey"),
+        GeoJson.fromLineString(GeoJson.toLineString(col("geom"))).as("geom2"))
+      roundTripped.select(
+        col("c_custkey"),
+        element_at(col("geom2"), 1).getField("lng").as("lng0"),
+        element_at(col("geom2"), 2).getField("lat").as("lat1"),
+        size(col("geom2")).cast("long").as("n_pts"))
+    },
+    Some("""SELECT c_custkey,
+                   c_acctbal / 100.0 AS lng0,
+                   CAST(c_nationkey AS DOUBLE) + 0.5 AS lat1,
+                   CAST(2 AS BIGINT) AS n_pts
+            FROM customer"""),
+  )
+
   val all: Seq[OracleQuery] = Seq(
     q18, q19, q19b, q20, q20b, q21, q22, q23,
-    q25, q26, q27, q28, q29, q30, q31, q32)
+    q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35)
 }

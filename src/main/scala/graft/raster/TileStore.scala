@@ -10,6 +10,18 @@ case class Tile(width: Int, height: Int, mode: String, pixels: Array[Int]) {
   @inline def apply(px: Int, py: Int): Int = pixels(py * width + px)
 }
 
+/** T3 — URL template substitution (`dataproviders.py:17,96`): `${x}/${y}/
+  * ${z}` placeholders → concrete tile URL. Driver/TileStore-side string
+  * work, mirroring Python's string.Template.substitute.
+  */
+object UrlTemplate {
+  def substitute(template: String, x: Long, y: Long, z: Int): String =
+    template
+      .replace("${x}", x.toString)
+      .replace("${y}", y.toString)
+      .replace("${z}", z.toString)
+}
+
 /** Pluggable tile source (`dataproviders.py:10-20` provider hierarchy).
   * Fetch failure → None: the reference swallows fetch errors
   * (`dataproviders.py:103-105`); we propagate null values for that tile's
