@@ -55,15 +55,24 @@ object RasterSampler {
   /** The full §3.1 value pass: coords (gid, lng, lat) → per-gid median of
     * sampled values → normalized by the global max (A1/A2/A3/J5). Null
     * samples (failed tiles) are excluded per F6.
+    *
+    * `exact=true` is reference parity (np.median); `exact=false` is the
+    * 100 TB path — `approx_percentile` keeps per-group state bounded when
+    * group sizes are unbounded (way vertex counts are tiny, so exact is
+    * the default; the knob exists for other coordinate sources).
     */
   def medianPass(coords: DataFrame, store: TileStore, zoom: Int,
-      valueFn: (Tile, Int, Int) => Double, outCol: String): DataFrame = {
+      valueFn: (Tile, Int, Int) => Double, outCol: String,
+      exact: Boolean = true): DataFrame = {
     val sampled = sample(address(coords, zoom, store.tileSize), store, zoom, valueFn)
       .toDF()
+    val medExpr =
+      if (exact) percentile(col("value"), lit(0.5))
+      else approx_percentile(col("value"), lit(0.5), lit(10000))
     val med = sampled
       .filter(col("value").isNotNull)
       .groupBy("gid")
-      .agg(percentile(col("value"), lit(0.5)).as("med"))
+      .agg(medExpr.as("med"))
     val mx = med.agg(max(col("med")).as("mx"))
     med.crossJoin(broadcast(mx))
       .select(col("gid"),

@@ -94,6 +94,21 @@ class RasterSpec extends SparkSpec {
     out.map(_.getDouble(1)).toSeq shouldBe Seq(0.25, 1.0)
   }
 
+  test("approx medianPass (100 TB path) tracks the exact pass") {
+    val store = new SyntheticTileStore(256, "L", seed = 42)
+    val coords = (1 to 200).map(i =>
+      ((i % 7).toLong, -118.0 + i * 0.001, 34.0 + i * 0.0007))
+      .toDF("gid", "lng", "lat")
+    val exact = RasterSampler
+      .medianPass(coords, store, 12, ValueFns.strava, "v")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val approx = RasterSampler
+      .medianPass(coords, store, 12, ValueFns.strava, "v", exact = false)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    exact.keySet shouldBe approx.keySet
+    exact.foreach { case (g, v) => approx(g) shouldBe v +- 0.11 }
+  }
+
   test("address() agrees with Mercator on tile/pixel keys") {
     val coords = Seq((1L, -118.1225, 34.1385)).toDF("gid", "lng", "lat")
     val r = RasterSampler.address(coords, 12).head()

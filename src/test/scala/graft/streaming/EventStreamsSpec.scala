@@ -82,6 +82,33 @@ class EventStreamsSpec extends SparkSpec {
     out.map(_.getLong(0)).distinct.length shouldBe 5
   }
 
+  test("ST4b flatMapGroupsWithState: running totals across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val name = s"st4b_${System.nanoTime()}"
+    val q = EventStreams.runningUserAggregates(mem.toDF())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    mem.addData(rows.take(3)) // user1: events 1,2,3
+    q.processAllAvailable()
+    mem.addData(rows.drop(3)) // user1: +dup event, user2: 2 events
+    q.processAllAvailable()
+    q.stop()
+    // last emitted state per user == the full batch aggregate
+    val latest = spark.table(name)
+      .groupBy("user_id").agg(max_by(struct("n", "val_sum"), col("n")).as("s"))
+      .select("user_id", "s.n", "s.val_sum")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = rows.toDF().groupBy("user_id")
+      .agg(count(lit(1)), sum("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    latest shouldBe want
+    // batch mode runs the same operator in one pass
+    val batch = EventStreams.runningUserAggregates(rows.toDF())
+      .collect().map(r => (r.user_id, r.n, r.val_sum)).toSet
+    batch shouldBe want
+  }
+
   test("ST5 incremental upsert sink: stream result == batch aggregate") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("st5").toString
