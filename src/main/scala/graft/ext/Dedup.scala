@@ -61,16 +61,23 @@ object Dedup {
       .distinct()
   }
 
-  /** MinHash signature columns mh0..mh{k-1} over whitespace tokens:
-    * mh_j = min over tokens of (a_j·h(t) + b_j) mod P. Computed per-row with
-    * array_min∘transform — no explode, no shuffle.
+  /** MinHash signature (id, mh0..mh{k-1}) over whitespace tokens:
+    * mh_j = min over tokens of (a_j·h(t) + b_j) mod P.
+    *
+    * Relational formulation: explode tokens once, hash each token ONCE
+    * (md5 is codegen'd), min-aggregate all k seeds in one grouped pass.
+    * The array-HOF alternative (`array_min(transform(...))` per seed)
+    * re-inlines the token hashing into every seed column after projection
+    * collapse — k× the md5 work, interpreted.
     */
-  def minHashSignature(df: DataFrame, textCol: String): DataFrame = {
-    val hs = transform(tokens(col(textCol)), t => tokenHash(t))
-    Seeds.zipWithIndex.foldLeft(df) { case (acc, ((a, b), j)) =>
-      acc.withColumn(s"mh$j",
-        array_min(transform(hs, h => (lit(a) * h + lit(b)) % lit(P))))
+  def minHashSignature(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashed = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("w"))
+      .select(col(idCol), tokenHash(col("w")).as("h"))
+    val mins = Seeds.zipWithIndex.map { case ((a, b), j) =>
+      min((lit(a) * col("h") + lit(b)) % lit(P)).as(s"mh$j")
     }
+    hashed.groupBy(idCol).agg(mins.head, mins.tail: _*)
   }
 
   /** LSH banding over a minhash signature: documents sharing a band emit a

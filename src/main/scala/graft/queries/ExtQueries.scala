@@ -38,7 +38,7 @@ object ExtQueries {
   val q19 = OracleQuery(
     "q19_minhash_sig",
     (s, d) =>
-      Dedup.minHashSignature(Tables.documents(s, d), "text")
+      Dedup.minHashSignature(Tables.documents(s, d), "doc_id", "text")
         .select("doc_id", "mh0", "mh1", "mh2", "mh3"),
     Some(minhashSigSql),
   )
@@ -47,7 +47,7 @@ object ExtQueries {
   val q19b = OracleQuery(
     "q19b_lsh_pairs",
     (s, d) => {
-      val sig = Dedup.minHashSignature(Tables.documents(s, d), "text")
+      val sig = Dedup.minHashSignature(Tables.documents(s, d), "doc_id", "text")
       Dedup.lshCandidatePairs(sig, "doc_id",
         Seq(Seq("mh0", "mh1"), Seq("mh2", "mh3")))
     },

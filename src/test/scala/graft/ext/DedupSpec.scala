@@ -32,7 +32,7 @@ class DedupSpec extends SparkSpec {
   }
 
   test("minhash: identical docs get identical signatures; sigs in range") {
-    val sig = Dedup.minHashSignature(docs, "text")
+    val sig = Dedup.minHashSignature(docs, "doc_id", "text")
       .select("doc_id", "mh0", "mh1", "mh2", "mh3").collect()
       .map(r => r.getLong(0) -> (1 to 4).map(r.getLong)).toMap
     sig(1L) shouldBe sig(2L)
@@ -41,7 +41,7 @@ class DedupSpec extends SparkSpec {
   }
 
   test("LSH banding: exact dups are candidates in every band; distinct docs are not") {
-    val sig = Dedup.minHashSignature(docs, "text")
+    val sig = Dedup.minHashSignature(docs, "doc_id", "text")
     val pairs = Dedup.lshCandidatePairs(sig, "doc_id",
       Seq(Seq("mh0", "mh1"), Seq("mh2", "mh3")))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
