@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+import graft.ext.{Dedup, Similarity, TextAnalysis}
+import graft.ops.{RangeJoin, Salting, Upsert}
+
+/** User-facing entry point: `import graft.syntax._` puts the engine's
+  * operators on every DataFrame, so pipelines read as method chains
+  * instead of object calls. Thin forwarding only — each method's contract
+  * lives with its implementation.
+  */
+object syntax {
+
+  implicit class GraftOps(private val df: DataFrame) extends AnyVal {
+
+    // --- dedup -----------------------------------------------------------
+    def dedupExact(idCol: String, textCol: String): DataFrame =
+      Dedup.exactByHash(df, idCol, textCol)
+
+    def minhashSignature(idCol: String, textCol: String): DataFrame =
+      Dedup.minHashSignature(df, idCol, textCol)
+
+    def lshCandidates(idCol: String, bands: Seq[Seq[String]]): DataFrame =
+      Dedup.lshCandidatePairs(df, idCol, bands)
+
+    def ngrams(idCol: String, textCol: String, n: Int): DataFrame =
+      Dedup.ngramsExploded(df, idCol, textCol, n)
+
+    // --- similarity ------------------------------------------------------
+    def cosineTopK(vecCol: String, idCol: String, query: DataFrame,
+        k: Int): DataFrame =
+      Similarity.bruteForceTopK(df, vecCol, idCol, query, k)
+
+    def nearDuplicates(vecCol: String, idCol: String,
+        threshold: Double): DataFrame =
+      Similarity.nearDupPairs(df, vecCol, idCol, threshold)
+
+    // --- joins / upserts -------------------------------------------------
+    def bandedJoin(right: DataFrame, leftVal: String, rightVal: String,
+        width: Double): DataFrame =
+      RangeJoin.banded(df, right, leftVal, rightVal, width)
+
+    def upsertInto(base: DataFrame, key: String): DataFrame =
+      Upsert.upsert(base, df, key)
+
+    def saltedAggregate(keyCol: String, saltBy: String, buckets: Int,
+        aggs: Map[String, (String, String)]): DataFrame =
+      Salting.saltedAgg(df, keyCol, saltBy, buckets, aggs)
+  }
+
+  implicit class GraftTextColumn(private val text: Column) extends AnyVal {
+    def languageId: Column = TextAnalysis.languageId(text)
+    def tokenCount: Column = TextAnalysis.tokenCount(text)
+    def bpeishTokens: Column = TextAnalysis.bpeishTokenCount(text)
+    def uniqueTokenRatio: Column = TextAnalysis.uniqueTokenRatio(text)
+    def stopwordRatio: Column = TextAnalysis.stopwordRatio(text)
+    def fingerprint: Column = TextAnalysis.fingerprint(text)
+    def simhash16: Column = Dedup.simHash16(text)
+  }
+
+  implicit class GraftVectorColumn(private val v: Column) extends AnyVal {
+    def dot(other: Column): Column = Similarity.dot(v, other)
+    def cosine(other: Column): Column = Similarity.cosine(v, other)
+  }
+}

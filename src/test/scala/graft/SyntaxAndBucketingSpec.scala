@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Bucketing
+
+/** The import-one-thing user surface + bucketed co-located joins. */
+class SyntaxAndBucketingSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.syntax._
+
+  test("syntax: dataframe and column operators chain naturally") {
+    val docs = Seq(
+      (1L, "the quick brown fox"), (2L, "the quick brown fox"),
+      (3L, "el perro y la casa de que en madrid")
+    ).toDF("doc_id", "text")
+    docs.dedupExact("doc_id", "text").count() shouldBe 2
+    docs.minhashSignature("doc_id", "text").columns should contain("mh0")
+    docs.ngrams("doc_id", "text", 2).count() should be > 0L
+    val out = docs.select($"doc_id", $"text".languageId.as("lang"),
+      $"text".tokenCount.as("n"))
+    out.filter($"doc_id" === 3L).head().getString(1) shouldBe "es"
+    val v = array(lit(1.0), lit(2.0))
+    Seq(1).toDF("x").select(v.dot(v)).as[Double].head() shouldBe 5.0
+  }
+
+  test("bucketed join plans without an exchange (co-located storage)") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val facts = spark.range(0, 10000)
+        .select(col("id").as("k"), (col("id") % 17).as("v"))
+      val dims = spark.range(0, 10000)
+        .select(col("id").as("k"), concat(lit("d"), col("id")).as("name"))
+      Bucketing.writeBucketed(facts, "b_facts", "k", 8)
+      Bucketing.writeBucketed(dims, "b_dims", "k", 8)
+      val joined = Bucketing.bucketedJoin(spark, "b_facts", "b_dims", "k")
+      joined.count() shouldBe 10000
+      val plan = joined.queryExecution.executedPlan.toString
+      plan should include("SortMergeJoin")
+      plan should not include "Exchange"
+      // the same join on unbucketed frames shuffles both sides
+      val unbucketed = facts.join(dims, "k").queryExecution.executedPlan.toString
+      unbucketed should include("Exchange")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS b_facts")
+      spark.sql("DROP TABLE IF EXISTS b_dims")
+    }
+  }
+}
