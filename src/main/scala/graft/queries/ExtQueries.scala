@@ -381,7 +381,30 @@ object ExtQueries {
             FROM customer"""),
   )
 
+  /** Q36 (as-of join): for each event, the most recent prior-or-equal
+    * purchase by the same user, ordered by event_id (unique, monotone with
+    * the generator's timeline). DuckDB twin uses its native ASOF JOIN.
+    */
+  val q36 = OracleQuery(
+    "q36_asof_join",
+    (s, d) => {
+      import graft.ops.AsOfJoin
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_event_id"),
+          col("event_id").as("p_id"))
+      AsOfJoin.asOf(ev, purchases, "user_id", "event_id", "p_event_id")
+        .select(col("event_id"), col("user_id"), col("r_p_id").as("last_purchase"))
+    },
+    Some("""SELECT e.event_id, e.user_id, p.event_id AS last_purchase
+            FROM events e
+            ASOF LEFT JOIN (SELECT user_id, event_id FROM events
+                            WHERE event_type = 'purchase') p
+              ON e.user_id = p.user_id AND e.event_id >= p.event_id"""),
+  )
+
   val all: Seq[OracleQuery] = Seq(
     q18, q19, q19b, q20, q20b, q21, q22, q23,
-    q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35)
+    q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36)
 }
