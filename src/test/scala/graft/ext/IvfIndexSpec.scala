@@ -1,0 +1,43 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables, TestSpark}
+
+/** IVF ANN: recall against the exact brute-force baseline. */
+class IvfIndexSpec extends SparkSpec {
+
+  test("IVF search recalls most of the exact top-k probing a few cells") {
+    val emb = Tables.embeddings(spark, TestSpark.Sf0001)
+    val model = IvfIndex.build(emb, "embedding", "vec_id", nlist = 8)
+    model.assigned.select("cell").distinct().count() shouldBe 8L
+
+    val qv = emb.filter(col("vec_id") === 0)
+      .head().getAs[scala.collection.Seq[Float]]("embedding")
+      .map(_.toDouble).toArray
+    val exact = Similarity.bruteForceTopK(
+      emb, "embedding", "vec_id",
+      emb.filter(col("vec_id") === 0)
+        .select(Similarity.asDouble(col("embedding")).as("qv")), 10)
+      .collect().map(_.getLong(0)).toSet
+    val approx = IvfIndex.search(model, qv, "embedding", "vec_id",
+      nprobe = 3, k = 10).collect().map(_.getLong(0)).toSet
+    // the query vector itself lives in a probed cell → must be found
+    approx should contain(0L)
+    (exact intersect approx).size.toDouble / exact.size should be >= 0.5
+  }
+
+  test("probing all cells equals brute force exactly") {
+    val emb = Tables.embeddings(spark, TestSpark.Sf0001).limit(100)
+    val model = IvfIndex.build(emb, "embedding", "vec_id", nlist = 4)
+    val qv = Array.fill(64)(0.1)
+    val all = IvfIndex.search(model, qv, "embedding", "vec_id",
+      nprobe = 4, k = 5).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val brute = Similarity.bruteForceTopK(
+      emb, "embedding", "vec_id",
+      spark.range(1).select(
+        array((0 until 64).map(_ => lit(0.1)): _*).as("qv")), 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    all.toSeq shouldBe brute.toSeq
+  }
+}
