@@ -50,6 +50,16 @@ class WaysEnrichmentSpec extends SparkSpec {
     again.exceptAll(result).count() shouldBe 0L
   }
 
+  test("golden checksum is byte-stable across JVMs/sessions (SURVEY §5.3)") {
+    assume(haveSample)
+    val h = result
+      .select(concat_ws("|", col("gid"),
+        round(col("popularity"), 9), round(col("greenery"), 9)).as("s"))
+      .agg(md5(concat_ws("\n", sort_array(collect_list("s")))).as("h"))
+      .head().getString(0)
+    h shouldBe "f33c0c0f4378cabf4b492914023990aa"
+  }
+
   test("disabled highres pass contributes no column (reference :138)") {
     assume(haveSample)
     result.columns should not contain "popularity_highres"
