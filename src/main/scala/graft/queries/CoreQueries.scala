@@ -493,6 +493,27 @@ object CoreQueries {
             FROM events"""),
   )
 
+  /** Q37 (A6): pivot — one column per l_linestatus value, summed quantity.
+    * DuckDB twin via portable conditional aggregation (same result shape).
+    */
+  val q37 = OracleQuery(
+    "q37_pivot",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("O", "F"))
+        .agg(sumDecimal(col("l_quantity"), 2))
+        .select(col("l_returnflag"),
+          coalesce(col("O"), lit(0.0)).as("qty_o"),
+          coalesce(col("F"), lit(0.0)).as("qty_f")),
+    Some("""SELECT l_returnflag,
+                   COALESCE(CAST(SUM(CASE WHEN l_linestatus = 'O'
+                     THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS qty_o,
+                   COALESCE(CAST(SUM(CASE WHEN l_linestatus = 'F'
+                     THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS qty_f
+            FROM lineitem GROUP BY l_returnflag"""),
+  )
+
   /** Q24 (A6): exact distinct counts (the oracle side of the approx-sanity
     * check; approx_count_distinct is asserted within tolerance in tests).
     */
@@ -512,5 +533,5 @@ object CoreQueries {
 
   val all: Seq[OracleQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09,
-    q10, q10b, q11, q11b, q12, q13, q14, q15, q16, q17, q24)
+    q10, q10b, q11, q11b, q12, q13, q14, q15, q16, q17, q24, q37)
 }
