@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Similarity}
+import graft.ops.RangeJoin
+
+/** Opt-in large-synthetic soak (SURVEY §5.6): generates corpora 100-1000×
+  * the sf0.1 tables WITH SPARK ITSELF (spark.range + deterministic column
+  * exprs — no driver-side data, no testdata modification) and pushes the
+  * LLM-pipeline operators through them. The point is scale evidence, not
+  * correctness (the oracle owns correctness): no collect of large results,
+  * timings printed per stage.
+  *
+  *   sbt "runMain graft.Soak [nDocs] [nVecs]"   (defaults 1M / 200k)
+  */
+object Soak {
+
+  private def time[T](label: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[soak] $label%-36s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    r
+  }
+
+  /** Deterministic word-soup documents: ~40-120 tokens from a 10k-word
+    * vocabulary; every 100th doc duplicates its predecessor (dedup bait).
+    */
+  def syntheticDocs(spark: SparkSession, n: Long): DataFrame = {
+    val base = spark.range(n).select(col("id").as("doc_id"),
+      // duplicate every 100th document's seed → exact-dup pairs
+      when(col("id") % 100 === 99, col("id") - 1).otherwise(col("id")).as("seed"))
+    base.select(col("doc_id"),
+      concat_ws(" ",
+        transform(
+          sequence(lit(0), (pmod(xxhash64(col("seed")), lit(81)) + 40).cast("int")),
+          i => concat(lit("w"), pmod(xxhash64(col("seed") * 1000 + i), lit(10000))))
+      ).as("text"))
+  }
+
+  /** Deterministic 64-dim embeddings in [-1, 1]. */
+  def syntheticVecs(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)),
+        i => (pmod(xxhash64(col("id") * 64 + i), lit(2000)).cast("double") - 1000.0)
+          / 1000.0).as("embedding"))
+
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val nVecs = args.drop(1).headOption.map(_.toLong).getOrElse(200000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    println(s"[soak] docs=$nDocs vecs=$nVecs cores=$cpus")
+    val docs = syntheticDocs(spark, nDocs).cache()
+    time("materialize docs")(docs.count())
+
+    time("exact dedup")(
+      Dedup.exactByHash(docs, "doc_id", "text")
+        .filter(col("dup_cnt") > 1).count())
+    time("minhash signatures")(
+      Dedup.minHashSignature(docs, "doc_id", "text").count())
+    val sig = Dedup.minHashSignature(docs, "doc_id", "text").cache()
+    sig.count()
+    time("lsh candidate pairs")(
+      Dedup.lshCandidatePairs(sig, "doc_id",
+        Seq(Seq("mh0", "mh1"), Seq("mh2", "mh3"))).count())
+    time("simhash")(
+      docs.select(Dedup.simHash16(col("text"))).count())
+    time("bigram jaccard (consecutive)")(
+      Dedup.consecutiveNgramJaccard(docs, "doc_id", "text", 2).count())
+
+    val vecs = syntheticVecs(spark, nVecs).cache()
+    time("materialize vecs")(vecs.count())
+    val q = vecs.filter(col("vec_id") === 0)
+      .select(Similarity.asDouble(col("embedding")).as("qv"))
+    time("brute-force cosine top-10")(
+      Similarity.bruteForceTopK(vecs, "embedding", "vec_id", q, 10).count())
+    time("sign-bucket ANN top-10")(
+      Similarity.bucketedTopK(vecs, "embedding", "vec_id",
+        vecs.filter(col("vec_id") === 0).select(col("embedding").as("qv")),
+        12, 10).count())
+
+    time("banded range join (self, width 0.5/1k keys)")(
+      RangeJoin.banded(
+        vecs.select(col("vec_id").as("a"), (pmod(xxhash64(col("vec_id")), lit(100000)).cast("double") / 100.0).as("va")),
+        vecs.select(col("vec_id").as("b"), (pmod(xxhash64(col("vec_id") + 7), lit(100000)).cast("double") / 100.0).as("vb")),
+        "va", "vb", 0.005).count())
+
+    spark.stop()
+  }
+}

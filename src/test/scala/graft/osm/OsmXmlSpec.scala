@@ -63,6 +63,21 @@ class OsmXmlSpec extends SparkSpec {
     mp.count() should be > 0L
   }
 
+  test("parses a directory of regional extracts in parallel (S1 sharding)") {
+    val dir = java.nio.file.Files.createTempDirectory("osmshards")
+    def shard(name: String, body: String): Unit =
+      java.nio.file.Files.write(dir.resolve(name),
+        s"""<?xml version="1.0"?><osm version="0.6">$body</osm>""".getBytes)
+    shard("region_a.osm",
+      """<node id="1" lat="1.0" lon="2.0"/><way id="10"><nd ref="1"/></way>""")
+    shard("region_b.osm",
+      """<node id="2" lat="3.0" lon="4.0"/><relation id="20"><tag k="t" v="v"/></relation>""")
+    val t = OsmXml.parse(spark, dir.toString)
+    t.nodes.count() shouldBe 2L
+    t.ways.count() shouldBe 1L
+    t.relations.count() shouldBe 1L
+  }
+
   test("parseElements handles a minimal synthetic document") {
     val xml =
       """<?xml version="1.0"?>
