@@ -514,6 +514,76 @@ object CoreQueries {
             FROM lineitem GROUP BY l_returnflag"""),
   )
 
+  /** Q38 (W1-W3 depth): distribution/navigation window functions —
+    * ntile, percent_rank, cume_dist, first/last_value with frames. All
+    * orderings totalized by (o_totalprice, o_orderkey) so both engines
+    * agree on every rank.
+    */
+  val q38 = OracleQuery(
+    "q38_window_ranks",
+    (s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"),
+        first(col("o_orderkey")).over(full).as("cheapest"),
+        last(col("o_orderkey")).over(full).as("priciest"))
+    },
+    Some("""SELECT o_orderkey, o_custkey,
+                   CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+                   round(percent_rank() OVER w, 6) AS pr,
+                   round(cume_dist() OVER w, 6) AS cd,
+                   first_value(o_orderkey) OVER (PARTITION BY o_custkey
+                     ORDER BY o_totalprice, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS cheapest,
+                   last_value(o_orderkey) OVER (PARTITION BY o_custkey
+                     ORDER BY o_totalprice, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS priciest
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)"""),
+  )
+
+  /** Q39 (T10 depth): array/map function surface — sequence, slice,
+    * negative element_at, contains, reverse, and JSON map keys. Arrays
+    * leave the query stringified so the hash compare stays type-simple.
+    */
+  val q39 = OracleQuery(
+    "q39_array_map_fns",
+    (s, d) => {
+      val arr = sequence(lit(1), col("l_linenumber"))
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        concat_ws(",", slice(arr, 1, 2)).as("first2"),
+        element_at(arr, -1).cast("long").as("last_el"),
+        array_contains(arr, 3).as("has3"),
+        concat_ws(",", reverse(arr)).as("rev"))
+    },
+    Some("""SELECT l_orderkey, l_linenumber,
+                   array_to_string(list_slice(generate_series(1, l_linenumber), 1, 2), ',') AS first2,
+                   CAST(generate_series(1, l_linenumber)[-1] AS BIGINT) AS last_el,
+                   list_contains(generate_series(1, l_linenumber), 3) AS has3,
+                   array_to_string(list_reverse(generate_series(1, l_linenumber)), ',') AS rev
+            FROM lineitem"""),
+  )
+
+  /** Q39b (T10/T8): JSON object keys via the map type. */
+  val q39b = OracleQuery(
+    "q39b_json_map_keys",
+    (s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"),
+        concat_ws(",",
+          sort_array(map_keys(
+            from_json(col("props"), MapType(StringType, StringType))))).as("ks")),
+    Some("""SELECT event_id,
+                   array_to_string(list_sort(json_keys(props)), ',') AS ks
+            FROM events"""),
+  )
+
   /** Q24 (A6): exact distinct counts (the oracle side of the approx-sanity
     * check; approx_count_distinct is asserted within tolerance in tests).
     */
@@ -533,5 +603,6 @@ object CoreQueries {
 
   val all: Seq[OracleQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09,
-    q10, q10b, q11, q11b, q12, q13, q14, q15, q16, q17, q24, q37)
+    q10, q10b, q11, q11b, q12, q13, q14, q15, q16, q17, q24, q37, q38,
+    q39, q39b)
 }
