@@ -601,8 +601,30 @@ object CoreQueries {
             FROM lineitem GROUP BY l_returnflag"""),
   )
 
+  /** Q40 (SQL entry + subqueries): the engine's `spark.sql` path with a
+    * scalar subquery and an IN subquery — Catalyst decorrelates; both
+    * engines run the same ANSI text.
+    */
+  private val q40Sql =
+    """SELECT o_orderkey,
+      |       CAST(o_totalprice AS DOUBLE) AS price
+      |FROM orders
+      |WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.8 FROM orders)
+      |  AND o_custkey IN (SELECT c_custkey FROM customer
+      |                    WHERE c_mktsegment = 'BUILDING')""".stripMargin
+
+  val q40 = OracleQuery(
+    "q40_sql_subqueries",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      s.sql(q40Sql)
+    },
+    Some(q40Sql),
+  )
+
   val all: Seq[OracleQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q10b, q11, q11b, q12, q13, q14, q15, q16, q17, q24, q37, q38,
-    q39, q39b)
+    q39, q39b, q40)
 }
