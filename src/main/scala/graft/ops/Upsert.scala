@@ -33,8 +33,15 @@ object Upsert {
     joined.select(projected: _*)
   }
 
-  /** Atomic overwrite: write to `<path>.staging`, then swap directories.
-    * Readers of `path` never observe a partial table.
+  /** Atomic-as-possible overwrite: write to `<path>.staging`, rename the
+    * old table aside to `<path>.old`, swap the staging dir in, then drop
+    * the old copy. Readers never observe a *partial* table; on a local or
+    * HDFS filesystem (atomic directory rename, single writer) the target
+    * either holds the old or the new complete table at every instant, and
+    * a crash mid-swap leaves `<path>.old` for manual recovery instead of
+    * losing data. Object stores without atomic rename need a manifest
+    * commit protocol instead — out of scope here; this helper is for the
+    * local/HDFS single-writer case.
     */
   def writeAtomic(df: DataFrame, path: String): Unit = {
     val spark = df.sparkSession
@@ -42,8 +49,17 @@ object Upsert {
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
     val staging = new org.apache.hadoop.fs.Path(path + ".staging")
     val target = new org.apache.hadoop.fs.Path(path)
+    val old = new org.apache.hadoop.fs.Path(path + ".old")
     df.write.mode("overwrite").parquet(staging.toString)
-    if (fs.exists(target)) fs.delete(target, true)
-    fs.rename(staging, target)
+    if (fs.exists(old)) fs.delete(old, true)
+    val hadPrior = fs.exists(target)
+    if (hadPrior && !fs.rename(target, old))
+      throw new java.io.IOException(s"writeAtomic: could not move $target aside")
+    if (!fs.rename(staging, target)) {
+      // Swap failed: put the previous table back before erroring out.
+      if (hadPrior) fs.rename(old, target)
+      throw new java.io.IOException(s"writeAtomic: could not move $staging into place")
+    }
+    if (hadPrior) fs.delete(old, true)
   }
 }
