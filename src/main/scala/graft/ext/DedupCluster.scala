@@ -1,0 +1,99 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate *clustering*: group documents into connected components of
+  * the MinHash-LSH similarity graph and pick one canonical keeper per
+  * cluster (the reference's upsert keeps one row per `gid`,
+  * `update_ways_metadata.py:50-54`; this is the corpus-dedup analog where
+  * the "key" is discovered rather than given).
+  *
+  * Scale design (the 100 TB story):
+  *  - Edges are **band-star** edges — within each LSH band bucket every
+  *    member links to the bucket's minimum id. That is O(docs·bands) edge
+  *    rows and connects exactly the same components as the full
+  *    all-pairs-per-bucket graph, without ever materializing O(n²)
+  *    candidate pairs (a bucket of 1M near-dups yields 1M edges, not 10¹²).
+  *  - Components are found by iterative min-label propagation plus pointer
+  *    jumping, the standard O(log n)-round distributed CC. Each round is
+  *    two shuffles on compact (id, label) rows; lineage is cut per round
+  *    with localCheckpoint so plans stay constant-size.
+  *  - Nothing is collected to the driver; the driver only checks the
+  *    converged flag (a 1-row count per round).
+  */
+object DedupCluster {
+
+  /** Band-star edges over a MinHash signature table: for each band (a list
+    * of signature columns), group by the band's values and link every
+    * member to the group's min id. Output: (src, dst) with src > dst.
+    */
+  def bandStarEdges(sig: DataFrame, idCol: String,
+      bands: Seq[Seq[String]]): DataFrame =
+    bands.map { cols =>
+      val roots = sig.groupBy(cols.map(col): _*).agg(min(col(idCol)).as("dst"))
+      sig.select(col(idCol) +: cols.map(col): _*)
+        .join(roots, cols)
+        .filter(col(idCol) =!= col("dst"))
+        .select(col(idCol).as("src"), col("dst"))
+    }.reduce(_ unionByName _).distinct()
+
+  /** Connected components by min-label propagation with pointer jumping.
+    * `nodes` is a 1-column DataFrame (`node`); `edges` is (src, dst) in
+    * either orientation. Returns (node, label) where label is the minimum
+    * node id reachable from `node`. Throws if not converged within
+    * `maxIter` rounds (propagation + jumping needs ~log₂(diameter)).
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      maxIter: Int = 25): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = nodes.select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      // Step 1: take the min label over neighbors.
+      val nbrMin = und.join(labels, und("dst") === labels("node"))
+        .groupBy(und("src").as("node")).agg(min("label").as("nbl"))
+      val stepped = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbl"), col("label"))).as("label"))
+      // Step 2: pointer jumping — adopt your label's label, halving chain
+      // depth per round (turns O(diameter) rounds into O(log diameter)).
+      val next = stepped
+        .join(
+          stepped.select(col("node").as("label"), col("label").as("ll")),
+          Seq("label"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
+        .localCheckpoint()
+      val changed = next.as("n")
+        .join(labels.select(col("node"), col("label").as("old")), "node")
+        .filter(col("label") =!= col("old"))
+        .limit(1).count()
+      done = changed == 0L
+      labels = next
+      iter += 1
+    }
+    require(done, s"connectedComponents: not converged after $maxIter rounds")
+    labels
+  }
+
+  /** End-to-end near-dup clustering: MinHash signatures → band-star edges →
+    * connected components. Output: (idCol, cluster_id, is_keeper) for every
+    * document; cluster_id is the component's min doc id and its owner is
+    * the keeper (deterministic, like exactByHash's min-id keeper).
+    */
+  def dedupClusters(docs: DataFrame, idCol: String, textCol: String,
+      bands: Seq[Seq[String]] = Seq(Seq("mh0", "mh1"), Seq("mh2", "mh3"))): DataFrame = {
+    val sig = Dedup.minHashSignature(docs, idCol, textCol)
+    val edges = bandStarEdges(sig, idCol, bands)
+    val nodes = sig.select(col(idCol).as("node"))
+    connectedComponents(nodes, edges)
+      .select(col("node").as(idCol), col("label").as("cluster_id"),
+        (col("node") === col("label")).cast("int").as("is_keeper"))
+  }
+}

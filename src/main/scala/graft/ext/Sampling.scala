@@ -1,0 +1,50 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus sampling for training-data pipelines: hash-bucket
+  * sampling, train/val/test splits, and per-stratum (source/language)
+  * rate control — the standard way to cut a reproducible slice of a
+  * 100 TB corpus without a global sort or a stored assignment table.
+  *
+  * Every assignment is a pure function of the row's id (an
+  * engine-portable md5-digit hash, TextHash), so it is stable across
+  * runs, partitionings, and engines; sampling is a codegen'd filter that
+  * reaches the parquet scan — no shuffle, no state.
+  */
+object Sampling {
+
+  /** Deterministic bucket in [0, buckets): digit-hash of the id rendered
+    * as a string. Uniform enough for rate control (md5 avalanche).
+    */
+  def hashBucket(id: Column, buckets: Int = 100): Column =
+    pmod(TextHash.tokenHash(id.cast("string")), lit(buckets.toLong))
+
+  /** DuckDB twin of [[hashBucket]] (hash is non-negative, so plain `%`
+    * matches `pmod`).
+    */
+  def hashBucketSql(e: String, buckets: Int = 100): String =
+    s"${TextHash.tokenHashSql(s"CAST($e AS VARCHAR)")} % $buckets"
+
+  /** Deterministic train/val/test assignment by bucket thresholds. */
+  def splitAssign(id: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    val b = hashBucket(id)
+    when(b < trainPct, "train")
+      .when(b < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
+  /** Keep-predicate for stratified sampling: each stratum value keeps
+    * `rates(stratum)` percent of its rows (default `defaultPct`).
+    * Composable with any filter; rows are kept or dropped consistently
+    * across every query that uses the same id.
+    */
+  def stratifiedKeep(id: Column, stratum: Column, rates: Map[String, Int],
+      defaultPct: Int = 100): Column = {
+    val rate = rates.foldLeft(lit(defaultPct)) { case (els, (k, p)) =>
+      when(stratum === k, lit(p)).otherwise(els)
+    }
+    hashBucket(id) < rate
+  }
+}

@@ -69,4 +69,34 @@ object TextAnalysis {
       (t, i) => ((i + 1).cast("long") * tokenHash(t)) % lit(P))
     aggregate(contribs, lit(0L), (acc, x) => acc + x) % lit(P)
   }
+
+  /** Proportion of punctuation/symbol characters (non-alphanumeric,
+    * non-space) — high values flag markup/boilerplate.
+    */
+  def punctRatio(text: Column): Column =
+    round(regexp_count(text, lit("[^a-z0-9 ]")).cast("double") /
+      length(text).cast("double"), 6)
+
+  /** Quality flag string, one character per rule ('-' = rule passed):
+    * S = too short (< minTok tokens), U = low distinct-token ratio
+    * (repetitive/boilerplate), L = over-long average token. A flags
+    * *string* (not an array) so the result is trivially hashable and
+    * SQL-mirrorable; `keep` is flags == "---".
+    */
+  def qualityFlags(text: Column, minTok: Int = 30, minUniq: Double = 0.40,
+      maxCharsPerTok: Double = 5.8): Column =
+    concat(
+      when(tokenCount(text) < minTok, lit("S")).otherwise(lit("-")),
+      when(uniqueTokenRatio(text) < minUniq, lit("U")).otherwise(lit("-")),
+      when(charsPerToken(text) > maxCharsPerTok, lit("L")).otherwise(lit("-")))
+
+  /** Mask every whole-word occurrence of `words` with `mask` — the
+    * PII-redaction/vocab-filter primitive (codegen'd regexp, no UDF).
+    */
+  def maskWords(text: Column, words: Seq[String], mask: String): Column =
+    regexp_replace(text, "\\b(" + words.mkString("|") + ")\\b", mask)
+
+  /** Count of maskable occurrences (what [[maskWords]] would replace). */
+  def maskCount(text: Column, words: Seq[String]): Column =
+    regexp_count(text, lit("\\b(" + words.mkString("|") + ")\\b")).cast("long")
 }

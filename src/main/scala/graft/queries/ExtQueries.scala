@@ -24,7 +24,7 @@ object ExtQueries {
             FROM documents GROUP BY md5(text)"""),
   )
 
-  private val minhashSigSql: String = {
+  private[queries] val minhashSigSql: String = {
     val mins = Seeds.zipWithIndex.map { case ((a, b), j) =>
       s"min(($a * h + $b) % $P) AS mh$j"
     }.mkString(",\n                   ")

@@ -13,7 +13,8 @@ final case class OracleQuery(
     oracle: Option[String])
 
 object Registry {
-  lazy val all: Seq[OracleQuery] = CoreQueries.all ++ ExtQueries.all
+  lazy val all: Seq[OracleQuery] =
+    CoreQueries.all ++ ExtQueries.all ++ TrainQueries.all
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.{DedupCluster, Packing, Sampling, TextAnalysis}
+import graft.ext.TextHash.tokenHashSql
+
+/** Training-data pipeline operators beyond the per-document signatures in
+  * ExtQueries: near-dup *clustering* (connected components of the LSH
+  * graph), deterministic hash sampling / train-test splits, token-budget
+  * shard packing, rule-based quality filtering, and word masking
+  * (PII-redaction primitive). Each has a DuckDB twin; the clustering twin
+  * is a recursive CTE computing the same min-reachable-id components.
+  */
+object TrainQueries {
+
+  /** Q41 [X]: near-dup clusters — components of the band-star LSH graph.
+    * The DuckDB twin builds the same star edges (bucket → min member) and
+    * closes them with a recursive CTE; both sides label each cluster by
+    * its minimum doc id, so results match exactly.
+    */
+  val q41 = OracleQuery(
+    "q41_dedup_clusters",
+    (s, d) => DedupCluster.dedupClusters(Tables.documents(s, d), "doc_id", "text"),
+    Some(s"""WITH RECURSIVE sig AS (${ExtQueries.minhashSigSql}),
+            b0 AS (SELECT mh0, mh1, min(doc_id) AS root FROM sig GROUP BY mh0, mh1),
+            b1 AS (SELECT mh2, mh3, min(doc_id) AS root FROM sig GROUP BY mh2, mh3),
+            e AS (SELECT s.doc_id AS a, b0.root AS b FROM sig s
+                    JOIN b0 USING (mh0, mh1) WHERE s.doc_id <> b0.root
+                  UNION
+                  SELECT s.doc_id AS a, b1.root AS b FROM sig s
+                    JOIN b1 USING (mh2, mh3) WHERE s.doc_id <> b1.root),
+            u AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+            lab AS (SELECT doc_id AS node, doc_id AS label FROM sig
+                    UNION
+                    SELECT u.a AS node, lab.label FROM lab JOIN u ON u.b = lab.node)
+            SELECT node AS doc_id, min(label) AS cluster_id,
+                   CAST(CASE WHEN min(label) = node THEN 1 ELSE 0 END AS INTEGER) AS is_keeper
+            FROM lab GROUP BY node"""),
+  )
+
+  /** Q42 [X]: deterministic hash-bucket train/val/test split (80/10/10). */
+  val q42 = OracleQuery(
+    "q42_hash_split",
+    (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        Sampling.hashBucket(col("doc_id")).as("bucket"),
+        Sampling.splitAssign(col("doc_id")).as("split")),
+    Some(s"""SELECT doc_id,
+                   ${Sampling.hashBucketSql("doc_id")} AS bucket,
+                   CASE WHEN ${Sampling.hashBucketSql("doc_id")} < 80 THEN 'train'
+                        WHEN ${Sampling.hashBucketSql("doc_id")} < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents"""),
+  )
+
+  /** Q42b [X]: stratified sampling — per-language keep rates (downsample
+    * the dominant en to 40%, zh to 20%, keep the rest whole), the mixture
+    * knob of a training-data recipe.
+    */
+  val q42b = OracleQuery(
+    "q42b_stratified_sample",
+    (s, d) =>
+      Tables.documents(s, d)
+        .filter(Sampling.stratifiedKeep(col("doc_id"), col("lang"),
+          Map("en" -> 40, "zh" -> 20)))
+        .select(col("doc_id"), col("lang"),
+          Sampling.hashBucket(col("doc_id")).as("bucket")),
+    Some(s"""SELECT doc_id, lang, ${Sampling.hashBucketSql("doc_id")} AS bucket
+            FROM documents
+            WHERE ${Sampling.hashBucketSql("doc_id")} <
+                  CASE lang WHEN 'en' THEN 40 WHEN 'zh' THEN 20 ELSE 100 END"""),
+  )
+
+  /** Q43 [X]: token-budget shard packing per source (offset-based
+    * sharding: documents laid end-to-end in doc_id order, cut every 512
+    * tokens; one window shuffle on the group key).
+    */
+  val q43 = OracleQuery(
+    "q43_pack_shards",
+    (s, d) =>
+      Packing.packShards(
+        Tables.documents(s, d).select("doc_id", "source", "text"),
+        "doc_id", "source", TextAnalysis.tokenCount(col("text")), 512L)
+        .select("doc_id", "source", "n_tok", "shard"),
+    Some("""WITH t AS (SELECT doc_id, source,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+                   FROM documents),
+                 c AS (SELECT *, SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+            SELECT doc_id, source, n_tok,
+                   CAST((cum - n_tok) // 512 AS BIGINT) AS shard FROM c"""),
+  )
+
+  /** Q44 [X]: rule-based quality filter with a per-rule flags string
+    * (S = short, U = low uniq ratio, L = long tokens; '-' = passed).
+    */
+  val q44 = OracleQuery(
+    "q44_quality_filter",
+    (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.qualityFlags(col("text")).as("flags"),
+        (TextAnalysis.qualityFlags(col("text")) === "---").cast("int").as("keep"),
+        TextAnalysis.uniqueTokenRatio(col("text")).as("uniq_ratio"),
+        TextAnalysis.charsPerToken(col("text")).as("chars_per_tok")),
+    Some("""WITH t AS (SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                   round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+                         CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS uniq_ratio,
+                   round(CAST(length(text) AS DOUBLE) /
+                         CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS chars_per_tok
+                   FROM documents),
+                 f AS (SELECT *,
+                   (CASE WHEN n_tok < 30 THEN 'S' ELSE '-' END ||
+                    CASE WHEN uniq_ratio < 0.40 THEN 'U' ELSE '-' END ||
+                    CASE WHEN chars_per_tok > 5.8 THEN 'L' ELSE '-' END) AS flags
+                   FROM t)
+            SELECT doc_id, flags,
+                   CAST(CASE WHEN flags = '---' THEN 1 ELSE 0 END AS INTEGER) AS keep,
+                   uniq_ratio, chars_per_tok FROM f"""),
+  )
+
+  /** Q45 [X]: word masking (the redaction primitive): mask the English
+    * marker stopwords, count masked occurrences, hash the redacted text.
+    * DuckDB's regexp_replace needs the 'g' flag to match Spark's
+    * replace-all semantics.
+    */
+  private val MaskWords = Seq("the", "a", "and", "of", "to", "is")
+  val q45 = OracleQuery(
+    "q45_mask_words",
+    (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.maskCount(col("text"), MaskWords).as("n_masked"),
+        md5(TextAnalysis.maskWords(col("text"), MaskWords, "<x>")).as("h")),
+    // NB: the `s` interpolator processes escape sequences even in
+    // triple-quoted strings, so `\\b` here yields the single-backslash
+    // regex word boundary `\b` in the SQL text (`\b` would be a backspace).
+    Some(s"""SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '\\b(${MaskWords.mkString("|")})\\b')) AS BIGINT) AS n_masked,
+                   md5(regexp_replace(text, '\\b(${MaskWords.mkString("|")})\\b', '<x>', 'g')) AS h
+            FROM documents"""),
+  )
+
+  val all: Seq[OracleQuery] = Seq(q41, q42, q42b, q43, q44, q45)
+}

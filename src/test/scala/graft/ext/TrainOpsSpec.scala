@@ -1,0 +1,139 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** [X] training-data pipeline operators: near-dup clustering (connected
+  * components), deterministic sampling/splits, shard packing, quality
+  * flags, word masking.
+  */
+class TrainOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connectedComponents labels each component by its min node") {
+    // Two components {1,2,3,7} (chain) and {10,11}; 20 isolated.
+    val edges = Seq((2L, 1L), (3L, 2L), (7L, 3L), (11L, 10L))
+      .toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L, 7L, 10L, 11L, 20L).toDF("node")
+    val labels = DedupCluster.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    labels(1L) shouldBe 1L
+    labels(2L) shouldBe 1L
+    labels(3L) shouldBe 1L
+    labels(7L) shouldBe 1L
+    labels(10L) shouldBe 10L
+    labels(11L) shouldBe 10L
+    labels(20L) shouldBe 20L
+  }
+
+  test("connectedComponents converges on a long chain (pointer jumping)") {
+    // A 64-node chain has diameter 63; naive propagation would need 63
+    // rounds — pointer jumping must finish within the 25-round cap.
+    val edges = (1L until 64L).map(i => (i + 1, i)).toDF("src", "dst")
+    val nodes = (1L to 64L).toDF("node")
+    val labels = DedupCluster.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    all(labels.values) shouldBe 1L
+  }
+
+  test("dedupClusters: exact dups cluster together under min-id keeper") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (5L, "totally unrelated text about query engines and columnar scans")
+    ).toDF("doc_id", "text")
+    val out = DedupCluster.dedupClusters(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    out(1L) shouldBe ((1L, 1))
+    out(2L) shouldBe ((1L, 0))
+    out(5L)._2 shouldBe 1 // own cluster → keeper
+  }
+
+  test("band-star edges connect the same components as all-pairs banding") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "alpha beta gamma delta"),
+      (4L, "epsilon zeta eta theta")
+    ).toDF("doc_id", "text")
+    val sig = Dedup.minHashSignature(docs, "doc_id", "text")
+    val star = DedupCluster.bandStarEdges(sig, "doc_id",
+      Seq(Seq("mh0", "mh1"), Seq("mh2", "mh3")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 3 identical docs → star edges to min member 1 only (2 edges, not 3 pairs)
+    star shouldBe Set((2L, 1L), (3L, 1L))
+  }
+
+  test("hashBucket is deterministic, in range, and roughly uniform") {
+    val ids = (0L until 1000L).toDF("id")
+    val b = ids.select(Sampling.hashBucket($"id").as("b"))
+    val counts = b.groupBy("b").count().collect()
+    counts.map(_.getLong(0)).min should be >= 0L
+    counts.map(_.getLong(0)).max should be < 100L
+    // every bucket within 3× of the 10-per-bucket expectation
+    all(counts.map(_.getLong(1))) should be < 30L
+    // re-evaluation gives identical assignment
+    b.except(ids.select(Sampling.hashBucket($"id").as("b"))).count() shouldBe 0
+  }
+
+  test("splitAssign: thresholds partition and proportions are sane") {
+    val ids = (0L until 1000L).toDF("id")
+    val byS = ids.select(Sampling.splitAssign($"id").as("s"))
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    byS.values.sum shouldBe 1000L
+    byS("train").toDouble should be(800.0 +- 120.0)
+    byS("val").toDouble should be(100.0 +- 60.0)
+    byS("test").toDouble should be(100.0 +- 60.0)
+  }
+
+  test("stratifiedKeep downsamples only the targeted strata") {
+    val df = (0L until 1000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("id", "lang")
+    val kept = df.filter(Sampling.stratifiedKeep($"id", $"lang", Map("en" -> 20)))
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    kept("de") shouldBe 500L // untouched stratum
+    kept("en").toDouble should be(100.0 +- 50.0)
+  }
+
+  test("packShards: offsets cut every budget tokens per group, id order") {
+    val df = Seq(
+      (1L, "g1", 300L), (2L, "g1", 300L), (3L, "g1", 300L), (4L, "g1", 300L),
+      (10L, "g2", 600L), (11L, "g2", 100L)
+    ).toDF("id", "grp", "nt")
+    val out = Packing.packShards(df, "id", "grp", $"nt", 512L)
+      .select("id", "shard").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // g1 offsets: 0, 300, 600, 900 → shards 0, 0, 1, 1
+    out(1L) shouldBe 0L
+    out(2L) shouldBe 0L
+    out(3L) shouldBe 1L
+    out(4L) shouldBe 1L
+    // g2 packs independently: offsets 0, 600 → shards 0, 1
+    out(10L) shouldBe 0L
+    out(11L) shouldBe 1L
+  }
+
+  test("qualityFlags: each rule fires independently; keep = all pass") {
+    val docs = Seq(
+      (1L, "short doc"), // S (2 tokens)
+      (2L, ("spam " * 40).trim), // U (uniq ratio 1/40)
+      (3L, Seq.fill(40)("abcdefghijkl").mkString(" ")), // U+L (1 distinct 12-char token)
+      (4L, (0 until 40).map(i => s"tok$i").mkString(" ")) // clean
+    ).toDF("doc_id", "text")
+    val f = docs.select($"doc_id", TextAnalysis.qualityFlags($"text").as("f"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    f(1L) shouldBe "S--"
+    f(2L) shouldBe "-U-"
+    f(3L) shouldBe "-UL"
+    f(4L) shouldBe "---"
+  }
+
+  test("maskWords masks whole words only; maskCount counts them") {
+    val df = Seq((1L, "the theme of a cat is a hat")).toDF("id", "text")
+    val r = df.select(
+      TextAnalysis.maskWords($"text", Seq("the", "a", "of", "is"), "<x>").as("m"),
+      TextAnalysis.maskCount($"text", Seq("the", "a", "of", "is")).as("n")).head()
+    r.getString(0) shouldBe "<x> theme <x> <x> cat <x> <x> hat" // "theme" untouched
+    r.getLong(1) shouldBe 5L
+  }
+}
