@@ -99,17 +99,28 @@ object Multimodal {
   /** Frame sampling: decode every `stride`-th of `nFrames` frames, emit one
     * row per kept frame with its pooled mean (the video → training-frames
     * shape). Generator-style: one input row fans out to many.
+    *
+    * The stub's frame f is the base frame shifted by (p + 7f) mod 256, so a
+    * kept frame's mean needs only the base frame's 256-bin pixel histogram —
+    * one pass over the base pixels instead of materializing every frame
+    * (bit-identical to summing the shifted frames; a real codec would
+    * decode per frame here and this short-cut reverts to decodeFrames).
     */
   def sampleFrames(media: Dataset[MediaRow], nFrames: Int,
       stride: Int): Dataset[FrameRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.flatMap { m =>
-        StubCodec.decodeFrames(m.payload, nFrames).zipWithIndex
-          .collect { case (f, i) if i % stride == 0 =>
-            FrameRow(m.media_id, i,
-              f.pixels.foldLeft(0L)(_ + _).toDouble / f.pixels.length)
-          }
+        val base = StubCodec.decode(m.payload)
+        val hist = new Array[Long](256)
+        base.pixels.foreach(p => hist(p) += 1L)
+        val n = base.pixels.length
+        (0 until nFrames).iterator.collect { case i if i % stride == 0 =>
+          var s = 0L
+          var v = 0
+          while (v < 256) { s += hist(v) * ((v + i * 7) % 256); v += 1 }
+          FrameRow(m.media_id, i, s.toDouble / n)
+        }
       }
     }
   }

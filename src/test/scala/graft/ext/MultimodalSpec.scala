@@ -37,6 +37,15 @@ class MultimodalSpec extends SparkSpec {
     val frames = sampleFrames(media, nFrames = 6, stride = 2).collect()
     frames.length shouldBe 9 // 3 media × frames {0, 2, 4}
     frames.map(_.frame_idx).distinct.sorted.toSeq shouldBe Seq(0, 2, 4)
+    // the histogram shortcut must equal a literal per-frame decode
+    val byKey = frames.map(f => (f.media_id, f.frame_idx) -> f.mean_px).toMap
+    media.collect().foreach { m =>
+      StubCodec.decodeFrames(m.payload, 6).zipWithIndex
+        .filter(_._2 % 2 == 0).foreach { case (f, i) =>
+          byKey((m.media_id, i)) shouldBe
+            f.pixels.foldLeft(0L)(_ + _).toDouble / f.pixels.length
+        }
+    }
   }
 
   test("resize: nearest-neighbor to exact target dims, corners preserved") {

@@ -58,4 +58,18 @@ class UpsertSpec extends SparkSpec {
     spark.read.parquet(path).count() shouldBe 2
     assert(!new java.io.File(path + ".staging").exists())
   }
+
+  test("writeAtomic: leftover .old dir from a crashed swap is cleared") {
+    val dir = java.nio.file.Files.createTempDirectory("upsert2").toString
+    val path = s"$dir/t"
+    // Simulate debris from a writer that crashed between rename and cleanup.
+    val stale = new java.io.File(path + ".old")
+    stale.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path + ".old", "junk"), "stale")
+    Upsert.writeAtomic(base, path)
+    spark.read.parquet(path).count() shouldBe 3
+    assert(!stale.exists()) // debris cleared, not resurrected as the table
+    assert(!new java.io.File(path + ".staging").exists())
+  }
 }

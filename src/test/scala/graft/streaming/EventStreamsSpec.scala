@@ -134,4 +134,24 @@ class EventStreamsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     got.toSeq shouldBe want.toSeq
   }
+
+  test("ST5: unreadable existing target fails the batch, never wipes it") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("st5bad").toString
+    // Target EXISTS but is unreadable (corrupt footer). The sink must fail
+    // the batch — treating a read failure as "first run" would replace the
+    // accumulated table with just this micro-batch.
+    val tgt = new java.io.File(s"$dir/t")
+    tgt.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/t", "part-00000.parquet"), "not parquet")
+    val mem = MemoryStream[Ev]
+    mem.addData(rows.take(3))
+    val q = EventStreams.incrementalUpsert(mem.toDF(), s"$dir/t", s"$dir/cp")
+    intercept[Exception] { q.processAllAvailable() }
+    q.stop()
+    // the corrupt-but-existing table was left for an operator to inspect
+    java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/t", "part-00000.parquet")) shouldBe "not parquet"
+  }
 }
