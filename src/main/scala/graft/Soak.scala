@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Similarity}
+import graft.ext.{Dedup, DedupCluster, Packing, Sampling, Similarity, TextAnalysis}
 import graft.ops.RangeJoin
 
 /** Opt-in large-synthetic soak (SURVEY §5.6): generates corpora 100-1000×
@@ -76,6 +76,29 @@ object Soak {
       docs.select(Dedup.simHash16(col("text"))).count())
     time("bigram jaccard (consecutive)")(
       Dedup.consecutiveNgramJaccard(docs, "doc_id", "text", 2).count())
+    time("near-dup clusters (star-edge CC)") {
+      val edges = DedupCluster.bandStarEdges(sig, "doc_id",
+        Seq(Seq("mh0", "mh1"), Seq("mh2", "mh3")))
+      val edgeNodes = edges.select(col("src").as("node"))
+        .unionByName(edges.select(col("dst").as("node"))).distinct()
+      DedupCluster.connectedComponents(edgeNodes, edges)
+        .filter(col("node") =!= col("label")).count()
+    }
+    time("hash split + stratified sample")(
+      docs.filter(Sampling.stratifiedKeep(col("doc_id"),
+          Sampling.splitAssign(col("doc_id")), Map("train" -> 50)))
+        .count())
+    time("token-budget packing (32 groups)")(
+      Packing.packShards(
+        docs.withColumn("src", pmod(col("doc_id"), lit(32L))),
+        "doc_id", "src", TextAnalysis.tokenCount(col("text")), 4096L)
+        .agg(max("shard")).count())
+    time("quality flags + masking")(
+      docs.select(TextAnalysis.qualityFlags(col("text")).as("f"),
+          TextAnalysis.maskCount(col("text"), Seq("w1", "w42")).as("m"))
+        .groupBy("f").agg(sum("m")).count())
+    time("unigram logprob (corpus LM)")(
+      TextAnalysis.unigramLogProb(docs, "doc_id", "text").count())
 
     val vecs = syntheticVecs(spark, nVecs).cache()
     time("materialize vecs")(vecs.count())

@@ -46,12 +46,24 @@ object DedupCluster {
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxIter: Int = 25): DataFrame = {
+    // Pre-partition the (doubled) edge table on the per-round join key so
+    // the heaviest join of every round reuses its layout instead of
+    // re-shuffling the edges each time (localCheckpoint preserves the
+    // partitioning; only the small label side moves per round).
     val und = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+      .repartition(col("dst"))
       .localCheckpoint()
     var labels = nodes.select(col("node"), col("node").as("label"))
       .localCheckpoint()
+    def checksum(df: DataFrame): Long =
+      Option(df.agg(sum("label")).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+    // Labels only ever decrease, so Σlabel strictly decreases until the
+    // fixpoint: convergence is "checksum unchanged" — one cheap
+    // single-column aggregate per round instead of a change-count join.
+    var prevSum = checksum(labels)
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
@@ -70,11 +82,9 @@ object DedupCluster {
         .select(col("node"),
           least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
         .localCheckpoint()
-      val changed = next.as("n")
-        .join(labels.select(col("node"), col("label").as("old")), "node")
-        .filter(col("label") =!= col("old"))
-        .limit(1).count()
-      done = changed == 0L
+      val s = checksum(next)
+      done = s == prevSum
+      prevSum = s
       labels = next
       iter += 1
     }
@@ -91,9 +101,18 @@ object DedupCluster {
       bands: Seq[Seq[String]] = Seq(Seq("mh0", "mh1"), Seq("mh2", "mh3"))): DataFrame = {
     val sig = Dedup.minHashSignature(docs, idCol, textCol)
     val edges = bandStarEdges(sig, idCol, bands)
-    val nodes = sig.select(col(idCol).as("node"))
-    connectedComponents(nodes, edges)
-      .select(col("node").as(idCol), col("label").as("cluster_id"),
-        (col("node") === col("label")).cast("int").as("is_keeper"))
+    // Iterate only over nodes that have an edge: in a real corpus the
+    // near-dup subgraph is a small fraction of the documents, so the label
+    // state shuffled per CC round is |dup docs|, not |corpus|. Isolated
+    // documents are their own cluster and join back in one final pass.
+    val edgeNodes = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node"))).distinct()
+    val cc = connectedComponents(edgeNodes, edges)
+    sig.select(col(idCol).as("node"))
+      .join(cc, Seq("node"), "left")
+      .select(col("node").as(idCol),
+        coalesce(col("label"), col("node")).as("cluster_id"),
+        (coalesce(col("label"), col("node")) === col("node"))
+          .cast("int").as("is_keeper"))
   }
 }

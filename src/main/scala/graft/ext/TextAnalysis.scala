@@ -99,4 +99,29 @@ object TextAnalysis {
   /** Count of maskable occurrences (what [[maskWords]] would replace). */
   def maskCount(text: Column, words: Seq[String]): Column =
     regexp_count(text, lit("\\b(" + words.mkString("|") + ")\\b")).cast("long")
+
+  /** Per-document unigram log-probability under the corpus' own unigram
+    * distribution (Σ ln(cnt(w)/N) over the document's tokens) — a
+    * self-supervised fluency score: rare-token-heavy documents score low.
+    *
+    * Two-pass global-stats shape, the corpus analog of the reference's
+    * median→global-max normalize (`update_ways_metadata.py:30-33`): pass 1
+    * aggregates corpus token frequencies (one shuffle on the token);
+    * pass 2 joins them back to the token stream. The vocabulary is orders
+    * of magnitude smaller than the corpus, so the join is a broadcast —
+    * no second corpus-wide shuffle at 100 TB.
+    */
+  def unigramLogProb(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val tok = df.select(col(idCol), explode(Dedup.tokens(col(textCol))).as("w"))
+    val freq = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
+    val tot = freq.agg(sum("cnt").as("n_total"))
+    tok.join(broadcast(freq), "w")
+      .crossJoin(broadcast(tot))
+      .groupBy(idCol)
+      .agg(
+        round(sum(log(col("cnt").cast("double") / col("n_total").cast("double"))), 6)
+          .as("logprob"),
+        count(lit(1)).as("n_tok"))
+  }
 }

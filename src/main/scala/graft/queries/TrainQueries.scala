@@ -145,5 +145,22 @@ object TrainQueries {
             FROM documents"""),
   )
 
-  val all: Seq[OracleQuery] = Seq(q41, q42, q42b, q43, q44, q45)
+  /** Q46 [X]: unigram-LM fluency score — each document scored under the
+    * corpus' own token distribution (two-pass global stats + broadcast
+    * join back; the corpus analog of the reference's global-max
+    * normalize pass).
+    */
+  val q46 = OracleQuery(
+    "q46_unigram_logprob",
+    (s, d) => TextAnalysis.unigramLogProb(Tables.documents(s, d), "doc_id", "text"),
+    Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+                 freq AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY w),
+                 tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM freq)
+            SELECT doc_id,
+                   round(sum(ln(CAST(cnt AS DOUBLE) / n_total)), 6) AS logprob,
+                   CAST(count(*) AS BIGINT) AS n_tok
+            FROM tok JOIN freq USING (w), tot GROUP BY doc_id"""),
+  )
+
+  val all: Seq[OracleQuery] = Seq(q41, q42, q42b, q43, q44, q45, q46)
 }

@@ -128,6 +128,34 @@ class TrainOpsSpec extends SparkSpec {
     f(4L) shouldBe "---"
   }
 
+  test("unigramLogProb: Σ ln(cnt/N) per doc; freq join broadcasts") {
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    // freq: a=2, b=2, c=1; N=5
+    val out = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+    val m = out.collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    m(1L)._1 shouldBe r6(3 * math.log(2.0 / 5.0))
+    m(1L)._2 shouldBe 3L
+    m(2L)._1 shouldBe r6(math.log(2.0 / 5.0) + math.log(1.0 / 5.0))
+    // scale posture: the vocabulary join must be a broadcast, not a shuffle
+    out.queryExecution.executedPlan.toString should include("BroadcastHashJoin")
+  }
+
+  test("packShards plans exactly one exchange (the group-key window)") {
+    val df = (0L until 100L).map(i => (i, s"g${i % 4}", 10L)).toDF("id", "grp", "nt")
+    val plan = Packing.packShards(df, "id", "grp", $"nt", 64L)
+      .queryExecution.executedPlan.toString
+    plan.linesIterator.count(_.trim.contains("Exchange hashpartitioning")) shouldBe 1
+  }
+
+  test("sampling predicates stay shuffle-free (pure filter)") {
+    val df = (0L until 100L).toDF("id")
+    val plan = df.filter(Sampling.stratifiedKeep($"id", lit("en"), Map("en" -> 50)))
+      .queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+  }
+
   test("maskWords masks whole words only; maskCount counts them") {
     val df = Seq((1L, "the theme of a cat is a hat")).toDF("id", "text")
     val r = df.select(
