@@ -162,5 +162,39 @@ object TrainQueries {
             FROM tok JOIN freq USING (w), tot GROUP BY doc_id"""),
   )
 
-  val all: Seq[OracleQuery] = Seq(q41, q42, q42b, q43, q44, q45, q46)
+  /** Q47 [X]: TF-IDF top-3 terms per document. Ranking happens on the
+    * ROUNDED score (then the term as a total-order tiebreak): raw doubles
+    * from ln() can differ in the last ulp across engines, which would flip
+    * near-tie orderings; rounding first makes the rank deterministic.
+    */
+  val q47 = OracleQuery(
+    "q47_tfidf_topk",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val tok = docs.select(col("doc_id"),
+        explode(graft.ext.Dedup.tokens(col("text"))).as("w"))
+      val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(broadcast(dfreq), "w").crossJoin(broadcast(nDocs))
+        .withColumn("score",
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      val w = Window.partitionBy("doc_id").orderBy(desc("score"), col("w"))
+      scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+        .select("doc_id", "w", "score", "rnk")
+    },
+    Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+                 tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, w),
+                 dfq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w),
+                 nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+                 sc AS (SELECT doc_id, tf.w AS w,
+                          round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS score
+                        FROM tf JOIN dfq ON dfq.w = tf.w, nd)
+            SELECT doc_id, w, score,
+                   CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w) AS INTEGER) AS rnk
+            FROM sc QUALIFY rnk <= 3"""),
+  )
+
+  val all: Seq[OracleQuery] = Seq(q41, q42, q42b, q43, q44, q45, q46, q47)
 }

@@ -109,6 +109,37 @@ class EventStreamsSpec extends SparkSpec {
     batch shouldBe want
   }
 
+  test("ST4c transformWithState: running totals == batch aggregate") {
+    implicit val sqlCtx = spark.sqlContext
+    // The transformWithState operator requires the RocksDB state store.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Ev]
+      val name = s"st4c_${System.nanoTime()}"
+      val q = EventStreams.runningUserAggregatesTws(mem.toDF())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      mem.addData(rows.take(3))
+      q.processAllAvailable()
+      mem.addData(rows.drop(3))
+      q.processAllAvailable()
+      q.stop()
+      val latest = spark.table(name)
+        .groupBy("user_id").agg(max_by(struct("n", "val_sum"), col("n")).as("s"))
+        .select("user_id", "s.n", "s.val_sum")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val want = rows.toDF().groupBy("user_id")
+        .agg(count(lit(1)), sum("value"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      latest shouldBe want
+    } finally {
+      prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
+  }
+
   test("ST5 incremental upsert sink: stream result == batch aggregate") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("st5").toString
