@@ -65,6 +65,31 @@ object Similarity {
       .limit(k)
   }
 
+  /** k-NN join: for EVERY row of `queries` (id `qid`, vector `qv`), the
+    * top-k `candidates` rows by cosine — the batch retrieval primitive
+    * (single-query top-k is [[bruteForceTopK]]). The query side is
+    * broadcast (m ≪ n); per-row candidate norms are computed once before
+    * the m×n expansion; ranking is a window on the ROUNDED score with the
+    * candidate id as total-order tiebreak (deterministic across engines).
+    * At 100 TB compose with [[signBucket]] blocking to shrink m×n to
+    * per-bucket candidates before the rank.
+    */
+  def knnJoin(candidates: DataFrame, vecCol: String, idCol: String,
+      queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = candidates
+      .select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val q = queries.select(col("qid"), asDouble(col("qv")).as("qv"))
+      .withColumn("qnrm", sqrt(dot(col("qv"), col("qv"))))
+    val w = Window.partitionBy("qid").orderBy(desc("cos_r"), col(idCol))
+    c.crossJoin(broadcast(q))
+      .select(col("qid"), col(idCol),
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6).as("cos_r"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
   /** All pairs (a < b) with rounded cosine ≥ threshold — embedding-space
     * near-duplicate detection. Brute force here; compose with
     * [[signBucket]] blocking for the at-scale variant.

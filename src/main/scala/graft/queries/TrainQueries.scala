@@ -196,5 +196,31 @@ object TrainQueries {
             FROM sc QUALIFY rnk <= 3"""),
   )
 
-  val all: Seq[OracleQuery] = Seq(q41, q42, q42b, q43, q44, q45, q46, q47)
+  /** Q48 [X]: k-NN join — top-3 candidates for every query vector (ids
+    * 0-4 query, the rest candidates); the batch retrieval shape of q20.
+    */
+  val q48 = OracleQuery(
+    "q48_knn_join",
+    (s, d) => {
+      import graft.ext.Similarity
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.knnJoin(emb.filter(col("vec_id") >= 5), "embedding", "vec_id",
+        queries, 3)
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+                 q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+                 c AS (SELECT vec_id, v FROM e WHERE vec_id >= 5),
+                 s AS (SELECT qid, c.vec_id AS vec_id,
+                         round(list_dot_product(v, qv) /
+                               (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_r
+                       FROM c, q)
+            SELECT qid, vec_id, cos_r,
+                   CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, vec_id) AS INTEGER) AS rnk
+            FROM s QUALIFY rnk <= 3"""),
+  )
+
+  val all: Seq[OracleQuery] =
+    Seq(q41, q42, q42b, q43, q44, q45, q46, q47, q48)
 }

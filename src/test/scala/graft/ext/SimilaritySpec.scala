@@ -55,6 +55,19 @@ class SimilaritySpec extends SparkSpec {
     top shouldBe Seq(0L, 1L)
   }
 
+  test("knnJoin: every query gets its own ranked top-k; query side broadcasts") {
+    val queries = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f)),
+      (200L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("qid", "qv")
+    val out = Similarity.knnJoin(emb, "embedding", "vec_id", queries, 2)
+    val byQ = out.collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getInt(3)).map(_.getLong(1)).toSeq).toMap
+    byQ(100L) shouldBe Seq(0L, 1L) // identical vecs; tie broken by vec_id
+    byQ(200L).head shouldBe 3L // the orthogonal query's nearest is vec 3
+    out.queryExecution.executedPlan.toString should include("BroadcastNestedLoopJoin")
+  }
+
   test("nearDupPairs: only ≥-threshold pairs, a<b canonical order") {
     val pairs = Similarity.nearDupPairs(emb, "embedding", "vec_id", 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
