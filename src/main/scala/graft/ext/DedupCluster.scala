@@ -46,14 +46,9 @@ object DedupCluster {
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxIter: Int = 25): DataFrame = {
-    // Pre-partition the (doubled) edge table on the per-round join key so
-    // the heaviest join of every round reuses its layout instead of
-    // re-shuffling the edges each time (localCheckpoint preserves the
-    // partitioning; only the small label side moves per round).
     val und = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .repartition(col("dst"))
       .localCheckpoint()
     var labels = nodes.select(col("node"), col("node").as("label"))
       .localCheckpoint()
@@ -75,13 +70,16 @@ object DedupCluster {
           least(col("label"), coalesce(col("nbl"), col("label"))).as("label"))
       // Step 2: pointer jumping — adopt your label's label, halving chain
       // depth per round (turns O(diameter) rounds into O(log diameter)).
+      // Lazy checkpoint: the checksum aggregate right below is the single
+      // materializing job of the round (an eager checkpoint would run the
+      // same plan twice — once to persist, once to sum).
       val next = stepped
         .join(
           stepped.select(col("node").as("label"), col("label").as("ll")),
           Seq("label"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val s = checksum(next)
       done = s == prevSum
       prevSum = s
