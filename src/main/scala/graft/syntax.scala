@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame}
 
-import graft.ext.{Dedup, Similarity, TextAnalysis}
+import graft.ext.{Dedup, DedupCluster, Packing, Sampling, Similarity, TextAnalysis}
 import graft.ops.{RangeJoin, Salting, Upsert}
 
 /** User-facing entry point: `import graft.syntax._` puts the engine's
@@ -27,14 +27,29 @@ object syntax {
     def ngrams(idCol: String, textCol: String, n: Int): DataFrame =
       Dedup.ngramsExploded(df, idCol, textCol, n)
 
+    def dedupClusters(idCol: String, textCol: String): DataFrame =
+      DedupCluster.dedupClusters(df, idCol, textCol)
+
     // --- similarity ------------------------------------------------------
     def cosineTopK(vecCol: String, idCol: String, query: DataFrame,
         k: Int): DataFrame =
       Similarity.bruteForceTopK(df, vecCol, idCol, query, k)
 
+    def knnJoin(vecCol: String, idCol: String, queries: DataFrame,
+        k: Int): DataFrame =
+      Similarity.knnJoin(df, vecCol, idCol, queries, k)
+
     def nearDuplicates(vecCol: String, idCol: String,
         threshold: Double): DataFrame =
       Similarity.nearDupPairs(df, vecCol, idCol, threshold)
+
+    // --- corpus curation -------------------------------------------------
+    def packShards(idCol: String, groupCol: String, nTok: Column,
+        budget: Long): DataFrame =
+      Packing.packShards(df, idCol, groupCol, nTok, budget)
+
+    def unigramLogProb(idCol: String, textCol: String): DataFrame =
+      TextAnalysis.unigramLogProb(df, idCol, textCol)
 
     // --- joins / upserts -------------------------------------------------
     def bandedJoin(right: DataFrame, leftVal: String, rightVal: String,
@@ -57,6 +72,16 @@ object syntax {
     def stopwordRatio: Column = TextAnalysis.stopwordRatio(text)
     def fingerprint: Column = TextAnalysis.fingerprint(text)
     def simhash16: Column = Dedup.simHash16(text)
+    def qualityFlags: Column = TextAnalysis.qualityFlags(text)
+    def maskWords(words: Seq[String], mask: String): Column =
+      TextAnalysis.maskWords(text, words, mask)
+  }
+
+  implicit class GraftIdColumn(private val id: Column) extends AnyVal {
+    def hashBucket(buckets: Int = 100): Column = Sampling.hashBucket(id, buckets)
+    def splitAssign: Column = Sampling.splitAssign(id)
+    def stratifiedKeep(stratum: Column, rates: Map[String, Int]): Column =
+      Sampling.stratifiedKeep(id, stratum, rates)
   }
 
   implicit class GraftVectorColumn(private val v: Column) extends AnyVal {

@@ -22,6 +22,14 @@ class SyntaxAndBucketingSpec extends SparkSpec {
     out.filter($"doc_id" === 3L).head().getString(1) shouldBe "es"
     val v = array(lit(1.0), lit(2.0))
     Seq(1).toDF("x").select(v.dot(v)).as[Double].head() shouldBe 5.0
+    // curation sugar: clusters, splits, packing, scoring
+    docs.dedupClusters("doc_id", "text")
+      .filter($"cluster_id" === 1L).count() shouldBe 2 // docs 1+2 identical
+    docs.select($"doc_id".splitAssign).distinct().count() should be <= 3L
+    docs.filter($"doc_id".stratifiedKeep(lit("en"), Map("en" -> 100))).count() shouldBe 3
+    docs.packShards("doc_id", "text", $"text".tokenCount, 8L)
+      .columns should contain("shard")
+    docs.unigramLogProb("doc_id", "text").columns should contain("logprob")
   }
 
   test("bucketed join plans without an exchange (co-located storage)") {
