@@ -108,6 +108,21 @@ object Dedup {
     }.reduce(_ + _)
   }
 
+  /** Benchmark decontamination: ids of `corpus` documents that share ANY
+    * distinct word n-gram with `benchmark` — the standard eval-leak check
+    * before training. The benchmark side is tiny next to the corpus, so
+    * its distinct n-gram set broadcasts and the corpus-side semi-join is
+    * shuffle-free on the corpus (one scan + broadcast probe per row).
+    */
+  def contaminatedIds(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val bg = ngramsExploded(benchmark, idCol, textCol, n)
+      .select("g").distinct()
+    ngramsExploded(corpus, idCol, textCol, n)
+      .join(broadcast(bg), Seq("g"), "left_semi")
+      .select(idCol).distinct()
+  }
+
   /** Jaccard similarity of distinct word-n-gram sets between each doc and
     * its successor by id (a deterministic, oracle-friendly pairing).
     * General near-dup pairing composes [[lshCandidatePairs]] with this same

@@ -1,6 +1,7 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic corpus sampling for training-data pipelines: hash-bucket
@@ -33,6 +34,19 @@ object Sampling {
     when(b < trainPct, "train")
       .when(b < trainPct + valPct, "val")
       .otherwise("test")
+  }
+
+  /** Deterministic per-stratum cap: keep the `n` rows with the smallest
+    * id-hash in each stratum (fixed-size quota per source/language).
+    * Ranking by (hash, id) is engine- and run-stable — a reproducible
+    * "random" quota, unlike reservoir sampling. One window shuffle on the
+    * stratum key; strata cap in parallel.
+    */
+  def capPerStratum(df: DataFrame, idCol: String, strataCol: String,
+      n: Int): DataFrame = {
+    val w = Window.partitionBy(strataCol)
+      .orderBy(hashBucket(col(idCol), 1000000), col(idCol))
+    df.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= n)
   }
 
   /** Keep-predicate for stratified sampling: each stratum value keeps

@@ -103,9 +103,11 @@ object TrainQueries {
       Tables.documents(s, d).select(
         col("doc_id"),
         TextAnalysis.qualityFlags(col("text")).as("flags"),
-        (TextAnalysis.qualityFlags(col("text")) === "---").cast("int").as("keep"),
         TextAnalysis.uniqueTokenRatio(col("text")).as("uniq_ratio"),
-        TextAnalysis.charsPerToken(col("text")).as("chars_per_tok")),
+        TextAnalysis.charsPerToken(col("text")).as("chars_per_tok"))
+        // derive keep from the materialized flags column, not a second
+        // evaluation of the rule regexes
+        .withColumn("keep", (col("flags") === "---").cast("int")),
     Some("""WITH t AS (SELECT doc_id,
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
                    round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
@@ -221,6 +223,46 @@ object TrainQueries {
             FROM s QUALIFY rnk <= 3"""),
   )
 
+  /** Q49 [X]: deterministic per-source quota — the 10 smallest-hash docs
+    * of each source (reproducible fixed-size downsampling).
+    */
+  val q49 = OracleQuery(
+    "q49_cap_per_source",
+    (s, d) =>
+      Sampling.capPerStratum(
+        Tables.documents(s, d).select("doc_id", "source"),
+        "doc_id", "source", 10),
+    Some(s"""WITH h AS (SELECT doc_id, source,
+                   ${Sampling.hashBucketSql("doc_id", 1000000)} AS hb
+                   FROM documents),
+                 r AS (SELECT doc_id, source,
+                   CAST(row_number() OVER (PARTITION BY source ORDER BY hb, doc_id) AS INTEGER) AS rnk
+                   FROM h)
+            SELECT doc_id, source, rnk FROM r WHERE rnk <= 10"""),
+  )
+
+  /** Q50 [X]: benchmark decontamination — corpus docs (id ≥ 10) sharing
+    * any distinct word 4-gram with the "benchmark" docs (id < 10).
+    */
+  val q50 = OracleQuery(
+    "q50_decontaminate",
+    (s, d) => {
+      import graft.ext.Dedup
+      val docs = Tables.documents(s, d)
+      Dedup.contaminatedIds(
+        docs.filter(col("doc_id") >= 10),
+        docs.filter(col("doc_id") < 10),
+        "doc_id", "text", 4)
+    },
+    Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+                 g AS (SELECT DISTINCT doc_id, g FROM
+                       (SELECT doc_id, unnest([array_to_string(t[i:i+3], ' ')
+                               FOR i IN generate_series(1, len(t) - 3)]) AS g FROM tok)),
+                 b AS (SELECT DISTINCT g FROM g WHERE doc_id < 10)
+            SELECT DISTINCT doc_id FROM g
+            WHERE doc_id >= 10 AND g IN (SELECT g FROM b)"""),
+  )
+
   val all: Seq[OracleQuery] =
-    Seq(q41, q42, q42b, q43, q44, q45, q46, q47, q48)
+    Seq(q41, q42, q42b, q43, q44, q45, q46, q47, q48, q49, q50)
 }

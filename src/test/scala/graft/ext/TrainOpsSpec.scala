@@ -156,6 +156,26 @@ class TrainOpsSpec extends SparkSpec {
     plan should not include "Exchange"
   }
 
+  test("capPerStratum: fixed quota per stratum, deterministic ranking") {
+    val df = (0L until 100L).map(i => (i, s"s${i % 3}")).toDF("id", "src")
+    val out = Sampling.capPerStratum(df, "id", "src", 5)
+    out.groupBy("src").count().collect().map(_.getLong(1)).toSeq shouldBe Seq(5L, 5L, 5L)
+    // same input → same keeps (pure function of ids)
+    out.select("id").except(
+      Sampling.capPerStratum(df, "id", "src", 5).select("id")).count() shouldBe 0
+  }
+
+  test("contaminatedIds: flags docs sharing an n-gram with the benchmark") {
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta clean text here"),
+      (11L, "totally unrelated words without overlap at all")
+    ).toDF("doc_id", "text")
+    val bench = Seq((1L, "prefix alpha beta gamma delta suffix")).toDF("doc_id", "text")
+    val hit = Dedup.contaminatedIds(corpus, bench, "doc_id", "text", 4)
+      .collect().map(_.getLong(0)).toSeq
+    hit shouldBe Seq(10L)
+  }
+
   test("maskWords masks whole words only; maskCount counts them") {
     val df = Seq((1L, "the theme of a cat is a hat")).toDF("id", "text")
     val r = df.select(
