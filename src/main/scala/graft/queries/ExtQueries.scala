@@ -404,7 +404,54 @@ object ExtQueries {
               ON e.user_id = p.user_id AND e.event_id >= p.event_id"""),
   )
 
+  /** Q51: funnel conversion — per user, the first click and first purchase
+    * event ids and whether the click preceded the purchase (null-propagating
+    * on users missing either stage, matching SQL comparison semantics).
+    */
+  val q51 = OracleQuery(
+    "q51_funnel",
+    (s, d) =>
+      Tables.events(s, d).groupBy("user_id").agg(
+        min(when(col("event_type") === "click", col("event_id"))).as("first_click"),
+        min(when(col("event_type") === "purchase", col("event_id"))).as("first_purchase"))
+        .withColumn("converted",
+          (col("first_click") < col("first_purchase")).cast("int")),
+    Some("""WITH f AS (SELECT user_id,
+                   min(CASE WHEN event_type = 'click' THEN event_id END) AS first_click,
+                   min(CASE WHEN event_type = 'purchase' THEN event_id END) AS first_purchase
+                   FROM events GROUP BY user_id)
+            SELECT user_id, first_click, first_purchase,
+                   CAST(first_click < first_purchase AS INTEGER) AS converted
+            FROM f"""),
+  )
+
+  /** Q52: hourly retention — for each hour, users active in it AND the
+    * next hour (distinct user-hour self-join, the cohort-retention shape).
+    */
+  val q52 = OracleQuery(
+    "q52_retention",
+    (s, d) => {
+      val uh = Tables.events(s, d)
+        .select(col("user_id"),
+          unix_micros(date_trunc("hour", col("ts"))).as("h"))
+        .distinct()
+      uh.alias("a")
+        .join(uh.alias("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("b.h") === col("a.h") + 3600000000L)
+        .groupBy(col("a.h").as("h"))
+        .agg(count(lit(1)).as("retained"))
+    },
+    Some("""WITH uh AS (SELECT DISTINCT user_id,
+                   epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS h
+                   FROM events)
+            SELECT a.h AS h, CAST(count(*) AS BIGINT) AS retained
+            FROM uh a JOIN uh b
+              ON b.user_id = a.user_id AND b.h = a.h + 3600000000
+            GROUP BY a.h"""),
+  )
+
   val all: Seq[OracleQuery] = Seq(
     q18, q19, q19b, q20, q20b, q21, q22, q23,
-    q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36)
+    q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q51, q52)
 }
