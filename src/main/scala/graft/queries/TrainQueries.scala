@@ -263,6 +263,74 @@ object TrainQueries {
             WHERE doc_id >= 10 AND g IN (SELECT g FROM b)"""),
   )
 
+  /** Q53: multi-quantile aggregate — exact interpolated p25/p50/p75 per
+    * group in one pass (`percentile(col, array(...))`, DuckDB
+    * `quantile_cont` twin).
+    */
+  val q53 = OracleQuery(
+    "q53_quantiles",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(percentile(col("l_extendedprice"),
+          array(lit(0.25), lit(0.5), lit(0.75))).as("q"))
+        .select(col("l_returnflag"),
+          round(element_at(col("q"), 1), 6).as("p25"),
+          round(element_at(col("q"), 2), 6).as("p50"),
+          round(element_at(col("q"), 3), 6).as("p75")),
+    Some("""WITH q AS (SELECT l_returnflag,
+                   quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]) AS q
+                   FROM lineitem GROUP BY l_returnflag)
+            SELECT l_returnflag, round(q[1], 6) AS p25, round(q[2], 6) AS p50,
+                   round(q[3], 6) AS p75 FROM q"""),
+  )
+
+  /** Q54: statistical aggregates — correlation / sample covariance /
+    * sample stddev per group (data-profiling staples).
+    */
+  val q54 = OracleQuery(
+    "q54_stats_agg",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 6).as("cov_qp"),
+          round(stddev_samp(col("l_discount")), 6).as("sd_disc")),
+    Some("""SELECT l_returnflag,
+                   round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+                   round(covar_samp(l_quantity, l_extendedprice), 6) AS cov_qp,
+                   round(stddev_samp(l_discount), 6) AS sd_disc
+            FROM lineitem GROUP BY l_returnflag"""),
+  )
+
+  /** Q55: one-pass table profile over `part`'s non-float columns (float
+    * min/max would hit engine-dependent string formatting).
+    */
+  val q55 = OracleQuery(
+    "q55_profile",
+    (s, d) =>
+      graft.ops.Profile.profile(Tables.part(s, d),
+        Seq("p_partkey", "p_brand", "p_type", "p_size")),
+    Some("""SELECT 'p_partkey' AS column_name, CAST(count(p_partkey) AS BIGINT) AS n_nonnull,
+                   CAST(count(DISTINCT p_partkey) AS BIGINT) AS n_distinct,
+                   CAST(min(p_partkey) AS VARCHAR) AS min_s, CAST(max(p_partkey) AS VARCHAR) AS max_s
+            FROM part
+            UNION ALL
+            SELECT 'p_brand', CAST(count(p_brand) AS BIGINT),
+                   CAST(count(DISTINCT p_brand) AS BIGINT),
+                   CAST(min(p_brand) AS VARCHAR), CAST(max(p_brand) AS VARCHAR) FROM part
+            UNION ALL
+            SELECT 'p_type', CAST(count(p_type) AS BIGINT),
+                   CAST(count(DISTINCT p_type) AS BIGINT),
+                   CAST(min(p_type) AS VARCHAR), CAST(max(p_type) AS VARCHAR) FROM part
+            UNION ALL
+            SELECT 'p_size', CAST(count(p_size) AS BIGINT),
+                   CAST(count(DISTINCT p_size) AS BIGINT),
+                   CAST(min(p_size) AS VARCHAR), CAST(max(p_size) AS VARCHAR) FROM part"""),
+  )
+
   val all: Seq[OracleQuery] =
-    Seq(q41, q42, q42b, q43, q44, q45, q46, q47, q48, q49, q50)
+    Seq(q41, q42, q42b, q43, q44, q45, q46, q47, q48, q49, q50,
+      q53, q54, q55)
 }
