@@ -62,6 +62,22 @@ object Multimodal {
           base.pixels.map(p => (p + f * 7) % 256))
       }
     }
+
+    /** Fake audio decode: payload bytes → deterministic 16-bit PCM-style
+      * samples, 4 samples per payload byte (stable per payload).
+      */
+    def decodeAudio(payload: Array[Byte]): Array[Int] = {
+      var seed = 0x9e3779b97f4a7c15L
+      var i = 0
+      while (i < payload.length) { seed = mix(seed, payload(i).toLong); i += 1 }
+      val out = new Array[Int](payload.length * 4)
+      var j = 0
+      while (j < out.length) {
+        out(j) = math.floorMod(mix(seed, j), 65536).toInt - 32768
+        j += 1
+      }
+      out
+    }
   }
 
   /** Nearest-neighbor resize — real logic, runs on stub or real frames. */
@@ -120,6 +136,29 @@ object Multimodal {
           var v = 0
           while (v < 256) { s += hist(v) * ((v + i * 7) % 256); v += 1 }
           FrameRow(m.media_id, i, s.toDouble / n)
+        }
+      }
+    }
+  }
+
+  case class AudioChunk(media_id: Long, chunk_idx: Int, n_samples: Int,
+      rms: Double)
+
+  /** Audio chunking: decode each payload's sample stream and emit one row
+    * per fixed-size window with its RMS energy — the waveform →
+    * training-windows shape (audio analog of [[sampleFrames]]). The final
+    * partial window is kept (its n_samples is smaller).
+    */
+  def audioChunks(media: Dataset[MediaRow], window: Int): Dataset[AudioChunk] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        val samples = StubCodec.decodeAudio(m.payload)
+        samples.grouped(window).zipWithIndex.map { case (chunk, i) =>
+          var ss = 0.0
+          chunk.foreach(s => ss += s.toDouble * s)
+          AudioChunk(m.media_id, i, chunk.length,
+            math.sqrt(ss / chunk.length))
         }
       }
     }

@@ -330,7 +330,56 @@ object TrainQueries {
                    CAST(min(p_size) AS VARCHAR), CAST(max(p_size) AS VARCHAR) FROM part"""),
   )
 
+  /** Q56 [X]: bigram-LM fluency — Σ ln(cnt(prev,w)/cnt(prev·)) over each
+    * document's bigram occurrences, with corpus-wide counts (conditional
+    * log-prob; the bigram extension of q46's unigram score). Both count
+    * tables are vocabulary-sized → broadcast joins back to the bigram
+    * stream; the denominator counts prev as a bigram-START so the
+    * conditional distribution normalizes exactly.
+    */
+  val q56 = OracleQuery(
+    "q56_bigram_lm",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tok = Tables.documents(s, d).select(col("doc_id"),
+        posexplode(graft.ext.Dedup.tokens(col("text"))).as(Seq("pos", "w")))
+      val win = Window.partitionBy("doc_id").orderBy("pos")
+      val bg = tok.withColumn("p", lag("w", 1).over(win))
+        .filter(col("p").isNotNull).select("doc_id", "p", "w")
+      val bc = bg.groupBy("p", "w").agg(count(lit(1)).as("cbg"))
+      val uc = bg.groupBy("p").agg(count(lit(1)).as("cu"))
+      bg.join(broadcast(bc), Seq("p", "w")).join(broadcast(uc), Seq("p"))
+        .groupBy("doc_id")
+        .agg(round(sum(log(col("cbg").cast("double") / col("cu"))), 6).as("logprob"),
+          count(lit(1)).as("n_bigrams"))
+    },
+    Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+                 bg AS (SELECT doc_id, t[i-1] AS p, t[i] AS w FROM tok,
+                        UNNEST(generate_series(2, len(t))) AS u(i)),
+                 bc AS (SELECT p, w, CAST(count(*) AS BIGINT) AS cbg FROM bg GROUP BY p, w),
+                 uc AS (SELECT p, CAST(count(*) AS BIGINT) AS cu FROM bg GROUP BY p)
+            SELECT doc_id, round(sum(ln(CAST(cbg AS DOUBLE) / cu)), 6) AS logprob,
+                   CAST(count(*) AS BIGINT) AS n_bigrams
+            FROM bg JOIN bc USING (p, w) JOIN uc USING (p) GROUP BY doc_id"""),
+  )
+
+  /** Q57 [X]: audio-modality chunking (stub decode, real plumbing) —
+    * per-media chunk counts and pooled RMS. Rows-only check like q33/q34.
+    */
+  val q57 = OracleQuery(
+    "q57_audio_chunks",
+    (s, d) => {
+      import graft.ext.Multimodal
+      Multimodal.audioChunks(
+        Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text"), 1024)
+        .toDF()
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("n_chunks"), round(avg("rms"), 6).as("avg_rms"))
+    },
+    None,
+  )
+
   val all: Seq[OracleQuery] =
     Seq(q41, q42, q42b, q43, q44, q45, q46, q47, q48, q49, q50,
-      q53, q54, q55)
+      q53, q54, q55, q56, q57)
 }

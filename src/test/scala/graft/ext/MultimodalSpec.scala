@@ -48,6 +48,22 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("audioChunks: fixed windows + trailing partial, deterministic RMS") {
+    val chunks = audioChunks(media, window = 100).collect()
+    val byId = chunks.groupBy(_.media_id)
+    byId.foreach { case (_, cs) =>
+      // payload.length*4 samples → all-but-last chunks full, last partial
+      cs.init.foreach(_.n_samples shouldBe 100)
+      cs.map(_.n_samples).sum % 4 shouldBe 0
+      all(cs.map(_.rms)) should be > 0.0
+      cs.map(_.chunk_idx).sorted.toSeq shouldBe cs.indices.toSeq
+    }
+    // deterministic: same payloads → same chunk stats
+    audioChunks(media, window = 100).collect().map(c =>
+      (c.media_id, c.chunk_idx, c.rms)).toSet shouldBe
+      chunks.map(c => (c.media_id, c.chunk_idx, c.rms)).toSet
+  }
+
   test("resize: nearest-neighbor to exact target dims, corners preserved") {
     val f = Frame(4, 4, (0 until 16).toArray)
     val r = resize(f, 2, 2)
