@@ -65,6 +65,50 @@ class TrainOpsSpec extends SparkSpec {
     star shouldBe Set((2L, 1L), (3L, 1L))
   }
 
+  test("connectedComponents: empty graph and idempotence on its own output") {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val emptyNodes = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("node", LongType))))
+    val emptyEdges = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("src", LongType), StructField("dst", LongType))))
+    DedupCluster.connectedComponents(emptyNodes, emptyEdges).count() shouldBe 0
+    // a converged labeling is a fixpoint: feeding the component labels back
+    // as edges (node → label) must reproduce the same labeling
+    val edges = Seq((2L, 1L), (3L, 2L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L).toDF("node")
+    val l1 = DedupCluster.connectedComponents(nodes, edges)
+    val back = l1.filter($"node" =!= $"label")
+      .select($"node".as("src"), $"label".as("dst"))
+    val l2 = DedupCluster.connectedComponents(nodes, back)
+    l2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+      l1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("splitAssign partitions exhaustively and exclusively (property)") {
+    // every id lands in exactly one split, and bucket thresholds agree
+    val ids = (-500L until 500L).toDF("id")
+    val checked = ids.select($"id",
+      Sampling.hashBucket($"id").as("b"), Sampling.splitAssign($"id").as("s"))
+    checked.filter(
+      ($"s" === "train" && $"b" >= 80) ||
+        ($"s" === "val" && ($"b" < 80 || $"b" >= 90)) ||
+        ($"s" === "test" && $"b" < 90)).count() shouldBe 0
+    checked.filter(!$"s".isin("train", "val", "test")).count() shouldBe 0
+  }
+
+  test("packShards: shard ids non-decreasing in id order per group (property)") {
+    val df = (0L until 200L).map(i => (i, s"g${i % 3}", 1L + i % 7))
+      .toDF("id", "grp", "nt")
+    val out = Packing.packShards(df, "id", "grp", $"nt", 20L)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy("id")
+    out.withColumn("prev", lag("shard", 1).over(w))
+      .filter($"prev".isNotNull && $"shard" < $"prev")
+      .count() shouldBe 0
+  }
+
   test("hashBucket is deterministic, in range, and roughly uniform") {
     val ids = (0L until 1000L).toDF("id")
     val b = ids.select(Sampling.hashBucket($"id").as("b"))
