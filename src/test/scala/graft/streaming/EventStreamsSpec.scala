@@ -166,6 +166,31 @@ class EventStreamsSpec extends SparkSpec {
     got.toSeq shouldBe want.toSeq
   }
 
+  test("curation ops apply unchanged to a stream (flags/split parity)") {
+    import graft.ext.{Sampling, TextAnalysis}
+    implicit val sqlCtx = spark.sqlContext
+    // stateless curation columns compose with readStream exactly as with
+    // a batch read — the ingest-time filtering shape of a live corpus
+    val docs = Seq((1L, "short doc"), (2L, (0 until 40).map(i => s"t$i").mkString(" ")))
+    def curate(df: DataFrame): DataFrame =
+      df.select(col("_1").as("doc_id"),
+        TextAnalysis.qualityFlags(col("_2")).as("flags"),
+        Sampling.splitAssign(col("_1")).as("split"))
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(docs)
+    val name = s"cur_${System.nanoTime()}"
+    val q = curate(mem.toDF()).writeStream.format("memory")
+      .queryName(name).outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val stream = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val batch = curate(docs.toDF()).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    stream shouldBe batch
+    batch.find(_._1 == 1L).get._2 shouldBe "S--"
+  }
+
   test("ST5: unreadable existing target fails the batch, never wipes it") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("st5bad").toString
