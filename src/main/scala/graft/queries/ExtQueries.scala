@@ -451,7 +451,39 @@ object ExtQueries {
             GROUP BY a.h"""),
   )
 
+  /** Q58: time-weighted average value per user — each value weighted by
+    * the µs gap to the next event, normalized by the user's active span
+    * (users with one event have no span and are excluded on both sides).
+    */
+  val q58 = OracleQuery(
+    "q58_time_weighted_avg",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("value"),
+          unix_micros(col("ts")).as("tus"))
+        .withColumn("ntus", lead("tus", 1).over(w))
+        .groupBy("user_id")
+        .agg(
+          round(
+            sum(when(col("ntus").isNotNull,
+              col("value") * (col("ntus") - col("tus")))) /
+              (max("tus") - min("tus")).cast("double"), 6).as("twa"),
+          count(lit(1)).as("n"))
+        .filter(col("n") >= 2)
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, value,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events),
+                 l AS (SELECT *, lead(tus) OVER (PARTITION BY user_id ORDER BY event_id) AS ntus FROM e)
+            SELECT user_id,
+                   round(sum(CASE WHEN ntus IS NOT NULL THEN value * (ntus - tus) END) /
+                         CAST(max(tus) - min(tus) AS DOUBLE), 6) AS twa,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM l GROUP BY user_id HAVING count(*) >= 2"""),
+  )
+
   val all: Seq[OracleQuery] = Seq(
     q18, q19, q19b, q20, q20b, q21, q22, q23,
-    q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q51, q52)
+    q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
+    q51, q52, q58)
 }
