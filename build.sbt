@@ -15,6 +15,10 @@ run / fork := true
 // every line with [info]: Bench/Verify print machine-read JSON lines that
 // the harness must be able to json-parse from the raw output.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and suppress sbt's own "[success] Total time: ..." trailer, which
+// otherwise becomes the LAST line of output after Bench's JSON line (the
+// harness parses the last line: round-2 BENCH had parsed:null from it).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -37,7 +37,10 @@ object Bench {
     val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    // Print the JSON line LAST — after spark.stop() — so no shutdown logging
+    // can land after it; the harness json-parses the final line of output.
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
   }
 }
