@@ -19,6 +19,7 @@ run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // otherwise becomes the LAST line of output after Bench's JSON line (the
 // harness parses the last line: round-2 BENCH had parsed:null from it).
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -65,29 +65,38 @@ object Similarity {
       .limit(k)
   }
 
-  /** k-NN join: for EVERY row of `queries` (id `qid`, vector `qv`), the
-    * top-k `candidates` rows by cosine — the batch retrieval primitive
+  /** k-NN join: for EVERY row of `queries` (id `qidCol`, vector `qvCol`),
+    * the top-k `candidates` rows by cosine — the batch retrieval primitive
     * (single-query top-k is [[bruteForceTopK]]). The query side is
     * broadcast (m ≪ n); per-row candidate norms are computed once before
     * the m×n expansion; ranking is a window on the ROUNDED score with the
     * candidate id as total-order tiebreak (deterministic across engines).
-    * At 100 TB compose with [[signBucket]] blocking to shrink m×n to
-    * per-bucket candidates before the rank.
+    * Output columns: `qidCol`, `idCol`, `cos_r`, `rnk`. At 100 TB compose
+    * with [[signBucket]] blocking to shrink m×n to per-bucket candidates
+    * before the rank.
     */
   def knnJoin(candidates: DataFrame, vecCol: String, idCol: String,
-      queries: DataFrame, k: Int): DataFrame = {
+      queries: DataFrame, k: Int,
+      qidCol: String = "qid", qvCol: String = "qv"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(idCol != qidCol,
+      s"knnJoin: candidate id column '$idCol' collides with query id column")
+    // Internal working names are deliberately distinct from both sides'
+    // user-supplied names so a candidate column named e.g. "qv" can't
+    // shadow the query vector after the crossJoin.
     val c = candidates
-      .select(col(idCol), asDouble(col(vecCol)).as("v"))
-      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-    val q = queries.select(col("qid"), asDouble(col("qv")).as("qv"))
-      .withColumn("qnrm", sqrt(dot(col("qv"), col("qv"))))
-    val w = Window.partitionBy("qid").orderBy(desc("cos_r"), col(idCol))
+      .select(col(idCol).as("__cid"), asDouble(col(vecCol)).as("__cv"))
+      .withColumn("__cnrm", sqrt(dot(col("__cv"), col("__cv"))))
+    val q = queries.select(col(qidCol).as("__qid"), asDouble(col(qvCol)).as("__qv"))
+      .withColumn("__qnrm", sqrt(dot(col("__qv"), col("__qv"))))
+    val w = Window.partitionBy("__qid").orderBy(desc("cos_r"), col("__cid"))
     c.crossJoin(broadcast(q))
-      .select(col("qid"), col(idCol),
-        round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6).as("cos_r"))
+      .select(col("__qid"), col("__cid"),
+        round(dot(col("__cv"), col("__qv")) / (col("__cnrm") * col("__qnrm")), 6).as("cos_r"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
+      .select(col("__qid").as(qidCol), col("__cid").as(idCol),
+        col("cos_r"), col("rnk"))
   }
 
   /** All pairs (a < b) with rounded cosine ≥ threshold — embedding-space

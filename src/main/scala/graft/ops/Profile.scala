@@ -17,15 +17,18 @@ import org.apache.spark.sql.functions._
 object Profile {
 
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val aggs = cols.flatMap(c => Seq(
-      count(col(c)).as(s"${c}__n"),
-      countDistinct(col(c)).as(s"${c}__nd"),
-      min(col(c)).cast("string").as(s"${c}__min"),
-      max(col(c)).cast("string").as(s"${c}__max")))
-    val row = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols.map(c =>
-      s"'$c', ${c}__n, ${c}__nd, ${c}__min, ${c}__max").mkString(", ")
-    row.selectExpr(
-      s"stack(${cols.size}, $stackArgs) AS (column_name, n_nonnull, n_distinct, min_s, max_s)")
+    // Pure Column-API construction (no selectExpr splicing): column names
+    // with dots, spaces, quotes, or reserved words can't break parsing or
+    // mis-resolve as nested-field paths.
+    def quoted(c: String) = col("`" + c.replace("`", "``") + "`")
+    val perCol = cols.map { c =>
+      struct(
+        lit(c).as("column_name"),
+        count(quoted(c)).as("n_nonnull"),
+        countDistinct(quoted(c)).as("n_distinct"),
+        min(quoted(c)).cast("string").as("min_s"),
+        max(quoted(c)).cast("string").as("max_s"))
+    }
+    df.agg(array(perCol: _*).as("__p")).select(inline(col("__p")))
   }
 }

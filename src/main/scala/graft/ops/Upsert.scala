@@ -33,15 +33,37 @@ object Upsert {
     joined.select(projected: _*)
   }
 
-  /** Atomic-as-possible overwrite: write to `<path>.staging`, rename the
-    * old table aside to `<path>.old`, swap the staging dir in, then drop
-    * the old copy. Readers never observe a *partial* table; on a local or
-    * HDFS filesystem (atomic directory rename, single writer) the target
-    * either holds the old or the new complete table at every instant, and
-    * a crash mid-swap leaves `<path>.old` for manual recovery instead of
-    * losing data. Object stores without atomic rename need a manifest
-    * commit protocol instead — out of scope here; this helper is for the
-    * local/HDFS single-writer case.
+  /** If `path` is missing but `<path>.old` exists, a previous
+    * [[writeAtomic]] crashed between its two renames and the table
+    * survives only at the `.old` location: rename it back. Callers that
+    * read `path` before upserting (the streaming sink, any re-run of a
+    * crashed pipeline) must call this BEFORE their existence check —
+    * otherwise they see "no table" and merge against nothing, silently
+    * dropping the accumulated state. Returns true if a restore happened.
+    */
+  def recover(spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val target = new org.apache.hadoop.fs.Path(path)
+    val old = new org.apache.hadoop.fs.Path(path + ".old")
+    val fs = target.getFileSystem(hconf)
+    if (!fs.exists(target) && fs.exists(old)) {
+      if (!fs.rename(old, target))
+        throw new java.io.IOException(
+          s"recover: could not restore $old to $target")
+      true
+    } else false
+  }
+
+  /** Staged overwrite: write to `<path>.staging`, rename the old table
+    * aside to `<path>.old`, swap the staging dir in, then drop the old
+    * copy. Readers never observe a *partial* table, but there is a brief
+    * window between the two renames where the target directory does not
+    * exist; a crash in that window leaves the table at `<path>.old`, from
+    * which the next [[writeAtomic]] or [[recover]] call restores it
+    * automatically (`.old` is only ever deleted when the target exists).
+    * Object stores without atomic rename need a manifest commit protocol
+    * instead — out of scope here; this helper is for the local/HDFS
+    * single-writer case.
     */
   def writeAtomic(df: DataFrame, path: String): Unit = {
     val spark = df.sparkSession
@@ -50,7 +72,11 @@ object Upsert {
     val staging = new org.apache.hadoop.fs.Path(path + ".staging")
     val target = new org.apache.hadoop.fs.Path(path)
     val old = new org.apache.hadoop.fs.Path(path + ".old")
+    recover(spark, path)
     df.write.mode("overwrite").parquet(staging.toString)
+    // After recover(), `.old` alongside an existing target can only be
+    // debris from a crash after a completed swap — safe to delete. It can
+    // no longer be the sole copy of the table.
     if (fs.exists(old)) fs.delete(old, true)
     val hadPrior = fs.exists(target)
     if (hadPrior && !fs.rename(target, old))

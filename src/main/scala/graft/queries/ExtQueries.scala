@@ -452,8 +452,10 @@ object ExtQueries {
   )
 
   /** Q58: time-weighted average value per user — each value weighted by
-    * the µs gap to the next event, normalized by the user's active span
-    * (users with one event have no span and are excluded on both sides).
+    * the µs gap to the next event, normalized by the user's active span.
+    * Users with one event have no span; users whose events all share one
+    * microsecond have a ZERO span (twa would be 0/0 = NaN, whose
+    * formatting differs between engines) — both excluded on both sides.
     */
   val q58 = OracleQuery(
     "q58_time_weighted_avg",
@@ -469,8 +471,10 @@ object ExtQueries {
             sum(when(col("ntus").isNotNull,
               col("value") * (col("ntus") - col("tus")))) /
               (max("tus") - min("tus")).cast("double"), 6).as("twa"),
-          count(lit(1)).as("n"))
-        .filter(col("n") >= 2)
+          count(lit(1)).as("n"),
+          (max("tus") - min("tus")).as("__span"))
+        .filter(col("n") >= 2 && col("__span") > 0)
+        .drop("__span")
     },
     Some("""WITH e AS (SELECT user_id, event_id, value,
                    epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events),
@@ -479,7 +483,8 @@ object ExtQueries {
                    round(sum(CASE WHEN ntus IS NOT NULL THEN value * (ntus - tus) END) /
                          CAST(max(tus) - min(tus) AS DOUBLE), 6) AS twa,
                    CAST(count(*) AS BIGINT) AS n
-            FROM l GROUP BY user_id HAVING count(*) >= 2"""),
+            FROM l GROUP BY user_id
+            HAVING count(*) >= 2 AND max(tus) > min(tus)"""),
   )
 
   val all: Seq[OracleQuery] = Seq(

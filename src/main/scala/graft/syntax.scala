@@ -36,8 +36,8 @@ object syntax {
       Similarity.bruteForceTopK(df, vecCol, idCol, query, k)
 
     def knnJoin(vecCol: String, idCol: String, queries: DataFrame,
-        k: Int): DataFrame =
-      Similarity.knnJoin(df, vecCol, idCol, queries, k)
+        k: Int, qidCol: String = "qid", qvCol: String = "qv"): DataFrame =
+      Similarity.knnJoin(df, vecCol, idCol, queries, k, qidCol, qvCol)
 
     def nearDuplicates(vecCol: String, idCol: String,
         threshold: Double): DataFrame =

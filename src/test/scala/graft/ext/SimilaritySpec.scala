@@ -68,6 +68,20 @@ class SimilaritySpec extends SparkSpec {
     out.queryExecution.executedPlan.toString should include("BroadcastNestedLoopJoin")
   }
 
+  test("knnJoin: custom query column names, incl. one colliding with a candidate column") {
+    // Query id column deliberately named like the candidates' vector
+    // column: the defensive internal renames must keep them apart.
+    val queries = Seq((100L, Array(1.0f, 0.0f, 0.0f)))
+      .toDF("embedding", "searchvec")
+    val out = Similarity.knnJoin(emb, "embedding", "vec_id", queries, 2,
+      qidCol = "embedding", qvCol = "searchvec")
+    out.columns.toSeq shouldBe Seq("embedding", "vec_id", "cos_r", "rnk")
+    out.collect().map(_.getLong(1)).toSeq shouldBe Seq(0L, 1L)
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.knnJoin(emb, "embedding", "vec_id", queries, 2,
+        qidCol = "vec_id", qvCol = "searchvec")
+  }
+
   test("nearDupPairs: only ≥-threshold pairs, a<b canonical order") {
     val pairs = Similarity.nearDupPairs(emb, "embedding", "vec_id", 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

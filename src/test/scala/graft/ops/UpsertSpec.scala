@@ -59,17 +59,44 @@ class UpsertSpec extends SparkSpec {
     assert(!new java.io.File(path + ".staging").exists())
   }
 
-  test("writeAtomic: leftover .old dir from a crashed swap is cleared") {
+  test("recover: crash between the two renames restores the table from .old") {
     val dir = java.nio.file.Files.createTempDirectory("upsert2").toString
     val path = s"$dir/t"
-    // Simulate debris from a writer that crashed between rename and cleanup.
+    Upsert.writeAtomic(base, path)
+    // Simulate a writer that crashed AFTER moving the live table aside but
+    // BEFORE installing the staging dir: the only copy is <path>.old.
+    assert(new java.io.File(path).renameTo(new java.io.File(path + ".old")))
+    assert(Upsert.recover(spark, path))
+    spark.read.parquet(path).count() shouldBe 3 // state not lost
+    assert(!new java.io.File(path + ".old").exists())
+    assert(!Upsert.recover(spark, path)) // idempotent no-op when healthy
+  }
+
+  test("writeAtomic after a crashed swap keeps .old's data visible, not lost") {
+    val dir = java.nio.file.Files.createTempDirectory("upsert3").toString
+    val path = s"$dir/t"
+    Upsert.writeAtomic(base, path)
+    assert(new java.io.File(path).renameTo(new java.io.File(path + ".old")))
+    // Next writeAtomic restores .old first (never deletes the sole copy),
+    // then swaps the new table in over it.
+    Upsert.writeAtomic(base.filter($"k" =!= 1L), path)
+    spark.read.parquet(path).count() shouldBe 2
+    assert(!new java.io.File(path + ".old").exists())
+    assert(!new java.io.File(path + ".staging").exists())
+  }
+
+  test("writeAtomic: .old debris alongside a live target is cleared") {
+    val dir = java.nio.file.Files.createTempDirectory("upsert4").toString
+    val path = s"$dir/t"
+    Upsert.writeAtomic(base, path)
+    // Debris from a crash after a COMPLETED swap: target exists, .old too.
     val stale = new java.io.File(path + ".old")
     stale.mkdirs()
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(path + ".old", "junk"), "stale")
-    Upsert.writeAtomic(base, path)
-    spark.read.parquet(path).count() shouldBe 3
-    assert(!stale.exists()) // debris cleared, not resurrected as the table
+    Upsert.writeAtomic(base.filter($"k" =!= 1L), path)
+    spark.read.parquet(path).count() shouldBe 2
+    assert(!stale.exists())
     assert(!new java.io.File(path + ".staging").exists())
   }
 }
