@@ -100,6 +100,33 @@ object TextAnalysis {
   def maskCount(text: Column, words: Seq[String]): Column =
     regexp_count(text, lit("\\b(" + words.mkString("|") + ")\\b")).cast("long")
 
+  /** PII-style pattern redaction: apply `(pattern → replacement)` rules
+    * left to right (each a codegen'd global regexp_replace; later rules
+    * see earlier rules' output, so order entire patterns accordingly).
+    */
+  def redact(text: Column, rules: Seq[(String, String)]): Column =
+    rules.foldLeft(text) { case (acc, (pat, rep)) =>
+      regexp_replace(acc, pat, rep)
+    }
+
+  /** Default redaction rules: emails, then phone-like digit groups, then
+    * any leftover digit run of 2+ (ids, zips). Order matters — the email
+    * rule must run before the digit rules eat into addresses.
+    */
+  val PiiRules: Seq[(String, String)] = Seq(
+    "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}" -> "[EMAIL]",
+    "\\+?[0-9][0-9() -]{6,}[0-9]" -> "[PHONE]",
+    "[0-9]{2,}" -> "#")
+
+  /** Canonical text normalization for dedup keys: lowercase, strip
+    * non-alphanumeric (keeping spaces), squeeze runs of spaces, trim.
+    * Normalizing BEFORE hashing/shingling is what makes near-dup
+    * detection robust to case/punctuation noise.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
   /** Per-document unigram log-probability under the corpus' own unigram
     * distribution (Σ ln(cnt(w)/N) over the document's tokens) — a
     * self-supervised fluency score: rare-token-heavy documents score low.

@@ -1,0 +1,170 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.{Repetition, TextAnalysis}
+import graft.ops.Cdc
+
+/** Round-3 curation/analytics additions: Gopher-style repetition metrics,
+  * PII-pattern redaction, text normalization, per-label embedding
+  * centroids (the k-means E-step shape), snapshot CDC, and the
+  * distribution window functions. Each has a DuckDB twin.
+  */
+object CurationQueries {
+
+  /** Q59 [X]: per-document repetition metrics (token uniqueness + top
+    * bigram dominance) — the Gopher boilerplate/spam signals. One explode
+    * + doc-keyed aggregates; both aggregates share the doc-id
+    * partitioning so the final join adds no exchange.
+    */
+  val q59 = OracleQuery(
+    "q59_repetition",
+    (s, d) => Repetition.repetitionMetrics(Tables.documents(s, d), "doc_id", "text"),
+    Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                 FROM documents),
+            tk AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+                          round(CAST(count(DISTINCT w) AS DOUBLE) / count(*), 6) AS uniq_frac
+                   FROM t GROUP BY doc_id),
+            s AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+            bg AS (SELECT doc_id,
+                          unnest([a[i] || ' ' || a[i+1] FOR i IN range(1, len(a))]) AS g
+                   FROM s),
+            bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+            bga AS (SELECT doc_id,
+                           round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT), 6) AS top_bigram_frac
+                    FROM bgc GROUP BY doc_id)
+            SELECT tk.doc_id, n_tok, uniq_frac,
+                   coalesce(top_bigram_frac, 0.0) AS top_bigram_frac
+            FROM tk LEFT JOIN bga USING (doc_id)"""),
+  )
+
+  /** Q60 [X]: PII-style redaction over the events payload — digit runs
+    * (ids, zips, phone fragments) collapsed to '#'; emits the redacted
+    * text plus how many characters were dropped. Pure per-row codegen'd
+    * regexp — shuffle-free at any scale.
+    */
+  val q60 = OracleQuery(
+    "q60_pii_redact",
+    (s, d) => {
+      val red = TextAnalysis.redact(col("props"), Seq("[0-9]{2,}" -> "#"))
+      Tables.events(s, d).select(
+        col("event_id"),
+        red.as("redacted"),
+        (length(col("props")) - length(red)).cast("long").as("n_removed"))
+    },
+    Some("""SELECT event_id,
+                   regexp_replace(props, '[0-9]{2,}', '#', 'g') AS redacted,
+                   CAST(length(props) - length(regexp_replace(props, '[0-9]{2,}', '#', 'g')) AS BIGINT) AS n_removed
+            FROM events"""),
+  )
+
+  /** Q61 [X]: per-label embedding centroid fit — mean vector per label
+    * and each member's distance to its own centroid, reduced to a
+    * per-label spread. This is one k-means E-step, relationally: explode
+    * to (label, dim) cells, average per cell (shuffle keyed by
+    * label×dim, never whole vectors), join centroids back, reduce.
+    * Floats are cast to double BEFORE averaging on both engines.
+    */
+  val q61 = OracleQuery(
+    "q61_centroid_dist",
+    (s, d) => {
+      val e = Tables.embeddings(s, d).select(
+        col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+        .withColumn("x", col("x").cast("double"))
+      val cent = e.groupBy("label", "pos").agg(avg(col("x")).as("c"))
+      val d2 = e.join(cent, Seq("label", "pos"))
+        .groupBy("vec_id", "label")
+        .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d2"))
+      d2.groupBy("label").agg(
+        count(lit(1)).as("n"),
+        round(avg(sqrt(col("d2"))), 6).as("avg_dist"))
+    },
+    Some("""WITH e AS (SELECT vec_id, label,
+                   CAST(unnest(embedding) AS DOUBLE) AS x,
+                   generate_subscripts(embedding, 1) AS pos
+                   FROM embeddings),
+            c AS (SELECT label, pos, avg(x) AS c FROM e GROUP BY label, pos),
+            d AS (SELECT e.vec_id, e.label, sum((x - c.c) * (x - c.c)) AS d2
+                  FROM e JOIN c ON e.label = c.label AND e.pos = c.pos
+                  GROUP BY e.vec_id, e.label)
+            SELECT label, CAST(count(*) AS BIGINT) AS n,
+                   round(avg(sqrt(d2)), 6) AS avg_dist
+            FROM d GROUP BY label"""),
+  )
+
+  /** Q62 [R-analog]: snapshot CDC — classify each supplier key across two
+    * deterministic snapshot views as insert/delete/update/same. The
+    * derivation dual of the reference's upsert sink
+    * (`update_ways_metadata.py:50-54`): upsert applies a change set,
+    * this computes one.
+    */
+  val q62 = OracleQuery(
+    "q62_snapshot_cdc",
+    (s, d) => {
+      val sup = Tables.supplier(s, d)
+      val oldSnap = sup.filter(col("s_suppkey") % 5 =!= 0)
+        .select(col("s_suppkey"), col("s_acctbal"))
+      val newSnap = sup.filter(col("s_suppkey") % 7 =!= 0)
+        .select(col("s_suppkey"),
+          when(col("s_suppkey") % 3 === 0, col("s_acctbal") + 100.0)
+            .otherwise(col("s_acctbal")).as("s_acctbal"))
+      Cdc.snapshotDiff(oldSnap, newSnap, "s_suppkey", Seq("s_acctbal"))
+    },
+    Some("""WITH o AS (SELECT s_suppkey, s_acctbal FROM supplier WHERE s_suppkey % 5 <> 0),
+                 n AS (SELECT s_suppkey,
+                              CASE WHEN s_suppkey % 3 = 0 THEN s_acctbal + 100.0
+                                   ELSE s_acctbal END AS s_acctbal
+                       FROM supplier WHERE s_suppkey % 7 <> 0)
+            SELECT coalesce(n.s_suppkey, o.s_suppkey) AS s_suppkey,
+                   CASE WHEN o.s_suppkey IS NULL THEN 'insert'
+                        WHEN n.s_suppkey IS NULL THEN 'delete'
+                        WHEN NOT (o.s_acctbal IS NOT DISTINCT FROM n.s_acctbal) THEN 'update'
+                        ELSE 'same' END AS change
+            FROM o FULL OUTER JOIN n ON o.s_suppkey = n.s_suppkey"""),
+  )
+
+  /** Q63 [X]: distribution window functions — ntile / percent_rank /
+    * cume_dist per order priority. The ordering carries the order key as
+    * a total-order tiebreak: rank-family results on tied doubles are
+    * engine-dependent otherwise (q47/q48 lesson).
+    */
+  val q63 = OracleQuery(
+    "q63_window_dist",
+    (s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+    },
+    Some("""SELECT o_orderkey, o_orderpriority,
+                   CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+                   round(percent_rank() OVER w, 6) AS pr,
+                   round(cume_dist() OVER w, 6) AS cd
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice, o_orderkey)"""),
+  )
+
+  /** Q64 [X]: canonical text normalization (lowercase, strip symbols,
+    * squeeze spaces) applied to the events payload — the cleanup stage
+    * that runs before hashing/shingling in a dedup pipeline. Per-row
+    * codegen'd regexps, shuffle-free.
+    */
+  val q64 = OracleQuery(
+    "q64_normalize",
+    (s, d) => Tables.events(s, d).select(
+      col("event_id"),
+      TextAnalysis.normalizeText(col("props")).as("norm_props")),
+    Some("""SELECT event_id,
+                   trim(regexp_replace(regexp_replace(lower(props), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_props
+            FROM events"""),
+  )
+
+  val all: Seq[OracleQuery] = Seq(q59, q60, q61, q62, q63, q64)
+}

@@ -61,6 +61,30 @@ class TextAnalysisSpec extends SparkSpec {
     fp(1L) should not be fp(2L)
   }
 
+  test("redact: PII rules hit emails, phones, digit runs, in rule order") {
+    val df = Seq(
+      (1L, "mail bob.smith+x@example.co.uk now"),
+      (2L, "call +1 (555) 123-4567 today"),
+      (3L, "id 94107 ok 7")
+    ).toDF("id", "text")
+    val out = df.select($"id",
+      TextAnalysis.redact($"text", TextAnalysis.PiiRules).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out(1L) shouldBe "mail [EMAIL] now"
+    out(2L) shouldBe "call [PHONE] today"
+    out(3L) shouldBe "id # ok 7" // runs ≥2 only; single digits survive
+  }
+
+  test("normalizeText: lowercase, strip symbols, squeeze spaces, trim") {
+    val df = Seq((1L, "  Hello,   WORLD!! (x=1) ")).toDF("id", "text")
+    df.select(TextAnalysis.normalizeText($"text")).head().getString(0) shouldBe
+      "hello world x 1"
+    // idempotent: normalizing normalized text is the identity
+    df.select(TextAnalysis.normalizeText(
+      TextAnalysis.normalizeText($"text"))).head().getString(0) shouldBe
+      "hello world x 1"
+  }
+
   test("approx_count_distinct within 5% of exact (A6 sanity, Q24 Spark side)") {
     val li = graft.Tables.lineitem(spark, graft.TestSpark.Sf0001)
     val r = li.agg(

@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Snapshot CDC classification (q62) — the derivation dual of Upsert. */
+class CdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val oldSnap = Seq(
+    (1L, 10.0, "x"), (2L, 20.0, "y"), (3L, 30.0, "z")
+  ).toDF("k", "v", "s")
+
+  test("classifies insert / delete / update / same, null-safely") {
+    val newSnap = Seq(
+      (1L, 10.0, "x"),  // same
+      (2L, 25.0, "y"),  // update (v)
+      (4L, 40.0, "w")   // insert; 3 missing → delete
+    ).toDF("k", "v", "s")
+    val out = Cdc.snapshotDiff(oldSnap, newSnap, "k", Seq("v", "s"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+    out.toSeq shouldBe Seq(
+      (1L, "same"), (2L, "update"), (3L, "delete"), (4L, "insert"))
+  }
+
+  test("a value moving to or from NULL counts as an update") {
+    val withNull = Seq((1L, Option.empty[java.lang.Double], "x"))
+      .toDF("k", "v", "s")
+    val out = Cdc.snapshotDiff(oldSnap.filter($"k" === 1L), withNull,
+      "k", Seq("v", "s")).collect()
+    out.head.getString(1) shouldBe "update"
+    // NULL == NULL is 'same' under the null-safe comparison
+    val both = Cdc.snapshotDiff(withNull, withNull, "k", Seq("v", "s")).collect()
+    both.head.getString(1) shouldBe "same"
+  }
+
+  test("no compare columns → only membership changes") {
+    val newSnap = Seq((2L, 99.0, "q"), (4L, 1.0, "r")).toDF("k", "v", "s")
+    val out = Cdc.snapshotDiff(oldSnap, newSnap, "k", Seq.empty)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    out(2L) shouldBe "same" // values differ but nothing is compared
+    out(3L) shouldBe "delete"
+    out(4L) shouldBe "insert"
+  }
+}
