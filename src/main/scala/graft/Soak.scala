@@ -99,6 +99,22 @@ object Soak {
         .groupBy("f").agg(sum("m")).count())
     time("unigram logprob (corpus LM)")(
       TextAnalysis.unigramLogProb(docs, "doc_id", "text").count())
+    time("repetition metrics (gopher rules)")(
+      ext.Repetition.repetitionMetrics(docs, "doc_id", "text")
+        .filter(col("top_bigram_frac") > 0.2).count())
+    time("pii redact + normalize")(
+      docs.select(
+        length(TextAnalysis.redact(col("text"), TextAnalysis.PiiRules)).as("lr"),
+        length(TextAnalysis.normalizeText(col("text"))).as("ln"))
+        .agg(sum("lr"), sum("ln")).count())
+    time("snapshot cdc (10% churn)")(
+      ops.Cdc.snapshotDiff(
+        docs.filter(col("doc_id") % 10 =!= 0).select(col("doc_id"), col("text")),
+        docs.filter(col("doc_id") % 10 =!= 1).select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" x")))
+            .otherwise(col("text")).as("text")),
+        "doc_id", Seq("text"))
+        .groupBy("change").count().count())
 
     val vecs = syntheticVecs(spark, nVecs).cache()
     time("materialize vecs")(vecs.count())
@@ -110,6 +126,12 @@ object Soak {
       Similarity.bucketedTopK(vecs, "embedding", "vec_id",
         vecs.filter(col("vec_id") === 0).select(col("embedding").as("qv")),
         12, 10).count())
+
+    time("per-label centroid fit (64 labels)")(
+      vecs.select(col("vec_id"), pmod(col("vec_id"), lit(64)).as("label"),
+          posexplode(Similarity.asDouble(col("embedding"))).as(Seq("pos", "x")))
+        .groupBy("label", "pos").agg(avg("x"))
+        .groupBy("label").count().count())
 
     time("banded range join (self, width 0.5/1k keys)")(
       RangeJoin.banded(

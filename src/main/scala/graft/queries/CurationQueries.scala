@@ -166,5 +166,86 @@ object CurationQueries {
             FROM events"""),
   )
 
-  val all: Seq[OracleQuery] = Seq(q59, q60, q61, q62, q63, q64)
+  /** Q65 [X]: top-p (nucleus) vocabulary truncation per language — the
+    * smallest prefix of the frequency-sorted vocabulary covering half of
+    * all token occurrences. Running-sum window over the per-language
+    * vocabulary (small after the groupBy: the window shuffles vocab
+    * entries, never the token stream); ordering carries the token itself
+    * as tiebreak so equal-frequency prefixes are engine-stable.
+    */
+  val q65 = OracleQuery(
+    "q65_topp_vocab",
+    (s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("lang"), explode(graft.ext.Dedup.tokens(col("text"))).as("w"))
+      val freq = tok.groupBy("lang", "w").agg(count(lit(1)).as("c"))
+      val ord = Window.partitionBy("lang").orderBy(desc("c"), col("w"))
+      freq
+        .withColumn("cum", sum("c").over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("tot", sum("c").over(Window.partitionBy("lang")))
+        .filter(col("cum") <= col("tot") * 0.5)
+        .select(col("lang"), col("w"), col("c"),
+          round(col("cum").cast("double") / col("tot"), 6).as("cum_share"))
+    },
+    Some("""WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS w
+                 FROM documents),
+            f AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS c
+                  FROM t GROUP BY lang, w),
+            r AS (SELECT lang, w, c,
+                         CAST(sum(c) OVER (PARTITION BY lang ORDER BY c DESC, w
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                         CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS tot
+                  FROM f)
+            SELECT lang, w, c, round(CAST(cum AS DOUBLE) / tot, 6) AS cum_share
+            FROM r WHERE cum <= tot * 0.5"""),
+  )
+
+  /** Q66 [X]: PMI keyword extraction — the 5 tokens most over-represented
+    * in each language vs the whole corpus, pmi = ln(c_lw·N / (c_w·c_l)),
+    * support ≥ 5. Corpus-stats joins all broadcast (vocab ≪ corpus); the
+    * rank runs on the ROUNDED score with the token as tiebreak
+    * (cross-engine ln() ulp noise flips near-ties otherwise), and plans a
+    * partial WindowGroupLimit before the exchange.
+    */
+  val q66 = OracleQuery(
+    "q66_pmi_keywords",
+    (s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("lang"), explode(graft.ext.Dedup.tokens(col("text"))).as("w"))
+      val clw = tok.groupBy("lang", "w").agg(count(lit(1)).as("c_lw"))
+      val cw = tok.groupBy("w").agg(count(lit(1)).as("c_w"))
+      val cl = tok.groupBy("lang").agg(count(lit(1)).as("c_l"))
+      val n = tok.agg(count(lit(1)).as("n_total"))
+      val scored = clw
+        .join(broadcast(cw), "w")
+        .join(broadcast(cl), "lang")
+        .crossJoin(broadcast(n))
+        .filter(col("c_lw") >= 5)
+        .select(col("lang"), col("w"), col("c_lw"),
+          round(log((col("c_lw") * col("n_total")).cast("double") /
+            (col("c_w") * col("c_l")).cast("double")), 6).as("pmi"))
+      val rk = Window.partitionBy("lang").orderBy(desc("pmi"), col("w"))
+      scored.withColumn("rnk", row_number().over(rk).cast("long"))
+        .filter(col("rnk") <= 5)
+    },
+    Some("""WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS w
+                 FROM documents),
+            clw AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS c_lw
+                    FROM t GROUP BY lang, w),
+            cw AS (SELECT w, CAST(count(*) AS BIGINT) AS c_w FROM t GROUP BY w),
+            cl AS (SELECT lang, CAST(count(*) AS BIGINT) AS c_l FROM t GROUP BY lang),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM t),
+            scored AS (SELECT clw.lang, clw.w, c_lw,
+                              round(ln(CAST(c_lw * n_total AS DOUBLE) /
+                                    CAST(c_w * c_l AS DOUBLE)), 6) AS pmi
+                       FROM clw JOIN cw USING (w) JOIN cl USING (lang), n
+                       WHERE c_lw >= 5),
+            rk AS (SELECT *, CAST(row_number() OVER
+                         (PARTITION BY lang ORDER BY pmi DESC, w) AS BIGINT) AS rnk
+                   FROM scored)
+            SELECT lang, w, c_lw, pmi, rnk FROM rk WHERE rnk <= 5"""),
+  )
+
+  val all: Seq[OracleQuery] = Seq(q59, q60, q61, q62, q63, q64, q65, q66)
 }
