@@ -76,14 +76,9 @@ object Soak {
       docs.select(Dedup.simHash16(col("text"))).count())
     time("bigram jaccard (consecutive)")(
       Dedup.consecutiveNgramJaccard(docs, "doc_id", "text", 2).count())
-    time("near-dup clusters (star-edge CC)") {
-      val edges = DedupCluster.bandStarEdges(sig, "doc_id",
-        Seq(Seq("mh0", "mh1"), Seq("mh2", "mh3")))
-      val edgeNodes = edges.select(col("src").as("node"))
-        .unionByName(edges.select(col("dst").as("node"))).distinct()
-      DedupCluster.connectedComponents(edgeNodes, edges)
-        .filter(col("node") =!= col("label")).count()
-    }
+    time("near-dup clusters (contract + CC)")(
+      DedupCluster.dedupClusters(docs, "doc_id", "text")
+        .filter(col("is_keeper") === 0).count())
     time("hash split + stratified sample")(
       docs.filter(Sampling.stratifiedKeep(col("doc_id"),
           Sampling.splitAssign(col("doc_id")), Map("train" -> 50)))

@@ -90,27 +90,59 @@ object DedupCluster {
     labels
   }
 
+  /** One star-contraction round: collapse every node into its parent
+    * `p(v) = min(v, min neighbor)` and rewrite edges between parents.
+    * Requires edges oriented (src, dst) with dst < src (band-star edges
+    * guarantee it). Component structure is preserved, and the component's
+    * global minimum id is never a src (its dsts would be smaller), so it
+    * stays its own parent and survives as the eventual label. Returns
+    * (parents, contractedEdges); contracted edges are canonicalized back
+    * to dst < src.
+    */
+  def contractStars(edges: DataFrame): (DataFrame, DataFrame) = {
+    val parents = edges.groupBy("src").agg(min(col("dst")).as("p"))
+    val contracted = edges
+      .join(parents, "src")
+      .join(parents.select(col("src").as("dst"), col("p").as("pd")),
+        Seq("dst"), "left")
+      .select(col("p").as("a"), coalesce(col("pd"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("src"),
+        least(col("a"), col("b")).as("dst"))
+      .distinct()
+    (parents, contracted)
+  }
+
   /** End-to-end near-dup clustering: MinHash signatures → band-star edges →
-    * connected components. Output: (idCol, cluster_id, is_keeper) for every
-    * document; cluster_id is the component's min doc id and its owner is
-    * the keeper (deterministic, like exactByHash's min-id keeper).
+    * one star contraction → connected components on the contracted graph →
+    * expand. Output: (idCol, cluster_id, is_keeper) for every document;
+    * cluster_id is the component's min doc id and its owner is the keeper
+    * (deterministic, like exactByHash's min-id keeper).
+    *
+    * The contraction shrinks the iterated label state from "every node
+    * with an edge" to "every surviving parent" BEFORE the O(log n) CC
+    * rounds — on LSH graphs most docs collapse into their bucket root in
+    * this single cheap step, so each CC round shuffles roots, not docs.
+    * Isolated documents never enter the loop at all and join back in one
+    * final pass.
     */
   def dedupClusters(docs: DataFrame, idCol: String, textCol: String,
       bands: Seq[Seq[String]] = Seq(Seq("mh0", "mh1"), Seq("mh2", "mh3"))): DataFrame = {
     val sig = Dedup.minHashSignature(docs, idCol, textCol)
     val edges = bandStarEdges(sig, idCol, bands)
-    // Iterate only over nodes that have an edge: in a real corpus the
-    // near-dup subgraph is a small fraction of the documents, so the label
-    // state shuffled per CC round is |dup docs|, not |corpus|. Isolated
-    // documents are their own cluster and join back in one final pass.
-    val edgeNodes = edges.select(col("src").as("node"))
-      .unionByName(edges.select(col("dst").as("node"))).distinct()
-    val cc = connectedComponents(edgeNodes, edges)
+    val (parents, cEdges) = contractStars(edges)
+    val cNodes = cEdges.select(col("src").as("node"))
+      .unionByName(cEdges.select(col("dst").as("node"))).distinct()
+    val cc = connectedComponents(cNodes, cEdges)
+    // Expand: node → parent (itself when never a src) → component label
+    // (the parent itself when its contracted component is a singleton).
     sig.select(col(idCol).as("node"))
-      .join(cc, Seq("node"), "left")
+      .join(parents.select(col("src").as("node"), col("p")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("p"), col("node")).as("pr"))
+      .join(cc.select(col("node").as("pr"), col("label")), Seq("pr"), "left")
       .select(col("node").as(idCol),
-        coalesce(col("label"), col("node")).as("cluster_id"),
-        (coalesce(col("label"), col("node")) === col("node"))
+        coalesce(col("label"), col("pr")).as("cluster_id"),
+        (coalesce(col("label"), col("pr")) === col("node"))
           .cast("int").as("is_keeper"))
   }
 }

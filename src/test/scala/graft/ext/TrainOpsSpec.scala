@@ -37,6 +37,34 @@ class TrainOpsSpec extends SparkSpec {
     all(labels.values) shouldBe 1L
   }
 
+  test("contractStars preserves components and the component minimum") {
+    // Chain 1←2←3←7 (as dst<src star edges) plus {10,11}: after one
+    // contraction, CC on the contracted graph + parent expansion must
+    // reproduce exactly the uncontracted labels.
+    val edges = Seq((2L, 1L), (3L, 2L), (7L, 3L), (11L, 10L))
+      .toDF("src", "dst")
+    val (parents, cEdges) = DedupCluster.contractStars(edges)
+    val p = parents.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    p(2L) shouldBe 1L
+    p(3L) shouldBe 2L
+    p(7L) shouldBe 3L
+    p(11L) shouldBe 10L
+    // Component minima (1, 10) are never srcs → never remapped.
+    p.keySet should not contain 1L
+    p.keySet should not contain 10L
+    // Contracted edges keep the dst<src orientation and shrink the chain.
+    cEdges.collect().foreach(r => r.getLong(1) should be < r.getLong(0))
+    val cNodes = cEdges.select(col("src").as("node"))
+      .unionByName(cEdges.select(col("dst").as("node"))).distinct()
+    val cc = DedupCluster.connectedComponents(cNodes, cEdges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Expansion: every original node lands on its component min.
+    Seq(2L, 3L, 7L).foreach { v =>
+      cc.getOrElse(p(v), p(v)) shouldBe 1L
+    }
+    cc.getOrElse(p(11L), p(11L)) shouldBe 10L
+  }
+
   test("dedupClusters: exact dups cluster together under min-id keeper") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
