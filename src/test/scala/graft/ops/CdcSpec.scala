@@ -35,6 +35,20 @@ class CdcSpec extends SparkSpec {
     both.head.getString(1) shouldBe "same"
   }
 
+  test("diff then apply reproduces the new snapshot (round-trip with Upsert)") {
+    val newSnap = Seq(
+      (1L, 10.0, "x"), (2L, 25.0, "y"), (4L, 40.0, "w"), (5L, 50.0, "v")
+    ).toDF("k", "v", "s")
+    val diff = Cdc.snapshotDiff(oldSnap, newSnap, "k", Seq("v", "s"))
+    val upserts = newSnap.join(
+      diff.filter($"change".isin("insert", "update")), Seq("k"), "left_semi")
+    val deletes = diff.filter($"change" === "delete").select("k")
+    val applied = Upsert.upsert(oldSnap, upserts, "k")
+      .join(deletes, Seq("k"), "left_anti")
+    applied.orderBy("k").collect().toSeq shouldBe
+      newSnap.orderBy("k").collect().toSeq
+  }
+
   test("no compare columns → only membership changes") {
     val newSnap = Seq((2L, 99.0, "q"), (4L, 1.0, "r")).toDF("k", "v", "s")
     val out = Cdc.snapshotDiff(oldSnap, newSnap, "k", Seq.empty)
