@@ -247,5 +247,82 @@ object CurationQueries {
             SELECT lang, w, c_lw, pmi, rnk FROM rk WHERE rnk <= 5"""),
   )
 
-  val all: Seq[OracleQuery] = Seq(q59, q60, q61, q62, q63, q64, q65, q66)
+  /** Q67 [X]: overlapping passage chunking (RAG/window-attention prep):
+    * token windows of 32 with stride 24 per document. The chunk index
+    * explodes relationally (`posexplode(sequence)` + codegen'd `slice`),
+    * so rows scale with chunk count — no per-token lambda.
+    */
+  val q67 = OracleQuery(
+    "q67_passage_chunks",
+    (s, d) => {
+      val a = graft.ext.Dedup.tokens(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), a.as("a"),
+          ceil(size(a) / lit(24.0)).cast("long").as("nc"))
+        .select(col("doc_id"), col("a"),
+          posexplode(sequence(lit(0L), col("nc") - 1)).as(Seq("p", "cid")))
+        .select(col("doc_id"), col("cid"),
+          array_join(slice(col("a"), (col("cid") * 24 + 1).cast("int"), lit(32)), " ")
+            .as("chunk"))
+    },
+    Some("""WITH s AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+            c AS (SELECT doc_id, a,
+                         unnest(range(0, CAST(ceil(len(a) / 24.0) AS BIGINT))) AS cid
+                  FROM s)
+            SELECT doc_id, cid,
+                   array_to_string(list_slice(a, cid*24 + 1, cid*24 + 32), ' ') AS chunk
+            FROM c"""),
+  )
+
+  /** Q68 [X]: int8 vector quantization — per-vector symmetric scale
+    * (max|x|/127), round-half-up codes, reconstruction MSE. The
+    * compression step of a 100 TB vector store (4× smaller + int8 SIMD
+    * distance kernels downstream). floor(x/s + 0.5) instead of round():
+    * identical IEEE ops on both engines, no dialect rounding-mode drift.
+    */
+  val q68 = OracleQuery(
+    "q68_int8_quant",
+    (s, d) => {
+      val v = graft.ext.Similarity.asDouble(col("embedding"))
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), v.as("v"))
+        .withColumn("scale",
+          greatest(aggregate(col("v"), lit(0.0), (acc, x) => greatest(acc, abs(x))),
+            lit(1e-12)) / 127.0)
+        .select(col("vec_id"), round(col("scale"), 6).as("scale_r"),
+          round(
+            aggregate(
+              transform(col("v"), x =>
+                (x - floor(x / col("scale") + 0.5) * col("scale")) *
+                  (x - floor(x / col("scale") + 0.5) * col("scale"))),
+              lit(0.0), (acc, x) => acc + x) / size(col("v")), 6).as("mse"))
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            s AS (SELECT vec_id, v,
+                         greatest(list_max(list_transform(v, x -> abs(x))), 1e-12) / 127.0 AS scale
+                  FROM e)
+            SELECT vec_id, round(scale, 6) AS scale_r,
+                   round(list_sum(list_transform(v, x ->
+                         (x - floor(x/scale + 0.5)*scale) * (x - floor(x/scale + 0.5)*scale)
+                       )) / len(v), 6) AS mse
+            FROM s"""),
+  )
+
+  /** Q69 [X]: unpivot/melt — wide numeric columns to long (metric, val)
+    * rows, the inverse of q37's pivot. Zero-shuffle Expand.
+    */
+  val q69 = OracleQuery(
+    "q69_unpivot",
+    (s, d) => Tables.part(s, d)
+      .select(col("p_partkey"), col("p_retailprice"),
+        col("p_size").cast("double").as("p_size"))
+      .unpivot(Array(col("p_partkey")),
+        Array(col("p_retailprice"), col("p_size")), "metric", "val"),
+    Some("""SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS val FROM part
+            UNION ALL
+            SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part"""),
+  )
+
+  val all: Seq[OracleQuery] = Seq(q59, q60, q61, q62, q63, q64, q65, q66,
+    q67, q68, q69)
 }
