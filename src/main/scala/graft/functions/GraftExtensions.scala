@@ -14,8 +14,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *     driver-provided sessions we didn't build).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
+    // Off by default (graft.approxPercentile.enabled) — the oracle runs
+    // exact; flipping the conf swaps in the t-digest sketch at scale.
+    ext.injectOptimizerRule(_ => ApproxMedianAtScale)
+  }
 }
 
 object GraftFunctions {

@@ -323,6 +323,67 @@ object CurationQueries {
             SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part"""),
   )
 
+  /** Q70 [X→J3 analog]: interval-overlap self-join — same-customer order
+    * pairs whose variable-length activity windows ([orderdate,
+    * orderdate + (key%10)+1 days]) intersect. Spark side runs the
+    * cell-decomposed `RangeJoin.intervalOverlap` (hash equi-join on
+    * (customer, cell), canonical-cell dedup, no nested loop); the DuckDB
+    * twin states the overlap predicate directly.
+    */
+  val q70 = OracleQuery(
+    "q70_interval_overlap",
+    (s, d) => {
+      val o = Tables.orders(s, d).select(
+        col("o_custkey").as("cust"), col("o_orderkey").as("oid"),
+        datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+          .cast("long").as("st"))
+        .withColumn("en", col("st") + pmod(col("oid"), lit(10L)) + 1)
+      val l = o.select(col("cust"), col("oid").as("o1"),
+        col("st").as("s1"), col("en").as("e1"))
+      val r = o.select(col("cust"), col("oid").as("o2"),
+        col("st").as("s2"), col("en").as("e2"))
+      graft.ops.RangeJoin.intervalOverlap(l, r, "s1", "e1", "s2", "e2",
+        Seq("cust"), 16L)
+        .filter(col("o1") < col("o2"))
+        .select(col("cust"), col("o1"), col("o2"))
+    },
+    Some("""WITH o AS (SELECT o_custkey AS cust, o_orderkey AS oid,
+                   date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS st,
+                   date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                     + (o_orderkey % 10) + 1 AS en
+                   FROM orders)
+            SELECT a.cust, a.oid AS o1, b.oid AS o2
+            FROM o a JOIN o b
+              ON a.cust = b.cust AND a.oid < b.oid
+             AND a.st <= b.en AND b.st <= a.en"""),
+  )
+
+  /** Q71 [X]: deterministic weighted (importance) sampling — keep each
+    * document with probability equal to its distinct-token ratio, decided
+    * by the portable md5-digit hash of its id. The data-mixing primitive:
+    * repetitive/boilerplate docs are kept less often, and the decision is
+    * reproducible across engines and runs. Pure filter — shuffle-free.
+    */
+  val q71 = OracleQuery(
+    "q71_weighted_sample",
+    (s, d) => {
+      import graft.ext.TextHash
+      val w = TextAnalysis.uniqueTokenRatio(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), w.as("w"),
+          (TextHash.tokenHash(col("doc_id").cast("string")).cast("double") /
+            1e8).as("u"))
+        .filter(col("u") < col("w"))
+        .select(col("doc_id"), col("w"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id,
+                   round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                         / len(string_split(text, ' ')), 6) AS w,
+                   ${graft.ext.TextHash.tokenHashSql("CAST(doc_id AS VARCHAR)")} / 100000000.0 AS u
+                   FROM documents)
+            SELECT doc_id, w FROM t WHERE u < w"""),
+  )
+
   val all: Seq[OracleQuery] = Seq(q59, q60, q61, q62, q63, q64, q65, q66,
-    q67, q68, q69)
+    q67, q68, q69, q70, q71)
 }
