@@ -384,6 +384,68 @@ object CurationQueries {
             SELECT doc_id, w FROM t WHERE u < w"""),
   )
 
+  /** Q72 [skew]: two-phase salted aggregation over lineitem's 3-value
+    * return flag (a maximally skewed key: 32 partitions, 3 groups) —
+    * result-identical to the direct groupBy. Quantities are summed as
+    * DECIMAL so the two-phase partial order can't drift from the oracle's
+    * single-phase double sum; the final cast to double is exact-input.
+    */
+  val q72 = OracleQuery(
+    "q72_salted_agg",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .withColumn("q", col("l_quantity").cast("decimal(18,6)"))
+      graft.ops.Salting.saltedAgg(li, "l_returnflag", "l_orderkey", 16,
+        Map("sum_qty" -> ("q", "sum"), "n_rows" -> ("q", "count")))
+        .select(col("l_returnflag"),
+          col("sum_qty").cast("double").as("sum_qty"), col("n_rows"))
+    },
+    Some("""SELECT l_returnflag,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+                   CAST(count(l_quantity) AS BIGINT) AS n_rows
+            FROM lineitem GROUP BY l_returnflag"""),
+  )
+
+  /** Q73 [join reduction]: Bloom-filtered join — probe rows that cannot
+    * match are dropped before the shuffle (no false negatives, and the
+    * join removes false positives), so the result is row-identical to the
+    * plain join the twin states. At 100 TB this is the difference between
+    * shuffling the fact table and shuffling the ~0.1% that survives.
+    */
+  val q73 = OracleQuery(
+    "q73_bloom_join",
+    (s, d) => {
+      val build = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 400000.0)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+      graft.ops.BloomJoin.bloomFilteredJoin(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber")),
+        build, "l_orderkey", expectedKeys = 100000L)
+    },
+    Some("""SELECT l.l_orderkey, l.l_linenumber, o.o_totalprice
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_totalprice > 400000.0"""),
+  )
+
+  /** Q74 [X, rows-only]: IVF approximate nearest neighbors — k-means
+    * cells, nprobe-cell search. Approximate by construction (recall vs
+    * exact is asserted in IvfIndexSpec), so no SQL twin: the driver
+    * records the weaker rows-only check, like the multimodal stubs.
+    */
+  val q74 = OracleQuery(
+    "q74_ivf_ann",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(graft.ext.Similarity.asDouble(col("embedding")))
+        .head().getSeq[Double](0).toArray
+      val model = graft.ext.IvfIndex.build(emb, "embedding", "vec_id", nlist = 16)
+      graft.ext.IvfIndex.search(model, qv, "embedding", "vec_id",
+        nprobe = 4, k = 5)
+    },
+    None,
+  )
+
   val all: Seq[OracleQuery] = Seq(q59, q60, q61, q62, q63, q64, q65, q66,
-    q67, q68, q69, q70, q71)
+    q67, q68, q69, q70, q71, q72, q73, q74)
 }
