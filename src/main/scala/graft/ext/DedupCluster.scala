@@ -129,14 +129,20 @@ object DedupCluster {
   def dedupClusters(docs: DataFrame, idCol: String, textCol: String,
       bands: Seq[Seq[String]] = Seq(Seq("mh0", "mh1"), Seq("mh2", "mh3"))): DataFrame = {
     val sig = Dedup.minHashSignature(docs, idCol, textCol)
-    val edges = bandStarEdges(sig, idCol, bands)
+    // Materialize the edge list ONCE: everything downstream (contraction,
+    // the CC loop's own checkpoints, the final expansion) re-materializes
+    // its inputs several times, and without this cut each of those would
+    // recompute the full minhash + band-join pipeline.
+    val edges = bandStarEdges(sig, idCol, bands).localCheckpoint()
     val (parents, cEdges) = contractStars(edges)
     val cNodes = cEdges.select(col("src").as("node"))
       .unionByName(cEdges.select(col("dst").as("node"))).distinct()
     val cc = connectedComponents(cNodes, cEdges)
     // Expand: node → parent (itself when never a src) → component label
     // (the parent itself when its contracted component is a singleton).
-    sig.select(col(idCol).as("node"))
+    // The id list comes from `docs` directly — deriving it from `sig`
+    // would recompute the signatures just to project the ids back out.
+    docs.select(col(idCol).as("node"))
       .join(parents.select(col("src").as("node"), col("p")), Seq("node"), "left")
       .select(col("node"), coalesce(col("p"), col("node")).as("pr"))
       .join(cc.select(col("node").as("pr"), col("label")), Seq("pr"), "left")
