@@ -47,6 +47,29 @@ class RangeJoinSpec extends SparkSpec {
     fast.toSet should contain((8L, 5L)) // nested interval
   }
 
+  test("intervalOverlap ≡ naive on 200 random intervals, several widths (property)") {
+    val rnd = new scala.util.Random(42)
+    val iv = (1L to 200L).map { i =>
+      val s = rnd.nextInt(1000).toLong
+      (i % 3, i, s, s + rnd.nextInt(40).toLong) // 3 keys, lengths 0..39
+    }
+    val l = iv.toDF("k", "lid", "ls", "le")
+    val r = iv.map { case (k, i, s, e) => (k, i, s, e) }
+      .toDF("k", "rid", "rs", "re")
+    val naiveSet = l.join(r.withColumnRenamed("k", "k2"),
+        col("k") === col("k2") && col("ls") <= col("re") && col("rs") <= col("le"))
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    for (w <- Seq(7L, 40L, 500L)) {
+      val fast = RangeJoin.intervalOverlap(l, r, "ls", "le", "rs", "re",
+        Seq("k"), w).select("lid", "rid").collect()
+        .map(x => (x.getLong(0), x.getLong(1)))
+      fast.toSet shouldBe naiveSet
+      withClue(s"width $w duplicates: ") {
+        fast.length shouldBe fast.toSet.size
+      }
+    }
+  }
+
   test("intervalOverlap respects the equi-key restriction") {
     val l = Seq((1L, 10L, 0L, 100L), (2L, 20L, 0L, 100L))
       .toDF("k", "lid", "ls", "le")
