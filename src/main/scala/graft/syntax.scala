@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame}
 
-import graft.ext.{Dedup, DedupCluster, Packing, Sampling, Similarity, TextAnalysis}
-import graft.ops.{RangeJoin, Salting, Upsert}
+import graft.ext.{Dedup, DedupCluster, Packing, Repetition, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Cdc, RangeJoin, Salting, Upsert}
 
 /** User-facing entry point: `import graft.syntax._` puts the engine's
   * operators on every DataFrame, so pipelines read as method chains
@@ -51,6 +51,9 @@ object syntax {
     def unigramLogProb(idCol: String, textCol: String): DataFrame =
       TextAnalysis.unigramLogProb(df, idCol, textCol)
 
+    def repetitionMetrics(idCol: String, textCol: String): DataFrame =
+      Repetition.repetitionMetrics(df, idCol, textCol)
+
     // --- joins / upserts -------------------------------------------------
     def bandedJoin(right: DataFrame, leftVal: String, rightVal: String,
         width: Double): DataFrame =
@@ -62,6 +65,16 @@ object syntax {
     def saltedAggregate(keyCol: String, saltBy: String, buckets: Int,
         aggs: Map[String, (String, String)]): DataFrame =
       Salting.saltedAgg(df, keyCol, saltBy, buckets, aggs)
+
+    def intervalJoin(right: DataFrame, lStart: String, lEnd: String,
+        rStart: String, rEnd: String, keys: Seq[String],
+        cellWidth: Long): DataFrame =
+      RangeJoin.intervalOverlap(df, right, lStart, lEnd, rStart, rEnd,
+        keys, cellWidth)
+
+    def diffAgainst(newSnap: DataFrame, key: String,
+        compareCols: Seq[String]): DataFrame =
+      Cdc.snapshotDiff(df, newSnap, key, compareCols)
   }
 
   implicit class GraftTextColumn(private val text: Column) extends AnyVal {
@@ -75,6 +88,8 @@ object syntax {
     def qualityFlags: Column = TextAnalysis.qualityFlags(text)
     def maskWords(words: Seq[String], mask: String): Column =
       TextAnalysis.maskWords(text, words, mask)
+    def redactPii: Column = TextAnalysis.redact(text, TextAnalysis.PiiRules)
+    def normalized: Column = TextAnalysis.normalizeText(text)
   }
 
   implicit class GraftIdColumn(private val id: Column) extends AnyVal {

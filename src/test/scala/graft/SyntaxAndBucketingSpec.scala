@@ -30,6 +30,18 @@ class SyntaxAndBucketingSpec extends SparkSpec {
     docs.packShards("doc_id", "text", $"text".tokenCount, 8L)
       .columns should contain("shard")
     docs.unigramLogProb("doc_id", "text").columns should contain("logprob")
+    // round-3 sugar: repetition, redaction, CDC, interval join
+    docs.repetitionMetrics("doc_id", "text").columns should contain("top_bigram_frac")
+    Seq("mail a@b.co now 123").toDF("t")
+      .select($"t".redactPii).head().getString(0) shouldBe "mail [EMAIL] now #"
+    Seq("  A  b!").toDF("t").select($"t".normalized).head().getString(0) shouldBe "a b"
+    val snap = Seq((1L, 1.0)).toDF("k", "v")
+    snap.diffAgainst(Seq((1L, 2.0)).toDF("k", "v"), "k", Seq("v"))
+      .head().getString(1) shouldBe "update"
+    val ivl = Seq((1L, 10L, 0L, 5L)).toDF("key", "lid", "ls", "le")
+    val ivr = Seq((1L, 20L, 4L, 9L)).toDF("key", "rid", "rs", "re")
+    ivl.intervalJoin(ivr, "ls", "le", "rs", "re", Seq("key"), 8L)
+      .count() shouldBe 1
   }
 
   test("bucketed join plans without an exchange (co-located storage)") {
