@@ -22,13 +22,18 @@ object IvfIndex {
 
   case class Model(centroids: Array[Array[Double]], assigned: DataFrame)
 
-  /** Build the index: seeded k-means over the embedding column. */
+  /** Build the index: seeded k-means over the embedding column. `maxIter`
+    * trades centroid quality for build time — IVF recall only needs cells
+    * that roughly tile the space, so small values (3-5) are usually
+    * enough; the default matches MLlib's.
+    */
   def build(emb: DataFrame, vecCol: String, idCol: String,
-      nlist: Int, seed: Long = 42L): Model = {
+      nlist: Int, seed: Long = 42L, maxIter: Int = 20): Model = {
     val withVec = emb.select(col(idCol), col(vecCol),
       array_to_vector(col(vecCol)).as("_features"))
     val model = new KMeans()
       .setK(nlist).setSeed(seed).setFeaturesCol("_features")
+      .setMaxIter(maxIter)
       .fit(withVec)
     val assigned = model.transform(withVec)
       .select(col(idCol), col(vecCol), col("prediction").as("cell"))

@@ -439,7 +439,8 @@ object CurationQueries {
       val qv = emb.filter(col("vec_id") === 0)
         .select(graft.ext.Similarity.asDouble(col("embedding")))
         .head().getSeq[Double](0).toArray
-      val model = graft.ext.IvfIndex.build(emb, "embedding", "vec_id", nlist = 16)
+      val model = graft.ext.IvfIndex.build(emb, "embedding", "vec_id",
+        nlist = 16, maxIter = 5)
       graft.ext.IvfIndex.search(model, qv, "embedding", "vec_id",
         nprobe = 4, k = 5)
     },
