@@ -81,6 +81,9 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     require(idCol != qidCol,
       s"knnJoin: candidate id column '$idCol' collides with query id column")
+    Seq(idCol, qidCol).foreach(c =>
+      require(c != "cos_r" && c != "rnk",
+        s"knnJoin: id column '$c' collides with an output column (cos_r/rnk)"))
     // Internal working names are deliberately distinct from both sides'
     // user-supplied names so a candidate column named e.g. "qv" can't
     // shadow the query vector after the crossJoin.

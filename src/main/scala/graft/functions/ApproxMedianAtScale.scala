@@ -42,7 +42,10 @@ object ApproxMedianAtScale extends Rule[LogicalPlan] {
   private def shouldRewrite(ae: AggregateExpression): Boolean =
     ae.aggregateFunction match {
       case p: Percentile =>
-        !ae.isDistinct && ae.filter.isEmpty &&
+        // !p.reverse: percentile_cont(... ORDER BY v DESC) plans as a
+        // reversed Percentile; ApproximatePercentile is ascending-only,
+        // so rewriting would return the mirrored quantile.
+        !ae.isDistinct && ae.filter.isEmpty && !p.reverse &&
           p.child.dataType == DoubleType &&
           p.percentageExpression.foldable &&
           (p.frequencyExpression match {

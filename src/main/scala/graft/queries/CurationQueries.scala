@@ -213,10 +213,13 @@ object CurationQueries {
     (s, d) => {
       val tok = Tables.documents(s, d)
         .select(col("lang"), explode(graft.ext.Dedup.tokens(col("text"))).as("w"))
+      // One tokenization pass: the marginals (per-token, per-language,
+      // grand total) roll up from the (lang, w) vocab table — tiny
+      // aggregates — instead of re-exploding the corpus three more times.
       val clw = tok.groupBy("lang", "w").agg(count(lit(1)).as("c_lw"))
-      val cw = tok.groupBy("w").agg(count(lit(1)).as("c_w"))
-      val cl = tok.groupBy("lang").agg(count(lit(1)).as("c_l"))
-      val n = tok.agg(count(lit(1)).as("n_total"))
+      val cw = clw.groupBy("w").agg(sum("c_lw").as("c_w"))
+      val cl = clw.groupBy("lang").agg(sum("c_lw").as("c_l"))
+      val n = clw.agg(sum("c_lw").as("n_total"))
       val scored = clw
         .join(broadcast(cw), "w")
         .join(broadcast(cl), "lang")
@@ -279,23 +282,30 @@ object CurationQueries {
     * compression step of a 100 TB vector store (4× smaller + int8 SIMD
     * distance kernels downstream). floor(x/s + 0.5) instead of round():
     * identical IEEE ops on both engines, no dialect rounding-mode drift.
+    *
+    * Relational formulation (explode → per-vector max → join back →
+    * per-vector sum), NOT array higher-order functions: HOFs are
+    * interpreted and re-inline the scale aggregate per element — O(d²)
+    * interpreted work per vector at corpus scale. The shuffles are keyed
+    * by vec_id, so the explode never crosses the wire twice.
     */
   val q68 = OracleQuery(
     "q68_int8_quant",
     (s, d) => {
-      val v = graft.ext.Similarity.asDouble(col("embedding"))
-      Tables.embeddings(s, d)
-        .select(col("vec_id"), v.as("v"))
-        .withColumn("scale",
-          greatest(aggregate(col("v"), lit(0.0), (acc, x) => greatest(acc, abs(x))),
-            lit(1e-12)) / 127.0)
-        .select(col("vec_id"), round(col("scale"), 6).as("scale_r"),
-          round(
-            aggregate(
-              transform(col("v"), x =>
-                (x - floor(x / col("scale") + 0.5) * col("scale")) *
-                  (x - floor(x / col("scale") + 0.5) * col("scale"))),
-              lit(0.0), (acc, x) => acc + x) / size(col("v")), 6).as("mse"))
+      val e = Tables.embeddings(s, d).select(col("vec_id"),
+        posexplode(graft.ext.Similarity.asDouble(col("embedding")))
+          .as(Seq("pos", "x")))
+      val sc = e.groupBy("vec_id").agg(
+        (greatest(max(abs(col("x"))), lit(1e-12)) / 127.0).as("scale"),
+        count(lit(1)).as("d"))
+      e.join(sc, "vec_id")
+        .select(col("vec_id"), col("scale"), col("d"),
+          ((col("x") - floor(col("x") / col("scale") + 0.5) * col("scale")) *
+            (col("x") - floor(col("x") / col("scale") + 0.5) * col("scale")))
+            .as("t"))
+        .groupBy("vec_id")
+        .agg(round(first(col("scale")), 6).as("scale_r"),
+          round(sum(col("t")) / first(col("d")), 6).as("mse"))
     },
     Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
             s AS (SELECT vec_id, v,

@@ -80,6 +80,11 @@ class SimilaritySpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Similarity.knnJoin(emb, "embedding", "vec_id", queries, 2,
         qidCol = "vec_id", qvCol = "searchvec")
+    // ids may not shadow the documented output columns either
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.knnJoin(emb.withColumnRenamed("vec_id", "rnk"),
+        "embedding", "rnk", queries, 2,
+        qidCol = "embedding", qvCol = "searchvec")
   }
 
   test("nearDupPairs: only ≥-threshold pairs, a<b canonical order") {

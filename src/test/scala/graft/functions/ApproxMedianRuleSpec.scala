@@ -47,6 +47,17 @@ class ApproxMedianRuleSpec extends SparkSpec {
       val distinctPlan = df.groupBy("g")
         .agg(percentile_approx($"v", lit(0.5), lit(100))) // already approx: untouched
       distinctPlan.collect().length shouldBe 10
+      // descending percentile_cont is a reversed Percentile: the sketch is
+      // ascending-only, so a rewrite would return the mirrored quantile
+      df.createOrReplaceTempView("amr_t")
+      val descPlan = spark.sql(
+        "SELECT percentile_cont(0.25) WITHIN GROUP (ORDER BY v DESC) FROM amr_t")
+      descPlan.queryExecution.optimizedPlan.toString should not include "percentile_approx"
+      val asc = spark.sql(
+        "SELECT percentile_cont(0.25) WITHIN GROUP (ORDER BY v) FROM amr_t")
+        .head().getDouble(0)
+      val desc = descPlan.head().getDouble(0)
+      desc should be > asc // 75th vs 25th — mirrored quantiles stay exact
     } finally ApproxMedianAtScale.disable(spark)
   }
 }
