@@ -102,6 +102,16 @@ object Soak {
         length(TextAnalysis.redact(col("text"), TextAnalysis.PiiRules)).as("lr"),
         length(TextAnalysis.normalizeText(col("text"))).as("ln"))
         .agg(sum("lr"), sum("ln")).count())
+    time("passage chunking (32/24 windows)")(
+      docs.select(col("doc_id"),
+          graft.ext.Dedup.tokens(col("text")).as("a"))
+        .select(col("doc_id"), col("a"),
+          posexplode(sequence(lit(0L),
+            ceil(size(col("a")) / lit(24.0)).cast("long") - 1)).as(Seq("p", "cid")))
+        .select(col("doc_id"), col("cid"),
+          length(array_join(slice(col("a"), (col("cid") * 24 + 1).cast("int"),
+            lit(32)), " ")).as("l"))
+        .agg(sum("l")).count())
     time("snapshot cdc (10% churn)")(
       ops.Cdc.snapshotDiff(
         docs.filter(col("doc_id") % 10 =!= 0).select(col("doc_id"), col("text")),
@@ -122,6 +132,12 @@ object Soak {
         vecs.filter(col("vec_id") === 0).select(col("embedding").as("qv")),
         12, 10).count())
 
+    time("int8 quantization + mse")(
+      vecs.select(col("vec_id"),
+          posexplode(Similarity.asDouble(col("embedding"))).as(Seq("pos", "x")))
+        .groupBy("vec_id")
+        .agg((greatest(max(abs(col("x"))), lit(1e-12)) / 127.0).as("scale"))
+        .agg(avg("scale")).count())
     time("per-label centroid fit (64 labels)")(
       vecs.select(col("vec_id"), pmod(col("vec_id"), lit(64)).as("label"),
           posexplode(Similarity.asDouble(col("embedding"))).as(Seq("pos", "x")))
