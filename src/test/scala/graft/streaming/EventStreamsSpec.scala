@@ -174,7 +174,11 @@ class EventStreamsSpec extends SparkSpec {
     val docs = Seq((1L, "short doc"), (2L, (0 until 40).map(i => s"t$i").mkString(" ")))
     def curate(df: DataFrame): DataFrame =
       df.select(col("_1").as("doc_id"),
-        TextAnalysis.qualityFlags(col("_2")).as("flags"),
+        concat_ws("|",
+          TextAnalysis.qualityFlags(col("_2")),
+          TextAnalysis.redact(col("_2"), TextAnalysis.PiiRules),
+          TextAnalysis.normalizeText(col("_2")),
+          TextAnalysis.languageId(col("_2"))).as("flags"),
         Sampling.splitAssign(col("_1")).as("split"))
     val mem = MemoryStream[(Long, String)]
     mem.addData(docs)
@@ -188,7 +192,7 @@ class EventStreamsSpec extends SparkSpec {
     val batch = curate(docs.toDF()).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
     stream shouldBe batch
-    batch.find(_._1 == 1L).get._2 shouldBe "S--"
+    batch.find(_._1 == 1L).get._2 should startWith("S--|")
   }
 
   test("ST5: unreadable existing target fails the batch, never wipes it") {
