@@ -37,10 +37,23 @@ object Bench {
     val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // The harness keeps only the LAST 2000 CHARS of output and json-parses
+    // the final line of that window (rounds 1-3 all came back parsed:null —
+    // r2/r3 because the full-name 80-query line was ~2500 chars and got
+    // beheaded by the window). So: full-name map on an earlier line for
+    // humans, and a compact final line — short "q01"-style keys (the
+    // contract's own example uses "q1") at 3-decimal precision, ~1000 chars.
+    val shortQs = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f"
+    }.mkString("{", ",", "}")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$shortQs,"errors":$errors,"sf":"$sfDir"}"""
+    println(s"""{"metric":"total_fullnames","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
     // Print the JSON line LAST — after spark.stop() — so no shutdown logging
-    // can land after it; the harness json-parses the final line of output.
+    // can land after it. stop() can itself throw (shutdown-hook / FS errors);
+    // the metric line must still be emitted, so swallow and print regardless.
     spark.sparkContext.setLogLevel("ERROR")
-    spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    try spark.stop() catch { case _: Throwable => }
+    println(line)
   }
 }
