@@ -18,9 +18,15 @@ import org.apache.spark.sql.types.DoubleType
   * runs exact under the oracle and sketched at scale.
   *
   * Scope guards: only non-distinct, unfiltered aggregates over DOUBLE
-  * children with the default frequency are rewritten — those are exactly
-  * the cases where ApproximatePercentile has the same result type and
-  * semantics (modulo sketch error, bounded by the accuracy setting).
+  * children with the default frequency are rewritten — those are the
+  * cases where ApproximatePercentile has the same result type.
+  *
+  * Semantics caveat: the two functions differ by more than sketch
+  * error. Exact `Percentile` (percentile_cont) linearly INTERPOLATES
+  * between neighbors, while `ApproximatePercentile` returns an actual
+  * dataset element — so e.g. the median of an even-sized group differs
+  * even at accuracy→∞. Use the flip where element-valued quantiles are
+  * acceptable, not where interpolated quantiles are load-bearing.
   */
 object ApproxMedianAtScale extends Rule[LogicalPlan] {
   val EnabledKey = "graft.approxPercentile.enabled"

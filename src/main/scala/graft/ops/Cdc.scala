@@ -12,8 +12,30 @@ import org.apache.spark.sql.functions._
   * One full-outer sort-merge join on the key (both sides shuffle once);
   * column comparison is null-safe (`<=>`) so a value moving to/from NULL
   * counts as an update.
+  *
+  * PRECONDITION: `key` must be unique within each snapshot (same
+  * single-row-per-key contract as [[Upsert]]). With duplicate keys the
+  * full-outer join fans out and one key is emitted multiple times with
+  * possibly contradictory labels. Dedup upstream
+  * (`df.dropDuplicates(key)` or a last-writer-wins window) if the
+  * snapshots can carry duplicates; [[assertUniqueKey]] is the cheap
+  * debug-mode check and `CdcSpec` asserts both the guard and the
+  * fan-out it protects against.
   */
 object Cdc {
+
+  /** Cheap precondition check for [[snapshotDiff]]/[[Upsert]]: one
+    * aggregation pass; throws with the worst offender if any key is
+    * duplicated. Run it in tests / debug pipelines, not per production
+    * batch (it is a full extra scan of the snapshot).
+    */
+  def assertUniqueKey(df: DataFrame, key: String): Unit = {
+    val dup = df.groupBy(key).count().filter(col("count") > 1)
+      .orderBy(col("count").desc).limit(1).collect()
+    require(dup.isEmpty,
+      s"snapshot key '$key' is not unique: key ${dup.head.get(0)} has " +
+        s"${dup.head.getLong(1)} rows (snapshotDiff/upsert require one)")
+  }
 
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, key: String,
       compareCols: Seq[String]): DataFrame = {

@@ -65,33 +65,44 @@ object CurationQueries {
     * per-label spread. This is one k-means E-step, relationally: explode
     * to (label, dim) cells, average per cell (shuffle keyed by
     * label×dim, never whole vectors), join centroids back, reduce.
-    * Floats are cast to double BEFORE averaging on both engines.
+    * Floats are cast to double BEFORE averaging on both engines, and
+    * every multi-row sum (centroid numerator, squared-distance sum,
+    * final spread) goes through DECIMAL(18,12) so Spark's partial
+    * aggregation order can't drift from DuckDB's single pass in the
+    * last ulp and flip a round-6 boundary (the q72 pattern).
     */
   val q61 = OracleQuery(
     "q61_centroid_dist",
     (s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(18, 12)
       val e = Tables.embeddings(s, d).select(
         col("vec_id"), col("label"),
         posexplode(col("embedding")).as(Seq("pos", "x")))
         .withColumn("x", col("x").cast("double"))
-      val cent = e.groupBy("label", "pos").agg(avg(col("x")).as("c"))
+      val cent = e.groupBy("label", "pos").agg(
+        (sum(col("x").cast(dec)).cast("double") / count(lit(1))).as("c"))
       val d2 = e.join(cent, Seq("label", "pos"))
         .groupBy("vec_id", "label")
-        .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d2"))
+        .agg(sum(((col("x") - col("c")) * (col("x") - col("c"))).cast(dec))
+          .cast("double").as("d2"))
       d2.groupBy("label").agg(
         count(lit(1)).as("n"),
-        round(avg(sqrt(col("d2"))), 6).as("avg_dist"))
+        round(sum(sqrt(col("d2")).cast(dec)).cast("double") / count(lit(1)), 6)
+          .as("avg_dist"))
     },
     Some("""WITH e AS (SELECT vec_id, label,
                    CAST(unnest(embedding) AS DOUBLE) AS x,
                    generate_subscripts(embedding, 1) AS pos
                    FROM embeddings),
-            c AS (SELECT label, pos, avg(x) AS c FROM e GROUP BY label, pos),
-            d AS (SELECT e.vec_id, e.label, sum((x - c.c) * (x - c.c)) AS d2
+            c AS (SELECT label, pos,
+                         CAST(sum(CAST(x AS DECIMAL(18,12))) AS DOUBLE) / count(*) AS c
+                  FROM e GROUP BY label, pos),
+            d AS (SELECT e.vec_id, e.label,
+                         CAST(sum(CAST((x - c.c) * (x - c.c) AS DECIMAL(18,12))) AS DOUBLE) AS d2
                   FROM e JOIN c ON e.label = c.label AND e.pos = c.pos
                   GROUP BY e.vec_id, e.label)
             SELECT label, CAST(count(*) AS BIGINT) AS n,
-                   round(avg(sqrt(d2)), 6) AS avg_dist
+                   round(CAST(sum(CAST(sqrt(d2) AS DECIMAL(18,12))) AS DOUBLE) / count(*), 6) AS avg_dist
             FROM d GROUP BY label"""),
   )
 

@@ -49,6 +49,22 @@ class CdcSpec extends SparkSpec {
       newSnap.orderBy("k").collect().toSeq
   }
 
+  test("duplicate keys violate the precondition: guard throws, diff fans out") {
+    val dupes = Seq((2L, 20.0, "y"), (2L, 21.0, "y2"), (4L, 40.0, "w"))
+      .toDF("k", "v", "s")
+    // The cheap guard names the offending key.
+    val ex = intercept[IllegalArgumentException] {
+      Cdc.assertUniqueKey(dupes, "k")
+    }
+    ex.getMessage should include("key 2 has 2 rows")
+    Cdc.assertUniqueKey(oldSnap, "k") // unique input passes
+    // And this is the fan-out it protects against: key 2 appears twice
+    // in the diff, with contradictory labels possible.
+    val fanned = Cdc.snapshotDiff(oldSnap, dupes, "k", Seq("v", "s"))
+      .filter($"k" === 2L).count()
+    fanned shouldBe 2L
+  }
+
   test("no compare columns → only membership changes") {
     val newSnap = Seq((2L, 99.0, "q"), (4L, 1.0, "r")).toDF("k", "v", "s")
     val out = Cdc.snapshotDiff(oldSnap, newSnap, "k", Seq.empty)
