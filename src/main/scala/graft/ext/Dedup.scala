@@ -123,6 +123,31 @@ object Dedup {
       .select(idCol).distinct()
   }
 
+  /** Incremental near-dup detection: ids of `batch` documents whose minhash
+    * signature collides with ANY `corpus` document on at least one LSH band
+    * (plus the first band that matched). The at-scale dedup pattern for a
+    * growing corpus — re-clustering 100 TB for every ingest is wasteful;
+    * instead each new batch probes the existing corpus's band buckets and
+    * only collisions proceed to verification/clustering.
+    *
+    * Scale: per band, a LEFT SEMI join from the batch signature to the
+    * corpus signature — the corpus side never fans out into pairs (a batch
+    * doc landing in a 10k-member bucket emits one row, not 10k), and each
+    * band join shuffles compact (id, band-hash) rows keyed by the band
+    * hash. Persist the corpus signature table once and this becomes
+    * probe-only per ingest.
+    */
+  def incrementalDupIds(corpus: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, bands: Seq[Seq[String]]): DataFrame = {
+    val cs = minHashSignature(corpus, idCol, textCol)
+    val bs = minHashSignature(batch, idCol, textCol)
+    bands.zipWithIndex.map { case (cols, bi) =>
+      bs.join(cs.select(cols.map(col): _*), cols, "left_semi")
+        .select(col(idCol), lit(bi.toLong).as("band_id"))
+    }.reduce(_ unionByName _)
+      .groupBy(idCol).agg(min(col("band_id")).as("first_band"))
+  }
+
   /** Jaccard similarity of distinct word-n-gram sets between each doc and
     * its successor by id (a deterministic, oracle-friendly pairing).
     * General near-dup pairing composes [[lshCandidatePairs]] with this same

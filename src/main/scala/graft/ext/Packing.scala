@@ -33,4 +33,31 @@ object Packing {
         ((sum(col("n_tok")).over(w) - col("n_tok")) / lit(budget))
           .cast("long"))
   }
+
+  /** Rank-ordered top-k concatenation per group — the context-assembly
+    * step of a retrieval (RAG) pipeline: the k best payloads of each
+    * group, joined in rank order into one string. `order` must end in a
+    * total-order tiebreak (engine-stable ranking).
+    *
+    * Scale: `row_number() <= k` plans a partial WindowGroupLimit BEFORE
+    * the exchange (only k·groups rows shuffle), and the collected array is
+    * bounded by k — the interpreted per-group lambda touches k elements,
+    * never the corpus. Output: groupCol, `n_items`, `packed`.
+    */
+  def topKConcat(df: DataFrame, groupCol: String, order: Seq[Column],
+      payload: Column, k: Int, sep: String): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(order: _*)
+    df.withColumn("__p", payload)
+      .withColumn("__rnk", row_number().over(w))
+      .filter(col("__rnk") <= k)
+      .groupBy(groupCol)
+      .agg(
+        count(lit(1)).as("n_items"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__rnk").as("r"),
+              col("__p").as("p")))),
+            x => x.getField("p")),
+          sep).as("packed"))
+  }
 }

@@ -49,6 +49,37 @@ object Sampling {
     df.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= n)
   }
 
+  /** Mixture rebalancing: deterministically resample each stratum toward a
+    * target mixture. A stratum with target share `w` (relative to the sum
+    * of all shares = 1) keeps `min(1, w·N / n_s)` of its rows, decided per
+    * row by the portable id hash — the data-recipe primitive that turns
+    * "whatever the crawl gave us" into "60% src0-3, 40% the rest" without
+    * a global sort or stored assignments. Over-represented strata are
+    * downsampled; under-represented ones pass through whole (no
+    * upsampling: rates cap at 1).
+    *
+    * Scale: one tiny per-stratum count aggregate broadcast back onto the
+    * corpus scan, then a codegen'd filter — the corpus itself never
+    * shuffles. Adds a `keep_rate` column (the stratum's rate, unrounded).
+    */
+  def mixtureKeep(df: DataFrame, idCol: String, stratumCol: String,
+      targets: Map[String, Double], defaultShare: Double): DataFrame = {
+    val counts = df.groupBy(stratumCol).agg(count(lit(1)).as("__n_s"))
+    val total = counts.agg(sum("__n_s").as("__n_tot"))
+    val share = targets.toSeq.sortBy(_._1).foldLeft(lit(defaultShare)) {
+      case (els, (k, w)) => when(col(stratumCol) === k, lit(w)).otherwise(els)
+    }
+    df.join(broadcast(counts), stratumCol)
+      .crossJoin(broadcast(total))
+      // (share · N) / n_s, in exactly this association — the DuckDB twin
+      // must state the same order so the doubles agree bit-for-bit.
+      .withColumn("keep_rate",
+        least(lit(1.0), share * col("__n_tot") / col("__n_s")))
+      .filter(TextHash.tokenHash(col(idCol).cast("string")).cast("double")
+        / 1e8 < col("keep_rate"))
+      .drop("__n_s", "__n_tot")
+  }
+
   /** Keep-predicate for stratified sampling: each stratum value keeps
     * `rates(stratum)` percent of its rows (default `defaultPct`).
     * Composable with any filter; rows are kept or dropped consistently

@@ -1,0 +1,175 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.{Dedup, Packing, Sampling, SemDedup, Similarity, TextAnalysis}
+import graft.ext.TextHash.tokenHashSql
+import graft.ops.Drift
+
+/** Round-4 additions: the corpus-lifecycle operators a 100 TB training
+  * pipeline runs BETWEEN the per-document ops — mixture rebalancing
+  * (data recipes), incremental batch-vs-corpus dedup (ingest-time LSH
+  * probe), rank-ordered context assembly (RAG packing), distribution-drift
+  * monitoring (PSI), and cluster-local semantic dedup (SemDeDup). Each has
+  * a DuckDB twin.
+  */
+object ScaleQueries {
+
+  /** Q75 [X]: mixture rebalancing toward a target data recipe — sources
+    * src0-src3 get 15% of the mix each, the rest split the remaining 40%
+    * (20 uniform sources → the boosted four pass whole, the rest keep
+    * half). Per-stratum rates from one broadcast count aggregate; the
+    * keep decision is the portable id hash, so the sample is reproducible
+    * across engines, runs, and partitionings. The corpus never shuffles.
+    */
+  val q75 = {
+    val boosted = Seq("src0", "src1", "src2", "src3")
+    val shareCase = boosted.map(s => s"WHEN d.source = '$s' THEN 0.15")
+      .mkString("CASE ", " ", " ELSE 0.025 END")
+    OracleQuery(
+      "q75_mixture_rebalance",
+      (s, d) => Sampling.mixtureKeep(
+        Tables.documents(s, d), "doc_id", "source",
+        boosted.map(_ -> 0.15).toMap, defaultShare = 0.025)
+        .select(col("doc_id"), col("source"),
+          round(col("keep_rate"), 6).as("keep_rate")),
+      Some(s"""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
+                     FROM documents GROUP BY source),
+              t AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_tot FROM c),
+              r AS (SELECT d.doc_id, d.source,
+                           least(1.0, $shareCase * t.n_tot / c.n_s) AS rate,
+                           ${tokenHashSql("CAST(d.doc_id AS VARCHAR)")} / 100000000.0 AS u
+                    FROM documents d JOIN c USING (source), t)
+              SELECT doc_id, source, round(rate, 6) AS keep_rate
+              FROM r WHERE u < rate"""),
+    )
+  }
+
+  /** Q76 [X]: incremental dedup — a 30% "new batch" (by portable id hash)
+    * probes the 70% "existing corpus" for minhash LSH band collisions.
+    * Semi-joins per band: a batch doc in a crowded corpus bucket emits ONE
+    * row, never the bucket's fan-out — the ingest-time shape that makes
+    * dedup-on-arrival O(batch), not O(corpus).
+    */
+  val q76 = OracleQuery(
+    "q76_incremental_dedup",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val bucket = Sampling.hashBucket(col("doc_id"))
+      Dedup.incrementalDupIds(
+        docs.filter(bucket < 70), docs.filter(bucket >= 70),
+        "doc_id", "text", Seq(Seq("mh0", "mh1"), Seq("mh2", "mh3")))
+    },
+    Some(s"""WITH sig AS (${ExtQueries.minhashSigSql}),
+            c AS (SELECT * FROM sig WHERE ${Sampling.hashBucketSql("doc_id")} < 70),
+            b AS (SELECT * FROM sig WHERE ${Sampling.hashBucketSql("doc_id")} >= 70),
+            m AS (SELECT DISTINCT b.doc_id, 0 AS band_id
+                  FROM b JOIN c ON b.mh0 = c.mh0 AND b.mh1 = c.mh1
+                  UNION ALL
+                  SELECT DISTINCT b.doc_id, 1 AS band_id
+                  FROM b JOIN c ON b.mh2 = c.mh2 AND b.mh3 = c.mh3)
+            SELECT doc_id, CAST(min(band_id) AS BIGINT) AS first_band
+            FROM m GROUP BY doc_id"""),
+  )
+
+  /** Q77 [X]: RAG context assembly — per language, the 3 highest-quality
+    * documents (distinct-token ratio, doc id tiebreak), their lead
+    * snippets concatenated in rank order. row_number ≤ k plans a partial
+    * WindowGroupLimit before the exchange; the concat touches k bounded
+    * rows per group, never the corpus.
+    */
+  val q77 = OracleQuery(
+    "q77_context_pack",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("__score", TextAnalysis.uniqueTokenRatio(col("text")))
+      Packing.topKConcat(docs, "lang",
+        Seq(desc("__score"), col("doc_id")),
+        array_join(slice(split(col("text"), " "), 1, 12), " "),
+        k = 3, sep = " | ")
+    },
+    Some("""WITH t AS (SELECT lang, doc_id,
+                   round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                         / len(string_split(text, ' ')), 6) AS score,
+                   array_to_string(list_slice(string_split(text, ' '), 1, 12), ' ') AS snip
+                   FROM documents),
+            r AS (SELECT *, row_number() OVER
+                        (PARTITION BY lang ORDER BY score DESC, doc_id) AS rnk
+                  FROM t)
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_items,
+                   string_agg(snip, ' | ' ORDER BY rnk) AS packed
+            FROM r WHERE rnk <= 3 GROUP BY lang"""),
+  )
+
+  private val psiThresholds: Seq[Long] =
+    Seq(100L, 150L, 200L, 250L, 300L, 350L, 400L, 450L)
+
+  /** Q78 [X]: distribution drift (PSI) between two deterministic halves of
+    * the corpus over document length. The bucket is an integer CASE
+    * ladder (no global sort, no quantile state, no float boundaries); PSI
+    * terms are emitted per bucket with the float math done once per
+    * bucket row, so no cross-row float sum exists to drift across
+    * engines.
+    */
+  val q78 = OracleQuery(
+    "q78_psi_drift",
+    (s, d) => Drift.psiTerms(
+      Tables.documents(s, d),
+      isA = Sampling.hashBucket(col("doc_id")) < 50,
+      bucket = Drift.bucketOf(col("n_chars"), psiThresholds)),
+    Some(s"""WITH d AS (SELECT ${Drift.bucketSql("n_chars", psiThresholds)} AS bucket,
+                   (${Sampling.hashBucketSql("doc_id")} < 50) AS a
+                   FROM documents),
+            c AS (SELECT bucket,
+                         CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                         CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+                  FROM d GROUP BY bucket),
+            t AS (SELECT CAST(sum(n_a) AS BIGINT) AS t_a,
+                         CAST(sum(n_b) AS BIGINT) AS t_b FROM c)
+            SELECT bucket, n_a, n_b,
+                   round((CAST(n_a AS DOUBLE) / t_a - CAST(n_b AS DOUBLE) / t_b) *
+                         ln((CAST(n_a AS DOUBLE) / t_a) / (CAST(n_b AS DOUBLE) / t_b)), 6)
+                     AS psi_term
+            FROM c, t WHERE n_a > 0 AND n_b > 0"""),
+  )
+
+  /** Q79 [X]: SemDeDup — embedding-space dedup restricted to nearest-
+    * centroid clusters (deterministic seed centroids vec_id < 8 so the
+    * oracle can restate it; production uses IvfIndex.build's k-means).
+    * The pair join is quadratic per CLUSTER, not per corpus, and shuffles
+    * on the cluster id.
+    */
+  val q79 = OracleQuery(
+    "q79_semdedup",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"),
+          Similarity.asDouble(col("embedding")).as("cv"))
+      val assigned = SemDedup.assign(
+        emb.filter(col("vec_id") >= 8), "embedding", "vec_id", centroids)
+      SemDedup.dropList(assigned, threshold = 0.2)
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+            a AS (SELECT vec_id, v, cid,
+                         round(list_dot_product(v, cv) /
+                               (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6) AS cs
+                  FROM e, c WHERE vec_id >= 8),
+            asg AS (SELECT vec_id, v, cid FROM
+                       (SELECT *, row_number() OVER
+                              (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+                        FROM a) z
+                     WHERE rn = 1),
+            p AS (SELECT y.vec_id AS dropped, x.vec_id AS a_id,
+                         round(list_dot_product(x.v, y.v) /
+                               (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6) AS cos_r
+                  FROM asg x JOIN asg y
+                    ON x.cid = y.cid AND x.vec_id < y.vec_id)
+            SELECT dropped, min(a_id) AS keeper, CAST(count(*) AS BIGINT) AS n_sim
+            FROM p WHERE cos_r >= 0.2 GROUP BY dropped"""),
+  )
+
+  val all: Seq[OracleQuery] = Seq(q75, q76, q77, q78, q79)
+}

@@ -1,0 +1,171 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ops.Drift
+
+/** Round-4 corpus-lifecycle operators: mixture rebalancing, incremental
+  * LSH dedup, rank-ordered context packing, PSI drift, SemDeDup.
+  */
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- Sampling.mixtureKeep -------------------------------------------
+
+  private val mixDocs = (0 until 400).map { i =>
+    (i.toLong, if (i % 4 == 0) "big" else "small")
+  }.toDF("id", "src") // 100 big, 300 small
+
+  test("mixtureKeep caps over-represented strata at their target share") {
+    // targets: big 0.5, small 0.5 → big rate = min(1, .5*400/100) = 1 (all
+    // 100 kept); small rate = .5*400/300 = 2/3 (hash-sampled).
+    val kept = Sampling.mixtureKeep(mixDocs, "id", "src",
+      Map("big" -> 0.5), defaultShare = 0.5)
+    val bySrc = kept.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySrc("big") shouldBe 100L
+    // md5-hash sampling at rate 2/3 over 300 rows: expect ~200, allow
+    // binomial spread (±3σ ≈ ±24).
+    bySrc("small").toDouble shouldBe 200.0 +- 25.0
+    val rates = kept.select("src", "keep_rate").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    rates("big") shouldBe 1.0
+    rates("small") shouldBe (2.0 / 3.0) +- 1e-12
+  }
+
+  test("mixtureKeep is deterministic and a subset-consistent filter") {
+    val a = Sampling.mixtureKeep(mixDocs, "id", "src",
+      Map("big" -> 0.5), 0.5).select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.mixtureKeep(mixDocs.repartition(7), "id", "src",
+      Map("big" -> 0.5), 0.5).select("id").collect().map(_.getLong(0)).toSet
+    a shouldBe b // partitioning-independent
+  }
+
+  // --- Dedup.incrementalDupIds ----------------------------------------
+
+  test("incrementalDupIds flags batch docs colliding with the corpus, once") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "epsilon zeta eta theta")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta"), // exact dup of 1 → both bands match
+      (11L, "iota kappa lambda mu")    // unrelated
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalDupIds(corpus, batch, "doc_id", "text",
+      Seq(Seq("mh0", "mh1"), Seq("mh2", "mh3")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.keySet shouldBe Set(10L)
+    out(10L) shouldBe 0L // first matching band
+  }
+
+  test("incrementalDupIds emits one row per batch doc even for crowded buckets") {
+    // 20 identical corpus docs: a colliding batch doc must emit 1 row
+    // (semi-join), not 20 (inner-join fan-out).
+    val corpus = (1L to 20L).map(i => (i, "same text here all over"))
+      .toDF("doc_id", "text")
+    val batch = Seq((100L, "same text here all over")).toDF("doc_id", "text")
+    val out = Dedup.incrementalDupIds(corpus, batch, "doc_id", "text",
+      Seq(Seq("mh0", "mh1"), Seq("mh2", "mh3"))).collect()
+    out.length shouldBe 1
+  }
+
+  // --- Packing.topKConcat ---------------------------------------------
+
+  test("topKConcat packs the top-k payloads in rank order") {
+    val df = Seq(
+      ("g1", 3.0, "c"), ("g1", 9.0, "a"), ("g1", 5.0, "b"), ("g1", 1.0, "d"),
+      ("g2", 2.0, "only")).toDF("g", "score", "payload")
+    val rows = Packing.topKConcat(df, "g",
+      Seq(desc("score"), col("payload")), col("payload"), k = 3, sep = " | ")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    rows("g1") shouldBe ((3L, "a | b | c"))
+    rows("g2") shouldBe ((1L, "only")) // smaller group: all rows, no pad
+  }
+
+  test("topKConcat breaks score ties by the declared tiebreak") {
+    val df = Seq(("g", 1.0, "z"), ("g", 1.0, "a"), ("g", 1.0, "m"))
+      .toDF("g", "score", "p")
+    val out = Packing.topKConcat(df, "g",
+      Seq(desc("score"), col("p")), col("p"), 2, "+").collect().head
+    out.getString(2) shouldBe "a+m"
+  }
+
+  // --- Drift ------------------------------------------------------------
+
+  test("bucketOf is a monotone integer ladder with closed-left buckets") {
+    val df = Seq(99L, 100L, 101L, 249L, 250L, 1000L).toDF("v")
+    val got = df.select(Drift.bucketOf(col("v"), Seq(100L, 250L)).as("b"))
+      .collect().map(_.getLong(0)).toSeq
+    got shouldBe Seq(0L, 1L, 1L, 1L, 2L, 2L)
+  }
+
+  test("psiTerms: identical cohorts give zero terms; empty-side buckets drop") {
+    // Same distribution in both cohorts → every term 0.
+    val same = (0 until 100).flatMap(i =>
+      Seq((i.toLong, true), (i.toLong, false))).toDF("v", "a")
+    val zeros = Drift.psiTerms(same, col("a"), Drift.bucketOf(col("v"), Seq(50L)))
+      .collect()
+    zeros.length shouldBe 2
+    all(zeros.map(_.getDouble(3))) shouldBe 0.0
+    // A bucket present only in cohort A is omitted (term undefined).
+    val skewed = Seq((10L, true), (10L, false), (99L, true))
+      .toDF("v", "a")
+    val out = Drift.psiTerms(skewed, col("a"),
+      Drift.bucketOf(col("v"), Seq(50L))).collect()
+    out.length shouldBe 1
+    out.head.getLong(0) shouldBe 0L
+  }
+
+  test("psiTerms detects a shifted distribution with positive PSI") {
+    // Cohort A concentrated low, cohort B high: both buckets drift.
+    val df = ((0 until 90).map(i => (10L, true)) ++
+      (0 until 10).map(_ => (90L, true)) ++
+      (0 until 10).map(_ => (10L, false)) ++
+      (0 until 90).map(_ => (90L, false))).toDF("v", "a")
+    val psi = Drift.psiTerms(df, col("a"), Drift.bucketOf(col("v"), Seq(50L)))
+      .agg(sum("psi_term")).head().getDouble(0)
+    psi should be > 3.0 // (0.9-0.1)*ln(9) × 2 ≈ 3.52
+  }
+
+  // --- SemDedup ---------------------------------------------------------
+
+  private def vec(xs: Double*): Seq[Double] = xs.toSeq
+
+  test("assign picks the nearest centroid by cosine with id tiebreak") {
+    val emb = Seq(
+      (10L, Seq(1.0f, 0.1f)),   // → centroid 0 (x-axis)
+      (11L, Seq(0.1f, 1.0f)),   // → centroid 1 (y-axis)
+      (12L, Seq(1.0f, 1.0f))    // equidistant → tiebreak: centroid 0
+    ).toDF("vec_id", "embedding")
+    val cents = Seq((0L, vec(1.0, 0.0)), (1L, vec(0.0, 1.0)))
+      .toDF("cid", "cv")
+    val got = SemDedup.assign(emb, "embedding", "vec_id", cents)
+      .select("vid", "cid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe Map(10L -> 0L, 11L -> 1L, 12L -> 0L)
+  }
+
+  test("dropList keeps the lowest id and only compares within a cluster") {
+    // Cluster 0: 10, 12 nearly parallel (cos≈1) → 12 dropped, keeper 10.
+    // Cluster 1: 11 parallel to 13 BUT different cluster → no pair.
+    val emb = Seq(
+      (10L, Seq(1.0f, 0.01f)),
+      (12L, Seq(1.0f, 0.02f)),
+      (11L, Seq(0.01f, 1.0f)),
+      (13L, Seq(0.3f, 1.0f)) // same cluster as 11, cos(11,13) ≈ 0.958
+    ).toDF("vec_id", "embedding")
+    val cents = Seq((0L, vec(1.0, 0.0)), (1L, vec(0.0, 1.0)))
+      .toDF("cid", "cv")
+    val assigned = SemDedup.assign(emb, "embedding", "vec_id", cents)
+    val dropped = SemDedup.dropList(assigned, 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    dropped.toSeq shouldBe Seq((12L, 10L, 1L))
+    // Lower threshold picks up the in-cluster (11,13) pair too — but
+    // never a cross-cluster pair.
+    val loose = SemDedup.dropList(assigned, 0.9)
+      .collect().map(_.getLong(0)).toSet
+    loose shouldBe Set(12L, 13L)
+  }
+}
