@@ -130,21 +130,32 @@ object Dedup {
     * instead each new batch probes the existing corpus's band buckets and
     * only collisions proceed to verification/clustering.
     *
-    * Scale: per band, a LEFT SEMI join from the batch signature to the
-    * corpus signature — the corpus side never fans out into pairs (a batch
-    * doc landing in a 10k-member bucket emits one row, not 10k), and each
-    * band join shuffles compact (id, band-hash) rows keyed by the band
-    * hash. Persist the corpus signature table once and this becomes
-    * probe-only per ingest.
+    * Scale: ONE left-semi join on (band_id, band_key) — the corpus side
+    * never fans out into pairs (a batch doc landing in a 10k-member bucket
+    * emits one row, not 10k). Bands are exploded into (band_id, key) rows
+    * so each side's signature is computed in a single pass; a per-band
+    * join loop would recompute the full tokenize+minhash pipeline once per
+    * band per side (union/join branches share no subexpressions). Persist
+    * the corpus-side key table once and this becomes probe-only per
+    * ingest.
     */
   def incrementalDupIds(corpus: DataFrame, batch: DataFrame, idCol: String,
       textCol: String, bands: Seq[Seq[String]]): DataFrame = {
-    val cs = minHashSignature(corpus, idCol, textCol)
-    val bs = minHashSignature(batch, idCol, textCol)
-    bands.zipWithIndex.map { case (cols, bi) =>
-      bs.join(cs.select(cols.map(col): _*), cols, "left_semi")
-        .select(col(idCol), lit(bi.toLong).as("band_id"))
-    }.reduce(_ unionByName _)
+    // (band_id, key) rows: key concatenates the band's signature columns
+    // (injective — minhash values are bounded longs, the separator can't
+    // occur inside one).
+    def bandKeys(sig: DataFrame): DataFrame = {
+      val entries = array(bands.zipWithIndex.map { case (cols, bi) =>
+        struct(lit(bi.toLong).as("band_id"),
+          concat_ws("|", cols.map(col): _*).as("bk"))
+      }: _*)
+      sig.select(col(idCol), explode(entries).as("e"))
+        .select(col(idCol), col("e.band_id"), col("e.bk"))
+    }
+    val corpusKeys = bandKeys(minHashSignature(corpus, idCol, textCol))
+      .select("band_id", "bk").distinct()
+    bandKeys(minHashSignature(batch, idCol, textCol))
+      .join(corpusKeys, Seq("band_id", "bk"), "left_semi")
       .groupBy(idCol).agg(min(col("band_id")).as("first_band"))
   }
 

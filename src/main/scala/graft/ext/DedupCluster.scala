@@ -43,10 +43,25 @@ object DedupCluster {
     * either orientation. Returns (node, label) where label is the minimum
     * node id reachable from `node`. Throws if not converged within
     * `maxIter` rounds (propagation + jumping needs ~log₂(diameter)).
+    *
+    * Hybrid execution: when the edge list is at most `localThreshold`
+    * rows, the components are solved by union-find ON THE DRIVER and the
+    * labels broadcast back. Each distributed round costs two shuffles +
+    * one materializing job of FIXED overhead regardless of graph size —
+    * on the post-contraction graphs this operator actually sees (a 1M-doc
+    * LSH graph contracts to a few thousand surviving roots) the loop is
+    * pure scheduling latency, while a 100k-edge collect is a few MB on
+    * the driver. Graphs above the threshold take the loop unchanged, so
+    * the worst case stays distributed; pass `localThreshold = 0` to force
+    * it.
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-      maxIter: Int = 25): DataFrame = {
-    val und = edges.select(col("src"), col("dst"))
+      maxIter: Int = 25, localThreshold: Long = 100000L): DataFrame = {
+    val plain = edges.select(col("src"), col("dst"))
+    val probe = math.min(localThreshold + 1, Int.MaxValue.toLong).toInt
+    if (plain.limit(probe).count() <= localThreshold)
+      return localComponents(nodes, plain)
+    val und = plain
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint()
@@ -90,6 +105,39 @@ object DedupCluster {
     labels
   }
 
+  /** Driver-local fallback for [[connectedComponents]]: union-find with
+    * path compression, always attaching the larger root under the smaller
+    * so every tree's root is its component's minimum id (the same label
+    * the distributed loop converges to). Labels broadcast-join back onto
+    * `nodes`; isolated nodes label themselves.
+    */
+  private def localComponents(nodes: DataFrame, plainEdges: DataFrame): DataFrame = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+      var c = x
+      while (parent.getOrDefault(c, c) != c) {
+        val n = parent.getOrDefault(c, c); parent.put(c, r); c = n
+      }
+      r
+    }
+    val touched = scala.collection.mutable.LongMap.empty[Unit]
+    plainEdges.collect().foreach { row =>
+      val a = row.getLong(0); val b = row.getLong(1)
+      touched.update(a, ()); touched.update(b, ())
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+    }
+    val sp = nodes.sparkSession
+    import sp.implicits._
+    val labels = touched.keysIterator.map(n => (n, find(n))).toSeq
+      .toDF("node", "label")
+    nodes.select(col("node"))
+      .join(broadcast(labels), Seq("node"), "left")
+      .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+  }
+
   /** One star-contraction round: collapse every node into its parent
     * `p(v) = min(v, min neighbor)` and rewrite edges between parents.
     * Requires edges oriented (src, dst) with dst < src (band-star edges
@@ -127,28 +175,50 @@ object DedupCluster {
     * final pass.
     */
   def dedupClusters(docs: DataFrame, idCol: String, textCol: String,
-      bands: Seq[Seq[String]] = Seq(Seq("mh0", "mh1"), Seq("mh2", "mh3"))): DataFrame = {
+      bands: Seq[Seq[String]] = Seq(Seq("mh0", "mh1"), Seq("mh2", "mh3")),
+      localThreshold: Long = 100000L): DataFrame = {
     val sig = Dedup.minHashSignature(docs, idCol, textCol)
-    // Materialize the edge list ONCE: everything downstream (contraction,
-    // the CC loop's own checkpoints, the final expansion) re-materializes
-    // its inputs several times, and without this cut each of those would
-    // recompute the full minhash + band-join pipeline.
+    // Materialize the edge list ONCE: everything downstream (the size
+    // probe, contraction, the CC loop's own checkpoints, the final
+    // expansion) re-materializes its inputs several times, and without
+    // this cut each of those would recompute the full minhash + band-join
+    // pipeline. Every further eager materialization costs a fixed ~0.5-1 s
+    // of stage overhead regardless of row count, so the structure below
+    // adds NO other checkpoint on the small-graph path.
     val edges = bandStarEdges(sig, idCol, bands).localCheckpoint()
-    val (parents, cEdges) = contractStars(edges)
-    val cNodes = cEdges.select(col("src").as("node"))
-      .unionByName(cEdges.select(col("dst").as("node"))).distinct()
-    val cc = connectedComponents(cNodes, cEdges)
-    // Expand: node → parent (itself when never a src) → component label
-    // (the parent itself when its contracted component is a singleton).
-    // The id list comes from `docs` directly — deriving it from `sig`
-    // would recompute the signatures just to project the ids back out.
-    docs.select(col(idCol).as("node"))
-      .join(parents.select(col("src").as("node"), col("p")), Seq("node"), "left")
-      .select(col("node"), coalesce(col("p"), col("node")).as("pr"))
-      .join(cc.select(col("node").as("pr"), col("label")), Seq("pr"), "left")
-      .select(col("node").as(idCol),
-        coalesce(col("label"), col("pr")).as("cluster_id"),
-        (coalesce(col("label"), col("pr")) === col("node"))
-          .cast("int").as("is_keeper"))
+    val probe = math.min(localThreshold + 1, Int.MaxValue.toLong).toInt
+    val labels =
+      if (edges.limit(probe).count() <= localThreshold) {
+        // Band-star edges are O(docs·bands) and already materialized —
+        // below the threshold, skip contraction AND the distributed loop:
+        // one driver union-find + one broadcast join back.
+        localComponents(docs.select(col(idCol).as("node")), edges)
+      } else {
+        // At-scale path: one star contraction shrinks the iterated label
+        // state to surviving roots, then the O(log n)-round loop. The
+        // contracted edges feed three consumers (node list, probe, solve);
+        // cut once so the contraction joins run once.
+        val (parents, cEdges0) = contractStars(edges)
+        val cEdges = cEdges0.localCheckpoint()
+        val cNodes = cEdges.select(col("src").as("node"))
+          .unionByName(cEdges.select(col("dst").as("node"))).distinct()
+        val cc = connectedComponents(cNodes, cEdges,
+          localThreshold = localThreshold)
+        // Expand: node → parent (itself when never a src) → component
+        // label (the parent itself when its contracted component is a
+        // singleton). The id list comes from `docs` directly — deriving
+        // it from `sig` would recompute the signatures just to project
+        // the ids back out.
+        docs.select(col(idCol).as("node"))
+          .join(parents.select(col("src").as("node"), col("p")),
+            Seq("node"), "left")
+          .select(col("node"), coalesce(col("p"), col("node")).as("pr"))
+          .join(cc.select(col("node").as("pr"), col("label")), Seq("pr"), "left")
+          .select(col("node"),
+            coalesce(col("label"), col("pr")).as("label"))
+      }
+    labels.select(col("node").as(idCol),
+      col("label").as("cluster_id"),
+      (col("label") === col("node")).cast("int").as("is_keeper"))
   }
 }

@@ -11,30 +11,46 @@ import graft.SparkSpec
 class TrainOpsSpec extends SparkSpec {
   import spark.implicits._
 
-  test("connectedComponents labels each component by its min node") {
+  test("connectedComponents labels each component by its min node (both paths)") {
     // Two components {1,2,3,7} (chain) and {10,11}; 20 isolated.
     val edges = Seq((2L, 1L), (3L, 2L), (7L, 3L), (11L, 10L))
       .toDF("src", "dst")
     val nodes = Seq(1L, 2L, 3L, 7L, 10L, 11L, 20L).toDF("node")
-    val labels = DedupCluster.connectedComponents(nodes, edges)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    labels(1L) shouldBe 1L
-    labels(2L) shouldBe 1L
-    labels(3L) shouldBe 1L
-    labels(7L) shouldBe 1L
-    labels(10L) shouldBe 10L
-    labels(11L) shouldBe 10L
-    labels(20L) shouldBe 20L
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L)
+    // Default: below the threshold → driver-local union-find.
+    DedupCluster.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe expected
+    // localThreshold = 0 forces the distributed loop; same labels.
+    DedupCluster.connectedComponents(nodes, edges, localThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe expected
   }
 
   test("connectedComponents converges on a long chain (pointer jumping)") {
     // A 64-node chain has diameter 63; naive propagation would need 63
     // rounds — pointer jumping must finish within the 25-round cap.
+    // localThreshold = 0 pins the distributed loop (the default would
+    // solve this small graph on the driver).
     val edges = (1L until 64L).map(i => (i + 1, i)).toDF("src", "dst")
     val nodes = (1L to 64L).toDF("node")
-    val labels = DedupCluster.connectedComponents(nodes, edges)
+    val labels = DedupCluster.connectedComponents(nodes, edges, localThreshold = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     all(labels.values) shouldBe 1L
+  }
+
+  test("local and distributed CC agree on a random graph (property)") {
+    val rnd = new scala.util.Random(42)
+    val edges = (0 until 300).map(_ =>
+      (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.max(a, b), math.min(a, b)) }
+      .toDF("src", "dst")
+    val nodes = (0L until 120L).toDF("node")
+    val local = DedupCluster.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val looped = DedupCluster.connectedComponents(nodes, edges, localThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    local shouldBe looped
   }
 
   test("contractStars preserves components and the component minimum") {
