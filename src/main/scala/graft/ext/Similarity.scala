@@ -122,4 +122,103 @@ object Similarity {
           .as("cos_r"))
       .filter(col("cos_r") >= threshold)
   }
+
+  /** Exact all-pairs cosine (same contract as [[nearDupPairs]]: pairs
+    * a < b with rounded cosine ≥ threshold) via block-pair decomposition.
+    *
+    * The naive form above plans a nested-loop join that MATERIALIZES every
+    * joined row — two 64-dim double arrays copied per pair, ~1 KB × n²/2 —
+    * before one dot product reads them; at n = 2000 that copy stream is
+    * the entire runtime. Here each vector is assigned a block
+    * `vid mod B`, shuffled once to every block PAIR it participates in
+    * (n·B rows total, vs n²/2 joined rows), and each of the B(B+1)/2
+    * group-tasks runs a tight primitive-array loop over its two resident
+    * blocks — the one genuine mapGroups kernel in the library (a GEMM-like
+    * inner loop no relational plan expresses without the row-copy tax).
+    *
+    * Scale: shuffle volume n·B vectors; per-task memory 2·(n/B) vectors;
+    * pick B ≈ n·d·8B / (target block bytes) so a block pair fits an
+    * executor core. Bit-parity with [[nearDupPairs]] (pinned by spec):
+    * same element-order dot, same `x/(na·nb)` double ops, and the same
+    * HALF_UP decimal rounding Spark's `round(_, 6)` applies; pairs whose
+    * raw cosine is below `threshold - 1e-6` skip the decimal conversion
+    * (round(·,6) moves a value by at most 5e-7, so they cannot pass).
+    */
+  def nearDupPairsBlocked(emb: DataFrame, vecCol: String, idCol: String,
+      threshold: Double, blocks: Int = 16): DataFrame = {
+    val sp = emb.sparkSession
+    import sp.implicits._
+    val bCount = blocks
+    require(bCount >= 1, s"nearDupPairsBlocked: blocks must be >= 1, got $bCount")
+    val base = emb
+      .select(col(idCol).cast("long").as("vid"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .as[(Long, Array[Double], Double)]
+    // Replicate each vector to every block pair containing its block: LEFT
+    // role in (b, j) for j ≥ b, RIGHT role in (i, b) for i < b. Every
+    // unordered vector pair lands in exactly one group.
+    val keyed = base.flatMap { case (vid, v, nrm) =>
+      val b = (((vid % bCount) + bCount) % bCount).toInt
+      val asLeft = (b until bCount).map(j => (b, j, true, vid, v, nrm))
+      val asRight = (0 until b).map(i => (i, b, false, vid, v, nrm))
+      asLeft ++ asRight
+    }
+    val out = keyed.groupByKey(t => (t._1, t._2)).flatMapGroups {
+      (key: (Int, Int), it: Iterator[(Int, Int, Boolean, Long, Array[Double], Double)]) =>
+        val (bi, bj) = key
+        val lId = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val lV = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+        val lN = scala.collection.mutable.ArrayBuffer.empty[Double]
+        val rId = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val rV = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+        val rN = scala.collection.mutable.ArrayBuffer.empty[Double]
+        it.foreach { case (_, _, isLeft, vid, v, nrm) =>
+          if (isLeft) { lId += vid; lV += v; lN += nrm }
+          else { rId += vid; rV += v; rN += nrm }
+        }
+        val res = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        // Skip the decimal conversion for clear rejects; see scaladoc.
+        val rawCut = threshold - 1e-6
+        def emit(ida: Long, va: Array[Double], na: Double,
+            idb: Long, vb: Array[Double], nb: Double): Unit = {
+          var s = 0.0
+          var k = 0
+          val d = va.length
+          while (k < d) { s += va(k) * vb(k); k += 1 }
+          val c = s / (na * nb)
+          if (c >= rawCut) {
+            // Spark's round(double, 6): NaN/Inf pass through, else decimal
+            // HALF_UP — replicated exactly so the result stays bit-equal.
+            val r =
+              if (c.isNaN || c.isInfinite) c
+              else BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+                .toDouble
+            if (r >= threshold) {
+              if (ida < idb) res += ((ida, idb, r)) else res += ((idb, ida, r))
+            }
+          }
+        }
+        if (bi == bj) {
+          var i = 0
+          while (i < lId.length) {
+            var j = i + 1
+            while (j < lId.length) {
+              emit(lId(i), lV(i), lN(i), lId(j), lV(j), lN(j)); j += 1
+            }
+            i += 1
+          }
+        } else {
+          var i = 0
+          while (i < lId.length) {
+            var j = 0
+            while (j < rId.length) {
+              emit(lId(i), lV(i), lN(i), rId(j), rV(j), rN(j)); j += 1
+            }
+            i += 1
+          }
+        }
+        res.iterator
+    }
+    out.toDF("vec_a", "vec_b", "cos_r")
+  }
 }

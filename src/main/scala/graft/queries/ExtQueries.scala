@@ -209,7 +209,7 @@ object ExtQueries {
   val q27 = OracleQuery(
     "q27_embedding_near_dup",
     (s, d) =>
-      Similarity.nearDupPairs(Tables.embeddings(s, d), "embedding", "vec_id", 0.5),
+      Similarity.nearDupPairsBlocked(Tables.embeddings(s, d), "embedding", "vec_id", 0.5),
     Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
             SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
                    round(list_dot_product(x.v, y.v) /

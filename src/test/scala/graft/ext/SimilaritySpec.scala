@@ -95,4 +95,24 @@ class SimilaritySpec extends SparkSpec {
     pairs.foreach { case (a, b) => a should be < b }
     pairs.map(_._2) should not contain 4L
   }
+
+  test("nearDupPairsBlocked ≡ nearDupPairs bit-for-bit (property, several B)") {
+    // Random unit-ish vectors; threshold low enough that many pairs pass,
+    // so both the accept and the reject paths (incl. the raw-cut decimal
+    // skip) are exercised. Scores must be BIT-equal, not just close —
+    // the kernel replicates the relational form's double ops exactly.
+    val rnd = new scala.util.Random(7)
+    val data = (0L until 150L).map { i =>
+      (i, Array.fill(16)(rnd.nextFloat() - 0.3f))
+    }.toDF("vec_id", "embedding")
+    val expect = Similarity.nearDupPairs(data, "embedding", "vec_id", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    expect should not be empty
+    for (b <- Seq(1, 3, 16, 64)) {
+      val got = Similarity
+        .nearDupPairsBlocked(data, "embedding", "vec_id", 0.4, blocks = b)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      got shouldBe expect
+    }
+  }
 }
