@@ -151,4 +151,53 @@ object TextAnalysis {
           .as("logprob"),
         count(lit(1)).as("n_tok"))
   }
+
+  /** CCNet-style boilerplate removal over pre-split lines: drop every line
+    * whose DOCUMENT frequency (distinct docs containing that exact line)
+    * reaches `minDf`, and reassemble each document's surviving lines in
+    * original order. Input is one row per (doc, position, line); output is
+    * one row per doc: `idCol`, `clean_text`, `n_kept`, `n_dropped` — docs
+    * whose every line is boilerplate survive with `clean_text = ""`.
+    *
+    * Scale shape: document frequency is a groupBy on the DEDUPLICATED
+    * (line, doc) pairs — repeats within one doc count once — and the
+    * per-line count joins back to the occurrence stream as an aggregated
+    * (one-row-per-line) build side, so the sort-merge join's skew is
+    * capped: the hottest boilerplate line contributes ONE build row no
+    * matter how many documents carry it (AQE handles the probe-side
+    * stragglers). Reassembly is the q04 ordered-collect: positions sort
+    * inside the array, never a global sort; dropped lines vanish inside
+    * `collect_list` (nulls are skipped), so kept text and drop counts come
+    * from the same single per-doc aggregation.
+    */
+  def dropFrequentLines(lines: org.apache.spark.sql.DataFrame, idCol: String,
+      posCol: String, lineCol: String,
+      minDf: Int = 2, sep: String = "\n"): org.apache.spark.sql.DataFrame = {
+    val df = lines.select(col(lineCol).as("__ln"), col(idCol)).distinct()
+      .groupBy("__ln").agg(count(lit(1)).as("__df"))
+    lines
+      .select(col(idCol), col(posCol).as("__pos"), col(lineCol).as("__ln"))
+      .join(df, "__ln")
+      .groupBy(idCol)
+      .agg(
+        concat_ws(sep,
+          transform(
+            array_sort(collect_list(
+              when(col("__df") < minDf, struct(col("__pos"), col("__ln"))))),
+            x => x.getField("__ln"))).as("clean_text"),
+        sum(when(col("__df") < minDf, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__df") >= minDf, 1L).otherwise(0L)).as("n_dropped"))
+  }
+
+  /** [[dropFrequentLines]] for documents stored as a single text column:
+    * split on `sep`, drop globally-frequent lines, reassemble.
+    */
+  def dropBoilerplate(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, sep: String = "\n",
+      minDf: Int = 2): org.apache.spark.sql.DataFrame = {
+    val lines = docs.select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "line")))
+    dropFrequentLines(lines, idCol, "pos", "line", minDf, sep)
+  }
 }

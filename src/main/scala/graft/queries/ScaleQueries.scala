@@ -171,5 +171,44 @@ object ScaleQueries {
             FROM p WHERE cos_r >= 0.2 GROUP BY dropped"""),
   )
 
-  val all: Seq[OracleQuery] = Seq(q75, q76, q77, q78, q79)
+  /** Q80 [X]: CCNet-style boilerplate-line removal. The synthetic docs
+    * carry no newlines, so "lines" are fixed 4-token segments (the q67
+    * chunking shape, stride = width); any segment appearing in ≥ 2
+    * DISTINCT documents is boilerplate and dropped, and each document's
+    * survivors reassemble in order (q04 ordered-collect — positions sort
+    * inside the per-doc array, no global sort). Doc frequency counts the
+    * deduplicated (line, doc) pairs, so the hottest boilerplate line is
+    * ONE build-side row in the join back to the occurrence stream.
+    */
+  val q80 = OracleQuery(
+    "q80_line_dedup",
+    (s, d) => {
+      val a = Dedup.tokens(col("text"))
+      val segs = Tables.documents(s, d)
+        .select(col("doc_id"), a.as("a"),
+          ceil(size(a) / lit(4.0)).cast("long").as("nc"))
+        .select(col("doc_id"), col("a"),
+          posexplode(sequence(lit(0L), col("nc") - 1)).as(Seq("p", "cid")))
+        .select(col("doc_id"), col("cid"),
+          array_join(slice(col("a"), (col("cid") * 4 + 1).cast("int"), lit(4)), " ")
+            .as("line"))
+      TextAnalysis.dropFrequentLines(segs, "doc_id", "cid", "line", minDf = 2)
+    },
+    Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+            seg AS (SELECT doc_id, cid,
+                           array_to_string(list_slice(a, cid*4 + 1, cid*4 + 4), ' ') AS line
+                    FROM (SELECT doc_id, a,
+                                 unnest(range(0, CAST(ceil(len(a) / 4.0) AS BIGINT))) AS cid
+                          FROM tok)),
+            df AS (SELECT line, count(DISTINCT doc_id) AS d FROM seg GROUP BY line)
+            SELECT doc_id,
+                   COALESCE(string_agg(line, chr(10) ORDER BY cid)
+                            FILTER (WHERE d < 2), '') AS clean_text,
+                   CAST(count(*) FILTER (WHERE d < 2) AS BIGINT) AS n_kept,
+                   CAST(count(*) FILTER (WHERE d >= 2) AS BIGINT) AS n_dropped
+            FROM seg JOIN df USING (line)
+            GROUP BY doc_id"""),
+  )
+
+  val all: Seq[OracleQuery] = Seq(q75, q76, q77, q78, q79, q80)
 }

@@ -168,4 +168,38 @@ class ScaleOpsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     loose shouldBe Set(12L, 13L)
   }
+
+  test("dropBoilerplate removes cross-doc frequent lines, keeps order, counts") {
+    // "footer" appears in all three docs → boilerplate. "a b" repeats
+    // WITHIN doc 1 only → document frequency 1, kept (both occurrences).
+    val docs = Seq(
+      (1L, "a b\nfooter\na b"),
+      (2L, "unique two\nfooter"),
+      (3L, "footer\nsolo line")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dropBoilerplate(docs, "doc_id", "text", minDf = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    out(1L) shouldBe (("a b\na b", 2L, 1L))
+    out(2L) shouldBe (("unique two", 1L, 1L))
+    out(3L) shouldBe (("solo line", 1L, 1L))
+  }
+
+  test("dropBoilerplate keeps fully-boilerplate docs with empty text") {
+    val docs = Seq((1L, "x"), (2L, "x"), (3L, "x")).toDF("doc_id", "text")
+    val out = TextAnalysis.dropBoilerplate(docs, "doc_id", "text", minDf = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    out.length shouldBe 3
+    out.foreach { case (_, t, k, d) => t shouldBe ""; k shouldBe 0L; d shouldBe 1L }
+  }
+
+  test("dropBoilerplate splits on a literal separator, not a regex") {
+    // '|' would be a regex alternation if unquoted — "a|b" must split into
+    // "a" and "b", not into empty strings.
+    val docs = Seq((1L, "a|b"), (2L, "c|b")).toDF("doc_id", "text")
+    val out = TextAnalysis.dropBoilerplate(docs, "doc_id", "text", sep = "|", minDf = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out(1L) shouldBe "a"
+    out(2L) shouldBe "c"
+  }
 }
