@@ -210,5 +210,27 @@ object ScaleQueries {
             GROUP BY doc_id"""),
   )
 
-  val all: Seq[OracleQuery] = Seq(q75, q76, q77, q78, q79, q80)
+  /** Q81 [X]: exact heavy hitters over the token stream via the
+    * Misra-Gries sketch + exact recount (functions/FrequentItems). The
+    * sketch pass shuffles ≤ ⌈1/support⌉-entry maps instead of the full
+    * key space; its superset guarantee plus the exact second pass keeps
+    * the output deterministic (and DuckDB-twinnable) even though the
+    * sketch itself is order-dependent.
+    */
+  val q81 = OracleQuery(
+    "q81_heavy_hitters",
+    (s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(explode(Dedup.tokens(col("text"))).as("w"))
+      graft.functions.FrequentItems.heavyHitters(tok, "w", support = 0.032)
+    },
+    Some("""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM tok),
+            c AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY w)
+            SELECT w, cnt,
+                   round(CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS share
+            FROM c, n WHERE cnt > n_total * 0.032"""),
+  )
+
+  val all: Seq[OracleQuery] = Seq(q75, q76, q77, q78, q79, q80, q81)
 }
