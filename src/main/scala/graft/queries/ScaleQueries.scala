@@ -232,5 +232,24 @@ object ScaleQueries {
             FROM c, n WHERE cnt > n_total * 0.032"""),
   )
 
-  val all: Seq[OracleQuery] = Seq(q75, q76, q77, q78, q79, q80, q81)
+  /** Q82 [layout]: Morton (Z-order) clustering values over the two join
+    * keys of the fact table — the write-time layout that makes parquet
+    * min/max stats prune on BOTH keys (ops/StorageLayout.zorderWrite; the
+    * quadkey ordering of the reference's tile pyramid generalized). The
+    * oracle twin runs the IDENTICAL shift/or/and chain, emitted by the
+    * same builder, so there is exactly one definition of the bit math.
+    */
+  val q82 = OracleQuery(
+    "q82_zorder",
+    (s, d) =>
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        graft.ops.StorageLayout.zValue(col("l_partkey"), col("l_suppkey"))
+          .as("zv")),
+    Some(s"""SELECT l_orderkey, l_linenumber,
+                    ${graft.ops.StorageLayout.zValueSql("l_partkey", "l_suppkey")} AS zv
+             FROM lineitem"""),
+  )
+
+  val all: Seq[OracleQuery] = Seq(q75, q76, q77, q78, q79, q80, q81, q82)
 }

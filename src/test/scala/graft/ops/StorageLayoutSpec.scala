@@ -29,6 +29,62 @@ class StorageLayoutSpec extends SparkSpec {
     dirs.length should be > 1 // layout actually partitioned
   }
 
+  test("zValue matches a bit-by-bit reference interleave (property)") {
+    val rnd = new scala.util.Random(3)
+    val pts = (0 until 200).map(_ =>
+      (rnd.nextInt(Int.MaxValue).toLong, rnd.nextInt(Int.MaxValue).toLong))
+    def ref(x: Long, y: Long): Long = {
+      var z = 0L
+      for (i <- 0 until 32)
+        z |= (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      z
+    }
+    import spark.implicits._
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"), StorageLayout.zValue(col("x"), col("y")).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pts.foreach { case (x, y) => got((x, y)) shouldBe ref(x, y) }
+  }
+
+  test("zValueSql twin agrees with the column form") {
+    import spark.implicits._
+    // The SQL text is DuckDB-dialect but uses only operators Spark parses
+    // identically (|, &, <<, CAST) — evaluate it via expr() as a cheap
+    // cross-check that both formulations are the same function.
+    val df = Seq((5L, 9L), (0L, 0L), (123456L, 654321L)).toDF("x", "y")
+    val both = df.select(
+      StorageLayout.zValue(col("x"), col("y")).as("a"),
+      expr(StorageLayout.zValueSql("x", "y")).as("b"))
+      .collect()
+    both.foreach(r => r.getLong(0) shouldBe r.getLong(1))
+  }
+
+  test("zorderWrite yields tighter per-file x/y bounds than arrival order") {
+    val li = Tables.lineitem(spark, TestSpark.Sf0001)
+      .select(col("l_partkey"), col("l_suppkey"))
+    def totalArea(dir: String): Double =
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map { f =>
+          val st = spark.read.parquet(f.getAbsolutePath)
+            .agg(min("l_partkey"), max("l_partkey"),
+              min("l_suppkey"), max("l_suppkey")).head()
+          (st.getLong(1) - st.getLong(0) + 1).toDouble *
+            (st.getLong(3) - st.getLong(2) + 1).toDouble
+        }.sum
+    val base = java.nio.file.Files.createTempDirectory("zorder").toString
+    li.repartition(8).write.parquet(s"$base/plain")
+    StorageLayout.zorderWrite(li, "l_partkey", "l_suppkey", s"$base/z", 8)
+    val plainArea = totalArea(s"$base/plain")
+    val zArea = totalArea(s"$base/z")
+    // Row-order files each span ~the whole key plane; z-clustered files
+    // cover disjoint-ish quadrants. Demand at least a 2× win (observed
+    // far larger) so the assertion survives sampling noise.
+    zArea should be < plainArea / 2.0
+    // and the clustered write still round-trips every row
+    spark.read.parquet(s"$base/z").count() shouldBe li.count()
+  }
+
   test("repartition by write key bounds file count per partition") {
     val dir = java.nio.file.Files.createTempDirectory("layout2").toString
     Tables.lineitem(spark, TestSpark.Sf0001)
