@@ -82,6 +82,38 @@ class EventStreamsSpec extends SparkSpec {
     out.map(_.getLong(0)).distinct.length shouldBe 5
   }
 
+  test("ST6 stream-stream interval join == batch join on same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    // Clicks attribute to views ≤ 30' earlier for the same user.
+    val clicks = Seq(
+      Ev(101, 1, "click", t(20), 1.0, "{}"),
+      Ev(102, 2, "click", t(30), 2.0, "{}"))
+    val views = Seq(
+      Ev(201, 1, "view", t(0), 10.0, "{}"),   // 20' before u1 click → pair
+      Ev(202, 1, "view", t(10), 20.0, "{}"),  // 10' before → pair
+      Ev(203, 1, "view", t(25), 30.0, "{}"),  // AFTER the click → no pair
+      Ev(204, 2, "view", t(15), 40.0, "{}"),  // 15' before u2 click → pair
+      Ev(205, 2, "view", t(-10), 50.0, "{}")) // 40' before → outside window
+    val batch = EventStreams
+      .intervalJoinStreams(clicks.toDF(), views.toDF(), "30 minutes")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(5))).toSet
+    batch shouldBe Set((101L, 201L, 11.0), (101L, 202L, 21.0), (102L, 204L, 42.0))
+    val lm = MemoryStream[Ev]
+    val rm = MemoryStream[Ev]
+    lm.addData(clicks)
+    rm.addData(views)
+    val name = s"st6_${System.nanoTime()}"
+    val q = EventStreams
+      .intervalJoinStreams(lm.toDF(), rm.toDF(), "30 minutes")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val stream = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(5))).toSet
+    stream shouldBe batch
+  }
+
   test("ST4b flatMapGroupsWithState: running totals across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
