@@ -186,4 +186,63 @@ object Dedup {
             (size(col("a.gs")) + size(col("b.gs")) - ni).cast("double"),
           6).as("jac"))
   }
+
+  /** Exact-substring dedup (the ExactSubstr shape of Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better"): find
+    * every token position covered by an `l`-token sequence that occurs at
+    * least `minCount` times ANYWHERE in the corpus (including twice in
+    * one document), and merge the per-document hit positions into maximal
+    * spans. Output: one row per affected document — span count, removed
+    * token count, and the span list as "start-end" 1-based inclusive
+    * intervals (the removal plan a rewrite pass would apply).
+    *
+    * Scale shape: gram occurrences explode with stride 1 (the q67 slice
+    * pattern — rows scale with token count, no per-token lambdas); the
+    * global occurrence count is a window over the gram key, so the count
+    * attaches WITHOUT a join back (one shuffle keyed by gram; at 100 TB
+    * swap the gram string for xxhash64(gram) as the shuffle key — the
+    * grouping is identical, the wire format 8 bytes). Span merging is
+    * gaps-and-islands: a running max of span ends over the doc-keyed
+    * window, island breaks where a hit starts past every previous end —
+    * both windows share one doc-keyed sort, and only duplicate-gram HITS
+    * reach them, never the full token stream.
+    */
+  def repeatedSubstrSpans(docs: DataFrame, idCol: String, textCol: String,
+      l: Int = 8, minCount: Long = 2L): DataFrame = {
+    val a = tokens(col(textCol))
+    val occ = docs
+      .select(col(idCol), a.as("a"), size(a).as("n"))
+      .filter(col("n") >= l)
+      .select(col(idCol),
+        posexplode(sequence(lit(1), col("n") - (l - 1))).as(Seq("p", "pos")),
+        col("a"))
+      .select(col(idCol), col("pos"),
+        array_join(slice(col("a"), col("pos"), lit(l)), " ").as("gram"))
+    val wGram = Window.partitionBy("gram")
+    val hits = occ
+      .withColumn("g_cnt", count(lit(1)).over(wGram))
+      .filter(col("g_cnt") >= minCount)
+      .select(col(idCol), col("pos"), (col("pos") + (l - 1)).as("fin"))
+    val wPrev = Window.partitionBy(idCol).orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(idCol).orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    hits
+      .withColumn("prev_end", max(col("fin")).over(wPrev))
+      .withColumn("brk",
+        when(col("prev_end").isNull || col("pos") > col("prev_end"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(wRun))
+      .groupBy(col(idCol), col("island"))
+      .agg(min(col("pos")).as("start"), max(col("fin")).as("fin"))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(col("fin") - col("start") + 1).as("n_removed"),
+        concat_ws(",",
+          transform(
+            array_sort(collect_list(struct(col("start"), col("fin")))),
+            x => concat_ws("-", x.getField("start"), x.getField("fin"))))
+          .as("spans"))
+  }
 }

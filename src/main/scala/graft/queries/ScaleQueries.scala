@@ -251,5 +251,40 @@ object ScaleQueries {
              FROM lineitem"""),
   )
 
-  val all: Seq[OracleQuery] = Seq(q75, q76, q77, q78, q79, q80, q81, q82)
+  /** Q83 [X dedup]: exact-substring dedup spans (ExactSubstr, Lee et al.):
+    * token positions covered by any 8-gram occurring ≥ 2 times in the
+    * corpus, merged to maximal per-document spans. The global gram count
+    * is a window over the gram key (no join-back); span merging is
+    * gaps-and-islands over only the duplicate hits.
+    */
+  val q83 = OracleQuery(
+    "q83_substr_dedup",
+    (s, d) => Dedup.repeatedSubstrSpans(
+      Tables.documents(s, d), "doc_id", "text", l = 8, minCount = 2L),
+    Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            occ AS (SELECT doc_id, i AS pos, i + 7 AS fin,
+                           array_to_string(t[i:i+7], ' ') AS gram
+                    FROM tok, unnest(generate_series(1, len(t) - 7)) AS u(i)),
+            hit AS (SELECT doc_id, pos, fin FROM
+                      (SELECT *, count(*) OVER (PARTITION BY gram) AS g_cnt FROM occ)
+                    WHERE g_cnt >= 2),
+            isl AS (SELECT doc_id, pos, fin,
+                           sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+                    FROM (SELECT *, CASE WHEN prev_end IS NULL OR pos > prev_end
+                                         THEN 1 ELSE 0 END AS brk
+                          FROM (SELECT *, max(fin) OVER
+                                       (PARTITION BY doc_id ORDER BY pos
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+                                FROM hit))),
+            sp AS (SELECT doc_id, island, min(pos) AS st, max(fin) AS fin
+                   FROM isl GROUP BY doc_id, island)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                   CAST(sum(fin - st + 1) AS BIGINT) AS n_removed,
+                   string_agg(CAST(st AS VARCHAR) || '-' || CAST(fin AS VARCHAR),
+                              ',' ORDER BY st) AS spans
+            FROM sp GROUP BY doc_id"""),
+  )
+
+  val all: Seq[OracleQuery] = Seq(q75, q76, q77, q78, q79, q80, q81, q82, q83)
 }

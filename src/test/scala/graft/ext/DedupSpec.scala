@@ -66,4 +66,43 @@ class DedupSpec extends SparkSpec {
     j(2L) should (be > 0.5 and be < 1.0) // docs 2-3 near dup
     j(3L) shouldBe 0.0 // docs 3-4 unrelated
   }
+
+  test("repeatedSubstrSpans: cross-doc repeats merge to maximal spans") {
+    import spark.implicits._
+    // Docs 1 and 2 share "p q r" (and its 1-shifted overlap "q r s"):
+    // hits at positions 2 and 3 in doc 1 merge into one span 2-5.
+    val d = Seq(
+      (1L, "a p q r s b c"),
+      (2L, "x p q r s y"),
+      (3L, "totally different words here now")
+    ).toDF("doc_id", "text")
+    val out = Dedup.repeatedSubstrSpans(d, "doc_id", "text", l = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    out(1L) shouldBe ((1L, 4L, "2-5"))
+    out(2L) shouldBe ((1L, 4L, "2-5"))
+    out.contains(3L) shouldBe false
+  }
+
+  test("repeatedSubstrSpans: within-doc repetition counts; disjoint spans listed") {
+    import spark.implicits._
+    // "u v w" occurs twice INSIDE doc 5 (positions 1 and 7, disjoint) —
+    // global count 2 with no second document.
+    val d = Seq(
+      (5L, "u v w a b c u v w"),
+      (6L, "nothing shared at all zz")
+    ).toDF("doc_id", "text")
+    val out = Dedup.repeatedSubstrSpans(d, "doc_id", "text", l = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    out(5L) shouldBe ((2L, 6L, "1-3,7-9"))
+    out.contains(6L) shouldBe false
+  }
+
+  test("repeatedSubstrSpans: docs shorter than l never error or match") {
+    import spark.implicits._
+    val d = Seq((1L, "a b"), (2L, "a b"), (3L, "a b c d e")).toDF("doc_id", "text")
+    // 2-token docs have no 3-grams — even though their full text repeats.
+    Dedup.repeatedSubstrSpans(d, "doc_id", "text", l = 3).count() shouldBe 0L
+  }
 }
