@@ -286,5 +286,64 @@ object ScaleQueries {
             FROM sp GROUP BY doc_id"""),
   )
 
-  val all: Seq[OracleQuery] = Seq(q75, q76, q77, q78, q79, q80, q81, q82, q83)
+  /** Q84 [as-of]: forward as-of join — each event matched to the NEXT
+    * purchase (smallest purchase id ≥ its own) per user: q36's mirror,
+    * same one-exchange union-window plan on the time axis reversed.
+    * DuckDB's ASOF accepts the flipped inequality natively.
+    */
+  val q84 = OracleQuery(
+    "q84_asof_forward",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_event_id"),
+          col("event_id").as("p_id"))
+      graft.ops.AsOfJoin.asOf(ev, purchases, "user_id", "event_id",
+        "p_event_id", direction = "forward")
+        .select(col("event_id"), col("user_id"), col("r_p_id").as("next_purchase"))
+    },
+    Some("""SELECT e.event_id, e.user_id, p.event_id AS next_purchase
+            FROM events e
+            ASOF LEFT JOIN (SELECT user_id, event_id FROM events
+                            WHERE event_type = 'purchase') p
+              ON e.user_id = p.user_id AND e.event_id <= p.event_id"""),
+  )
+
+  /** Q85 [as-of]: nearest as-of join — the closer of the previous and next
+    * purchase, exact tie keeping backward (pandas merge_asof convention).
+    * One exchange, two window chains; the twin restates it as two DuckDB
+    * ASOF joins and a CASE on the distances.
+    */
+  val q85 = OracleQuery(
+    "q85_asof_nearest",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_event_id"),
+          col("event_id").as("p_id"))
+      graft.ops.AsOfJoin.asOf(ev, purchases, "user_id", "event_id",
+        "p_event_id", direction = "nearest")
+        .select(col("event_id"), col("user_id"),
+          col("r_p_id").as("near_purchase"))
+    },
+    Some("""WITH p AS (SELECT user_id, event_id AS pid FROM events
+                       WHERE event_type = 'purchase'),
+            b AS (SELECT e.event_id, e.user_id, p.pid AS bid
+                  FROM events e ASOF LEFT JOIN p
+                    ON e.user_id = p.user_id AND e.event_id >= p.pid),
+            f AS (SELECT e.event_id, p.pid AS fid
+                  FROM events e ASOF LEFT JOIN p
+                    ON e.user_id = p.user_id AND e.event_id <= p.pid)
+            SELECT b.event_id, b.user_id,
+                   CASE WHEN bid IS NULL THEN fid
+                        WHEN fid IS NULL THEN bid
+                        WHEN (fid - b.event_id) < (b.event_id - bid) THEN fid
+                        ELSE bid END AS near_purchase
+            FROM b JOIN f USING (event_id)"""),
+  )
+
+  val all: Seq[OracleQuery] =
+    Seq(q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85)
 }
