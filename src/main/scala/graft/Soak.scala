@@ -144,6 +144,29 @@ object Soak {
         .groupBy("label", "pos").agg(avg("x"))
         .groupBy("label").count().count())
 
+    time("heavy hitters (MG sketch + recount)")(
+      graft.functions.FrequentItems.heavyHitters(
+        docs.select(explode(Dedup.tokens(col("text"))).as("w")), "w", 0.0005)
+        .count())
+    time("boilerplate line dedup (4-token lines)")(
+      TextAnalysis.dropFrequentLines(
+        docs.select(col("doc_id"),
+            Dedup.tokens(col("text")).as("a"))
+          .select(col("doc_id"),
+            posexplode(sequence(lit(0L),
+              ceil(size(col("a")) / lit(4.0)).cast("long") - 1)).as(Seq("p", "cid")),
+            col("a"))
+          .select(col("doc_id"), col("cid"),
+            array_join(slice(col("a"), (col("cid") * 4 + 1).cast("int"), lit(4)), " ")
+              .as("line")),
+        "doc_id", "cid", "line", minDf = 2)
+        .agg(sum("n_dropped")).count())
+    time("exact-substring dedup spans (8-grams)")(
+      Dedup.repeatedSubstrSpans(docs, "doc_id", "text", l = 8)
+        .agg(sum("n_removed")).count())
+    time("blocked all-pairs cosine (threshold .9)")(
+      Similarity.nearDupPairsBlocked(vecs, "embedding", "vec_id", 0.9,
+        blocks = 64).count())
     time("banded range join (self, width 0.5/1k keys)")(
       RangeJoin.banded(
         vecs.select(col("vec_id").as("a"), (pmod(xxhash64(col("vec_id")), lit(100000)).cast("double") / 100.0).as("va")),

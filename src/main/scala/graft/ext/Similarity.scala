@@ -166,16 +166,21 @@ object Similarity {
     val out = keyed.groupByKey(t => (t._1, t._2)).flatMapGroups {
       (key: (Int, Int), it: Iterator[(Int, Int, Boolean, Long, Array[Double], Double)]) =>
         val (bi, bj) = key
-        val lId = scala.collection.mutable.ArrayBuffer.empty[Long]
-        val lV = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
-        val lN = scala.collection.mutable.ArrayBuffer.empty[Double]
-        val rId = scala.collection.mutable.ArrayBuffer.empty[Long]
-        val rV = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
-        val rN = scala.collection.mutable.ArrayBuffer.empty[Double]
+        val lIdB = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val lVB = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+        val lNB = scala.collection.mutable.ArrayBuffer.empty[Double]
+        val rIdB = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val rVB = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+        val rNB = scala.collection.mutable.ArrayBuffer.empty[Double]
         it.foreach { case (_, _, isLeft, vid, v, nrm) =>
-          if (isLeft) { lId += vid; lV += v; lN += nrm }
-          else { rId += vid; rV += v; rN += nrm }
+          if (isLeft) { lIdB += vid; lVB += v; lNB += nrm }
+          else { rIdB += vid; rVB += v; rNB += nrm }
         }
+        // The pair loops index these O(n²/B²) times — materialize as
+        // PRIMITIVE arrays first (ArrayBuffer[Long/Double] is unspecialized:
+        // every apply() unboxes, and that tax dominates a 64-flop kernel).
+        val lId = lIdB.toArray; val lV = lVB.toArray; val lN = lNB.toArray
+        val rId = rIdB.toArray; val rV = rVB.toArray; val rN = rNB.toArray
         val res = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
         // Skip the decimal conversion for clear rejects; see scaladoc.
         val rawCut = threshold - 1e-6
