@@ -187,6 +187,64 @@ object Dedup {
           6).as("jac"))
   }
 
+  /** EXACT all-pairs set-similarity join (AllPairs/PPJoin prefix filtering,
+    * Bayardo et al. WWW'07): every document pair whose distinct word
+    * n-gram sets have Jaccard ≥ tauNum/tauDen, with the exact overlap and
+    * score. The LSH pipeline above is the probabilistic fast path; this is
+    * its exact complement — no false negatives, no bands to tune.
+    *
+    * Candidate generation: order each document's grams rarest-first by
+    * global document frequency (a broadcast-size vocabulary join) and emit
+    * only the first `n - ⌈τ·n⌉ + 1` grams as probes. The prefix-filter
+    * lemma guarantees any qualifying pair collides on at least one probe
+    * gram under the common order; the length filter (`τ·max ≤ min`) prunes
+    * size-incompatible pairs inside the join condition. Rarest-first makes
+    * probe buckets the SMALLEST ones — the frequent grams that would
+    * produce quadratic bucket fan-out never become probes. Verification
+    * joins the per-doc sorted gram arrays (one row per doc, the
+    * set-per-doc shape of [[consecutiveNgramJaccard]]) and compares with
+    * INTEGER arithmetic (`tauDen·i ≥ tauNum·(na+nb−i)`), so there is no
+    * float threshold to drift across engines.
+    */
+  def jaccardSimilarityJoin(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 2, tauNum: Int = 1, tauDen: Int = 2): DataFrame = {
+    require(tauNum >= 1 && tauNum <= tauDen,
+      s"jaccardSimilarityJoin: need 0 < tauNum/tauDen <= 1, got $tauNum/$tauDen")
+    val grams = ngramsExploded(docs, idCol, textCol, n)
+      .select(col(idCol).as("__id"), col("g"))
+    val gdf = grams.groupBy("g").agg(count(lit(1)).as("gdf"))
+    val sets = grams.join(broadcast(gdf), "g")
+      .groupBy("__id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("gdf"), col("g")))),
+        x => x.getField("g")).as("gs"))
+      .select(col("__id"), col("gs"), size(col("gs")).cast("long").as("nn"))
+    val prefixLen = (col("nn") -
+      floor((col("nn") * tauNum + (tauDen - 1)) / lit(tauDen.toDouble)) + 1)
+      .cast("int")
+    val probes = sets.select(col("__id"), col("nn"),
+      explode(slice(col("gs"), lit(1), prefixLen)).as("g"))
+    val cand = probes.alias("a").join(probes.alias("b"),
+      col("a.g") === col("b.g") &&
+        col("a.__id") < col("b.__id") &&
+        col("a.nn") * tauNum <= col("b.nn") * tauDen &&
+        col("b.nn") * tauNum <= col("a.nn") * tauDen)
+      .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
+      .distinct()
+    val verified = cand
+      .join(sets.select(col("__id").as("doc_a"), col("gs").as("ga"),
+        col("nn").as("na")), "doc_a")
+      .join(sets.select(col("__id").as("doc_b"), col("gs").as("gb"),
+        col("nn").as("nb")), "doc_b")
+      .withColumn("n_common",
+        size(array_intersect(col("ga"), col("gb"))).cast("long"))
+      .filter(col("n_common") * tauDen >=
+        (col("na") + col("nb") - col("n_common")) * tauNum)
+    verified.select(col("doc_a"), col("doc_b"), col("n_common"),
+      round(col("n_common").cast("double") /
+        (col("na") + col("nb") - col("n_common")).cast("double"), 6).as("jac"))
+  }
+
   /** Exact-substring dedup (the ExactSubstr shape of Lee et al.,
     * "Deduplicating Training Data Makes Language Models Better"): find
     * every token position covered by an `l`-token sequence that occurs at

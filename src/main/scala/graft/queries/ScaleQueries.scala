@@ -344,6 +344,31 @@ object ScaleQueries {
             FROM b JOIN f USING (event_id)"""),
   )
 
+  /** Q86 [X dedup]: exact all-pairs Jaccard join (prefix filtering) over
+    * bigram sets at τ = 1/2 — the no-false-negative complement of the LSH
+    * pipeline. The threshold compares in integer arithmetic on both
+    * engines; the twin brute-forces via the token-level self-join.
+    */
+  val q86 = OracleQuery(
+    "q86_jaccard_join",
+    (s, d) => Dedup.jaccardSimilarityJoin(
+      Tables.documents(s, d), "doc_id", "text", n = 2, tauNum = 1, tauDen = 2),
+    Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            bg AS (SELECT DISTINCT doc_id, g FROM
+                     (SELECT doc_id, unnest([t[i] || ' ' || t[i+1]
+                             FOR i IN generate_series(1, len(t) - 1)]) AS g FROM tok)),
+            n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nn FROM bg GROUP BY doc_id),
+            i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         CAST(count(*) AS BIGINT) AS n_common
+                  FROM bg a JOIN bg b ON b.g = a.g AND b.doc_id > a.doc_id
+                  GROUP BY 1, 2)
+            SELECT doc_a, doc_b, n_common,
+                   round(CAST(n_common AS DOUBLE) /
+                         CAST(x.nn + y.nn - n_common AS DOUBLE), 6) AS jac
+            FROM i JOIN n x ON x.doc_id = doc_a JOIN n y ON y.doc_id = doc_b
+            WHERE 2 * n_common >= (x.nn + y.nn - n_common)"""),
+  )
+
   val all: Seq[OracleQuery] =
-    Seq(q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85)
+    Seq(q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86)
 }

@@ -99,6 +99,32 @@ class DedupSpec extends SparkSpec {
     out.contains(6L) shouldBe false
   }
 
+  test("jaccardSimilarityJoin ≡ brute force on random corpora (property)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // 80 docs over a 60-word vocab, with a planted near-dup pair: big
+    // shared-bigram overlaps exist, most pairs fall below τ.
+    val base = (0 until 80).map { i =>
+      val words = Seq.fill(12 + rnd.nextInt(10))(s"v${rnd.nextInt(60)}")
+      (i.toLong, words.mkString(" "))
+    }
+    val docs = (base :+ ((80L, base(3)._2 + " extra"))).toDF("doc_id", "text")
+    for ((tn, td) <- Seq((1, 2), (3, 10), (9, 10))) {
+      val got = Dedup.jaccardSimilarityJoin(docs, "doc_id", "text", 2, tn, td)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // brute force over collected bigram sets
+      val sets = base.map { case (id, t) =>
+        id -> t.split(" ").sliding(2).map(_.mkString(" ")).toSet
+      } :+ (80L -> (base(3)._2 + " extra").split(" ").sliding(2).map(_.mkString(" ")).toSet)
+      val want = (for {
+        (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+        i = (sa & sb).size.toLong
+        if i * td >= (sa.size + sb.size - i) * tn
+      } yield (ia, ib, i)).toSet
+      got shouldBe want
+    }
+  }
+
   test("repeatedSubstrSpans: docs shorter than l never error or match") {
     import spark.implicits._
     val d = Seq((1L, "a b"), (2L, "a b"), (3L, "a b c d e")).toDF("doc_id", "text")
