@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame}
 
 import graft.ext.{Dedup, DedupCluster, Packing, Repetition, Sampling, Similarity, TextAnalysis}
-import graft.ops.{Cdc, RangeJoin, Salting, Upsert}
+import graft.functions.FrequentItems
+import graft.ops.{AsOfJoin, Cdc, RangeJoin, Salting, StorageLayout, Upsert}
 
 /** User-facing entry point: `import graft.syntax._` puts the engine's
   * operators on every DataFrame, so pipelines read as method chains
@@ -30,6 +31,18 @@ object syntax {
     def dedupClusters(idCol: String, textCol: String): DataFrame =
       DedupCluster.dedupClusters(df, idCol, textCol)
 
+    def dropBoilerplate(idCol: String, textCol: String, sep: String = "\n",
+        minDf: Int = 2): DataFrame =
+      TextAnalysis.dropBoilerplate(df, idCol, textCol, sep, minDf)
+
+    def repeatedSubstrSpans(idCol: String, textCol: String, l: Int = 8,
+        minCount: Long = 2L): DataFrame =
+      Dedup.repeatedSubstrSpans(df, idCol, textCol, l, minCount)
+
+    def jaccardJoin(idCol: String, textCol: String, n: Int = 2,
+        tauNum: Int = 1, tauDen: Int = 2): DataFrame =
+      Dedup.jaccardSimilarityJoin(df, idCol, textCol, n, tauNum, tauDen)
+
     // --- similarity ------------------------------------------------------
     def cosineTopK(vecCol: String, idCol: String, query: DataFrame,
         k: Int): DataFrame =
@@ -42,6 +55,10 @@ object syntax {
     def nearDuplicates(vecCol: String, idCol: String,
         threshold: Double): DataFrame =
       Similarity.nearDupPairs(df, vecCol, idCol, threshold)
+
+    def nearDuplicatesBlocked(vecCol: String, idCol: String,
+        threshold: Double, blocks: Int = 16): DataFrame =
+      Similarity.nearDupPairsBlocked(df, vecCol, idCol, threshold, blocks)
 
     // --- corpus curation -------------------------------------------------
     def packShards(idCol: String, groupCol: String, nTok: Column,
@@ -75,6 +92,18 @@ object syntax {
     def diffAgainst(newSnap: DataFrame, key: String,
         compareCols: Seq[String]): DataFrame =
       Cdc.snapshotDiff(df, newSnap, key, compareCols)
+
+    def asOfJoin(right: DataFrame, keyCol: String, leftTime: String,
+        rightTime: String, direction: String = "backward"): DataFrame =
+      AsOfJoin.asOf(df, right, keyCol, leftTime, rightTime,
+        direction = direction)
+
+    def heavyHitters(itemCol: String, support: Double): DataFrame =
+      FrequentItems.heavyHitters(df, itemCol, support)
+
+    def zorderWrite(xCol: String, yCol: String, path: String,
+        files: Int): Unit =
+      StorageLayout.zorderWrite(df, xCol, yCol, path, files)
   }
 
   implicit class GraftTextColumn(private val text: Column) extends AnyVal {

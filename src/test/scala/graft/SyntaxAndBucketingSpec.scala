@@ -42,6 +42,24 @@ class SyntaxAndBucketingSpec extends SparkSpec {
     val ivr = Seq((1L, 20L, 4L, 9L)).toDF("key", "rid", "rs", "re")
     ivl.intervalJoin(ivr, "ls", "le", "rs", "re", Seq("key"), 8L)
       .count() shouldBe 1
+    // round-4 sugar: line dedup, substring spans, jaccard join, as-of
+    // directions, heavy hitters, blocked pairs
+    val ml = Seq((1L, "x\ny"), (2L, "x\nz")).toDF("doc_id", "text")
+    ml.dropBoilerplate("doc_id", "text").orderBy("doc_id")
+      .collect().map(_.getString(1)).toSeq shouldBe Seq("y", "z")
+    docs.repeatedSubstrSpans("doc_id", "text", l = 3)
+      .filter($"doc_id" <= 2L).count() shouldBe 2 // docs 1+2 identical
+    docs.jaccardJoin("doc_id", "text", 2, 1, 2)
+      .select("doc_a", "doc_b").head().toSeq shouldBe Seq(1L, 2L)
+    val trades = Seq(("A", 10L, 1.0)).toDF("sym", "t", "px")
+    val quotes = Seq(("A", 12L, 2.0)).toDF("sym", "qt", "qx")
+    trades.asOfJoin(quotes, "sym", "t", "qt", direction = "nearest")
+      .head().getAs[Double]("r_qx") shouldBe 2.0
+    Seq("a", "a", "b").toDF("w").heavyHitters("w", 0.5)
+      .head().getString(0) shouldBe "a"
+    val emb = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    emb.nearDuplicatesBlocked("embedding", "vec_id", 0.9).count() shouldBe 1
   }
 
   test("bucketed join plans without an exchange (co-located storage)") {
