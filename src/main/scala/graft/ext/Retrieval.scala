@@ -1,0 +1,90 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval scoring: BM25 over the corpus' own term statistics.
+  * The retrieval complement of the TF-IDF keyword surface (q47) — the op a
+  * training pipeline runs to mine corpus documents relevant to a query
+  * term set (e.g. targeted curation, contamination triage, RAG indexing).
+  *
+  * Scale shape: the per-document length table is one narrow aggregate of
+  * the token table; everything query-dependent is filtered to the query's
+  * terms BEFORE any shuffle, so the scored relation is O(matching docs ·
+  * query terms), never O(corpus vocabulary). df/N/avgdl are one-row or
+  * |query|-row broadcasts. At 100 TB the only wide shuffle is the
+  * (doc, term) tf aggregate, which is the minimum any lexical scorer pays;
+  * a pre-materialized tf table (inverted index) removes even that.
+  *
+  * Cross-engine determinism: each term's contribution is rounded then
+  * DECIMAL-cast before the per-document sum, so the score is independent
+  * of Spark's partial-aggregation split vs the oracle's single pass (the
+  * q72 pattern); ranking orders by the rounded score with the id as a
+  * total-order tiebreak (the q47 pattern).
+  */
+object Retrieval {
+
+  /** BM25 top-k: score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    * with the Lucene idf `ln(1 + (N−df+0.5)/(df+0.5))`. Only documents
+    * containing ≥1 query term appear (standard retrieval semantics).
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tok = docs.select(col(idCol), explode(Dedup.tokens(col(textCol))).as("w"))
+    // Per-document length and its corpus mean: the query-independent stats.
+    val dl = tok.groupBy(idCol).agg(count(lit(1)).as("dl"))
+    val avgdl = dl.agg(avg(col("dl")).as("avgdl"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    // Query-dependent: restrict to the query's terms before grouping, so
+    // the tf/df aggregates shuffle only matching (doc, term) rows.
+    val qtok = tok.filter(col("w").isin(queryTerms: _*))
+    val tf = qtok.groupBy(col(idCol), col("w")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfNorm = col("tf") * (lit(k1) + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+    val contrib = tf
+      .join(broadcast(dfreq), "w")
+      .join(dl, idCol)
+      .crossJoin(broadcast(avgdl)).crossJoin(broadcast(nDocs))
+      // Round-then-DECIMAL per term: the subsequent sum is exact, so the
+      // engines' different aggregation phase structures cannot diverge.
+      .select(col(idCol),
+        round(idf * tfNorm, 9).cast("decimal(28,9)").as("c"))
+    // Global top-k via orderBy+limit (TakeOrderedAndProject — per-partition
+    // heaps, no single-partition window over the full scored relation);
+    // the rank column is a window over the k survivors only.
+    val top = contrib.groupBy(idCol)
+      .agg(round(sum(col("c")).cast("double"), 6).as("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+    top.withColumn("rnk",
+      row_number().over(Window.orderBy(desc("score"), col(idCol))))
+  }
+
+  /** The DuckDB twin of [[bm25TopK]] (same stats, same rounding route). */
+  def bm25OracleSql(queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): String = {
+    val termList = queryTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+             dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+             ad AS (SELECT avg(dl) AS avgdl FROM dl),
+             nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+             tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+                    FROM tok WHERE w IN ($termList) GROUP BY doc_id, w),
+             dfq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w),
+             c AS (SELECT doc_id,
+                     CAST(round(
+                       ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+                       tf * ($k1 + 1.0) /
+                       (tf + $k1 * (1.0 - $b + $b * dl.dl / ad.avgdl)), 9)
+                       AS DECIMAL(28,9)) AS c
+                   FROM tf JOIN dfq USING (w) JOIN dl USING (doc_id), ad, nd)
+        SELECT doc_id, round(CAST(sum(c) AS DOUBLE), 6) AS score,
+               CAST(row_number() OVER (ORDER BY round(CAST(sum(c) AS DOUBLE), 6) DESC, doc_id) AS INTEGER) AS rnk
+        FROM c GROUP BY doc_id QUALIFY rnk <= $k"""
+  }
+}

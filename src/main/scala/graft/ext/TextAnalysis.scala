@@ -200,4 +200,45 @@ object TextAnalysis {
         .as(Seq("pos", "line")))
     dropFrequentLines(lines, idCol, "pos", "line", minDf, sep)
   }
+
+  /** Per-slice token-distribution divergence vs the whole corpus: for each
+    * value of `sliceCol` (source, language, shard, time bucket …) computes
+    * KL(P_slice ‖ P_corpus) = Σ_w p_s(w)·ln(p_s(w)/p_c(w)) and the
+    * cross-entropy H(P_slice, P_corpus) = −Σ_w p_s(w)·ln p_c(w) — the
+    * data-recipe monitor answering "which sources drifted away from the
+    * mix?" (the token-level sibling of the numeric PSI in
+    * [[graft.ops.Drift]]). KL is finite by construction: every slice token
+    * is part of the corpus, so p_c(w) > 0 wherever p_s(w) > 0.
+    *
+    * Scale shape: one (slice, token) shuffle over the token stream; the
+    * corpus-wide distribution is NOT a second corpus pass — it re-aggregates
+    * the (slice, token) counts (vocabulary-sized input) and joins back as a
+    * one-row-per-token broadcast. Output is |slices| rows.
+    *
+    * Cross-engine determinism: each token's divergence term is rounded then
+    * DECIMAL-cast before the per-slice sum (the q72 route), so engines'
+    * different aggregation phase structures cannot flip the round-6 output.
+    */
+  def sliceTokenKl(docs: org.apache.spark.sql.DataFrame, sliceCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val tok = docs.select(col(sliceCol), explode(Dedup.tokens(col(textCol))).as("w"))
+    val sw = tok.groupBy(sliceCol, "w").agg(count(lit(1)).as("cnt_sw"))
+    val wTot = sw.groupBy("w").agg(sum("cnt_sw").as("cnt_w"))
+    val sTot = sw.groupBy(sliceCol).agg(sum("cnt_sw").as("n_s"))
+    val tot = wTot.agg(sum("cnt_w").as("n_tot"))
+    val pS = col("cnt_sw").cast("double") / col("n_s").cast("double")
+    val pC = col("cnt_w").cast("double") / col("n_tot").cast("double")
+    sw.join(broadcast(wTot), "w")
+      .join(broadcast(sTot), sliceCol)
+      .crossJoin(broadcast(tot))
+      .select(col(sliceCol),
+        round(pS * log(pS / pC), 12).cast("decimal(32,12)").as("kl_term"),
+        round(pS * log(pC), 12).cast("decimal(32,12)").as("ce_term"),
+        col("n_s"))
+      .groupBy(sliceCol)
+      .agg(
+        round(sum(col("kl_term")).cast("double"), 6).as("kl"),
+        round(-sum(col("ce_term")).cast("double"), 6).as("cross_entropy"),
+        first(col("n_s")).as("n_tok"))
+  }
 }

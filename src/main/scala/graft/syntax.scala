@@ -2,9 +2,9 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame}
 
-import graft.ext.{Dedup, DedupCluster, Packing, Repetition, Sampling, Similarity, TextAnalysis}
+import graft.ext.{Dedup, DedupCluster, Packing, Repetition, Retrieval, Sampling, Similarity, TextAnalysis}
 import graft.functions.FrequentItems
-import graft.ops.{AsOfJoin, Cdc, RangeJoin, Salting, StorageLayout, Upsert}
+import graft.ops.{AsOfJoin, Cdc, Graph, RangeJoin, Salting, StorageLayout, Upsert}
 
 /** User-facing entry point: `import graft.syntax._` puts the engine's
   * operators on every DataFrame, so pipelines read as method chains
@@ -70,6 +70,17 @@ object syntax {
 
     def repetitionMetrics(idCol: String, textCol: String): DataFrame =
       Repetition.repetitionMetrics(df, idCol, textCol)
+
+    def bm25TopK(idCol: String, textCol: String, terms: Seq[String],
+        k: Int): DataFrame =
+      Retrieval.bm25TopK(df, idCol, textCol, terms, k)
+
+    def sliceTokenKl(sliceCol: String, textCol: String): DataFrame =
+      TextAnalysis.sliceTokenKl(df, sliceCol, textCol)
+
+    def bfsHops(srcCol: String, dstCol: String, seeds: Seq[Long],
+        maxHops: Int): DataFrame =
+      Graph.bfsHops(df, srcCol, dstCol, seeds, maxHops)
 
     // --- joins / upserts -------------------------------------------------
     def bandedJoin(right: DataFrame, leftVal: String, rightVal: String,

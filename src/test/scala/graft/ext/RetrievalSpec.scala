@@ -1,0 +1,104 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ops.Graph
+
+/** [X] retrieval & structure ops: BM25, slice KL, BFS, PQ-ANN. */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "spark shuffle join spark spark"),
+    (1L, "spark merge"),
+    (2L, "merge merge merge sort sort"),
+    (3L, "sort table window window agg")
+  ).toDF("doc_id", "text")
+
+  test("bm25TopK: hand-computed score on a tiny corpus, matching docs only") {
+    val top = Retrieval.bm25TopK(docs, "doc_id", "text",
+      Seq("spark", "merge"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    // doc 3 contains neither term → absent
+    top.map(_._1).toSet shouldBe Set(0L, 1L, 2L)
+    top.map(_._3).toSeq shouldBe (1 to top.length)
+    // hand BM25 for doc 1 (both terms, tf=1, dl=2, avgdl=17/4, N=4,
+    // df(spark)=2, df(merge)=2): idf = ln(1 + 2.5/2.5) = ln 2
+    val idf = math.log(2.0)
+    val tfn = 2.2 / (1.0 + 1.2 * (1 - 0.75 + 0.75 * 2 / 4.25))
+    val expected1 = BigDecimal(2 * (BigDecimal(idf * tfn)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    top.find(_._1 == 1L).get._2 shouldBe expected1 +- 1e-9
+  }
+
+  test("bm25TopK: a doc saturated in one term scores below one matching both") {
+    val top = Retrieval.bm25TopK(docs, "doc_id", "text",
+      Seq("spark", "merge"), k = 1).collect()
+    top.head.getLong(0) shouldBe 1L // two-term match beats tf-saturation
+  }
+
+  test("sliceTokenKl: identical slices diverge zero, skewed slice positive") {
+    val d = Seq(
+      ("a", "x y"), ("a", "x y"),
+      ("b", "x y"), ("b", "x y")
+    ).toDF("src", "text")
+    val kl = TextAnalysis.sliceTokenKl(d, "src", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    kl("a") shouldBe 0.0 +- 1e-9
+    kl("b") shouldBe 0.0 +- 1e-9
+
+    val skewed = Seq(("a", "x x x x"), ("b", "x y y y")).toDF("src", "text")
+    val kl2 = TextAnalysis.sliceTokenKl(skewed, "src", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    kl2("a") should be > 0.0
+    kl2("b") should be > 0.0
+  }
+
+  test("sliceTokenKl: n_tok counts slice tokens; cross_entropy ≥ corpus entropy") {
+    val d = Seq(("a", "x x y"), ("b", "y z")).toDF("src", "text")
+    val rows = TextAnalysis.sliceTokenKl(d, "src", "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    rows("a").getLong(3) shouldBe 3L
+    rows("b").getLong(3) shouldBe 2L
+    // H(P_s, P_c) = H(P_s) + KL(P_s ‖ P_c) ≥ 0, and ≥ KL
+    rows.values.foreach { r => r.getDouble(2) should be >= r.getDouble(1) }
+  }
+
+  private val chainEdges = Seq(
+    // 1 — 2 — 3 — 4 — 5 chain plus branch 2 — 10; 99 isolated via 6—7
+    (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (2L, 10L), (6L, 7L)
+  ).flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+
+  test("bfsHops: exact min-hop levels, bounded depth, unreachable absent") {
+    val hops = Graph.bfsHops(chainEdges, "src", "dst", Seq(1L), maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    hops shouldBe Map(1L -> 0, 2L -> 1, 3L -> 2, 10L -> 2, 4L -> 3)
+    // node 5 is 4 hops out (beyond bound); 6/7 are disconnected
+  }
+
+  test("bfsHops: multi-seed takes the nearer seed's hop count") {
+    val hops = Graph.bfsHops(chainEdges, "src", "dst", Seq(1L, 5L), maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    hops(2L) shouldBe 1 // from seed 1
+    hops(4L) shouldBe 1 // from seed 5
+    hops(3L) shouldBe 2 // equidistant from both seeds
+  }
+
+  test("PqIndex: ADC shortlist + exact re-rank recovers the exact top-k") {
+    // 40 deterministic 8-dim vectors in two well-separated clusters.
+    val vecs = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) 1.0f else -1.0f
+      (i.toLong, Array.tabulate(8)(j => base * (1.0f + 0.01f * ((i + j) % 5))))
+    }.toDF("vec_id", "embedding")
+    val model = PqIndex.build(vecs, "embedding", "vec_id", m = 4, ksub = 4)
+    val q = Array.fill(8)(1.0)
+    val got = PqIndex.search(model, q, "vec_id", k = 5)
+      .collect().map(_.getLong(0)).toSet
+    val exact = Similarity.bruteForceTopK(vecs, "embedding", "vec_id",
+      Seq(q).toDF("qv").select($"qv"), 5).collect().map(_.getLong(0)).toSet
+    got shouldBe exact // separated clusters → PQ recall 1.0
+    model.encoded.select("codes").head().getSeq[Int](0).length shouldBe 4
+  }
+}
