@@ -53,11 +53,12 @@ object RetrievalQueries {
             FROM c GROUP BY src"""),
   )
 
-  /** Q89 [X]: bounded BFS — minimum hop count from part #1 over the
+  /** Q89 [X]: bounded BFS — minimum hop count from supplier #1 over the
     * bipartite supplier↔part graph (edges = sparse lineitem slice, both
-    * directions; part ids offset by 10^6 into a shared node space).
-    * Level-synchronous frontier joins on our side; `WITH RECURSIVE` with
-    * a UNION-dedup fixpoint on the oracle's.
+    * directions; part ids offset by 10^6 into a shared node space; the
+    * supplier seed stays well-connected at every SF, where a part seed
+    * goes edgeless at sf0.1). Level-synchronous frontier joins on our
+    * side; `WITH RECURSIVE` with a UNION-dedup fixpoint on the oracle's.
     */
   val q89 = OracleQuery(
     "q89_graph_bfs",
@@ -68,7 +69,7 @@ object RetrievalQueries {
         .distinct()
       val edges = li.select(col("s").as("src"), col("p").as("dst"))
         .union(li.select(col("p").as("src"), col("s").as("dst")))
-      Graph.bfsHops(edges, "src", "dst", Seq(1000001L), maxHops = 4)
+      Graph.bfsHops(edges, "src", "dst", Seq(1L), maxHops = 4)
     },
     Some("""WITH RECURSIVE
               e AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s,
@@ -77,7 +78,7 @@ object RetrievalQueries {
               edges AS (SELECT s AS src, p AS dst FROM e
                         UNION ALL SELECT p, s FROM e),
               bfs(node, hop) AS (
-                SELECT CAST(1000001 AS BIGINT), 0
+                SELECT CAST(1 AS BIGINT), 0
                 UNION
                 SELECT g.dst, b.hop + 1
                 FROM bfs b JOIN edges g ON g.src = b.node
