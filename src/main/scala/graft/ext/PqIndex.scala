@@ -38,16 +38,22 @@ object PqIndex {
     require(first % m == 0, s"dim $first not divisible by m=$m")
     val dsub = first / m
     val asDouble = Similarity.asDouble(col(vecCol))
-    // One k-means per subspace over the sliced sub-vectors. Each fit is a
-    // narrow scan of one slice; at corpus scale, fit on a sample — the
-    // codebook only needs cells that tile the subspace.
-    val codebooks = (0 until m).toArray.map { s =>
-      val sub = emb.select(
-        array_to_vector(slice(asDouble, s * dsub + 1, dsub)).as("_features"))
-      new KMeans().setK(ksub).setSeed(seed + s).setFeaturesCol("_features")
-        .setMaxIter(maxIter).fit(sub)
-        .clusterCenters.map(_.toArray)
-    }
+    // One k-means per subspace over the sliced sub-vectors. The m fits are
+    // independent, so they run as CONCURRENT Spark jobs (scheduler
+    // interleaves their small stages instead of paying m sequential
+    // job-latency floors). At corpus scale, fit on a sample — the codebook
+    // only needs cells that tile the subspace.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val codebooks = Await.result(
+      Future.sequence((0 until m).toList.map { s => Future {
+        val sub = emb.select(
+          array_to_vector(slice(asDouble, s * dsub + 1, dsub)).as("_features"))
+        new KMeans().setK(ksub).setSeed(seed + s).setFeaturesCol("_features")
+          .setMaxIter(maxIter).fit(sub)
+          .clusterCenters.map(_.toArray)
+      }}), Duration.Inf).toArray
     val enc = udf { (v: Seq[Double]) =>
       Array.tabulate(m) { s =>
         var best = 0; var bestD = Double.MaxValue

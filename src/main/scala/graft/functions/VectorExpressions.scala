@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native Catalyst expression: sequential dot product of two double arrays.
   *
@@ -59,10 +59,75 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native Catalyst expression: intersection size of two ascending-sorted
+  * long arrays via a linear merge — no per-call hash set, no boxing.
+  *
+  * This is the verification kernel of the exact all-pairs Jaccard join:
+  * millions of candidate pairs each compare two ~50-element gram-id
+  * arrays. `array_intersect` builds a hash set of boxed elements per call
+  * (and on string grams also hashes every string); the merge is two
+  * pointers over primitive longs and stays inside whole-stage codegen.
+  * Both inputs MUST be sorted ascending (the caller's dictionary encode +
+  * `array_sort` guarantees it); duplicates are counted once per matching
+  * rank, which is set semantics when inputs are distinct.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "graft_sorted_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements(); val ny = y.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < nx && j < ny) {
+      val xi = x.getLong(i); val yj = y.getLong(j)
+      if (xi == yj) { c += 1; i += 1; j += 1 }
+      else if (xi < yj) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val xi = ctx.freshName("xi")
+      val yj = ctx.freshName("yj")
+      s"""
+         |int $i = 0; int $j = 0; long $c = 0L;
+         |while ($i < $a.numElements() && $j < $b.numElements()) {
+         |  long $xi = $a.getLong($i);
+         |  long $yj = $b.getLong($j);
+         |  if ($xi == $yj) { $c++; $i++; $j++; }
+         |  else if ($xi < $yj) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
 
   /** Codegen'd sequential dot product over `array<double>` columns. */
   def dotNative(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Codegen'd merge-intersection count over sorted `array<long>` columns. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedIntersectCount(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }
