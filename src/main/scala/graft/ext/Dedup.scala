@@ -232,10 +232,15 @@ object Dedup {
     // Dense long ids ranked rarest-first: ascending gid order = prefix order.
     val dict = gdf.select(col("g"),
       row_number().over(Window.orderBy("gdf", "g")).cast("long").as("gid"))
+    // The per-doc set relation feeds the plan THREE times (probe explode +
+    // both verification sides); checkpoint it once so the gram pipeline
+    // (scan → n-gram window → dictionary join → collect) runs once, not
+    // three times — the DedupCluster reused-input lesson (3× → 1×).
     val sets = grams.join(broadcast(dict), "g")
       .groupBy("__id")
       .agg(array_sort(collect_list(col("gid"))).as("gs"))
       .select(col("__id"), col("gs"), size(col("gs")).cast("long").as("nn"))
+      .localCheckpoint()
     val prefixLen = (col("nn") -
       floor((col("nn") * tauNum + (tauDen - 1)) / lit(tauDen.toDouble)) + 1)
       .cast("int")
