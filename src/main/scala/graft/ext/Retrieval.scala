@@ -65,6 +65,63 @@ object Retrieval {
       row_number().over(Window.orderBy(desc("score"), col(idCol))))
   }
 
+  /** Inverted-index build: one posting-list row per surviving term —
+    * document frequency, total term frequency, and the first `postingCap`
+    * document ids ascending. The materialized form that turns every later
+    * [[bm25TopK]] into an index lookup instead of a corpus scan.
+    *
+    * Scale shape: one (doc, term) shuffle for tf, one term shuffle for the
+    * postings; the posting cap is row_number ≤ k over the term partition,
+    * which Spark 4 plans as a partial WindowGroupLimit BEFORE the exchange
+    * — only k·terms rows shuffle, not the full posting stream (the q14/q49
+    * top-k discipline). `minDf` drops the hapax tail, which at corpus
+    * scale is most of the vocabulary.
+    */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+      minDf: Long = 2L, postingCap: Int = 5): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("__id"), explode(Dedup.tokens(col(textCol))).as("w"))
+      .groupBy("w", "__id").agg(count(lit(1)).as("tf"))
+    val capped = tf.withColumn("rn",
+      row_number().over(Window.partitionBy("w").orderBy("__id")))
+    capped.groupBy("w")
+      .agg(count(lit(1)).as("df"), sum("tf").as("total_tf"),
+        sort_array(collect_list(when(col("rn") <= postingCap, col("__id"))))
+          .as("postings"))
+      .filter(col("df") >= minDf)
+  }
+
+  /** Vocabulary id-encoding (the tokenizer's final step): rank the corpus'
+    * tokens by (frequency desc, token) into a dense id space of size
+    * `vocabSize`, then rewrite each document as its ordered id sequence
+    * with out-of-vocabulary tokens as id 0. Output: id column, `ids`
+    * array, `n_oov`.
+    *
+    * Scale shape: the vocabulary is one token-keyed aggregate + a
+    * vocabulary-sized rank (broadcast); encoding is the q04 ordered
+    * reassembly — posexplode, broadcast-join the dictionary, re-collect
+    * sorted by position — so the corpus pays one doc-keyed shuffle and no
+    * per-token lambda ever runs interpreted.
+    */
+  def encodeTokenIds(docs: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    val tok = docs.select(col(idCol),
+      posexplode(Dedup.tokens(col(textCol))).as(Seq("pos", "w")))
+    val vocab = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
+      .withColumn("tid",
+        row_number().over(Window.orderBy(desc("cnt"), col("w"))).cast("long"))
+      .filter(col("tid") <= vocabSize)
+      .select(col("w"), col("tid"))
+    tok.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(idCol)
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("pos"),
+            coalesce(col("tid"), lit(0L)).as("tid")))),
+          x => x.getField("tid")).as("ids"),
+        sum(when(col("tid").isNull, 1L).otherwise(0L)).as("n_oov"))
+  }
+
   /** The DuckDB twin of [[bm25TopK]] (same stats, same rounding route). */
   def bm25OracleSql(queryTerms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): String = {

@@ -241,4 +241,27 @@ object TextAnalysis {
         round(-sum(col("ce_term")).cast("double"), 6).as("cross_entropy"),
         first(col("n_s")).as("n_tok"))
   }
+
+  /** Per-document n-gram novelty: the fraction of a document's distinct
+    * n-grams whose FIRST corpus occurrence (by ascending id) is this
+    * document — the marginal-contribution score behind greedy dedup
+    * ordering ("how much of this doc is new given everything before
+    * it?"). Documents full of already-seen grams score ~0.
+    *
+    * Scale shape: the first-owner of each gram is `min(id) OVER (gram)` —
+    * one gram-keyed shuffle, no join-back (the q83 window-over-key
+    * discipline) — followed by the per-doc mean, a second narrow shuffle.
+    */
+  def ngramNovelty(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, n: Int = 2): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = Dedup.ngramsExploded(docs, idCol, textCol, n)
+    grams
+      .withColumn("first_id",
+        min(col(idCol)).over(Window.partitionBy("g")))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        round(avg(when(col("first_id") === col(idCol), 1.0).otherwise(0.0)), 6)
+          .as("novel_frac"))
+  }
 }

@@ -31,4 +31,23 @@ object Profile {
     }
     df.agg(array(perCol: _*).as("__p")).select(inline(col("__p")))
   }
+
+  /** Winsorization: clip a value column to its per-group [lo, hi]
+    * percentiles — the outlier-capping normalizer a feature/label pipeline
+    * runs before training. Two-phase global-stats shape (the reference's
+    * median→normalize pattern): one grouped percentile aggregate (groups ≪
+    * rows → broadcast), one clip pass over the stream. Returns the input
+    * plus `clipped`; the bounds ride along for auditability.
+    */
+  def winsorize(df: DataFrame, groupCol: String, valCol: String,
+      lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    val bounds = df.groupBy(groupCol)
+      .agg(percentile(col(valCol), array(lit(lo), lit(hi))).as("__q"))
+      .select(col(groupCol), element_at(col("__q"), 1).as("__lo"),
+        element_at(col("__q"), 2).as("__hi"))
+    df.join(broadcast(bounds), groupCol)
+      .withColumn("clipped",
+        least(greatest(col(valCol), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
 }

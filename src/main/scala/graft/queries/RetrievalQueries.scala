@@ -129,5 +129,139 @@ object RetrievalQueries {
     None,
   )
 
-  val all: Seq[OracleQuery] = Seq(q87, q88, q89, q90, q91)
+  /** Q92 [X]: partitioned sink + pruned scan — write documents
+    * hive-partitioned by `lang`, read back with a partition predicate, and
+    * aggregate. The oracle never sees the roundtrip (plain WHERE), so the
+    * hash match proves the partitioned write loses nothing;
+    * `RetrievalQueriesSpec` pins that the read plan actually prunes
+    * (partition count, not a data filter).
+    */
+  val q92 = OracleQuery(
+    "q92_partition_prune",
+    (s, d) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_part_").toString
+      Tables.documents(s, d).write.partitionBy("lang")
+        .mode("overwrite").parquet(out)
+      s.read.parquet(out).filter(col("lang") === "en")
+        .groupBy("source").agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars"))
+    },
+    Some("""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS chars
+            FROM documents WHERE lang = 'en' GROUP BY source"""),
+  )
+
+  /** Q93 [X]: windowed event dedup — keep the first event per (user,
+    * type, 30-minute tumbling bucket); the batch mirror of streaming
+    * `dropDuplicatesWithinWatermark` (ST4). Bucketing uses INTEGER
+    * division of epoch-µs on both engines (no float boundary to drift);
+    * first-in-bucket is the scale-safe partial WindowGroupLimit shape.
+    */
+  val q93 = OracleQuery(
+    "q93_event_dedup",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val bucketed = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("tus"))
+        .withColumn("bucket", expr("tus DIV 1800000000"))
+      val w = Window.partitionBy("user_id", "event_type", "bucket")
+        .orderBy("tus", "event_id")
+      bucketed.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("bucket"))
+    },
+    Some("""WITH e AS (SELECT event_id, user_id, event_type,
+                              epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events),
+                 b AS (SELECT *, tus // 1800000000 AS bucket FROM e),
+                 r AS (SELECT event_id, user_id, event_type, bucket,
+                              row_number() OVER (PARTITION BY user_id, event_type, bucket
+                                                 ORDER BY tus, event_id) AS rn
+                       FROM b)
+            SELECT event_id, user_id, event_type, bucket FROM r WHERE rn = 1"""),
+  )
+
+  /** Q94 [X]: winsorization — clip `l_extendedprice` to its per-flag
+    * [p05, p95]; grouped percentile broadcast + one clip pass (the q53
+    * percentile-parity route, round 6 on both engines).
+    */
+  val q94 = OracleQuery(
+    "q94_winsorize",
+    (s, d) => graft.ops.Profile.winsorize(
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        col("l_returnflag"), col("l_extendedprice")),
+      "l_returnflag", "l_extendedprice")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        round(col("clipped"), 6).as("clipped")),
+    Some("""WITH b AS (SELECT l_returnflag,
+                              quantile_cont(l_extendedprice, 0.05) AS lo,
+                              quantile_cont(l_extendedprice, 0.95) AS hi
+                       FROM lineitem GROUP BY l_returnflag)
+            SELECT l_orderkey, l_linenumber, l_returnflag,
+                   round(least(greatest(l_extendedprice, lo), hi), 6) AS clipped
+            FROM lineitem JOIN b USING (l_returnflag)"""),
+  )
+
+  /** Q95 [X]: n-gram novelty — the fraction of each document's bigrams
+    * first seen (by ascending doc id) in that document; the
+    * marginal-contribution ordering score for greedy dedup.
+    */
+  val q95 = OracleQuery(
+    "q95_ngram_novelty",
+    (s, d) => TextAnalysis.ngramNovelty(
+      Tables.documents(s, d), "doc_id", "text", n = 2),
+    Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+                 bg AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS g
+                        FROM tok, unnest(generate_series(1, len(t) - 1)) AS u(i)),
+                 f AS (SELECT doc_id, g, min(doc_id) OVER (PARTITION BY g) AS first_id FROM bg)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                   round(avg(CASE WHEN first_id = doc_id THEN 1.0 ELSE 0.0 END), 6) AS novel_frac
+            FROM f GROUP BY doc_id"""),
+  )
+
+  /** Q96 [X]: inverted-index build — posting list (df, total tf, first 5
+    * doc ids) per token with df ≥ 50; the materialization that turns BM25
+    * scans into lookups. Posting cap rides the partial-WindowGroupLimit
+    * top-k shape.
+    */
+  val q96 = OracleQuery(
+    "q96_inverted_index",
+    (s, d) => Retrieval.invertedIndex(
+      Tables.documents(s, d), "doc_id", "text", minDf = 50L, postingCap = 5),
+    Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+                 tf AS (SELECT w, doc_id, CAST(count(*) AS BIGINT) AS tf
+                        FROM tok GROUP BY w, doc_id)
+            SELECT w, CAST(count(*) AS BIGINT) AS df,
+                   CAST(sum(tf) AS BIGINT) AS total_tf,
+                   list_slice(list(doc_id ORDER BY doc_id), 1, 5) AS postings
+            FROM tf GROUP BY w HAVING count(*) >= 50"""),
+  )
+
+  /** Q97 [X]: vocabulary id-encoding — top-50 tokens ranked (freq desc,
+    * token) become ids 1..50, documents re-emitted as ordered id arrays
+    * with OOV = 0; the tokenizer's final step before sequence packing
+    * (q77).
+    */
+  val q97 = OracleQuery(
+    "q97_token_ids",
+    (s, d) => Retrieval.encodeTokenIds(
+      Tables.documents(s, d), "doc_id", "text", vocabSize = 50),
+    Some("""WITH s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+                 tok AS (SELECT doc_id, unnest(t) AS w,
+                                generate_subscripts(t, 1) AS pos FROM s),
+                 cnt AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY w),
+                 voc AS (SELECT w, CAST(row_number() OVER (ORDER BY cnt DESC, w) AS BIGINT) AS tid
+                         FROM cnt QUALIFY tid <= 50),
+                 enc AS (SELECT doc_id, pos, coalesce(tid, 0) AS tid,
+                                CASE WHEN tid IS NULL THEN 1 ELSE 0 END AS oov
+                         FROM tok LEFT JOIN voc USING (w))
+            SELECT doc_id, list(tid ORDER BY pos) AS ids,
+                   CAST(sum(oov) AS BIGINT) AS n_oov
+            FROM enc GROUP BY doc_id"""),
+  )
+
+  val all: Seq[OracleQuery] =
+    Seq(q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97)
 }

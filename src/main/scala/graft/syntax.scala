@@ -78,6 +78,21 @@ object syntax {
     def sliceTokenKl(sliceCol: String, textCol: String): DataFrame =
       TextAnalysis.sliceTokenKl(df, sliceCol, textCol)
 
+    def invertedIndex(idCol: String, textCol: String, minDf: Long = 2L,
+        postingCap: Int = 5): DataFrame =
+      Retrieval.invertedIndex(df, idCol, textCol, minDf, postingCap)
+
+    def encodeTokenIds(idCol: String, textCol: String,
+        vocabSize: Int): DataFrame =
+      Retrieval.encodeTokenIds(df, idCol, textCol, vocabSize)
+
+    def ngramNovelty(idCol: String, textCol: String, n: Int = 2): DataFrame =
+      TextAnalysis.ngramNovelty(df, idCol, textCol, n)
+
+    def winsorize(groupCol: String, valCol: String, lo: Double = 0.05,
+        hi: Double = 0.95): DataFrame =
+      graft.ops.Profile.winsorize(df, groupCol, valCol, lo, hi)
+
     def bfsHops(srcCol: String, dstCol: String, seeds: Seq[Long],
         maxHops: Int): DataFrame =
       Graph.bfsHops(df, srcCol, dstCol, seeds, maxHops)

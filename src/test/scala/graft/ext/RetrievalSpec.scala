@@ -86,6 +86,59 @@ class RetrievalSpec extends SparkSpec {
     hops(3L) shouldBe 2 // equidistant from both seeds
   }
 
+  test("invertedIndex: df/tf/caps from a known corpus") {
+    val idx = Retrieval.invertedIndex(docs, "doc_id", "text",
+      minDf = 2L, postingCap = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getSeq[Long](3))).toMap
+    idx("spark") shouldBe ((2L, 4L, Seq(0L, 1L))) // docs 0 (tf 3) and 1 (tf 1)
+    idx("merge") shouldBe ((2L, 4L, Seq(1L, 2L)))
+    idx("sort") shouldBe ((2L, 3L, Seq(2L, 3L)))
+    idx.keySet should not contain "shuffle" // df 1 < minDf
+  }
+
+  test("encodeTokenIds: rank order, OOV as 0, position order preserved") {
+    val enc = Retrieval.encodeTokenIds(docs, "doc_id", "text", vocabSize = 2)
+      .collect().map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getLong(2))).toMap
+    // freq: spark 4, merge 4, sort 3 … ties broken by token asc → merge=1, spark=2
+    enc(0L) shouldBe ((Seq(2L, 0L, 0L, 2L, 2L), 2L))
+    enc(1L) shouldBe ((Seq(2L, 1L), 0L))
+    enc(2L) shouldBe ((Seq(1L, 1L, 1L, 0L, 0L), 2L))
+  }
+
+  test("ngramNovelty: first owner scores 1, exact duplicate scores 0") {
+    val d = Seq((0L, "a b c d"), (1L, "a b c d"), (2L, "x y b c"))
+      .toDF("doc_id", "text")
+    val nov = TextAnalysis.ngramNovelty(d, "doc_id", "text", n = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    nov(0L) shouldBe ((3L, 1.0))
+    nov(1L) shouldBe ((3L, 0.0)) // every bigram first seen in doc 0
+    nov(2L) shouldBe ((3L, 0.666667)) // "b c" seen, "x y"/"y b" new (round 6)
+  }
+
+  test("winsorize clips to per-group percentile bounds") {
+    val d = (1 to 100).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    val w = graft.ops.Profile.winsorize(d, "grp", "v", 0.10, 0.90)
+      .select($"v", $"clipped").collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    w(1.0) shouldBe 10.9 +- 1e-9   // p10 of 1..100 (interpolated)
+    w(100.0) shouldBe 90.1 +- 1e-9 // p90
+    w(50.0) shouldBe 50.0 +- 1e-9  // interior untouched
+  }
+
+  test("partitioned write prunes partitions at read (plan-level)") {
+    val dir = java.nio.file.Files.createTempDirectory("part_spec_").toString
+    Seq((0L, "en"), (1L, "de"), (2L, "en"), (3L, "fr"))
+      .toDF("id", "lang").write.partitionBy("lang").mode("overwrite")
+      .parquet(dir)
+    val pruned = spark.read.parquet(dir).filter($"lang" === "en")
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head
+      .toString()
+    // partition predicate must land in PartitionFilters, not PushedFilters
+    scan should include regex "PartitionFilters: \\[.*lang.*\\]"
+    pruned.count() shouldBe 2
+  }
+
   test("PqIndex: ADC shortlist + exact re-rank recovers the exact top-k") {
     // 40 deterministic 8-dim vectors in two well-separated clusters.
     val vecs = (0 until 40).map { i =>
