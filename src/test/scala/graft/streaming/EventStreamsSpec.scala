@@ -114,6 +114,21 @@ class EventStreamsSpec extends SparkSpec {
     stream shouldBe batch
   }
 
+  test("ST7 stream-static dedup: known keys dropped, new keys pass") {
+    // Reference corpus holds event_ids 1 and 4; only 2/3/5 are new.
+    val reference = Seq((1L, "x"), (4L, "y"), (4L, "z"))
+      .toDF("event_id", "payload")
+    val out = runStream(
+      EventStreams.dedupAgainstStatic(_, reference, "event_id"), "append")
+    out.map(_.getLong(0)).toSet shouldBe Set(2L, 3L, 5L)
+    // batch parity: same anti-join over the same rows
+    val batch = EventStreams
+      .dedupAgainstStatic(rows.toDF(), reference, "event_id")
+      .select("event_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    batch shouldBe Set(2L, 3L, 5L)
+  }
+
   test("ST4b flatMapGroupsWithState: running totals across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
