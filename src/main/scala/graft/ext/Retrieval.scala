@@ -71,11 +71,12 @@ object Retrieval {
     * [[bm25TopK]] into an index lookup instead of a corpus scan.
     *
     * Scale shape: one (doc, term) shuffle for tf, one term shuffle for the
-    * postings; the posting cap is row_number ≤ k over the term partition,
-    * which Spark 4 plans as a partial WindowGroupLimit BEFORE the exchange
-    * — only k·terms rows shuffle, not the full posting stream (the q14/q49
-    * top-k discipline). `minDf` drops the hapax tail, which at corpus
-    * scale is most of the vocabulary.
+    * postings — both irreducible, since df and total_tf are counts over
+    * EVERY posting row. The cap therefore cannot prune the shuffle (unlike
+    * the q14/q49 top-k shape); what it bounds is the per-term ARRAY in the
+    * output row, so a stop-word's posting list is k ids, never a
+    * corpus-sized array in one aggregation buffer. `minDf` drops the hapax
+    * tail, which at corpus scale is most of the vocabulary.
     */
   def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
       minDf: Long = 2L, postingCap: Int = 5): DataFrame = {
