@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, DedupCluster, Packing, Sampling, Similarity, TextAnalysis}
-import graft.ops.RangeJoin
+import graft.ext.{Dedup, DedupCluster, Packing, PqIndex, Retrieval, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Graph, RangeJoin}
 
 /** Opt-in large-synthetic soak (SURVEY §5.6): generates corpora 100-1000×
   * the sf0.1 tables WITH SPARK ITSELF (spark.range + deterministic column
@@ -172,6 +172,37 @@ object Soak {
         vecs.select(col("vec_id").as("a"), (pmod(xxhash64(col("vec_id")), lit(100000)).cast("double") / 100.0).as("va")),
         vecs.select(col("vec_id").as("b"), (pmod(xxhash64(col("vec_id") + 7), lit(100000)).cast("double") / 100.0).as("vb")),
         "va", "vb", 0.005).count())
+
+    // round-4 (continued): retrieval + structure ops
+    time("bm25 top-100 (3-term query)")(
+      Retrieval.bm25TopK(docs, "doc_id", "text",
+        Seq("w17", "w4242", "w9001"), 100).count())
+    time("inverted index (df>=1000, cap 5)")(
+      Retrieval.invertedIndex(docs, "doc_id", "text",
+        minDf = 1000L, postingCap = 5).count())
+    time("token-id encode (32k vocab)")(
+      Retrieval.encodeTokenIds(docs, "doc_id", "text", 32768)
+        .agg(sum("n_oov")).count())
+    time("bigram novelty (first-owner frac)")(
+      TextAnalysis.ngramNovelty(docs, "doc_id", "text")
+        .filter(col("novel_frac") > 0.5).count())
+    time("slice KL drift (32 slices)")(
+      TextAnalysis.sliceTokenKl(
+        docs.withColumn("slice", pmod(col("doc_id"), lit(32L))),
+        "slice", "text").count())
+    time("bfs 4 hops (doc~token bipartite)")({
+      val e = docs.select(col("doc_id").as("src"),
+          (xxhash64(element_at(Dedup.tokens(col("text")), 1)) % 10000L
+            + 100000000L).as("dst"))
+      Graph.bfsHops(e.union(e.select(col("dst").as("src"),
+        col("src").as("dst"))), "src", "dst", Seq(0L), 4).count()
+    })
+    time("pq build + adc search (m=8, k=10)")({
+      val model = PqIndex.build(vecs, "embedding", "vec_id",
+        m = 8, ksub = 16, maxIter = 3)
+      PqIndex.search(model,
+        Array.tabulate(64)(i => (i % 7 - 3) / 3.0), "vec_id", 10).count()
+    })
 
     spark.stop()
   }

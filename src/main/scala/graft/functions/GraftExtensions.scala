@@ -33,7 +33,15 @@ object GraftFunctions {
       "graft_dot(a, b) - sequential dot product of two double arrays", ""),
     (children: Seq[Expression]) => DotProduct(children(0), children(1)))
 
-  val all: Seq[FunctionDescription] = Seq(dotDescription)
+  val intersectDescription: FunctionDescription = (
+    FunctionIdentifier("graft_sorted_intersect_count"),
+    new ExpressionInfo(classOf[SortedIntersectCount].getName, null,
+      "graft_sorted_intersect_count",
+      "graft_sorted_intersect_count(a, b) - intersection size of two " +
+        "ascending-sorted long arrays (linear merge)", ""),
+    (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1)))
+
+  val all: Seq[FunctionDescription] = Seq(dotDescription, intersectDescription)
 
   /** Register every graft function into an existing session's registry. */
   def register(spark: SparkSession): Unit =

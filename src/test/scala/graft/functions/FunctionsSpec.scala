@@ -36,6 +36,16 @@ class FunctionsSpec extends SparkSpec {
       .as[Double].head() shouldBe 11.0
   }
 
+  test("graft_sorted_intersect_count: merge semantics, SQL + Column routes") {
+    GraftFunctions.register(spark)
+    spark.sql("SELECT graft_sorted_intersect_count(array(1L, 3L, 5L, 9L), " +
+        "array(2L, 3L, 9L, 11L)) AS c")
+      .as[Long].head() shouldBe 2L
+    Seq((Seq(1L, 2L), Seq.empty[Long])).toDF("a", "b")
+      .select(VectorExpressions.sortedIntersectCount($"a", $"b"))
+      .as[Long].head() shouldBe 0L
+  }
+
   test("DotProduct equals the higher-order fold on real embeddings") {
     val emb = Tables.embeddings(spark, TestSpark.Sf0001).limit(50)
       .select(Similarity.asDouble(col("embedding")).as("v"))
