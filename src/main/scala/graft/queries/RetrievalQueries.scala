@@ -262,6 +262,33 @@ object RetrievalQueries {
             FROM enc GROUP BY doc_id"""),
   )
 
+  /** Q98 [X]: SCD2 interval build — each user's event_type change log
+    * becomes validity episodes [eff_from, eff_to) with consecutive
+    * duplicates collapsed; the temporal-dimension complement of CDC
+    * (q62) and the as-of joins (q36/q84/q85). Ordering is total
+    * ((ts µs, event_id)), so the episode set is deterministic.
+    */
+  val q98 = OracleQuery(
+    "q98_scd2",
+    (s, d) => graft.ops.Scd.scd2(
+      Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+          col("event_id"), col("event_type")),
+      "user_id", Seq("tus", "event_id"), Seq("event_type"))
+      .select(col("user_id"), col("event_type"), col("eff_from"),
+        col("eff_to"), col("is_current")),
+    Some("""WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+                              event_id, event_type FROM events),
+                 o AS (SELECT *, row_number() OVER w AS rn,
+                              lag(event_type) OVER w AS prev
+                       FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+                 ep AS (SELECT * FROM o WHERE rn = 1 OR event_type IS DISTINCT FROM prev)
+            SELECT user_id, event_type, tus AS eff_from,
+                   lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS eff_to,
+                   (lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) IS NULL) AS is_current
+            FROM ep"""),
+  )
+
   val all: Seq[OracleQuery] =
-    Seq(q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97)
+    Seq(q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98)
 }
