@@ -222,7 +222,12 @@ object TextAnalysis {
   def sliceTokenKl(docs: org.apache.spark.sql.DataFrame, sliceCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
     val tok = docs.select(col(sliceCol), explode(Dedup.tokens(col(textCol))).as("w"))
+    // sw feeds three consumers (the per-token totals, the per-slice totals,
+    // and the final join); it is vocabulary×slices-sized — compact — so
+    // checkpoint it once rather than re-running the corpus-wide token
+    // explode + aggregate per consumer (the q86 multi-reference lesson).
     val sw = tok.groupBy(sliceCol, "w").agg(count(lit(1)).as("cnt_sw"))
+      .localCheckpoint()
     val wTot = sw.groupBy("w").agg(sum("cnt_sw").as("cnt_w"))
     val sTot = sw.groupBy(sliceCol).agg(sum("cnt_sw").as("n_s"))
     val tot = wTot.agg(sum("cnt_w").as("n_tot"))
