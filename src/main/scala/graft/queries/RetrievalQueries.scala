@@ -289,6 +289,78 @@ object RetrievalQueries {
             FROM ep"""),
   )
 
+  /** Q99 [X]: first-order Markov transition matrix over each user's
+    * event-type sequence — (from, to) counts via one `lead` on the
+    * per-user sort, then a global (from, to) aggregate; transition
+    * probability is a ratio of exact integer counts (bit-identical across
+    * engines before the round). The sequence-model profile of the event
+    * stream (what follows what), feeding curriculum/anomaly heuristics.
+    */
+  val q99 = OracleQuery(
+    "q99_transition_matrix",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+      val pairs = Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+          col("event_id"), col("event_type").as("from_type"))
+        .withColumn("to_type", lead(col("from_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+      val counts = pairs.groupBy("from_type", "to_type")
+        .agg(count(lit(1)).as("n"))
+      val totals = counts.groupBy("from_type").agg(sum("n").as("n_from"))
+      counts.join(broadcast(totals), "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          round(col("n").cast("double") / col("n_from").cast("double"), 6)
+            .as("p"))
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+                              event_id, event_type AS from_type FROM events),
+                 p AS (SELECT from_type,
+                              lead(from_type) OVER (PARTITION BY user_id
+                                ORDER BY tus, event_id) AS to_type
+                       FROM e),
+                 c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+                       FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+                 t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+                       FROM c GROUP BY from_type)
+            SELECT from_type, to_type, n,
+                   round(CAST(n AS DOUBLE) / n_from, 6) AS p
+            FROM c JOIN t USING (from_type)"""),
+  )
+
+  /** Q100 [X]: grouped histogram — fixed-width value bins per event type
+    * with per-bin share; binning is `floor(value / width)` on IEEE
+    * doubles (division and floor round identically in both engines, no
+    * boundary drift). The one-pass distribution profile behind the PSI
+    * drift monitor (q78).
+    */
+  val q100 = OracleQuery(
+    "q100_histogram",
+    (s, d) => {
+      val binned = Tables.events(s, d)
+        .select(col("event_type"),
+          floor(col("value") / 5.0).cast("long").as("bin"))
+      val counts = binned.groupBy("event_type", "bin")
+        .agg(count(lit(1)).as("n"))
+      val totals = counts.groupBy("event_type").agg(sum("n").as("n_type"))
+      counts.join(broadcast(totals), "event_type")
+        .select(col("event_type"), col("bin"), col("n"),
+          round(col("n").cast("double") / col("n_type").cast("double"), 6)
+            .as("share"))
+    },
+    Some("""WITH b AS (SELECT event_type, CAST(floor(value / 5.0) AS BIGINT) AS bin
+                       FROM events),
+                 c AS (SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n
+                       FROM b GROUP BY 1, 2),
+                 t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n_type
+                       FROM c GROUP BY event_type)
+            SELECT event_type, bin, n,
+                   round(CAST(n AS DOUBLE) / n_type, 6) AS share
+            FROM c JOIN t USING (event_type)"""),
+  )
+
   val all: Seq[OracleQuery] =
-    Seq(q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98)
+    Seq(q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98,
+      q99, q100)
 }
