@@ -247,6 +247,45 @@ object TextAnalysis {
         first(col("n_s")).as("n_tok"))
   }
 
+  /** DSIR-style importance score (Data Selection with Importance
+    * Resampling, Xie et al. 2023, arXiv:2302.03169, hashed-ngram variant
+    * simplified to unigrams): per-document log importance ratio
+    * Σ_w∈doc ln(p_target(w) / p_corpus(w)), where the target distribution
+    * comes from the subset selected by `targetPred` and both
+    * distributions are add-1 smoothed over the CORPUS vocabulary (every
+    * corpus token has positive mass under both, so the ratio is always
+    * finite). Documents resembling the target domain score high; a
+    * downstream hash-keep against `exp(score)` implements the resampling.
+    *
+    * Scale shape: ONE corpus token pass feeds both distributions (the
+    * target counts are a filtered re-aggregate of the (token, is_target)
+    * stream, vocabulary-sized); per-token log-ratios join back as a
+    * broadcast and per-doc terms go round→DECIMAL before the sum (the
+    * q72/q87 determinism route).
+    */
+  def dsirLogRatio(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String,
+      targetPred: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+    val tok = docs.select(col(idCol), targetPred.as("__t"),
+      explode(Dedup.tokens(col(textCol))).as("w"))
+    val counts = tok.groupBy("w").agg(
+      count(lit(1)).as("cnt_c"),
+      sum(when(col("__t"), 1L).otherwise(0L)).as("cnt_t"))
+      .localCheckpoint() // feeds the totals AND the join-back
+    val tot = counts.agg(
+      sum("cnt_c").as("n_c"), sum("cnt_t").as("n_t"),
+      count(lit(1)).as("v")).localCheckpoint()
+    val pT = (col("cnt_t") + 1.0) / (col("n_t") + col("v"))
+    val pC = (col("cnt_c") + 1.0) / (col("n_c") + col("v"))
+    tok.join(broadcast(counts), "w")
+      .crossJoin(broadcast(tot))
+      .select(col(idCol),
+        round(log(pT / pC), 9).cast("decimal(28,9)").as("term"))
+      .groupBy(idCol)
+      .agg(round(sum(col("term")).cast("double"), 6).as("log_ratio"),
+        count(lit(1)).as("n_tok"))
+  }
+
   /** Per-document n-gram novelty: the fraction of a document's distinct
     * n-grams whose FIRST corpus occurrence (by ascending id) is this
     * document — the marginal-contribution score behind greedy dedup

@@ -360,7 +360,33 @@ object RetrievalQueries {
             FROM c JOIN t USING (event_type)"""),
   )
 
+  /** Q101 [X]: DSIR importance scores — log p_target/p_corpus per doc
+    * with the src0 slice as the target domain; add-1 smoothing over the
+    * corpus vocabulary, round→DECIMAL per-token terms (q87 route).
+    */
+  val q101 = OracleQuery(
+    "q101_dsir_score",
+    (s, d) => TextAnalysis.dsirLogRatio(
+      Tables.documents(s, d), "doc_id", "text", col("source") === "src0"),
+    Some("""WITH tok AS (SELECT doc_id, source = 'src0' AS t,
+                                unnest(string_split(text, ' ')) AS w FROM documents),
+                 c AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt_c,
+                              CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS cnt_t
+                       FROM tok GROUP BY w),
+                 tt AS (SELECT CAST(sum(cnt_c) AS BIGINT) AS n_c,
+                               CAST(sum(cnt_t) AS BIGINT) AS n_t,
+                               CAST(count(*) AS BIGINT) AS v FROM c),
+                 term AS (SELECT doc_id,
+                            CAST(round(ln(((cnt_t + 1.0) / (n_t + v)) /
+                                          ((cnt_c + 1.0) / (n_c + v))), 9)
+                              AS DECIMAL(28,9)) AS term
+                          FROM tok JOIN c USING (w), tt)
+            SELECT doc_id, round(CAST(sum(term) AS DOUBLE), 6) AS log_ratio,
+                   CAST(count(*) AS BIGINT) AS n_tok
+            FROM term GROUP BY doc_id"""),
+  )
+
   val all: Seq[OracleQuery] =
     Seq(q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98,
-      q99, q100)
+      q99, q100, q101)
 }

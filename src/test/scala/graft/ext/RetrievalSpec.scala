@@ -139,6 +139,20 @@ class RetrievalSpec extends SparkSpec {
     pruned.count() shouldBe 2
   }
 
+  test("dsirLogRatio: target-like docs score above off-target docs") {
+    val d = Seq(
+      (0L, "alpha beta alpha beta", "target"),
+      (1L, "alpha beta gamma", "other"),   // mixed
+      (2L, "delta delta gamma", "other")   // disjoint from target
+    ).toDF("doc_id", "text", "grp")
+    val scores = TextAnalysis.dsirLogRatio(d, "doc_id", "text",
+      col("grp") === "target")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    scores(0L) should be > scores(1L)
+    scores(1L) should be > scores(2L)
+    scores(2L) should be < 0.0 // off-target mass only
+  }
+
   test("PqIndex: ADC shortlist + exact re-rank recovers the exact top-k") {
     // 40 deterministic 8-dim vectors in two well-separated clusters.
     val vecs = (0 until 40).map { i =>
