@@ -219,8 +219,10 @@ object Dedup {
     * that bound is exact, so requiring it to reach the equivalent-overlap
     * threshold `tauNum·(na+nb)/(tauNum+tauDen)` (checked in integers)
     * prunes candidates without false negatives. The vocabulary dictionary
-    * is a rank over distinct grams — vocabulary-sized, orders of magnitude
-    * under the corpus; at 100 TB it is the standard broadcast dictionary.
+    * is a DISTRIBUTED rank over distinct grams (range-partitioned sort +
+    * per-partition offsets, never a single-partition window) —
+    * vocabulary-sized, orders of magnitude under the corpus; at 100 TB it
+    * is the standard broadcast dictionary.
     */
   def jaccardSimilarityJoin(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 2, tauNum: Int = 1, tauDen: Int = 2): DataFrame = {
@@ -229,9 +231,23 @@ object Dedup {
     val grams = ngramsExploded(docs, idCol, textCol, n)
       .select(col(idCol).as("__id"), col("g"))
     val gdf = grams.groupBy("g").agg(count(lit(1)).as("gdf"))
-    // Dense long ids ranked rarest-first: ascending gid order = prefix order.
-    val dict = gdf.select(col("g"),
-      row_number().over(Window.orderBy("gdf", "g")).cast("long").as("gid"))
+    // Dense long ids ranked rarest-first: ascending gid order = prefix
+    // order. The rank is DISTRIBUTED — range-partition on the rank key,
+    // sort within partitions, then offset each partition's local index by
+    // the rows before it (zipWithIndex's per-partition count pass). A
+    // row_number() over an unpartitioned Window would funnel every
+    // distinct n-gram through ONE task: fine at sf0.1's vocabulary,
+    // a scale-killer against billions of distinct grams at 100 TB. The
+    // rank key (gdf, g) is unique per gram, so the assignment is the
+    // exact global rank regardless of where range boundaries land.
+    val sortedGrams = gdf.repartitionByRange(col("gdf"), col("g"))
+      .sortWithinPartitions("gdf", "g")
+      .select(col("g"))
+    val gramSession = docs.sparkSession
+    import gramSession.implicits._
+    val dict = sortedGrams.rdd.map(_.getString(0)).zipWithIndex()
+      .map { case (g, i) => (g, i + 1L) }
+      .toDF("g", "gid")
     // The per-doc set relation feeds the plan THREE times (probe explode +
     // both verification sides); checkpoint it once so the gram pipeline
     // (scan → n-gram window → dictionary join → collect) runs once, not

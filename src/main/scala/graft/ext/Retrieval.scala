@@ -98,20 +98,22 @@ object Retrieval {
     * with out-of-vocabulary tokens as id 0. Output: id column, `ids`
     * array, `n_oov`.
     *
-    * Scale shape: the vocabulary is one token-keyed aggregate + a
-    * vocabulary-sized rank (broadcast); encoding is the q04 ordered
-    * reassembly — posexplode, broadcast-join the dictionary, re-collect
-    * sorted by position — so the corpus pays one doc-keyed shuffle and no
-    * per-token lambda ever runs interpreted.
+    * Scale shape: the vocabulary is one token-keyed aggregate, then a
+    * top-`vocabSize` via orderBy+limit (TakeOrderedAndProject — per-partition
+    * heaps, the [[bm25TopK]] shape) so the ranking window only ever sees
+    * `vocabSize` rows, never the full distinct-token relation; encoding is
+    * the q04 ordered reassembly — posexplode, broadcast-join the
+    * dictionary, re-collect sorted by position — so the corpus pays one
+    * doc-keyed shuffle and no per-token lambda ever runs interpreted.
     */
   def encodeTokenIds(docs: DataFrame, idCol: String, textCol: String,
       vocabSize: Int): DataFrame = {
     val tok = docs.select(col(idCol),
       posexplode(Dedup.tokens(col(textCol))).as(Seq("pos", "w")))
     val vocab = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("w")).limit(vocabSize)
       .withColumn("tid",
         row_number().over(Window.orderBy(desc("cnt"), col("w"))).cast("long"))
-      .filter(col("tid") <= vocabSize)
       .select(col("w"), col("tid"))
     tok.join(broadcast(vocab), Seq("w"), "left")
       .groupBy(idCol)
@@ -123,10 +125,15 @@ object Retrieval {
         sum(when(col("tid").isNull, 1L).otherwise(0L)).as("n_oov"))
   }
 
-  /** The DuckDB twin of [[bm25TopK]] (same stats, same rounding route). */
+  /** The DuckDB twin of [[bm25TopK]] (same stats, same rounding route, and
+    * the same operator association: idf · (tf·(k1+1) / denom), parenthesized
+    * so neither engine re-associates the product before the division —
+    * last-ulp double drift at the round-9 boundary is an ordering flip).
+    */
   def bm25OracleSql(queryTerms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): String = {
-    val termList = queryTerms.map(t => s"'$t'").mkString(", ")
+    val termList =
+      queryTerms.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
     s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
              dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
              ad AS (SELECT avg(dl) AS avgdl FROM dl),
@@ -137,8 +144,8 @@ object Retrieval {
              c AS (SELECT doc_id,
                      CAST(round(
                        ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
-                       tf * ($k1 + 1.0) /
-                       (tf + $k1 * (1.0 - $b + $b * dl.dl / ad.avgdl)), 9)
+                       ((tf * ($k1 + 1.0)) /
+                        (tf + $k1 * (1.0 - $b + $b * dl.dl / ad.avgdl))), 9)
                        AS DECIMAL(28,9)) AS c
                    FROM tf JOIN dfq USING (w) JOIN dl USING (doc_id), ad, nd)
         SELECT doc_id, round(CAST(sum(c) AS DOUBLE), 6) AS score,

@@ -38,7 +38,10 @@ object GraftFunctions {
     new ExpressionInfo(classOf[SortedIntersectCount].getName, null,
       "graft_sorted_intersect_count",
       "graft_sorted_intersect_count(a, b) - intersection size of two " +
-        "ascending-sorted long arrays (linear merge)", ""),
+        "ascending-sorted long arrays (linear merge). PRECONDITION: both " +
+        "arrays must be sorted ascending and contain no null elements; " +
+        "unsorted or null-holding input yields an unspecified count " +
+        "(use array_sort + filter(x -> x is not null) first)", ""),
     (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1)))
 
   val all: Seq[FunctionDescription] = Seq(dotDescription, intersectDescription)

@@ -139,13 +139,25 @@ object RetrievalQueries {
   val q92 = OracleQuery(
     "q92_partition_prune",
     (s, d) => {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_part_").toString
+      val outPath = java.nio.file.Files.createTempDirectory("graft_part_")
+      val out = outPath.toString
       Tables.documents(s, d).write.partitionBy("lang")
         .mode("overwrite").parquet(out)
-      s.read.parquet(out).filter(col("lang") === "en")
+      val agg = s.read.parquet(out).filter(col("lang") === "en")
         .groupBy("source").agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("chars"))
+      // Materialize the (tiny: one row per source) aggregate, then delete
+      // the roundtrip directory — otherwise every Verify/Bench invocation
+      // leaks a parquet copy of the corpus into /tmp. The returned frame
+      // is a local relation, so later writes don't re-read the dead path.
+      val rows = agg.collect().toSeq
+      val cleaned = s.createDataFrame(
+        s.sparkContext.parallelize(rows, 1), agg.schema)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(outPath).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      cleaned
     },
     Some("""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS chars
@@ -224,30 +236,37 @@ object RetrievalQueries {
   /** Q96 [X]: inverted-index build — posting list (df, total tf, first 5
     * doc ids) per token with df ≥ 50; the materialization that turns BM25
     * scans into lookups. Posting cap rides the partial-WindowGroupLimit
-    * top-k shape.
+    * top-k shape. The posting array is serialized to a comma-joined string
+    * on BOTH engines (the q83 span route) — the driver's canonicalizer
+    * cannot sort/hash array cells.
     */
   val q96 = OracleQuery(
     "q96_inverted_index",
     (s, d) => Retrieval.invertedIndex(
-      Tables.documents(s, d), "doc_id", "text", minDf = 50L, postingCap = 5),
+      Tables.documents(s, d), "doc_id", "text", minDf = 50L, postingCap = 5)
+      .withColumn("postings",
+        array_join(col("postings").cast("array<string>"), ",")),
     Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
                  tf AS (SELECT w, doc_id, CAST(count(*) AS BIGINT) AS tf
                         FROM tok GROUP BY w, doc_id)
             SELECT w, CAST(count(*) AS BIGINT) AS df,
                    CAST(sum(tf) AS BIGINT) AS total_tf,
-                   list_slice(list(doc_id ORDER BY doc_id), 1, 5) AS postings
+                   array_to_string(list_slice(list(doc_id ORDER BY doc_id), 1, 5), ',') AS postings
             FROM tf GROUP BY w HAVING count(*) >= 50"""),
   )
 
   /** Q97 [X]: vocabulary id-encoding — top-50 tokens ranked (freq desc,
     * token) become ids 1..50, documents re-emitted as ordered id arrays
     * with OOV = 0; the tokenizer's final step before sequence packing
-    * (q77).
+    * (q77). The id array is serialized to a comma-joined string on BOTH
+    * engines (the q83 span route) — the driver's canonicalizer cannot
+    * sort/hash array cells.
     */
   val q97 = OracleQuery(
     "q97_token_ids",
     (s, d) => Retrieval.encodeTokenIds(
-      Tables.documents(s, d), "doc_id", "text", vocabSize = 50),
+      Tables.documents(s, d), "doc_id", "text", vocabSize = 50)
+      .withColumn("ids", array_join(col("ids").cast("array<string>"), ",")),
     Some("""WITH s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
                  tok AS (SELECT doc_id, unnest(t) AS w,
                                 generate_subscripts(t, 1) AS pos FROM s),
@@ -257,7 +276,7 @@ object RetrievalQueries {
                  enc AS (SELECT doc_id, pos, coalesce(tid, 0) AS tid,
                                 CASE WHEN tid IS NULL THEN 1 ELSE 0 END AS oov
                          FROM tok LEFT JOIN voc USING (w))
-            SELECT doc_id, list(tid ORDER BY pos) AS ids,
+            SELECT doc_id, array_to_string(list(tid ORDER BY pos), ',') AS ids,
                    CAST(sum(oov) AS BIGINT) AS n_oov
             FROM enc GROUP BY doc_id"""),
   )
