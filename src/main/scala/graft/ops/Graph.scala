@@ -53,4 +53,62 @@ object Graph {
     }
     visited
   }
+
+  /** Weighted single-source shortest path, bounded to `maxHops` edges —
+    * the query the reference builds `ways`/`ways_vertices_pgr` FOR
+    * (`README.md:44-47`: the tables exist so pgRouting can run Dijkstra
+    * over them). Re-expressed as level-synchronous Bellman-Ford
+    * relaxation: after round h, `dist(v)` is exactly the minimum total
+    * weight over paths of at most h edges (the classic invariant), so a
+    * bounded run is a well-defined operator in itself and an unbounded
+    * `maxHops ≥ |V|−1` run converges to true SSSP (the loop exits early
+    * the first round nothing improves).
+    *
+    * Scale shape (same discipline as [[bfsHops]]): one frontier-edges
+    * equi-join per round keyed on the node id (pre-bucket edges by `src`
+    * at 100 TB for zero edge re-shuffle), a map-side-combinable min per
+    * destination, and a min-merge into the running distance table. The
+    * frontier carries ONLY improved nodes, so saturated regions drop out
+    * of later rounds. Edges are checkpointed once before the loop; each
+    * round's frontier is the round's one materializing job (the emptiness
+    * test rides it) and the distance table checkpoints lazily.
+    *
+    * Weights are integer (`long`) by contract: distances stay exact under
+    * min/sum on any engine — no float accumulation-order drift between
+    * this and a SQL twin (the q72/q47 parity lesson applied to graphs).
+    *
+    * @param edges directed weighted edge list; pass both directions for
+    *              an undirected graph
+    * @return (node, dist) — minimum path weight from any seed over paths
+    *         of ≤ `maxHops` edges; seeds at 0; unreachable nodes absent
+    */
+  def weightedSssp(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, seeds: Seq[Long], maxHops: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"),
+      col(weightCol).cast("long").as("w")).localCheckpoint()
+    var dist = seeds.toDF("node")
+      .withColumn("dist", lit(0L)).localCheckpoint()
+    var frontier = dist
+    var hop = 0
+    while (hop < maxHops && !frontier.isEmpty) {
+      hop += 1
+      // Relax every edge out of the frontier; keep only strict improvements
+      // (or first arrivals) so the next frontier shrinks as paths saturate.
+      val cand = frontier.join(e, col("node") === col("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("cand"))
+        .groupBy("node").agg(min("cand").as("cand"))
+      frontier = cand
+        .join(dist.withColumnRenamed("dist", "cur"), Seq("node"), "left")
+        .filter(col("cur").isNull || col("cand") < col("cur"))
+        .select(col("node"), col("cand").as("dist"))
+        .localCheckpoint() // materializes: the round's one job
+      dist = dist.union(frontier)
+        .groupBy("node").agg(min("dist").as("dist"))
+        .localCheckpoint(eager = false)
+    }
+    dist
+  }
 }

@@ -405,7 +405,49 @@ object RetrievalQueries {
             FROM term GROUP BY doc_id"""),
   )
 
+  /** Q102 [X]: weighted shortest path — the pgRouting query the
+    * reference's `ways`/`ways_vertices_pgr` tables exist to serve
+    * (`README.md:44-47`), over the same bipartite supplier↔part graph as
+    * the BFS (q89) but weighted by `min(l_linenumber)` per edge. Bounded
+    * Bellman-Ford relaxation on our side (after h rounds: exact min
+    * weight over ≤h-edge paths); a `WITH RECURSIVE` walk enumeration with
+    * the same hop bound on the oracle's. Weights are integers, so
+    * distances are exact on both engines — no float parity risk.
+    */
+  val q102 = OracleQuery(
+    "q102_weighted_sssp",
+    (s, d) => {
+      val li = Tables.lineitem(s, d).filter(col("l_quantity") < 2)
+        .groupBy(col("l_suppkey").cast("long").as("s"),
+          (col("l_partkey").cast("long") + 1000000L).as("p"))
+        .agg(min(col("l_linenumber").cast("long")).as("w"))
+      val edges = li.select(col("s").as("src"), col("p").as("dst"), col("w"))
+        .union(li.select(col("p"), col("s"), col("w")))
+      // 1-row seed probe (the q91 query-vector pattern): the smallest
+      // supplier id present in the filtered edge set, so the seed exists
+      // at every SF.
+      val seed = li.agg(min(col("s"))).head().getLong(0)
+      Graph.weightedSssp(edges, "src", "dst", "w", Seq(seed), maxHops = 4)
+    },
+    Some("""WITH RECURSIVE
+              e AS (SELECT CAST(l_suppkey AS BIGINT) AS s,
+                           CAST(l_partkey AS BIGINT) + 1000000 AS p,
+                           CAST(min(l_linenumber) AS BIGINT) AS w
+                    FROM lineitem WHERE l_quantity < 2 GROUP BY 1, 2),
+              edges AS (SELECT s AS src, p AS dst, w FROM e
+                        UNION ALL SELECT p, s, w FROM e),
+              seed AS (SELECT min(s) AS n FROM e),
+              walk(node, d, hop) AS (
+                SELECT n, CAST(0 AS BIGINT), 0 FROM seed
+                UNION
+                SELECT g.dst, wk.d + g.w, wk.hop + 1
+                FROM walk wk JOIN edges g ON g.src = wk.node
+                WHERE wk.hop < 4)
+            SELECT node, CAST(min(d) AS BIGINT) AS dist
+            FROM walk GROUP BY node"""),
+  )
+
   val all: Seq[OracleQuery] =
     Seq(q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98,
-      q99, q100, q101)
+      q99, q100, q101, q102)
 }

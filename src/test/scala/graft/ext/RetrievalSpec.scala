@@ -86,6 +86,41 @@ class RetrievalSpec extends SparkSpec {
     hops(3L) shouldBe 2 // equidistant from both seeds
   }
 
+  test("weightedSssp: takes the cheap detour over the heavy direct edge") {
+    // 1→2 costs 5 direct, but 1→3→2 costs 2; 2→4 extends the cheap path.
+    val edges = Seq(
+      (1L, 2L, 5L), (1L, 3L, 1L), (3L, 2L, 1L), (2L, 4L, 1L), (6L, 7L, 1L)
+    ).flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+      .toDF("src", "dst", "w")
+    val dist = Graph.weightedSssp(edges, "src", "dst", "w", Seq(1L), maxHops = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    dist shouldBe Map(1L -> 0L, 3L -> 1L, 2L -> 2L, 4L -> 3L)
+    // 6/7 disconnected → absent
+  }
+
+  test("weightedSssp: hop bound is 'min weight over ≤h-edge paths'") {
+    val edges = Seq(
+      (1L, 2L, 5L), (1L, 3L, 1L), (3L, 2L, 1L), (2L, 4L, 1L)
+    ).toDF("src", "dst", "w")
+    // One hop: only the direct (heavy) edge to 2 is visible.
+    val d1 = Graph.weightedSssp(edges, "src", "dst", "w", Seq(1L), maxHops = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    d1 shouldBe Map(1L -> 0L, 2L -> 5L, 3L -> 1L)
+    // Two hops: the detour beats it; 4 appears via the heavy prefix.
+    val d2 = Graph.weightedSssp(edges, "src", "dst", "w", Seq(1L), maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    d2 shouldBe Map(1L -> 0L, 2L -> 2L, 3L -> 1L, 4L -> 6L)
+  }
+
+  test("weightedSssp: multi-seed takes the cheaper source") {
+    val edges = Seq((1L, 2L, 10L), (5L, 4L, 1L), (4L, 3L, 1L), (3L, 2L, 1L))
+      .toDF("src", "dst", "w")
+    val dist = Graph.weightedSssp(edges, "src", "dst", "w",
+      Seq(1L, 5L), maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    dist(2L) shouldBe 3L // via seed 5's chain, not seed 1's direct edge
+  }
+
   test("invertedIndex: df/tf/caps from a known corpus") {
     val idx = Retrieval.invertedIndex(docs, "doc_id", "text",
       minDf = 2L, postingCap = 2)
