@@ -448,11 +448,15 @@ object CurationQueries {
             WHERE o.o_totalprice > 400000.0"""),
   )
 
-  /** Q74 [X, rows-only]: IVF approximate nearest neighbors — k-means
-    * cells, nprobe-cell search. Approximate by construction (recall vs
-    * exact is asserted in IvfIndexSpec), so no SQL twin: the driver
-    * records the weaker rows-only check, like the multimodal stubs.
+  /** Q74 [X, certificate]: IVF approximate nearest neighbors — k-means
+    * cells, nprobe-cell search. The k-means partitioning is not
+    * SQL-portable, so the twin is a CERTIFICATE (built after the run via
+    * `dynOracle`): DuckDB independently recomputes the exact cosine for
+    * the ids the search returned — a hash match proves every reported
+    * (id, distance) is correct against the raw vectors. Top-k optimality
+    * (recall) is pinned separately in IvfIndexSpec.
     */
+  private object IvfCert { @volatile var ids: Option[Seq[Long]] = None }
   val q74 = OracleQuery(
     "q74_ivf_ann",
     (s, d) => {
@@ -462,10 +466,22 @@ object CurationQueries {
         .head().getSeq[Double](0).toArray
       val model = graft.ext.IvfIndex.build(emb, "embedding", "vec_id",
         nlist = 16, maxIter = 5)
-      graft.ext.IvfIndex.search(model, qv, "embedding", "vec_id",
+      val res = graft.ext.IvfIndex.search(model, qv, "embedding", "vec_id",
         nprobe = 4, k = 5)
+      // k rows: collect once so the certificate describes exactly what
+      // the driver writes, then return a local relation.
+      val rows = res.collect().toSeq
+      IvfCert.ids = Some(rows.map(_.getLong(0)))
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), res.schema)
     },
     None,
+    dynOracle = () => IvfCert.ids.map(ids =>
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+               q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+          SELECT vec_id,
+                 round(list_dot_product(v, qv) /
+                       (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_r
+          FROM e, q WHERE vec_id IN (${ids.mkString(", ")})"""),
   )
 
   val all: Seq[OracleQuery] = Seq(q59, q60, q61, q62, q63, q64, q65, q66,

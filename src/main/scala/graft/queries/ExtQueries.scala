@@ -318,9 +318,13 @@ object ExtQueries {
   )
 
   /** Q33 [X]: multimodal decode→feature pipeline (stubbed codec, real
-    * plumbing). No SQL oracle — the stub decode is not SQL-expressible;
-    * the driver records a rows-only check, and MultimodalSpec pins the
-    * semantics.
+    * plumbing). The oracle mirrors [[graft.ext.Multimodal.StubCodec]]'s
+    * 64-bit mixing EXACTLY in DuckDB: Java's wrapping signed-long
+    * arithmetic is re-expressed as HUGEINT arithmetic mod 2^64 (unsigned
+    * space), with `mulmod` split into 32-bit halves so no intermediate
+    * overflows the 128-bit HUGEINT. The payload is ASCII text, so
+    * `ord(char)` equals the UTF-8 byte. A hash match certifies the whole
+    * decode→feature path — dimensions, byte count, and pooled pixel mean.
     */
   val q33 = OracleQuery(
     "q33_multimodal_features",
@@ -333,10 +337,13 @@ object ExtQueries {
           col("meta.height").as("h"), col("meta.nBytes").as("n_bytes"),
           round(col("mean_px"), 6).as("mean_px"))
     },
-    None,
+    Some(StubCodecSql.q33Oracle),
   )
 
-  /** Q34 [X]: video-style frame sampling fan-out (rows-only check). */
+  /** Q34 [X]: video-style frame sampling fan-out, hash-certified by the
+    * same HUGEINT mod-2^64 StubCodec mirror as q33 (shifted-frame means
+    * recomputed from the base pixel relation).
+    */
   val q34 = OracleQuery(
     "q34_frame_sample",
     (s, d) => {
@@ -348,7 +355,7 @@ object ExtQueries {
         .groupBy("media_id")
         .agg(count(lit(1)).as("n_frames"), round(avg("mean_px"), 6).as("avg_px"))
     },
-    None,
+    Some(StubCodecSql.q34Oracle),
   )
 
   /** Q35 (P2/P3): GeoJSON round-trip — geometry → LineString text → parsed

@@ -110,11 +110,14 @@ object RetrievalQueries {
     Some("SELECT doc_id, text, lang, source, n_chars FROM documents"),
   )
 
-  /** Q91 [X]: PQ-compressed ANN — codes-only ADC scan shortlists 4k
-    * candidates, exact cosine re-ranks the top 5 for query vector 0.
-    * Like q74 (IVF), k-means codebooks are not portably expressible in
-    * SQL → rows-only check; `PqIndexSpec` pins recall vs exact top-k.
+  /** Q91 [X, certificate]: PQ-compressed ANN — codes-only ADC scan
+    * shortlists 4k candidates, exact cosine re-ranks the top 5 for query
+    * vector 0. Like q74 (IVF), the k-means codebooks are not
+    * SQL-portable, so the twin is a `dynOracle` certificate: DuckDB
+    * recomputes the exact cosine for the returned ids — the hash match
+    * proves the reported distances; recall is pinned in the PQ spec.
     */
+  private object PqCert { @volatile var ids: Option[Seq[Long]] = None }
   val q91 = OracleQuery(
     "q91_pq_ann",
     (s, d) => {
@@ -124,9 +127,19 @@ object RetrievalQueries {
         .getSeq[Double](0).toArray
       val model = PqIndex.build(emb.filter(col("vec_id") >= 5),
         "embedding", "vec_id", m = 8, ksub = 16, maxIter = 5)
-      PqIndex.search(model, qv, "vec_id", k = 5)
+      val res = PqIndex.search(model, qv, "vec_id", k = 5)
+      val rows = res.collect().toSeq // k rows
+      PqCert.ids = Some(rows.map(_.getLong(0)))
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), res.schema)
     },
     None,
+    dynOracle = () => PqCert.ids.map(ids =>
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+               q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+          SELECT vec_id,
+                 round(list_dot_product(v, qv) /
+                       (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_r
+          FROM e, q WHERE vec_id IN (${ids.mkString(", ")})"""),
   )
 
   /** Q92 [X]: partitioned sink + pruned scan — write documents

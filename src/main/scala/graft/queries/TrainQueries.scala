@@ -364,7 +364,9 @@ object TrainQueries {
   )
 
   /** Q57 [X]: audio-modality chunking (stub decode, real plumbing) —
-    * per-media chunk counts and pooled RMS. Rows-only check like q33/q34.
+    * per-media chunk counts and pooled RMS, hash-certified by the
+    * HUGEINT mod-2^64 StubCodec mirror (q33 route): DuckDB regenerates
+    * the fake PCM stream and recomputes every chunk's RMS exactly.
     */
   val q57 = OracleQuery(
     "q57_audio_chunks",
@@ -376,7 +378,7 @@ object TrainQueries {
         .groupBy("media_id")
         .agg(count(lit(1)).as("n_chunks"), round(avg("rms"), 6).as("avg_rms"))
     },
-    None,
+    Some(graft.queries.StubCodecSql.q57Oracle),
   )
 
   val all: Seq[OracleQuery] =
