@@ -70,6 +70,52 @@ class SyntheticTileStore(
   }
 }
 
+/** File-backed tile source decoding real PNG/JPEG bytes via
+  * `javax.imageio` — the zero-egress twin of the reference's HTTP
+  * provider (`dataproviders.py:96-101`: fetch → `Image.open` →
+  * `img.convert(**convert_args)`). The directory layout mirrors the URL
+  * template (`${z}/${x}/${y}.png` by default, T3 substitution), mode
+  * conversion mirrors PIL's `convert('L')` (ITU-R 601-2 luma with PIL's
+  * exact fixed-point coefficients: (r·19595 + g·38470 + b·7471 +
+  * 0x8000) >> 16) or `convert('RGB')` (packed 0xRRGGBB, alpha dropped),
+  * and ANY read/decode failure returns None — the reference swallows
+  * fetch errors the same way (`dataproviders.py:103-105`).
+  *
+  * Swap this for an HTTP-fetching TileStore in production; everything
+  * downstream (cache, sampler, value fns) is shared.
+  */
+class FileTileStore(
+    baseDir: String,
+    template: String = "${z}/${x}/${y}.png",
+    val tileSize: Int = 256,
+    mode: String = "RGB") extends TileStore {
+
+  override def fetch(x: Long, y: Long, z: Int): Option[Tile] = {
+    val f = new java.io.File(baseDir, UrlTemplate.substitute(template, x, y, z))
+    try {
+      val img = javax.imageio.ImageIO.read(f) // null = no reader/not found
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val argb = img.getRGB(0, 0, w, h, null, 0, w) // one bulk read
+        val px = new Array[Int](w * h)
+        var i = 0
+        while (i < px.length) {
+          val v = argb(i)
+          px(i) =
+            if (mode == "L") {
+              val r = (v >> 16) & 0xff; val g = (v >> 8) & 0xff; val b = v & 0xff
+              (r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16
+            } else v & 0xffffff
+          i += 1
+        }
+        Some(Tile(w, h, mode, px))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+}
+
 /** Per-process LRU cache around any TileStore — the distributed analog of
   * the reference's per-run dict cache (`dataproviders.py:79-83`). With
   * tile-grouped execution (RasterSampler) most partitions touch few tiles,
