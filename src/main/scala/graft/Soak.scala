@@ -197,6 +197,23 @@ object Soak {
       Graph.bfsHops(e.union(e.select(col("dst").as("src"),
         col("src").as("dst"))), "src", "dst", Seq(0L), 4).count()
     })
+    // round-5: the q86 guardrail — the PPJoin prefix filter's candidate
+    // fan-out must stay LINEAR in the corpus (candidates ≈ true dup pairs
+    // + rare collisions), never quadratic. A silent filter regression
+    // would pass correctness (verification re-checks pairs) but melt at
+    // 100 TB; this assertion catches it at the soak shape.
+    time("jaccard join candidates (fan-out bound)")({
+      val (_, cand) = Dedup.jaccardSetsAndCandidates(
+        docs, "doc_id", "text", n = 2, tauNum = 1, tauDen = 2)
+      val nCand = cand.count()
+      assert(nCand <= nDocs,
+        s"prefix-filter fan-out broke: $nCand candidate pairs exceed the " +
+          s"linear bound $nDocs (true dups ~${nDocs / 100})")
+      println(s"[soak] jaccard candidates $nCand <= bound $nDocs " +
+        s"(true dups ~${nDocs / 100})")
+      nCand
+    })
+
     time("pq build + adc search (m=8, k=10)")({
       val model = PqIndex.build(vecs, "embedding", "vec_id",
         m = 8, ksub = 16, maxIter = 3)

@@ -226,6 +226,31 @@ object Dedup {
     */
   def jaccardSimilarityJoin(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 2, tauNum: Int = 1, tauDen: Int = 2): DataFrame = {
+    val (sets, cand) =
+      jaccardSetsAndCandidates(docs, idCol, textCol, n, tauNum, tauDen)
+    val verified = cand
+      .join(sets.select(col("__id").as("doc_a"), col("gs").as("ga"),
+        col("nn").as("na")), "doc_a")
+      .join(sets.select(col("__id").as("doc_b"), col("gs").as("gb"),
+        col("nn").as("nb")), "doc_b")
+      .withColumn("n_common",
+        graft.functions.VectorExpressions.sortedIntersectCount(
+          col("ga"), col("gb")))
+      .filter(col("n_common") * tauDen >=
+        (col("na") + col("nb") - col("n_common")) * tauNum)
+    verified.select(col("doc_a"), col("doc_b"), col("n_common"),
+      round(col("n_common").cast("double") /
+        (col("na") + col("nb") - col("n_common")).cast("double"), 6).as("jac"))
+  }
+
+  /** The dictionary/prefix/candidate stages of [[jaccardSimilarityJoin]],
+    * exposed so the soak harness can assert the prefix filter's fan-out
+    * bound directly (candidate pairs must scale with true duplicates, not
+    * quadratically). Returns (per-doc gram sets, distinct candidate pairs).
+    */
+  private[graft] def jaccardSetsAndCandidates(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, tauNum: Int, tauDen: Int)
+      : (DataFrame, DataFrame) = {
     require(tauNum >= 1 && tauNum <= tauDen,
       s"jaccardSimilarityJoin: need 0 < tauNum/tauDen <= 1, got $tauNum/$tauDen")
     val grams = ngramsExploded(docs, idCol, textCol, n)
@@ -273,19 +298,7 @@ object Dedup {
           (col("a.nn") + col("b.nn")) * tauNum)
       .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
       .distinct()
-    val verified = cand
-      .join(sets.select(col("__id").as("doc_a"), col("gs").as("ga"),
-        col("nn").as("na")), "doc_a")
-      .join(sets.select(col("__id").as("doc_b"), col("gs").as("gb"),
-        col("nn").as("nb")), "doc_b")
-      .withColumn("n_common",
-        graft.functions.VectorExpressions.sortedIntersectCount(
-          col("ga"), col("gb")))
-      .filter(col("n_common") * tauDen >=
-        (col("na") + col("nb") - col("n_common")) * tauNum)
-    verified.select(col("doc_a"), col("doc_b"), col("n_common"),
-      round(col("n_common").cast("double") /
-        (col("na") + col("nb") - col("n_common")).cast("double"), 6).as("jac"))
+    (sets, cand)
   }
 
   /** Exact-substring dedup (the ExactSubstr shape of Lee et al.,
