@@ -47,6 +47,14 @@ object Dedup {
     * corpus scale is the entire runtime.
     */
   def ngramsExploded(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    ngramRows(df, idCol, textCol, n).distinct()
+
+  /** Every (id, n-gram) OCCURRENCE (not distinct) — the multiset form
+    * behind [[ngramsExploded]] and the tf weights of
+    * [[cosineSimilarityJoin]].
+    */
+  private def ngramRows(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     val tok = df.select(col(idCol),
       posexplode(tokens(col(textCol))).as(Seq("pos", "w0")))
@@ -58,7 +66,24 @@ object Dedup {
       .filter(col(s"w${n - 1}").isNotNull)
       .select(col(idCol),
         concat_ws(" ", (0 until n).map(k => col(s"w$k")): _*).as("g"))
-      .distinct()
+  }
+
+  /** Dense long ids for a (g, gdf) vocabulary, ranked rarest-first so
+    * ascending gid order = prefix order — DISTRIBUTED (range-partitioned
+    * sort + zipWithIndex per-partition offsets, never a single-partition
+    * window; see [[jaccardSetsAndCandidates]] for why). The rank key
+    * (gdf, g) is unique per gram, so ids are the exact global rank
+    * regardless of where range boundaries land.
+    */
+  private def rankDictionary(gdf: DataFrame): DataFrame = {
+    val sorted = gdf.repartitionByRange(col("gdf"), col("g"))
+      .sortWithinPartitions("gdf", "g")
+      .select(col("g"))
+    val session = gdf.sparkSession
+    import session.implicits._
+    sorted.rdd.map(_.getString(0)).zipWithIndex()
+      .map { case (g, i) => (g, i + 1L) }
+      .toDF("g", "gid")
   }
 
   /** MinHash signature (id, mh0..mh{k-1}) over whitespace tokens:
@@ -257,22 +282,11 @@ object Dedup {
       .select(col(idCol).as("__id"), col("g"))
     val gdf = grams.groupBy("g").agg(count(lit(1)).as("gdf"))
     // Dense long ids ranked rarest-first: ascending gid order = prefix
-    // order. The rank is DISTRIBUTED — range-partition on the rank key,
-    // sort within partitions, then offset each partition's local index by
-    // the rows before it (zipWithIndex's per-partition count pass). A
-    // row_number() over an unpartitioned Window would funnel every
-    // distinct n-gram through ONE task: fine at sf0.1's vocabulary,
-    // a scale-killer against billions of distinct grams at 100 TB. The
-    // rank key (gdf, g) is unique per gram, so the assignment is the
-    // exact global rank regardless of where range boundaries land.
-    val sortedGrams = gdf.repartitionByRange(col("gdf"), col("g"))
-      .sortWithinPartitions("gdf", "g")
-      .select(col("g"))
-    val gramSession = docs.sparkSession
-    import gramSession.implicits._
-    val dict = sortedGrams.rdd.map(_.getString(0)).zipWithIndex()
-      .map { case (g, i) => (g, i + 1L) }
-      .toDF("g", "gid")
+    // order. A row_number() over an unpartitioned Window would funnel
+    // every distinct n-gram through ONE task: fine at sf0.1's vocabulary,
+    // a scale-killer against billions of distinct grams at 100 TB —
+    // hence the distributed rank in [[rankDictionary]].
+    val dict = rankDictionary(gdf)
     // The per-doc set relation feeds the plan THREE times (probe explode +
     // both verification sides); checkpoint it once so the gram pipeline
     // (scan → n-gram window → dictionary join → collect) runs once, not
@@ -299,6 +313,140 @@ object Dedup {
       .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
       .distinct()
     (sets, cand)
+  }
+
+  /** EXACT all-pairs COSINE similarity join over tf-weighted word-n-gram
+    * vectors (the AllPairs/APSS shape of Bayardo et al. WWW'07, weighted
+    * variant): every pair with cos(a, b) ≥ tauNum/tauDen, plus the exact
+    * integer dot product and the score. The tf-weighted sibling of
+    * [[jaccardSimilarityJoin]] — Jaccard sees sets, cosine sees how OFTEN
+    * grams repeat, so it separates "same vocabulary" from "same emphasis".
+    *
+    * Exactness across engines: weights are integer tf counts, so the dot
+    * product and squared norms are exact longs; the threshold compares as
+    * `tauDen²·dot² ≥ tauNum²·‖a‖²·‖b‖²` in integer arithmetic — no float
+    * boundary to drift (the q86 discipline). The reported score divides
+    * once by `sqrt` of an exact integer product (correctly rounded,
+    * bit-identical on both engines). Precondition: per-vector squared
+    * norms below ~2^31 (any real document; tf caps at 65535) keep every
+    * product inside a long.
+    *
+    * Physical plan (the q86 lessons applied): grams dictionary-encode to
+    * dense longs via the distributed [[rankDictionary]]; each vector is
+    * ONE packed primitive array (`gid·2^16 + min(tf, 65535)` — key in the
+    * high bits, so sorting packed values is sorting keys; no struct rows,
+    * no interpreted transforms); verification is the codegen'd
+    * [[graft.functions.PackedWeightedDot]] two-pointer merge. Candidates
+    * come from the weighted prefix filter: with grams rarest-first, a
+    * position stays in the probe prefix while the suffix-from-here squared
+    * norm satisfies `sufsq·tauDen² ≥ tauNum²·‖a‖²` — if two vectors share
+    * NO prefix feature of either side, dot ≤ ‖suf_a‖·‖b‖ < τ·‖a‖·‖b‖, so
+    * no qualifying pair is lost. The set relation feeds the plan three
+    * times → one checkpoint.
+    */
+  def cosineSimilarityJoin(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 2, tauNum: Int = 1, tauDen: Int = 2): DataFrame = {
+    require(tauNum >= 1 && tauNum <= tauDen,
+      s"cosineSimilarityJoin: need 0 < tauNum/tauDen <= 1, got $tauNum/$tauDen")
+    val tf = ngramRows(docs, idCol, textCol, n)
+      .groupBy(col(idCol).as("__id"), col("g"))
+      .agg(count(lit(1)).as("w"))
+    val gdf = tf.groupBy("g").agg(count(lit(1)).as("gdf"))
+    val dict = rankDictionary(gdf)
+    val weighted = tf.join(broadcast(dict), "g")
+      .select(col("__id"), col("gid"),
+        least(col("w"), lit(65535L)).as("w"))
+    // Suffix squared norm from each position (rarest-first order) and the
+    // full squared norm — one doc-keyed window sort serves both.
+    val wOrd = Window.partitionBy("__id").orderBy("gid")
+    val withNorms = weighted
+      .withColumn("sufsq", sum(col("w") * col("w"))
+        .over(wOrd.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("n2", sum(col("w") * col("w"))
+        .over(Window.partitionBy("__id")))
+    val sets = withNorms
+      .groupBy("__id")
+      .agg(array_sort(collect_list(col("gid") * 65536L + col("w"))).as("pk"),
+        min(col("n2")).as("n2"))
+      .localCheckpoint()
+    val probes = withNorms
+      .filter(col("sufsq") * (tauDen.toLong * tauDen) >=
+        col("n2") * (tauNum.toLong * tauNum))
+      .select(col("__id"), col("gid"))
+    val cand = probes.alias("a").join(probes.alias("b"),
+      col("a.gid") === col("b.gid") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sets.select(col("__id").as("doc_a"), col("pk").as("pa"),
+        col("n2").as("na2")), "doc_a")
+      .join(sets.select(col("__id").as("doc_b"), col("pk").as("pb"),
+        col("n2").as("nb2")), "doc_b")
+      .withColumn("dot",
+        graft.functions.VectorExpressions.packedWeightedDot(
+          col("pa"), col("pb")))
+      .filter(col("dot") * col("dot") * (tauDen.toLong * tauDen) >=
+        col("na2") * col("nb2") * (tauNum.toLong * tauNum))
+      .select(col("doc_a"), col("doc_b"), col("dot"),
+        round(col("dot").cast("double") /
+          sqrt((col("na2") * col("nb2")).cast("double")), 6).as("cos"))
+  }
+
+  /** EXACT all-pairs CONTAINMENT join over distinct word-n-gram sets:
+    * every ordered pair (a, b), a ≠ b, with |A∩B| / |A| ≥ tauNum/tauDen —
+    * "document a is mostly inside document b". The asymmetric sibling of
+    * [[jaccardSimilarityJoin]]: quotes, excerpts, and supersets that
+    * Jaccard misses when |B| ≫ |A| (the union in the denominator drowns
+    * the overlap). Thresholds compare in integer arithmetic
+    * (`n_common·tauDen ≥ tauNum·|A|`) — no float boundary.
+    *
+    * Candidates: the probe (contained) side emits its rarest-first prefix
+    * of `|A| − ⌈τ·|A|⌉ + 1` grams — a qualifying pair needs ⌈τ·|A|⌉
+    * common grams and the suffix holds only ⌈τ·|A|⌉ − 1, so at least one
+    * match lands in the prefix; the container side indexes its FULL gram
+    * list (asymmetry: B gets no prefix because containment does not bound
+    * B's extra mass). A size filter `|B|·tauDen ≥ tauNum·|A|` prunes
+    * containers too small to hold the overlap. Verification is the
+    * codegen'd sorted merge-intersect, one row per candidate pair.
+    */
+  def containmentJoin(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 2, tauNum: Int = 4, tauDen: Int = 5): DataFrame = {
+    require(tauNum >= 1 && tauNum <= tauDen,
+      s"containmentJoin: need 0 < tauNum/tauDen <= 1, got $tauNum/$tauDen")
+    val grams = ngramsExploded(docs, idCol, textCol, n)
+      .select(col(idCol).as("__id"), col("g"))
+    val gdf = grams.groupBy("g").agg(count(lit(1)).as("gdf"))
+    val dict = rankDictionary(gdf)
+    val sets = grams.join(broadcast(dict), "g")
+      .groupBy("__id")
+      .agg(array_sort(collect_list(col("gid"))).as("gs"))
+      .select(col("__id"), col("gs"), size(col("gs")).cast("long").as("nn"))
+      .localCheckpoint()
+    // prefix = nn − ⌈τ·nn⌉ + 1 probe grams (rarest-first = head of gs)
+    val prefixLen = (col("nn") -
+      floor((col("nn") * tauNum + (tauDen - 1)) / lit(tauDen.toDouble)) + 1)
+      .cast("int")
+    val probes = sets.select(col("__id"), col("nn"),
+      explode(slice(col("gs"), lit(1), prefixLen)).as("gid"))
+    val index = sets.select(col("__id"), col("nn"),
+      explode(col("gs")).as("gid"))
+    val cand = probes.alias("a").join(index.alias("b"),
+      col("a.gid") === col("b.gid") &&
+        col("a.__id") =!= col("b.__id") &&
+        col("b.nn") * tauDen >= col("a.nn") * tauNum)
+      .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sets.select(col("__id").as("doc_a"), col("gs").as("ga"),
+        col("nn").as("na")), "doc_a")
+      .join(sets.select(col("__id").as("doc_b"), col("gs").as("gb")), "doc_b")
+      .withColumn("n_common",
+        graft.functions.VectorExpressions.sortedIntersectCount(
+          col("ga"), col("gb")))
+      .filter(col("n_common") * tauDen >= col("na") * tauNum)
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        round(col("n_common").cast("double") / col("na").cast("double"), 6)
+          .as("containment"))
   }
 
   /** Exact-substring dedup (the ExactSubstr shape of Lee et al.,

@@ -226,4 +226,46 @@ object Similarity {
     }
     out.toDF("vec_a", "vec_b", "cos_r")
   }
+
+  /** Seeded ±1 random projection (the Achlioptas/JL sketch): d-dim
+    * embeddings → k-dim, y_j = Σ_i x_i·s(i,j) with s(i,j) ∈ {−1, +1}
+    * derived from the engine-portable [[TextHash.tokenHash]] of "i_j" —
+    * the dimensionality-reduction front of every LSH/clustering pipeline
+    * (project once, bucket/cluster in the cheap space). Output is LONG
+    * format (vec_id, j, value): no array columns for the driver to hash,
+    * and downstream ops consume (id, dim) cells anyway.
+    *
+    * Cross-engine exactness: each term is truncated at 2^-40 —
+    * `CAST(x·s·2^40 AS LONG)` — so the per-projection sum is exact
+    * integer arithmetic in any engine and in any order (x is a float, so
+    * x·2^40 is an exact double product; truncation toward zero matches
+    * DuckDB's `trunc`). The discarded tail is < d·2^-40 ≈ 6e-11, far
+    * below the round-6 output. The float-sum alternative drifts by
+    * accumulation order across engines (the q72 lesson).
+    *
+    * Scale shape: the projection matrix is d·k rows — kilobytes,
+    * broadcast; the corpus explodes to (id, i, x) cells once and
+    * aggregates straight back to (id, j): one shuffle keyed by (id, j),
+    * no per-element lambdas outside codegen.
+    */
+  def randomProject(emb: DataFrame, vecCol: String, idCol: String,
+      k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val d = emb.select(size(col(vecCol))).head().getInt(0) // 1-row probe
+    val matrix = spark.range(d.toLong).select(
+      col("id").cast("int").as("i"),
+      explode(sequence(lit(0), lit(k - 1))).as("j"))
+      .select(col("i"), col("j"),
+        when(pmod(TextHash.tokenHash(
+          concat_ws("_", col("i"), col("j"))), lit(2L)) === 0, 1.0)
+          .otherwise(-1.0).as("s"))
+    val cells = emb.select(col(idCol),
+      posexplode(asDouble(col(vecCol))).as(Seq("i", "x")))
+    cells.join(broadcast(matrix), "i")
+      .select(col(idCol), col("j"),
+        (col("x") * col("s") * lit(1099511627776.0)).cast("long").as("term"))
+      .groupBy(idCol, "j")
+      .agg(round((sum("term") / lit(1099511627776.0)).cast("double"), 6)
+        .as("value"))
+  }
 }

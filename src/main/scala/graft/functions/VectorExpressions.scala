@@ -119,6 +119,70 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native Catalyst expression: sparse weighted dot product over two
+  * PACKED sorted long arrays — each element encodes (key << 16) | weight
+  * with the weight in [0, 65535], so a sparse integer vector rides a
+  * single primitive array (no struct rows, no parallel-array alignment,
+  * no interpreted transforms at set-build time). A two-pointer merge on
+  * the key halves accumulates weight products at matching keys.
+  *
+  * This is the verification kernel of the exact all-pairs COSINE join
+  * (the tf-weighted sibling of [[SortedIntersectCount]]): arrays must be
+  * sorted ascending (keys are unique per vector, and the key occupies the
+  * high bits, so sorting packed values IS sorting keys) and non-null.
+  */
+case class PackedWeightedDot(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "graft_packed_weighted_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements(); val ny = y.numElements()
+    var i = 0; var j = 0; var s = 0L
+    while (i < nx && j < ny) {
+      val xi = x.getLong(i); val yj = y.getLong(j)
+      val kx = xi >>> 16; val ky = yj >>> 16
+      if (kx == ky) { s += (xi & 0xffffL) * (yj & 0xffffL); i += 1; j += 1 }
+      else if (kx < ky) i += 1
+      else j += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val xi = ctx.freshName("xi")
+      val yj = ctx.freshName("yj")
+      val kx = ctx.freshName("kx")
+      val ky = ctx.freshName("ky")
+      s"""
+         |int $i = 0; int $j = 0; long $s = 0L;
+         |while ($i < $a.numElements() && $j < $b.numElements()) {
+         |  long $xi = $a.getLong($i);
+         |  long $yj = $b.getLong($j);
+         |  long $kx = $xi >>> 16; long $ky = $yj >>> 16;
+         |  if ($kx == $ky) { $s += ($xi & 0xffffL) * ($yj & 0xffffL); $i++; $j++; }
+         |  else if ($kx < $ky) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PackedWeightedDot =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
 
   /** Codegen'd sequential dot product over `array<double>` columns. */
@@ -129,5 +193,10 @@ object VectorExpressions {
   /** Codegen'd merge-intersection count over sorted `array<long>` columns. */
   def sortedIntersectCount(a: Column, b: Column): Column =
     ColumnBridge.column(SortedIntersectCount(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Codegen'd sparse weighted dot over packed sorted `array<long>`. */
+  def packedWeightedDot(a: Column, b: Column): Column =
+    ColumnBridge.column(PackedWeightedDot(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

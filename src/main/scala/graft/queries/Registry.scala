@@ -25,7 +25,8 @@ final case class OracleQuery(
 object Registry {
   lazy val all: Seq[OracleQuery] =
     CoreQueries.all ++ ExtQueries.all ++ TrainQueries.all ++
-      CurationQueries.all ++ ScaleQueries.all ++ RetrievalQueries.all
+      CurationQueries.all ++ ScaleQueries.all ++ RetrievalQueries.all ++
+      SimilarityQueries.all
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

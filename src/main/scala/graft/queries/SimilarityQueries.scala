@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.{Dedup, Similarity, TextHash}
+
+/** Round-5 widening: exact similarity joins beyond Jaccard (tf-weighted
+  * cosine, asymmetric containment) and the seeded random-projection
+  * sketch — the remaining first-class pieces of a dedup/similarity stack
+  * at corpus scale.
+  */
+object SimilarityQueries {
+
+  /** Q103 [X]: exact all-pairs COSINE join over bigram tf vectors at
+    * τ = 1/2 — the weighted complement of q86's set-Jaccard (tf weighting
+    * separates "same vocabulary" from "same emphasis"). Threshold
+    * compares as integers on both engines (tauDen²·dot² ≥ tauNum²·n2a·n2b);
+    * the twin brute-forces via the (doc, gram, tf) self-join.
+    */
+  val q103 = OracleQuery(
+    "q103_cosine_join",
+    (s, d) => Dedup.cosineSimilarityJoin(
+      Tables.documents(s, d), "doc_id", "text", n = 2, tauNum = 1, tauDen = 2),
+    Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+                 bg AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1]
+                          FOR i IN generate_series(1, len(t) - 1)]) AS g FROM tok),
+                 tf AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS w
+                        FROM bg GROUP BY 1, 2),
+                 n2 AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2
+                        FROM tf GROUP BY 1),
+                 i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                              CAST(sum(a.w * b.w) AS BIGINT) AS dot
+                       FROM tf a JOIN tf b ON b.g = a.g AND b.doc_id > a.doc_id
+                       GROUP BY 1, 2)
+            SELECT doc_a, doc_b, dot,
+                   round(CAST(dot AS DOUBLE) /
+                         sqrt(CAST(x.n2 * y.n2 AS DOUBLE)), 6) AS cos
+            FROM i JOIN n2 x ON x.doc_id = doc_a JOIN n2 y ON y.doc_id = doc_b
+            WHERE 4 * dot * dot >= x.n2 * y.n2"""),
+  )
+
+  /** Q104 [X]: seeded ±1 random projection (JL sketch) of the embeddings
+    * to k = 16 dims, long format. Signs come from the engine-portable
+    * md5-digit hash of "i_j"; terms truncate at 2^-40 so the sums are
+    * exact integers on both engines (no accumulation-order drift).
+    */
+  val q104 = OracleQuery(
+    "q104_random_projection",
+    (s, d) => Similarity.randomProject(
+      Tables.embeddings(s, d), "embedding", "vec_id", k = 16),
+    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+                  x AS (SELECT vec_id, unnest(v) AS x,
+                               generate_subscripts(v, 1) - 1 AS i FROM e),
+                  m AS (SELECT i.i, j.j,
+                               CASE WHEN ${TextHash.tokenHashSql(
+                                 "(i.i || '_' || j.j)")} % 2 = 0
+                                    THEN 1.0 ELSE -1.0 END AS s
+                        FROM generate_series(0, 63) AS i(i),
+                             generate_series(0, 15) AS j(j)),
+                  t AS (SELECT vec_id, j,
+                               CAST(trunc(x * s * 1099511627776.0) AS BIGINT) AS term
+                        FROM x JOIN m USING (i))
+             SELECT vec_id, CAST(j AS INTEGER) AS j,
+                    round(CAST(sum(term) AS DOUBLE) / 1099511627776.0, 6) AS value
+             FROM t GROUP BY 1, 2"""),
+  )
+
+  /** Q105 [X]: exact all-pairs CONTAINMENT join (|A∩B|/|A| ≥ 4/5 over
+    * distinct bigram sets) — catches quotes/excerpts/supersets that
+    * Jaccard's union denominator drowns when |B| ≫ |A|. Integer threshold
+    * on both engines; the twin brute-forces the directional pairs.
+    */
+  val q105 = OracleQuery(
+    "q105_containment_join",
+    (s, d) => Dedup.containmentJoin(
+      Tables.documents(s, d), "doc_id", "text", n = 2, tauNum = 4, tauDen = 5),
+    Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+                 bg AS (SELECT DISTINCT doc_id, g FROM
+                          (SELECT doc_id, unnest([t[i] || ' ' || t[i+1]
+                                  FOR i IN generate_series(1, len(t) - 1)]) AS g FROM tok)),
+                 n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nn FROM bg GROUP BY doc_id),
+                 i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                              CAST(count(*) AS BIGINT) AS n_common
+                       FROM bg a JOIN bg b ON b.g = a.g AND b.doc_id != a.doc_id
+                       GROUP BY 1, 2)
+            SELECT doc_a, doc_b, n_common,
+                   round(CAST(n_common AS DOUBLE) / x.nn, 6) AS containment
+            FROM i JOIN n x ON x.doc_id = doc_a
+            WHERE 5 * n_common >= 4 * x.nn"""),
+  )
+
+  val all: Seq[OracleQuery] = Seq(q103, q104, q105)
+}

@@ -131,4 +131,75 @@ class DedupSpec extends SparkSpec {
     // 2-token docs have no 3-grams — even though their full text repeats.
     Dedup.repeatedSubstrSpans(d, "doc_id", "text", l = 3).count() shouldBe 0L
   }
+
+  test("cosineSimilarityJoin ≡ brute force on random corpora (property)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    // Repetition-heavy docs so tf weights differ from set membership.
+    val base = (0 until 70).map { i =>
+      val words = Seq.fill(10 + rnd.nextInt(8))(s"v${rnd.nextInt(25)}")
+      (i.toLong, words.mkString(" "))
+    }
+    val docs = (base :+ ((70L, base(5)._2 + " " + base(5)._2))).toDF("doc_id", "text")
+    def tf(t: String): Map[String, Long] =
+      t.split(" ").sliding(2).map(_.mkString(" ")).toSeq
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val all = base :+ ((70L, base(5)._2 + " " + base(5)._2))
+    for ((tn, td) <- Seq((1, 2), (7, 10), (19, 20))) {
+      val got = Dedup.cosineSimilarityJoin(docs, "doc_id", "text", 2, tn, td)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = (for {
+        (ia, ta) <- all; (ib, tb) <- all if ia < ib
+        va = tf(ta); vb = tf(tb)
+        dot = va.keySet.intersect(vb.keySet).toSeq.map(g => va(g) * vb(g)).sum
+        na2 = va.values.map(w => w * w).sum
+        nb2 = vb.values.map(w => w * w).sum
+        if dot * dot * td * td >= na2 * nb2 * tn * tn
+      } yield (ia, ib, dot)).toSet
+      got shouldBe want
+    }
+  }
+
+  test("cosineSimilarityJoin: tf weighting separates emphasis from vocabulary") {
+    import spark.implicits._
+    // Docs 1/2 share ALL bigrams (Jaccard 1.0 on sets) but with opposite
+    // emphasis; cosine on tf vectors sees the difference.
+    val d = Seq(
+      (1L, "a b a b a b a b a b c d"),
+      (2L, "c d c d c d c d c d a b"),
+      (3L, "a b a b a b a b a b c d")
+    ).toDF("doc_id", "text")
+    val out = Dedup.cosineSimilarityJoin(d, "doc_id", "text", 2, 9, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    out should contain((1L, 3L)) // identical emphasis
+    out should not contain ((1L, 2L)) // same grams, opposite tf profile
+  }
+
+  test("containmentJoin ≡ brute force; finds excerpt inside superset") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    val base = (0 until 60).map { i =>
+      val words = Seq.fill(10 + rnd.nextInt(8))(s"v${rnd.nextInt(40)}")
+      (i.toLong, words.mkString(" "))
+    }
+    // doc 60 = doc 7 embedded in a much larger doc: containment(7→60) ≈ 1,
+    // Jaccard(7, 60) small.
+    val sup = base(7)._2 + " " + base(11)._2 + " " + base(12)._2
+    val all = base :+ ((60L, sup))
+    val docs = all.toDF("doc_id", "text")
+    def bg(t: String): Set[String] =
+      t.split(" ").sliding(2).map(_.mkString(" ")).toSet
+    for ((tn, td) <- Seq((4, 5), (1, 2))) {
+      val got = Dedup.containmentJoin(docs, "doc_id", "text", 2, tn, td)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = (for {
+        (ia, ta) <- all; (ib, tb) <- all if ia != ib
+        sa = bg(ta); sb = bg(tb)
+        i = (sa & sb).size.toLong
+        if i * td >= sa.size * tn
+      } yield (ia, ib, i)).toSet
+      got shouldBe want
+      if (tn == 4) got.map(p => (p._1, p._2)) should contain((7L, 60L))
+    }
+  }
 }

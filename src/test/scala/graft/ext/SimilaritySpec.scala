@@ -115,4 +115,52 @@ class SimilaritySpec extends SparkSpec {
       got shouldBe expect
     }
   }
+
+  /** Reference reimplementation of TextHash.tokenHash for the projection
+    * sign (md5 hex → strip a-f → pad → first 8 digits).
+    */
+  private def refHash(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (hex.replaceAll("[a-f]", "") + "00000000").substring(0, 8).toLong
+  }
+
+  test("randomProject: exact hand-computed cells, full shape, determinism") {
+    val d = 4; val k = 3
+    val data = Seq(
+      (0L, Array(1.0f, 0.5f, -0.25f, 0.125f)),
+      (1L, Array(0.0f, 0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.randomProject(data, "embedding", "vec_id", k)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    out.size shouldBe 2 * k
+    def sign(i: Int, j: Int): Double = if (refHash(s"${i}_$j") % 2 == 0) 1.0 else -1.0
+    val vecs = Map(0L -> Array(1.0, 0.5, -0.25, 0.125), 1L -> Array(0.0, 0.0, 1.0, 0.0))
+    for (id <- Seq(0L, 1L); j <- 0 until k) {
+      // power-of-two components: the 2^-40 truncation is exact here
+      val expect = BigDecimal((0 until d).map(i => vecs(id)(i) * sign(i, j)).sum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      out((id, j)) shouldBe expect +- 1e-9
+    }
+    // deterministic across invocations
+    val again = Similarity.randomProject(data, "embedding", "vec_id", k)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    again shouldBe out
+  }
+
+  test("randomProject preserves relative distances (JL sanity)") {
+    // Two near-identical vectors and one far vector: after projection the
+    // near pair must stay much closer than the far pair.
+    val rnd = new scala.util.Random(11)
+    val a = Array.fill(64)(rnd.nextFloat())
+    val b = a.clone(); b(0) = b(0) + 0.01f
+    val c = Array.fill(64)(-rnd.nextFloat())
+    val data = Seq((0L, a), (1L, b), (2L, c)).toDF("vec_id", "embedding")
+    val p = Similarity.randomProject(data, "embedding", "vec_id", 16)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(1)).map(_.getDouble(2))).toMap
+    def dist(x: Seq[Double], y: Seq[Double]) =
+      math.sqrt(x.zip(y).map { case (u, v) => (u - v) * (u - v) }.sum)
+    dist(p(0L), p(1L)) should be < dist(p(0L), p(2L)) / 10
+  }
 }
