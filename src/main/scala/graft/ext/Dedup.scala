@@ -372,9 +372,23 @@ object Dedup {
     val probes = withNorms
       .filter(col("sufsq") * (tauDen.toLong * tauDen) >=
         col("n2") * (tauNum.toLong * tauNum))
-      .select(col("__id"), col("gid"))
+      .select(col("__id"), col("gid"), col("sufsq"), col("n2"))
+    // Positional filter (Cauchy-Schwarz at the match): every common
+    // feature of a qualifying pair sits at-or-after the SMALLEST common
+    // gram in both rarest-first lists, so dot² ≤ sufsq_a·sufsq_b there;
+    // requiring sufsq_a·sufsq_b·tauDen² ≥ tauNum²·n2a·n2b prunes matches
+    // on frequent grams (deep positions, small suffixes) without false
+    // negatives — the first common gram of a true pair always passes.
+    // This is what keeps frequent-gram probe buckets from fanning out
+    // quadratically. Evaluated in DOUBLE with a 1e-9 relaxation (the
+    // four-long product can overflow; a prune may only be conservative —
+    // the exact integer comparison stays in the verification step).
     val cand = probes.alias("a").join(probes.alias("b"),
-      col("a.gid") === col("b.gid") && col("a.__id") < col("b.__id"))
+      col("a.gid") === col("b.gid") && col("a.__id") < col("b.__id") &&
+        col("a.sufsq").cast("double") * col("b.sufsq") *
+          lit((tauDen.toDouble * tauDen)) >=
+          col("a.n2").cast("double") * col("b.n2") *
+            lit(tauNum.toDouble * tauNum * (1.0 - 1e-9)))
       .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
       .distinct()
     cand
@@ -427,13 +441,20 @@ object Dedup {
       floor((col("nn") * tauNum + (tauDen - 1)) / lit(tauDen.toDouble)) + 1)
       .cast("int")
     val probes = sets.select(col("__id"), col("nn"),
-      explode(slice(col("gs"), lit(1), prefixLen)).as("gid"))
+      posexplode(slice(col("gs"), lit(1), prefixLen)).as(Seq("pos", "gid")))
     val index = sets.select(col("__id"), col("nn"),
-      explode(col("gs")).as("gid"))
+      posexplode(col("gs")).as(Seq("pos", "gid")))
+    // Positional filter (the q86 pattern): at the smallest common gram —
+    // matched at ranks (pa, pb) — the pair can share at most
+    // 1 + min(na−pa−1, nb−pb−1) grams; requiring that best case to reach
+    // ⌈τ·na⌉ prunes frequent-gram matches without false negatives.
     val cand = probes.alias("a").join(index.alias("b"),
       col("a.gid") === col("b.gid") &&
         col("a.__id") =!= col("b.__id") &&
-        col("b.nn") * tauDen >= col("a.nn") * tauNum)
+        col("b.nn") * tauDen >= col("a.nn") * tauNum &&
+        (lit(1) + least(col("a.nn") - col("a.pos") - 1,
+          col("b.nn") - col("b.pos") - 1)) * tauDen >=
+          col("a.nn") * tauNum)
       .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
       .distinct()
     cand
