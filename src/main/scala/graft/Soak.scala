@@ -214,6 +214,18 @@ object Soak {
       nCand
     })
 
+    // round-5 widening: the weighted/asymmetric exact joins and the JL
+    // sketch at soak scale.
+    time("cosine join (tf bigrams, tau .9)")(
+      Dedup.cosineSimilarityJoin(docs, "doc_id", "text",
+        n = 2, tauNum = 9, tauDen = 10).count())
+    time("containment join (bigrams, tau .9)")(
+      Dedup.containmentJoin(docs, "doc_id", "text",
+        n = 2, tauNum = 9, tauDen = 10).count())
+    time("random projection (64 -> 16 dims)")(
+      Similarity.randomProject(vecs, "embedding", "vec_id", 16)
+        .agg(sum("value")).count())
+
     time("pq build + adc search (m=8, k=10)")({
       val model = PqIndex.build(vecs, "embedding", "vec_id",
         m = 8, ksub = 16, maxIter = 3)

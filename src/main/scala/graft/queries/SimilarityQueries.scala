@@ -90,5 +90,67 @@ object SimilarityQueries {
             WHERE 5 * n_common >= 4 * x.nn"""),
   )
 
-  val all: Seq[OracleQuery] = Seq(q103, q104, q105)
+  /** Q106 [X]: reciprocal-rank fusion — the standard hybrid-retrieval
+    * combiner (Cormack et al. SIGIR'09): fuse a lexical ranking (BM25
+    * top-20 for fixed terms) with a dense ranking (cosine top-20 against
+    * query vector 0, vec_id joined as doc id) by score = Σ 1/(60 + rank).
+    * Each document contributes at most two terms, so the double sum is
+    * order-free; ranks are integers from the engines' own (already
+    * parity-proven) top-k shapes. Output: fused top-10 with both
+    * source ranks (−1 = absent from that list).
+    */
+  val q106 = OracleQuery(
+    "q106_rank_fusion",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val lex = graft.ext.Retrieval.bm25TopK(
+        Tables.documents(s, d), "doc_id", "text",
+        Seq("spark", "merge", "shuffle"), 20)
+        .select(col("doc_id"), col("rnk").cast("long").as("r_lex"))
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(Similarity.asDouble(col("embedding")).as("qv"))
+      val dense = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") > 0), "embedding", "vec_id", q, 20)
+        .withColumn("r_dense",
+          row_number().over(Window.orderBy(desc("cos_r"), col("vec_id")))
+            .cast("long"))
+        .select(col("vec_id").as("doc_id"), col("r_dense"))
+      val fused = lex.join(dense, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("r_lex"), lit(-1L)).as("r_lex"),
+          coalesce(col("r_dense"), lit(-1L)).as("r_dense"),
+          round(
+            when(col("r_lex").isNotNull, lit(1.0) / (col("r_lex") + 60.0))
+              .otherwise(0.0) +
+            when(col("r_dense").isNotNull, lit(1.0) / (col("r_dense") + 60.0))
+              .otherwise(0.0), 6).as("rrf"))
+      fused.orderBy(desc("rrf"), col("doc_id")).limit(10)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(desc("rrf"), col("doc_id"))).cast("long"))
+    },
+    Some(s"""WITH lex AS (${graft.ext.Retrieval.bm25OracleSql(
+               Seq("spark", "merge", "shuffle"), 20)}),
+              e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              qv AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+              dense AS (SELECT vec_id AS doc_id,
+                               CAST(row_number() OVER (ORDER BY cos_r DESC, vec_id) AS BIGINT) AS r_dense
+                        FROM (SELECT vec_id,
+                                     round(list_dot_product(v, qv) /
+                                           (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_r
+                              FROM e, qv WHERE vec_id > 0
+                              ORDER BY cos_r DESC, vec_id LIMIT 20)),
+              f AS (SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+                           coalesce(CAST(l.rnk AS BIGINT), -1) AS r_lex,
+                           coalesce(d.r_dense, -1) AS r_dense,
+                           round(coalesce(1.0 / (l.rnk + 60.0), 0.0) +
+                                 coalesce(1.0 / (d.r_dense + 60.0), 0.0), 6) AS rrf
+                    FROM (SELECT doc_id, rnk FROM lex) l
+                    FULL OUTER JOIN dense d ON d.doc_id = l.doc_id)
+         SELECT doc_id, r_lex, r_dense, rrf,
+                CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rnk
+         FROM f ORDER BY rrf DESC, doc_id LIMIT 10"""),
+  )
+
+  val all: Seq[OracleQuery] = Seq(q103, q104, q105, q106)
 }
