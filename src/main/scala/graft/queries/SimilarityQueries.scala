@@ -13,15 +13,19 @@ import graft.ext.{Dedup, Similarity, TextHash}
 object SimilarityQueries {
 
   /** Q103 [X]: exact all-pairs COSINE join over bigram tf vectors at
-    * τ = 1/2 — the weighted complement of q86's set-Jaccard (tf weighting
+    * τ = 4/5 — the weighted complement of q86's set-Jaccard (tf weighting
     * separates "same vocabulary" from "same emphasis"). Threshold
     * compares as integers on both engines (tauDen²·dot² ≥ tauNum²·n2a·n2b);
-    * the twin brute-forces via the (doc, gram, tf) self-join.
+    * the twin brute-forces via the (doc, gram, tf) self-join. τ is the
+    * production near-dup setting: at low τ the prefix/positional bounds
+    * cannot discriminate (at τ=1/2 this corpus admits 8M of 12.5M
+    * possible pairs as candidates — that sweep belongs to the LSH path,
+    * q19b/q25), while at 4/5 candidates collapse to the true near-dups.
     */
   val q103 = OracleQuery(
     "q103_cosine_join",
     (s, d) => Dedup.cosineSimilarityJoin(
-      Tables.documents(s, d), "doc_id", "text", n = 2, tauNum = 1, tauDen = 2),
+      Tables.documents(s, d), "doc_id", "text", n = 2, tauNum = 4, tauDen = 5),
     Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
                  bg AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1]
                           FOR i IN generate_series(1, len(t) - 1)]) AS g FROM tok),
@@ -37,7 +41,7 @@ object SimilarityQueries {
                    round(CAST(dot AS DOUBLE) /
                          sqrt(CAST(x.n2 * y.n2 AS DOUBLE)), 6) AS cos
             FROM i JOIN n2 x ON x.doc_id = doc_a JOIN n2 y ON y.doc_id = doc_b
-            WHERE 4 * dot * dot >= x.n2 * y.n2"""),
+            WHERE 25 * dot * dot >= 16 * x.n2 * y.n2"""),
   )
 
   /** Q104 [X]: seeded ±1 random projection (JL sketch) of the embeddings
