@@ -266,6 +266,84 @@ object CoreQueries {
             FROM k GROUP BY c_nationkey"""),
   )
 
+  /** Q107 (S3/T4/T7/A1-A3, round 5): the raster pipeline through REAL
+    * image bytes — the query writes 16 actual PNGs (z=2 tile grid, gray
+    * pixel = the q09 formula `((tx·31+ty)·31+px)·31+py mod 256`), decodes
+    * them back through the ImageIO [[graft.raster.FileTileStore]], and
+    * runs the full §3.1 median-normalize pass over them. The oracle
+    * recomputes the same formula arithmetically — so a hash match proves
+    * the PNG encode → ImageIO decode → L-conversion → sample → median →
+    * normalize chain is LOSSLESS end-to-end (gray (v,v,v) luma-converts
+    * to exactly v). The q92 temp-dir discipline: materialize the tiny
+    * result, delete the tiles, return a local relation.
+    */
+  val q107 = OracleQuery(
+    "q107_imageio_raster",
+    (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_png_")
+      for (x <- 0 until 4; y <- 0 until 4) {
+        val img = new java.awt.image.BufferedImage(
+          256, 256, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var py = 0
+        while (py < 256) {
+          var px = 0
+          while (px < 256) {
+            val v = java.lang.Math.floorMod(
+              ((x * 31 + y) * 31 + px) * 31 + py, 256)
+            img.setRGB(px, py, (v << 16) | (v << 8) | v)
+            px += 1
+          }
+          py += 1
+        }
+        val f = dir.resolve(s"2/$x/$y.png")
+        java.nio.file.Files.createDirectories(f.getParent)
+        javax.imageio.ImageIO.write(img, "png", f.toFile)
+      }
+      val store = new graft.raster.FileTileStore(dir.toString, mode = "L")
+      val coords = Tables.customer(s, d).select(
+        col("c_nationkey").cast("long").as("gid"),
+        ((col("c_custkey") % 347).cast("double") * 1.0371 - 179.9).as("lng"),
+        ((col("c_custkey") % 161).cast("double") * 1.0133 - 80.9).as("lat"))
+      val out = graft.raster.RasterSampler
+        .medianPass(coords, store, 2, graft.raster.ValueFns.strava, "vn")
+        .select(col("gid"), round(col("vn"), 6).as("v_norm"))
+      val rows = out.collect().toSeq
+      val cleaned = s.createDataFrame(
+        s.sparkContext.parallelize(rows, 1), out.schema)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      cleaned
+    },
+    Some("""WITH pts AS (
+              SELECT CAST(c_nationkey AS BIGINT) AS gid,
+                     CAST(c_custkey % 347 AS DOUBLE) * 1.0371 - 179.9 AS lng,
+                     CAST(c_custkey % 161 AS DOUBLE) * 1.0133 - 80.9 AS lat
+              FROM customer),
+            w AS (
+              SELECT gid,
+                     256.0 * (0.5 + lng / 360.0) AS wx,
+                     256.0 * (0.5 - ln((1.0 + g) / (1.0 - g)) / (4.0 * pi())) AS wy
+              FROM (SELECT *, least(greatest(sin(lat * pi() / 180.0), -0.9999), 0.9999) AS g
+                    FROM pts)),
+            k AS (
+              SELECT gid,
+                     CAST(floor(wx * 4.0 / 256.0) AS BIGINT) AS tx,
+                     CAST(floor(wy * 4.0 / 256.0) AS BIGINT) AS ty,
+                     CAST(floor(fmod(wx * 4.0, 256.0)) AS BIGINT) AS px,
+                     CAST(floor(fmod(wy * 4.0, 256.0)) AS BIGINT) AS py
+              FROM w),
+            med AS (
+              SELECT gid,
+                     median(CAST((((tx * 31 + ty) * 31 + px) * 31 + py) % 256 AS DOUBLE) / 255.0) AS med_v
+              FROM k GROUP BY gid),
+            mx AS (SELECT max(med_v) AS mx FROM med)
+            SELECT gid,
+                   round(CASE WHEN mx > 0 THEN med_v / mx ELSE med_v END, 6) AS v_norm
+            FROM med, mx"""),
+  )
+
   /** Q10 (J7): 3-way join + filtered grouped revenue (TPC-H Q3 shape).
     * Revenue terms pass through DECIMAL(18,4) so summation is exact and
     * order-independent on both engines.
@@ -626,5 +704,5 @@ object CoreQueries {
   val all: Seq[OracleQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q10b, q11, q11b, q12, q13, q14, q15, q16, q17, q24, q37, q38,
-    q39, q39b, q40)
+    q39, q39b, q40, q107)
 }
