@@ -1,0 +1,130 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** IVF-PQ (IVFADC, Jégou et al. TPAMI'11): the production ANN composition
+  * the [[IvfIndex]]/[[PqIndex]] docs point at — IVF prunes WHICH vectors
+  * are scanned (coarse k-means cells), PQ shrinks WHAT is scanned (each
+  * vector stored as m byte codes of its RESIDUAL from its cell centroid).
+  * Residual quantization is what makes the composition work: residuals
+  * concentrate near zero, so the same `ksub` codebook cells resolve much
+  * finer structure than they would on raw vectors.
+  *
+  * Scale shape: training is one coarse k-means + m sub-space k-means over
+  * residuals (samples suffice at corpus scale); the index is a narrow
+  * (id, cell, codes) table partitionable by cell — at 100 TB,
+  * cell-partitioned storage turns the nprobe filter into partition
+  * pruning, and the scanned bytes per candidate are m codes instead of
+  * d·4. A query builds nprobe ADC tables driver-side (nprobe·m·ksub
+  * doubles — kilobytes), scans only probed cells, shortlists k·refine by
+  * ADC distance, and exact-rescores the shortlist against the original
+  * vectors (one broadcast-size join).
+  */
+object IvfPq {
+
+  case class Model(
+      m: Int, dsub: Int,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      encoded: DataFrame)
+
+  /** Train coarse cells + residual PQ codebooks and encode the corpus. */
+  def build(emb: DataFrame, vecCol: String, idCol: String,
+      nlist: Int, m: Int, ksub: Int, seed: Long = 42L,
+      maxIter: Int = 10): Model = {
+    val ivf = IvfIndex.build(emb, vecCol, idCol, nlist, seed, maxIter)
+    val cents = ivf.centroids
+    val d = cents(0).length
+    require(d % m == 0, s"dim $d not divisible by m=$m")
+    val dsub = d / m
+    // Residuals v − c(cell): narrow (cell, vec) pass; the residual table
+    // only feeds sub-space training + encoding.
+    val bcCents = emb.sparkSession.sparkContext.broadcast(cents)
+    val resid = udf { (v: Seq[Double], cell: Int) =>
+      val c = bcCents.value(cell)
+      Array.tabulate(v.length)(i => v(i) - c(i))
+    }
+    val withResid = ivf.assigned
+      .select(col(idCol), col("cell"),
+        resid(Similarity.asDouble(col(vecCol)), col("cell")).as("_r"))
+    // m independent sub-space fits over the residuals — concurrent jobs
+    // (the PqIndex lesson: sequential fits pay m job-latency floors).
+    import org.apache.spark.ml.functions.array_to_vector
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val codebooks = Await.result(
+      Future.sequence((0 until m).toList.map { s => Future {
+        val sub = withResid.select(
+          array_to_vector(slice(col("_r"), s * dsub + 1, dsub)).as("_features"))
+        new org.apache.spark.ml.clustering.KMeans()
+          .setK(ksub).setSeed(seed + 100 + s).setFeaturesCol("_features")
+          .setMaxIter(maxIter).fit(sub)
+          .clusterCenters.map(_.toArray)
+      }}), Duration.Inf).toArray
+    val enc = udf { (r: Seq[Double]) =>
+      Array.tabulate(m) { s =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < ksub) {
+          var dd = 0.0; var i = 0
+          while (i < dsub) {
+            val diff = r(s * dsub + i) - codebooks(s)(c)(i)
+            dd += diff * diff; i += 1
+          }
+          if (dd < bestD) { bestD = dd; best = c }
+          c += 1
+        }
+        best
+      }
+    }
+    Model(m, dsub, cents, codebooks,
+      withResid.select(col(idCol), col("cell"), enc(col("_r")).as("codes")))
+  }
+
+  /** Top-k: probe the `nprobe` nearest cells, ADC-scan their codes with
+    * per-cell distance tables on the query's residual, exact-cosine
+    * re-rank of the `k·refine` shortlist against the original vectors.
+    */
+  def search(model: Model, emb: DataFrame, vecCol: String, idCol: String,
+      queryVec: Array[Double], nprobe: Int, k: Int,
+      refine: Int = 4): DataFrame = {
+    val m = model.m; val dsub = model.dsub
+    val cellDist = model.centroids.zipWithIndex.map { case (c, i) =>
+      (i, c.zip(queryVec).map { case (a, b) => (a - b) * (a - b) }.sum)
+    }
+    val probed = cellDist.sortBy(_._2).take(nprobe).map(_._1)
+    // One ADC table per probed cell, on the query's residual there.
+    val tables: Map[Int, Array[Array[Double]]] = probed.map { cell =>
+      val c = model.centroids(cell)
+      val qr = Array.tabulate(queryVec.length)(i => queryVec(i) - c(i))
+      cell -> Array.tabulate(m, model.codebooks(0).length) { (s, cc) =>
+        var dd = 0.0; var i = 0
+        while (i < dsub) {
+          val diff = qr(s * dsub + i) - model.codebooks(s)(cc)(i)
+          dd += diff * diff; i += 1
+        }
+        dd
+      }
+    }.toMap
+    val adc = udf { (cell: Int, codes: Seq[Int]) =>
+      val t = tables(cell)
+      var dd = 0.0; var s = 0
+      while (s < m) { dd += t(s)(codes(s)); s += 1 }
+      dd
+    }
+    val shortlist = model.encoded
+      .filter(col("cell").isin(probed.toSeq: _*))
+      .select(col(idCol), adc(col("cell"), col("codes")).as("adc_d2"))
+      .orderBy(col("adc_d2"), col(idCol)).limit(k * refine)
+    val q = array(queryVec.map(lit): _*)
+    val vd = Similarity.asDouble(col(vecCol))
+    val cos = graft.functions.VectorExpressions.dotNative(vd, q) /
+      (sqrt(graft.functions.VectorExpressions.dotNative(vd, vd)) *
+        math.sqrt(queryVec.map(x => x * x).sum))
+    emb.join(broadcast(shortlist.select(idCol)), idCol)
+      .select(col(idCol), round(cos, 6).as("cos_r"))
+      .orderBy(desc("cos_r"), col(idCol)).limit(k)
+  }
+}

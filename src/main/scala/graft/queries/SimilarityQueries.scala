@@ -156,5 +156,36 @@ object SimilarityQueries {
          FROM f ORDER BY rrf DESC, doc_id LIMIT 10"""),
   )
 
-  val all: Seq[OracleQuery] = Seq(q103, q104, q105, q106)
+  /** Q108 [X, certificate]: IVF-PQ (IVFADC) — the production ANN
+    * composition: coarse cells prune the scan, residual PQ codes shrink
+    * it, exact re-rank fixes the top. Certificate oracle like q74/q91:
+    * DuckDB recomputes exact cosines for the returned ids.
+    */
+  private object IvfPqCert { @volatile var ids: Option[Seq[Long]] = None }
+  val q108 = OracleQuery(
+    "q108_ivfpq_ann",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(Similarity.asDouble(col("embedding"))).head()
+        .getSeq[Double](0).toArray
+      val model = graft.ext.IvfPq.build(emb, "embedding", "vec_id",
+        nlist = 16, m = 8, ksub = 16, maxIter = 5)
+      val res = graft.ext.IvfPq.search(model, emb, "embedding", "vec_id",
+        qv, nprobe = 4, k = 5)
+      val rows = res.collect().toSeq // k rows
+      IvfPqCert.ids = Some(rows.map(_.getLong(0)))
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), res.schema)
+    },
+    None,
+    dynOracle = () => IvfPqCert.ids.map(ids =>
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+               q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+          SELECT vec_id,
+                 round(list_dot_product(v, qv) /
+                       (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_r
+          FROM e, q WHERE vec_id IN (${ids.mkString(", ")})"""),
+  )
+
+  val all: Seq[OracleQuery] = Seq(q103, q104, q105, q106, q108)
 }

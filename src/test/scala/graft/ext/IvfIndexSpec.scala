@@ -27,6 +27,25 @@ class IvfIndexSpec extends SparkSpec {
     (exact intersect approx).size.toDouble / exact.size should be >= 0.5
   }
 
+  test("IVF-PQ: residual ADC + exact re-rank recalls the exact top-k") {
+    val emb = Tables.embeddings(spark, TestSpark.Sf0001)
+    val qv = emb.filter(col("vec_id") === 0)
+      .head().getAs[scala.collection.Seq[Float]]("embedding")
+      .map(_.toDouble).toArray
+    val model = IvfPq.build(emb, "embedding", "vec_id",
+      nlist = 8, m = 8, ksub = 16, maxIter = 5)
+    model.encoded.select("codes").head().getSeq[Int](0).length shouldBe 8
+    val exact = Similarity.bruteForceTopK(
+      emb, "embedding", "vec_id",
+      emb.filter(col("vec_id") === 0)
+        .select(Similarity.asDouble(col("embedding")).as("qv")), 10)
+      .collect().map(_.getLong(0)).toSet
+    val approx = IvfPq.search(model, emb, "embedding", "vec_id", qv,
+      nprobe = 3, k = 10).collect().map(_.getLong(0)).toSet
+    approx should contain(0L) // query's own cell is always probed
+    (exact intersect approx).size.toDouble / exact.size should be >= 0.5
+  }
+
   test("probing all cells equals brute force exactly") {
     val emb = Tables.embeddings(spark, TestSpark.Sf0001).limit(100)
     val model = IvfIndex.build(emb, "embedding", "vec_id", nlist = 4)
