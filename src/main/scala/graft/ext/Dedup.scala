@@ -133,6 +133,49 @@ object Dedup {
     }.reduce(_ + _)
   }
 
+  /** SimHash Hamming near-dup pairs via band pigeonholing (the Manku et
+    * al. WWW'07 scheme Google ran for web dedup): every pair of documents
+    * whose 16-bit [[simHash16]] fingerprints differ in at most `maxDist`
+    * bits. Split the fingerprint into `maxDist + 1` bands — a pair within
+    * the Hamming ball MUST agree exactly on at least one band
+    * (pigeonhole: maxDist flipped bits cannot touch all maxDist+1 bands) —
+    * so candidates come from equi-joins on band values and only
+    * candidates pay the exact XOR-popcount verification. No false
+    * negatives; everything is integer arithmetic on both engines.
+    *
+    * Scale shape: one fingerprint pass over the corpus, then
+    * `maxDist + 1` equi-joins keyed on 4-bit band values... which at
+    * corpus scale are HOT keys (only 16 distinct values per band) — real
+    * deployments widen the fingerprint (64-bit) and bands (16-bit,
+    * 65536 buckets) for exactly this reason; swapping [[simHash16]] for a
+    * wider fingerprint leaves the banding/verification shape unchanged.
+    * Output: (doc_a, doc_b, dist), doc_a < doc_b, deduped across bands.
+    */
+  def simHashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist < 16, s"simHashNearDupPairs: 0 <= maxDist < 16")
+    val nBands = maxDist + 1
+    val width = 16 / nBands // band bit-width (16-bit simhash)
+    val sig = df.select(col(idCol).as("__id"), simHash16(col(textCol)).as("sh"))
+    val banded = sig.select(col("__id"), col("sh"),
+      explode(array((0 until nBands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sh"), b * width)
+            .bitwiseAND(lit((1L << width) - 1)).as("bk"))
+      }: _*)).as("e"))
+      .select(col("__id"), col("sh"), col("e.band"), col("e.bk"))
+    val cand = banded.alias("a").join(banded.alias("b"),
+      col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+        col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"),
+        col("a.sh").as("sha"), col("b.sh").as("shb"))
+      .distinct()
+    cand
+      .withColumn("dist", bit_count(col("sha").bitwiseXOR(col("shb"))))
+      .filter(col("dist") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("dist").cast("long").as("dist"))
+  }
+
   /** Benchmark decontamination: ids of `corpus` documents that share ANY
     * distinct word n-gram with `benchmark` — the standard eval-leak check
     * before training. The benchmark side is tiny next to the corpus, so
@@ -245,9 +288,11 @@ object Dedup {
     * threshold `tauNum·(na+nb)/(tauNum+tauDen)` (checked in integers)
     * prunes candidates without false negatives. The vocabulary dictionary
     * is a DISTRIBUTED rank over distinct grams (range-partitioned sort +
-    * per-partition offsets, never a single-partition window) —
-    * vocabulary-sized, orders of magnitude under the corpus; at 100 TB it
-    * is the standard broadcast dictionary.
+    * per-partition offsets, never a single-partition window), and the
+    * dictionary join carries NO broadcast hint: distinct n-grams grow
+    * with the corpus (the 1M-doc soak dictionary already breaks a forced
+    * broadcast build), so AQE broadcasts when the vocabulary is small and
+    * shuffle-joins when it is not.
     */
   def jaccardSimilarityJoin(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 2, tauNum: Int = 1, tauDen: Int = 2): DataFrame = {
@@ -291,7 +336,7 @@ object Dedup {
     // both verification sides); checkpoint it once so the gram pipeline
     // (scan → n-gram window → dictionary join → collect) runs once, not
     // three times — the DedupCluster reused-input lesson (3× → 1×).
-    val sets = grams.join(broadcast(dict), "g")
+    val sets = grams.join(dict, "g")
       .groupBy("__id")
       .agg(array_sort(collect_list(col("gid"))).as("gs"))
       .select(col("__id"), col("gs"), size(col("gs")).cast("long").as("nn"))
@@ -353,7 +398,7 @@ object Dedup {
       .agg(count(lit(1)).as("w"))
     val gdf = tf.groupBy("g").agg(count(lit(1)).as("gdf"))
     val dict = rankDictionary(gdf)
-    val weighted = tf.join(broadcast(dict), "g")
+    val weighted = tf.join(dict, "g")
       .select(col("__id"), col("gid"),
         least(col("w"), lit(65535L)).as("w"))
     // Suffix squared norm from each position (rarest-first order) and the
@@ -431,7 +476,7 @@ object Dedup {
       .select(col(idCol).as("__id"), col("g"))
     val gdf = grams.groupBy("g").agg(count(lit(1)).as("gdf"))
     val dict = rankDictionary(gdf)
-    val sets = grams.join(broadcast(dict), "g")
+    val sets = grams.join(dict, "g")
       .groupBy("__id")
       .agg(array_sort(collect_list(col("gid"))).as("gs"))
       .select(col("__id"), col("gs"), size(col("gs")).cast("long").as("nn"))

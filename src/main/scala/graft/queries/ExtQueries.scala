@@ -162,7 +162,7 @@ object ExtQueries {
             FROM events GROUP BY 1, 2"""),
   )
 
-  private val simhashSql: String = {
+  private[queries] val simhashSql: String = {
     val sums = (0 until 16).map(j =>
       s"CAST(SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s$j")
       .mkString(",\n                   ")

@@ -187,5 +187,26 @@ object SimilarityQueries {
           FROM e, q WHERE vec_id IN (${ids.mkString(", ")})"""),
   )
 
-  val all: Seq[OracleQuery] = Seq(q103, q104, q105, q106, q108)
+  /** Q109 [X]: simhash Hamming near-dup pairs (Manku et al. WWW'07) —
+    * all pairs within Hamming distance 1 of the 16-bit fingerprint, via
+    * band pigeonholing (2 bands × 8 bits: one flipped bit must leave one
+    * band untouched). Candidates pay only an XOR-popcount verification;
+    * the twin brute-forces the n²/2 bit comparisons. All-integer — no
+    * float parity surface at all. Radius 1 because a 16-bit fingerprint
+    * over this clustered corpus is coarse (radius 3 admits 4.3M pairs at
+    * sf0.1 — a wider fingerprint, not a wider radius, is the production
+    * answer, per the operator doc).
+    */
+  val q109 = OracleQuery(
+    "q109_simhash_pairs",
+    (s, d) => Dedup.simHashNearDupPairs(
+      Tables.documents(s, d), "doc_id", "text", maxDist = 1),
+    Some(s"""WITH sig AS (${ExtQueries.simhashSql})
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS dist
+         FROM sig a JOIN sig b ON b.doc_id > a.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 1"""),
+  )
+
+  val all: Seq[OracleQuery] = Seq(q103, q104, q105, q106, q108, q109)
 }

@@ -132,6 +132,29 @@ class DedupSpec extends SparkSpec {
     Dedup.repeatedSubstrSpans(d, "doc_id", "text", l = 3).count() shouldBe 0L
   }
 
+  test("simHashNearDupPairs ≡ brute-force Hamming ball (property)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(61)
+    val base = (0 until 120).map { i =>
+      val words = Seq.fill(8 + rnd.nextInt(10))(s"v${rnd.nextInt(30)}")
+      (i.toLong, words.mkString(" "))
+    }
+    val d = (base :+ ((120L, base(9)._2))).toDF("doc_id", "text")
+    for (maxDist <- Seq(0, 3, 7)) {
+      val got = Dedup.simHashNearDupPairs(d, "doc_id", "text", maxDist)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val sig = d.select($"doc_id", Dedup.simHash16($"text").as("sh"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      val want = (for {
+        (ia, sa) <- sig; (ib, sb) <- sig if ia < ib
+        dist = java.lang.Long.bitCount(sa ^ sb).toLong
+        if dist <= maxDist
+      } yield (ia, ib, dist)).toSet
+      got shouldBe want
+      if (maxDist == 0) got.map(p => (p._1, p._2)) should contain((9L, 120L))
+    }
+  }
+
   test("cosineSimilarityJoin ≡ brute force on random corpora (property)") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)
