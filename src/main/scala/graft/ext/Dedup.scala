@@ -156,7 +156,12 @@ object Dedup {
     require(maxDist >= 0 && maxDist < 16, s"simHashNearDupPairs: 0 <= maxDist < 16")
     val nBands = maxDist + 1
     val width = 16 / nBands // band bit-width (16-bit simhash)
+    // The signature relation feeds BOTH self-join sides; checkpoint it so
+    // the per-token fingerprint pass (interpreted HOF over the whole
+    // corpus) runs once, not once per side — the q86/DedupCluster
+    // multi-use-subplan lesson (measured 21 s → ~7 s at sf0.1).
     val sig = df.select(col(idCol).as("__id"), simHash16(col(textCol)).as("sh"))
+      .localCheckpoint()
     val banded = sig.select(col("__id"), col("sh"),
       explode(array((0 until nBands).map { b =>
         struct(lit(b).as("band"),
