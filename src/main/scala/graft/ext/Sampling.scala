@@ -92,4 +92,35 @@ object Sampling {
     }
     hashBucket(id) < rate
   }
+
+  /** EXACT-SIZE weighted sampling without replacement (the
+    * Efraimidis–Spirakis exponential-clock scheme, deterministic variant):
+    * per stratum, keep the `n` rows with the smallest key
+    * `−ln(u)/weight`, u the portable id hash mapped into (0, 1] — an
+    * Exp(weight) clock, so heavier rows ring earlier and the n smallest
+    * clocks ARE a weighted sample without replacement. Closes the
+    * sampling family: [[capPerStratum]] = uniform quota, [[mixtureKeep]]/
+    * [[stratifiedKeep]] = rate control (Bernoulli, size varies), this =
+    * exact-size weighted quota.
+    *
+    * Deterministic and engine-portable: u is the md5-digit hash (stable
+    * everywhere), and the ranking orders by the key ROUNDED to 9 decimals
+    * with the id tiebreak — `ln` differs in the last ulp across libm
+    * implementations, and the round-then-tiebreak discipline (q47/q48) is
+    * what keeps the sample identical on any engine. One window shuffle on
+    * the stratum key (the q14 partial-WindowGroupLimit shape: only
+    * n·strata rows cross the exchange).
+    *
+    * @param weight strictly positive weight expression
+    */
+  def weightedSample(df: DataFrame, idCol: String, strataCol: String,
+      weight: Column, n: Int): DataFrame = {
+    val u = (TextHash.tokenHash(col(idCol).cast("string")).cast("double")
+      + 1.0) / 1e8
+    val key = round(-log(u) / weight.cast("double"), 9)
+    val w = Window.partitionBy(strataCol).orderBy(col("skey"), col(idCol))
+    df.withColumn("skey", key)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= n)
+  }
 }

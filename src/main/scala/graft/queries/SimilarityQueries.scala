@@ -208,5 +208,30 @@ object SimilarityQueries {
          WHERE bit_count(xor(a.simhash, b.simhash)) <= 1"""),
   )
 
-  val all: Seq[OracleQuery] = Seq(q103, q104, q105, q106, q108, q109)
+  /** Q110 [X]: exact-size weighted sampling without replacement
+    * (Efraimidis–Spirakis exponential clocks) — 20 docs per source,
+    * weight = n_chars, so longer documents are proportionally more
+    * likely. Key = −ln(u)/w on the portable hash; ranked on the ROUNDED
+    * key with the id tiebreak (the q47/q48 ln-parity discipline).
+    */
+  val q110 = OracleQuery(
+    "q110_weighted_sample_topk",
+    (s, d) => graft.ext.Sampling.weightedSample(
+      Tables.documents(s, d).select(col("doc_id"), col("source"),
+        col("n_chars")),
+      "doc_id", "source", col("n_chars"), n = 20)
+      .select(col("doc_id"), col("source"), col("skey"), col("rnk")),
+    Some(s"""WITH h AS (SELECT doc_id, source, n_chars,
+                     ${TextHash.tokenHashSql("CAST(doc_id AS VARCHAR)")} AS hv
+              FROM documents),
+              k AS (SELECT doc_id, source,
+                     round(-ln((hv + 1.0) / 1e8) / CAST(n_chars AS DOUBLE), 9) AS skey
+                    FROM h),
+              r AS (SELECT *, CAST(row_number() OVER
+                      (PARTITION BY source ORDER BY skey, doc_id) AS BIGINT) AS rnk
+                    FROM k)
+         SELECT doc_id, source, skey, rnk FROM r WHERE rnk <= 20"""),
+  )
+
+  val all: Seq[OracleQuery] = Seq(q103, q104, q105, q106, q108, q109, q110)
 }

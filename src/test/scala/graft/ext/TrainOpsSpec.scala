@@ -253,6 +253,31 @@ class TrainOpsSpec extends SparkSpec {
       Sampling.capPerStratum(df, "id", "src", 5).select("id")).count() shouldBe 0
   }
 
+  test("weightedSample: exact size, scale-invariant, heavy rows always in") {
+    val df = (0L until 90L).map(i => (i, s"s${i % 3}", 1L + i % 7))
+      .toDF("id", "src", "w")
+    val out = Sampling.weightedSample(df, "id", "src", $"w", 10)
+    out.groupBy("src").count().collect().map(_.getLong(1)).toSeq shouldBe
+      Seq(10L, 10L, 10L)
+    // strata smaller than n pass through whole
+    val tiny = Seq((1L, "a", 5L), (2L, "a", 1L)).toDF("id", "src", "w")
+    Sampling.weightedSample(tiny, "id", "src", $"w", 10).count() shouldBe 2
+    // scaling every weight by a constant leaves the sample unchanged
+    // (keys divide uniformly; ranking is scale-invariant)
+    val scaled = Sampling.weightedSample(
+      df.withColumn("w", $"w" * 1000), "id", "src", $"w", 10)
+    out.select("id").except(scaled.select("id")).count() shouldBe 0
+    // a row with overwhelming weight has key ~0 → always sampled
+    val spiked = df.withColumn("w",
+      when($"id" === 77L, 1000000000L).otherwise($"w"))
+    Sampling.weightedSample(spiked, "id", "src", $"w", 10)
+      .filter($"id" === 77L).count() shouldBe 1
+    // deterministic: pure function of (id, weight)
+    out.select("id").except(
+      Sampling.weightedSample(df, "id", "src", $"w", 10).select("id"))
+      .count() shouldBe 0
+  }
+
   test("contaminatedIds: flags docs sharing an n-gram with the benchmark") {
     val corpus = Seq(
       (10L, "alpha beta gamma delta clean text here"),
