@@ -5,6 +5,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
+    // Timed passes per query (beyond the untimed warmup). Host variance on
+    // this box is ±30-40%; a single sample cannot distinguish noise from a
+    // real regression, so we take `runs` samples and report BOTH the min
+    // (steady-state capability) and the median (typical) per query.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -16,39 +21,57 @@ object Bench {
     // Steady-state measurement: one untimed warmup pass first. A fresh JVM
     // charges the first execution of each generated operator loop its JIT
     // compilation (measured 2-3× on wide-output joins); production clusters
-    // run warm executors, so the timed pass is the representative one.
+    // run warm executors, so the timed passes are the representative ones.
     ordered.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => }
     }
-    val results = ordered.map { case (name, fn) =>
-      // Untimed inter-query cleanup: don't bill this query's measurement
-      // for the previous query's garbage.
-      spark.catalog.clearCache()
-      System.gc()
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-               catch { case _: Throwable => false }
-      // A failed query must not contribute its (near-zero) time-to-failure
-      // to the total: record -1 and list it under "errors".
-      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    // `runs` timed samples per query: pass-major order (all queries, then
+    // repeat) so consecutive samples of one query land minutes apart —
+    // a transient host-load spike then pollutes one sample, not all of them.
+    val samples: Seq[Seq[(String, Double)]] = (1 to runs).map { _ =>
+      ordered.map { case (name, fn) =>
+        // Untimed inter-query cleanup: don't bill this query's measurement
+        // for the previous query's garbage.
+        spark.catalog.clearCache()
+        System.gc()
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        // A failed query must not contribute its (near-zero) time-to-failure
+        // to the total: record -1 and list it under "errors".
+        (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val results: Seq[(String, Double, Double)] = ordered.map(_._1).map { name =>
+      val xs = samples.map(_.find(_._1 == name).get._2)
+      if (xs.exists(_ < 0)) (name, -1.0, -1.0) else (name, xs.min, median(xs))
+    }
+    def jmap(f: ((String, Double, Double)) => (String, Double)): String =
+      results.map { r => val (k, v) = f(r); s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+    val errors = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val totalMin = results.map(_._2).filter(_ >= 0).sum
+    val totalMed = results.map(_._3).filter(_ >= 0).sum
     // The harness keeps only the LAST 2000 CHARS of output and json-parses
     // the final line of that window (rounds 1-3 all came back parsed:null —
     // r2/r3 because the full-name 80-query line was ~2500 chars and got
-    // beheaded by the window). So: full-name map on an earlier line for
-    // humans, and a compact final line — short "q01"-style keys (the
-    // contract's own example uses "q1") at 3-decimal precision, ~1000 chars.
-    val shortQs = results.map { case (k, v) =>
+    // beheaded by the window). So: full-name min/median maps on earlier
+    // lines for humans, and a compact final line — short "q01"-style keys
+    // (the contract's own example uses "q1") at 3-decimal precision. The
+    // headline "value"/"queries" are the per-query MINIMA (steady-state);
+    // "value_median" carries the typical-run total for noise calibration.
+    val shortQs = results.map { case (k, v, _) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f"
     }.mkString("{", ",", "}")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$shortQs,"errors":$errors,"sf":"$sfDir"}"""
-    println(s"""{"metric":"total_fullnames","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$totalMin%.3f,"unit":"sec","n_runs":$runs,"value_median":$totalMed%.3f,"queries":$shortQs,"errors":$errors,"sf":"$sfDir"}"""
+    println(s"""{"metric":"total_fullnames_min","value":$totalMin,"unit":"sec","queries":${jmap(r => (r._1, r._2))},"errors":$errors,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_fullnames_median","value":$totalMed,"unit":"sec","queries":${jmap(r => (r._1, r._3))},"errors":$errors,"sf":"$sfDir"}""")
     // Print the JSON line LAST — after spark.stop() — so no shutdown logging
     // can land after it. stop() can itself throw (shutdown-hook / FS errors);
     // the metric line must still be emitted, so swallow and print regardless.

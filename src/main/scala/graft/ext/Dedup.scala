@@ -374,12 +374,13 @@ object Dedup {
     *
     * Exactness across engines: weights are integer tf counts, so the dot
     * product and squared norms are exact longs; the threshold compares as
-    * `tauDen²·dot² ≥ tauNum²·‖a‖²·‖b‖²` in integer arithmetic — no float
-    * boundary to drift (the q86 discipline). The reported score divides
-    * once by `sqrt` of an exact integer product (correctly rounded,
-    * bit-identical on both engines). Precondition: per-vector squared
-    * norms below ~2^31 (any real document; tf caps at 65535) keep every
-    * product inside a long.
+    * `tauDen²·dot² ≥ tauNum²·‖a‖²·‖b‖²` in exact DECIMAL(38,0) arithmetic —
+    * no float boundary to drift (the q86 discipline), and no long overflow
+    * either: with squared norms below ~2^31 (any real document; tf caps at
+    * 65535) the four-factor products reach ~2^66·τ², past a signed long but
+    * comfortably inside decimal's 38 digits (~2^126). The reported score
+    * divides once by `sqrt` of an exact integer product (correctly rounded,
+    * bit-identical on both engines); the DuckDB twin compares in HUGEINT.
     *
     * Physical plan (the q86 lessons applied): grams dictionary-encode to
     * dense longs via the distributed [[rankDictionary]]; each vector is
@@ -449,8 +450,14 @@ object Dedup {
       .withColumn("dot",
         graft.functions.VectorExpressions.packedWeightedDot(
           col("pa"), col("pb")))
-      .filter(col("dot") * col("dot") * (tauDen.toLong * tauDen) >=
-        col("na2") * col("nb2") * (tauNum.toLong * tauNum))
+      // DECIMAL(38,0) operands: dot²·tauDen² can reach ~2^66 — a silent
+      // long wraparound (or an ANSI throw) at exactly the pairs nearest
+      // the threshold. Decimal math runs only on verified candidates
+      // (thousands of rows), never in the candidate-volume hot path.
+      .filter(col("dot").cast("decimal(38,0)") * col("dot") *
+          lit(tauDen.toLong * tauDen) >=
+        col("na2").cast("decimal(38,0)") * col("nb2") *
+          lit(tauNum.toLong * tauNum))
       .select(col("doc_a"), col("doc_b"), col("dot"),
         round(col("dot").cast("double") /
           sqrt((col("na2") * col("nb2")).cast("double")), 6).as("cos"))

@@ -111,13 +111,27 @@ object Sampling {
     * the stratum key (the q14 partial-WindowGroupLimit shape: only
     * n·strata rows cross the exchange).
     *
+    * Contract (enforced, not just documented): the input must not already
+    * carry the appended `skey`/`rnk` columns (the op would silently
+    * shadow them), ids must be distinct per stratum for the tiebreak to be
+    * total, and weights must be strictly positive — a non-positive weight
+    * fails the job loudly via `raise_error` instead of producing a
+    * NaN/−Inf clock that quietly wins every sample.
+    *
     * @param weight strictly positive weight expression
     */
   def weightedSample(df: DataFrame, idCol: String, strataCol: String,
       weight: Column, n: Int): DataFrame = {
+    require(!df.columns.contains("skey") && !df.columns.contains("rnk"),
+      "weightedSample appends columns `skey` and `rnk`; the input already " +
+        s"has one of them (columns: ${df.columns.mkString(", ")})")
     val u = (TextHash.tokenHash(col(idCol).cast("string")).cast("double")
       + 1.0) / 1e8
-    val key = round(-log(u) / weight.cast("double"), 9)
+    val wd = weight.cast("double")
+    val wchecked = when(wd > 0.0, wd).otherwise(raise_error(concat(
+      lit("weightedSample: non-positive weight for id "),
+      col(idCol).cast("string"))))
+    val key = round(-log(u) / wchecked, 9)
     val w = Window.partitionBy(strataCol).orderBy(col("skey"), col(idCol))
     df.withColumn("skey", key)
       .withColumn("rnk", row_number().over(w).cast("long"))

@@ -29,7 +29,7 @@ object SimilarityQueries {
     Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
                  bg AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1]
                           FOR i IN generate_series(1, len(t) - 1)]) AS g FROM tok),
-                 tf AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS w
+                 tf AS (SELECT doc_id, g, least(CAST(count(*) AS BIGINT), 65535) AS w
                         FROM bg GROUP BY 1, 2),
                  n2 AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2
                         FROM tf GROUP BY 1),
@@ -41,7 +41,7 @@ object SimilarityQueries {
                    round(CAST(dot AS DOUBLE) /
                          sqrt(CAST(x.n2 * y.n2 AS DOUBLE)), 6) AS cos
             FROM i JOIN n2 x ON x.doc_id = doc_a JOIN n2 y ON y.doc_id = doc_b
-            WHERE 25 * dot * dot >= 16 * x.n2 * y.n2"""),
+            WHERE 25 * CAST(dot AS HUGEINT) * dot >= 16 * CAST(x.n2 AS HUGEINT) * y.n2"""),
   )
 
   /** Q104 [X]: seeded ±1 random projection (JL sketch) of the embeddings
@@ -212,7 +212,12 @@ object SimilarityQueries {
     * (Efraimidis–Spirakis exponential clocks) — 20 docs per source,
     * weight = n_chars, so longer documents are proportionally more
     * likely. Key = −ln(u)/w on the portable hash; ranked on the ROUNDED
-    * key with the id tiebreak (the q47/q48 ln-parity discipline).
+    * key with the id tiebreak (the q47/q48 ln-parity discipline). The
+    * verified projection carries MEMBERSHIP and rank only — the float key
+    * itself stays out of the hash compare, because a last-ulp libm `ln`
+    * drift landing exactly on the 1e-9 rounding boundary would flip the
+    * emitted key even when the sample is identical (the round-then-
+    * tiebreak discipline protects the ORDER, not the key's own digits).
     */
   val q110 = OracleQuery(
     "q110_weighted_sample_topk",
@@ -220,7 +225,7 @@ object SimilarityQueries {
       Tables.documents(s, d).select(col("doc_id"), col("source"),
         col("n_chars")),
       "doc_id", "source", col("n_chars"), n = 20)
-      .select(col("doc_id"), col("source"), col("skey"), col("rnk")),
+      .select(col("doc_id"), col("source"), col("rnk")),
     Some(s"""WITH h AS (SELECT doc_id, source, n_chars,
                      ${TextHash.tokenHashSql("CAST(doc_id AS VARCHAR)")} AS hv
               FROM documents),
@@ -230,7 +235,7 @@ object SimilarityQueries {
               r AS (SELECT *, CAST(row_number() OVER
                       (PARTITION BY source ORDER BY skey, doc_id) AS BIGINT) AS rnk
                     FROM k)
-         SELECT doc_id, source, skey, rnk FROM r WHERE rnk <= 20"""),
+         SELECT doc_id, source, rnk FROM r WHERE rnk <= 20"""),
   )
 
   val all: Seq[OracleQuery] = Seq(q103, q104, q105, q106, q108, q109, q110)

@@ -278,6 +278,22 @@ class TrainOpsSpec extends SparkSpec {
       .count() shouldBe 0
   }
 
+  test("weightedSample: contract guards — column collision and weight sign") {
+    val df = (0L until 10L).map(i => (i, "s", 1L + i)).toDF("id", "src", "w")
+    // pre-existing skey/rnk columns are rejected loudly, not shadowed
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.weightedSample(df.withColumn("skey", lit(0.0)),
+        "id", "src", $"w", 5)
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.weightedSample(df.withColumn("rnk", lit(1L)),
+        "id", "src", $"w", 5)
+    // a non-positive weight fails the job (raise_error), never silently
+    // wins the sample with a -Inf/NaN clock
+    val bad = df.withColumn("w", when($"id" === 3L, 0L).otherwise($"w"))
+    an[Exception] should be thrownBy
+      Sampling.weightedSample(bad, "id", "src", $"w", 5).collect()
+  }
+
   test("contaminatedIds: flags docs sharing an n-gram with the benchmark") {
     val corpus = Seq(
       (10L, "alpha beta gamma delta clean text here"),
