@@ -214,6 +214,33 @@ object Soak {
       nCand
     })
 
+    // round-6: the 64-bit simhash guardrail — the whole point of the wide
+    // fingerprint is that 16-bit band keys (65536 buckets) keep bucket
+    // occupancy near corpus/65536, so candidate generation stays linear.
+    // Assert the max bucket across all bands is within a small multiple of
+    // that mean (Poisson tails + the planted dup pairs); a hot bucket here
+    // means fingerprint bit bias — the 16-bit variant's Θ(n²/16) failure
+    // reappearing in disguise.
+    time("simhash64 band buckets + pairs")({
+      val sig = Dedup.simHash64Signature(docs, "doc_id", "text")
+        .select(col("doc_id").as("__id"), col("sh")).localCheckpoint()
+      val maxBucket = Dedup.hammingBandKeys(sig, 64, 3)
+        .groupBy("band", "bk").count()
+        .agg(max("count")).head().getLong(0)
+      val bound = math.max(64L, 32L * nDocs / 65536L)
+      assert(maxBucket <= bound,
+        s"simhash64 band bucket $maxBucket exceeds $bound (~32× the " +
+          s"uniform mean ${nDocs / 65536L}) — fingerprint bits are biased")
+      println(s"[soak] simhash64 max band bucket $maxBucket <= bound $bound")
+      // pairs at radius 3: planted exact dups (every 100th doc) must all
+      // surface; volume must stay linear in the corpus
+      val nPairs = Dedup.simHash64NearDupPairs(docs, "doc_id", "text", 3).count()
+      assert(nPairs >= nDocs / 100 && nPairs <= 2 * nDocs,
+        s"simhash64 pair count $nPairs outside [${nDocs / 100}, ${2 * nDocs}]")
+      println(s"[soak] simhash64 pairs $nPairs (planted dups ${nDocs / 100})")
+      nPairs
+    })
+
     // round-5 widening: the weighted/asymmetric exact joins and the JL
     // sketch at soak scale.
     time("cosine join (tf bigrams, tau .9)")(

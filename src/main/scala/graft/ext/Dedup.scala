@@ -133,42 +133,79 @@ object Dedup {
     }.reduce(_ + _)
   }
 
-  /** SimHash Hamming near-dup pairs via band pigeonholing (the Manku et
-    * al. WWW'07 scheme Google ran for web dedup): every pair of documents
-    * whose 16-bit [[simHash16]] fingerprints differ in at most `maxDist`
-    * bits. Split the fingerprint into `maxDist + 1` bands — a pair within
-    * the Hamming ball MUST agree exactly on at least one band
-    * (pigeonhole: maxDist flipped bits cannot touch all maxDist+1 bands) —
-    * so candidates come from equi-joins on band values and only
-    * candidates pay the exact XOR-popcount verification. No false
-    * negatives; everything is integer arithmetic on both engines.
-    *
-    * Scale shape: one fingerprint pass over the corpus, then
-    * `maxDist + 1` equi-joins keyed on 4-bit band values... which at
-    * corpus scale are HOT keys (only 16 distinct values per band) — real
-    * deployments widen the fingerprint (64-bit) and bands (16-bit,
-    * 65536 buckets) for exactly this reason; swapping [[simHash16]] for a
-    * wider fingerprint leaves the banding/verification shape unchanged.
-    * Output: (doc_a, doc_b, dist), doc_a < doc_b, deduped across bands.
+  /** 64-bit SimHash fingerprint per document — the production width (the
+    * 16-bit [[simHash16]] is the teaching size; its 2^(16/(d+1))-value
+    * band keys go quadratically hot at corpus scale). Four salted
+    * [[TextHash.tokenHash]] draws per token supply 16 honest bits each
+    * (the portable md5-digit hash carries ~26 uniform low bits, so bits
+    * 0–15 of each draw are unbiased); bit j of the fingerprint is the
+    * sign of the corpus-standard ±1 vote sum. All relational — explode
+    * tokens once, hash in codegen, ONE grouped pass computes all 64 vote
+    * sums (the array-HOF form would re-inline the hashing per bit,
+    * interpreted). Bits assemble via bitwise OR (bit 63 as an addend
+    * would overflow a signed long). Output: (idCol, sh: long, two's
+    * complement — both engines compare fingerprints with XOR+popcount,
+    * which is sign-agnostic).
     */
-  def simHashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3): DataFrame = {
-    require(maxDist >= 0 && maxDist < 16, s"simHashNearDupPairs: 0 <= maxDist < 16")
-    val nBands = maxDist + 1
-    val width = 16 / nBands // band bit-width (16-bit simhash)
-    // The signature relation feeds BOTH self-join sides; checkpoint it so
-    // the per-token fingerprint pass (interpreted HOF over the whole
-    // corpus) runs once, not once per side — the q86/DedupCluster
-    // multi-use-subplan lesson (measured 21 s → ~7 s at sf0.1).
-    val sig = df.select(col(idCol).as("__id"), simHash16(col(textCol)).as("sh"))
-      .localCheckpoint()
-    val banded = sig.select(col("__id"), col("sh"),
-      explode(array((0 until nBands).map { b =>
+  def simHash64Signature(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+    val hashed = tok.select(col(idCol) +: (0 until 4).map { k =>
+      val salted = if (k == 0) col("w") else concat(col("w"), lit(s"|$k"))
+      tokenHash(salted).as(s"h$k")
+    }: _*)
+    val sums = (0 until 64).map { j =>
+      sum(when(shiftright(col(s"h${j / 16}"), j % 16)
+        .bitwiseAND(lit(1L)) === 1, 1L).otherwise(-1L)).as(s"s$j")
+    }
+    hashed.groupBy(idCol).agg(sums.head, sums.tail: _*)
+      .select(col(idCol),
+        (0 until 64).map(j =>
+          when(col(s"s$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ bitwiseOR _).as("sh"))
+  }
+
+  /** Band layout for Hamming pigeonholing: `nBands` contiguous
+    * (offset, width) ranges covering ALL `totalBits` bits. When nBands
+    * does not divide totalBits the remainder spreads one extra bit over
+    * the leading bands (widths ⌈/⌉ then ⌊/⌋) — a flat `totalBits/nBands`
+    * would leave the top `totalBits % nBands` bits in no band: still no
+    * false negatives, but narrower bands than necessary inflate candidate
+    * fan-out.
+    */
+  private def bandRanges(totalBits: Int, nBands: Int): Seq[(Int, Int)] = {
+    val base = totalBits / nBands
+    val extra = totalBits % nBands
+    val widths = Seq.tabulate(nBands)(i => base + (if (i < extra) 1 else 0))
+    widths.scanLeft(0)(_ + _).init.zip(widths)
+  }
+
+  /** (id, band, bk) band-key rows of a fingerprint relation
+    * (`__id`, `sh`) for Hamming radius `maxDist` over `totalBits` bits.
+    * Exposed to the soak harness, which asserts the 64-bit key space
+    * keeps band buckets near corpus/2^width (the whole point of the wide
+    * fingerprint). Unsigned shift: bit 63 must not smear sign bits over
+    * the extracted band.
+    */
+  private[graft] def hammingBandKeys(sig: DataFrame, totalBits: Int,
+      maxDist: Int): DataFrame = {
+    val entries = array(bandRanges(totalBits, maxDist + 1).zipWithIndex.map {
+      case ((off, wd), b) =>
+        val mask = if (wd >= 64) -1L else (1L << wd) - 1
         struct(lit(b).as("band"),
-          shiftright(col("sh"), b * width)
-            .bitwiseAND(lit((1L << width) - 1)).as("bk"))
-      }: _*)).as("e"))
+          shiftrightunsigned(col("sh"), off).bitwiseAND(lit(mask)).as("bk"))
+    }: _*)
+    sig.select(col("__id"), col("sh"), explode(entries).as("e"))
       .select(col("__id"), col("sh"), col("e.band"), col("e.bk"))
+  }
+
+  /** Shared banding + verification behind both fingerprint widths:
+    * equi-join each band's keys, dedup candidate pairs, exact XOR-popcount
+    * verify. Only candidates pay the popcount; no false negatives
+    * (pigeonhole: maxDist flips cannot touch all maxDist+1 bands).
+    */
+  private def hammingNearDupPairs(sig: DataFrame, totalBits: Int,
+      maxDist: Int): DataFrame = {
+    val banded = hammingBandKeys(sig, totalBits, maxDist)
     val cand = banded.alias("a").join(banded.alias("b"),
       col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
         col("a.__id") < col("b.__id"))
@@ -179,6 +216,51 @@ object Dedup {
       .withColumn("dist", bit_count(col("sha").bitwiseXOR(col("shb"))))
       .filter(col("dist") <= maxDist)
       .select(col("doc_a"), col("doc_b"), col("dist").cast("long").as("dist"))
+  }
+
+  /** SimHash Hamming near-dup pairs via band pigeonholing (the Manku et
+    * al. WWW'07 scheme Google ran for web dedup): every pair of documents
+    * whose 16-bit [[simHash16]] fingerprints differ in at most `maxDist`
+    * bits. Candidates come from equi-joins on band values and only
+    * candidates pay the exact XOR-popcount verification. No false
+    * negatives; everything is integer arithmetic on both engines.
+    *
+    * Scale shape: one fingerprint pass over the corpus, then
+    * `maxDist + 1` equi-joins keyed on ≤ 2^(16/(maxDist+1))-value band
+    * keys — HOT at corpus scale (maxDist=3 leaves 16 values per band);
+    * [[simHash64NearDupPairs]] is the production configuration (64-bit
+    * fingerprint, 16-bit bands, 65536 buckets) with the identical
+    * banding/verification shape. Output: (doc_a, doc_b, dist),
+    * doc_a < doc_b, deduped across bands.
+    */
+  def simHashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist < 16, s"simHashNearDupPairs: 0 <= maxDist < 16")
+    // The signature relation feeds BOTH self-join sides; checkpoint it so
+    // the per-token fingerprint pass (interpreted HOF over the whole
+    // corpus) runs once, not once per side — the q86/DedupCluster
+    // multi-use-subplan lesson (measured 21 s → ~7 s at sf0.1).
+    val sig = df.select(col(idCol).as("__id"), simHash16(col(textCol)).as("sh"))
+      .localCheckpoint()
+    hammingNearDupPairs(sig, 16, maxDist)
+  }
+
+  /** [[simHashNearDupPairs]] at the production width: 64-bit
+    * [[simHash64Signature]] fingerprints, `maxDist + 1` bands of ~64/(d+1)
+    * bits. At the default radius 3 the bands are 16 bits wide — 65536
+    * buckets per band, so bucket occupancy is corpus/65536 and candidate
+    * volume stays linear where the 16-bit variant's 16-value bands go
+    * Θ(n²/16). Verification is unchanged (XOR + popcount on the wider
+    * word). Output: (doc_a, doc_b, dist), doc_a < doc_b.
+    */
+  def simHash64NearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist < 64, s"simHash64NearDupPairs: 0 <= maxDist < 64")
+    // Checkpoint: the 64-aggregate signature pass feeds both join sides.
+    val sig = simHash64Signature(df, idCol, textCol)
+      .select(col(idCol).as("__id"), col("sh"))
+      .localCheckpoint()
+    hammingNearDupPairs(sig, 64, maxDist)
   }
 
   /** Benchmark decontamination: ids of `corpus` documents that share ANY

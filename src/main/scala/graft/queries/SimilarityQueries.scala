@@ -195,7 +195,7 @@ object SimilarityQueries {
     * float parity surface at all. Radius 1 because a 16-bit fingerprint
     * over this clustered corpus is coarse (radius 3 admits 4.3M pairs at
     * sf0.1 — a wider fingerprint, not a wider radius, is the production
-    * answer, per the operator doc).
+    * answer: q111 runs it, 64-bit at radius 3).
     */
   val q109 = OracleQuery(
     "q109_simhash_pairs",
@@ -238,5 +238,52 @@ object SimilarityQueries {
          SELECT doc_id, source, rnk FROM r WHERE rnk <= 20"""),
   )
 
-  val all: Seq[OracleQuery] = Seq(q103, q104, q105, q106, q108, q109, q110)
+  /** DuckDB twin of `Dedup.simHash64Signature`: four salted md5-digit
+    * hashes per token, 64 ±1 vote sums, fingerprint assembled in HUGEINT
+    * then wrapped to the signed BIGINT two's complement Spark's long
+    * carries (DuckDB xor/bit_count on BIGINT are two's-complement, so the
+    * pair verification is bit-identical).
+    */
+  private[queries] val simhash64Sql: String = {
+    val hs = (0 until 4).map { k =>
+      val e = if (k == 0) "w" else s"w || '|$k'"
+      s"${TextHash.tokenHashSql(e)} AS h$k"
+    }.mkString(",\n                 ")
+    val sums = (0 until 64).map(j =>
+      s"CAST(SUM(CASE WHEN (h${j / 16} >> ${j % 16}) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s$j")
+      .mkString(",\n                 ")
+    val bits = (0 until 64).map(j =>
+      s"(CASE WHEN s$j >= 0 THEN ${BigInt(1) << j}::HUGEINT ELSE 0::HUGEINT END)")
+      .mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+            hh AS (SELECT doc_id, $hs FROM tok),
+            b AS (SELECT doc_id, $sums FROM hh GROUP BY doc_id),
+            uu AS (SELECT doc_id, ($bits) AS u FROM b)
+            SELECT doc_id,
+                   CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+                             THEN u - 18446744073709551616::HUGEINT
+                             ELSE u END AS BIGINT) AS simhash
+            FROM uu"""
+  }
+
+  /** Q111 [X]: 64-bit simhash Hamming near-dup pairs at radius 3 — the
+    * production configuration of q109 (16-bit bands, 65536 buckets per
+    * band, so candidate volume stays linear where 16-bit band keys go
+    * Θ(n²/16)). The twin brute-forces the n²/2 XOR-popcounts over the
+    * independently recomputed 64-bit fingerprints. All-integer — no float
+    * parity surface.
+    */
+  val q111 = OracleQuery(
+    "q111_simhash64_pairs",
+    (s, d) => Dedup.simHash64NearDupPairs(
+      Tables.documents(s, d), "doc_id", "text", maxDist = 3),
+    Some(s"""WITH sig AS ($simhash64Sql)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS dist
+         FROM sig a JOIN sig b ON b.doc_id > a.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""),
+  )
+
+  val all: Seq[OracleQuery] = Seq(q103, q104, q105, q106, q108, q109, q110,
+    q111)
 }

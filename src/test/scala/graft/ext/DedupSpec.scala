@@ -155,6 +155,46 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("simHash64NearDupPairs ≡ brute-force Hamming ball (property)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(62)
+    val base = (0 until 100).map { i =>
+      val words = Seq.fill(8 + rnd.nextInt(10))(s"v${rnd.nextInt(30)}")
+      (i.toLong, words.mkString(" "))
+    }
+    // planted exact dup (distance 0) + a one-word edit (small distance)
+    val d = (base ++ Seq((100L, base(9)._2), (101L, base(9)._2 + " zz")))
+      .toDF("doc_id", "text")
+    // maxDist exercising band widths 64 (1 band), 22/21/21 (leftover
+    // distribution), 16 (the production radius), and 13/13/13/13/12
+    for (maxDist <- Seq(0, 2, 3, 4)) {
+      val got = Dedup.simHash64NearDupPairs(d, "doc_id", "text", maxDist)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val sig = Dedup.simHash64Signature(d, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      val want = (for {
+        (ia, sa) <- sig; (ib, sb) <- sig if ia < ib
+        dist = java.lang.Long.bitCount(sa ^ sb).toLong
+        if dist <= maxDist
+      } yield (ia, ib, dist)).toSet
+      got shouldBe want
+      if (maxDist == 0) got.map(p => (p._1, p._2)) should contain((9L, 100L))
+    }
+    // the wide fingerprint must actually use high bits: some signature
+    // has a bit above 32 set (a 16-bit-shaped fingerprint would not)
+    val sigs = Dedup.simHash64Signature(d, "doc_id", "text")
+      .collect().map(_.getLong(1))
+    assert(sigs.exists(s => (s >>> 32) != 0L),
+      "no signature uses the high 32 bits — fingerprint is not 64-bit")
+    // identical docs agree exactly; the one-word edit stays much closer
+    // than an unrelated doc (sanity of the vote semantics at width 64)
+    val m = Dedup.simHash64Signature(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    m(9L) shouldBe m(100L)
+    java.lang.Long.bitCount(m(9L) ^ m(101L)) should be <
+      java.lang.Long.bitCount(m(9L) ^ m(50L))
+  }
+
   test("cosineSimilarityJoin ≡ brute force on random corpora (property)") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)
