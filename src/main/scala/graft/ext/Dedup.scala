@@ -382,9 +382,15 @@ object Dedup {
     * shuffle-joins when it is not.
     */
   def jaccardSimilarityJoin(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 2, tauNum: Int = 1, tauDen: Int = 2): DataFrame = {
-    val (sets, cand) =
-      jaccardSetsAndCandidates(docs, idCol, textCol, n, tauNum, tauDen)
+      n: Int = 2, tauNum: Int = 1, tauDen: Int = 2): DataFrame =
+    jaccardSimilarityJoin(gramIndex(docs, idCol, textCol, n), tauNum, tauDen)
+
+  /** [[jaccardSimilarityJoin]] over a prebuilt [[GramIndex]] — a session
+    * running several joins over one corpus builds the gram pipeline once.
+    */
+  def jaccardSimilarityJoin(index: GramIndex, tauNum: Int,
+      tauDen: Int): DataFrame = {
+    val (sets, cand) = jaccardSetsAndCandidates(index, tauNum, tauDen)
     val verified = cand
       .join(sets.select(col("__id").as("doc_a"), col("gs").as("ga"),
         col("nn").as("na")), "doc_a")
@@ -400,34 +406,85 @@ object Dedup {
         (col("na") + col("nb") - col("n_common")).cast("double"), 6).as("jac"))
   }
 
-  /** The dictionary/prefix/candidate stages of [[jaccardSimilarityJoin]],
-    * exposed so the soak harness can assert the prefix filter's fan-out
-    * bound directly (candidate pairs must scale with true duplicates, not
-    * quadratically). Returns (per-doc gram sets, distinct candidate pairs).
+  /** Shared gram-pipeline relations over ONE corpus, reused by the three
+    * exact joins ([[jaccardSimilarityJoin]], [[cosineSimilarityJoin]],
+    * [[containmentJoin]]): tokenize → n-gram → tf → rarest-first
+    * dictionary → per-doc encodings, built and MATERIALIZED once
+    * (`localCheckpoint` at every multi-use relation), so a session running
+    * several joins — the normal shape of a dedup pass that wants both the
+    * symmetric and containment views — pays the dictionary pipeline once
+    * instead of once per join. All members are lazy: a jaccard-only caller
+    * never runs the cosine norm windows.
+    *
+    * @param enc      (__id, gid, w): dictionary-encoded gram occurrences
+    *                 with tf weights (w capped at 65535), checkpointed —
+    *                 every downstream relation derives from it.
+    * @param sets     (__id, gs, nn): sorted distinct-gid array per doc
+    *                 (jaccard/containment probe + verify sides).
+    * @param weighted (__id, gid, w, sufsq, n2): per-occurrence suffix /
+    *                 total squared norms (cosine probes).
+    * @param packed   (__id, pk, n2): packed `gid·2^16 + w` arrays (cosine
+    *                 verify sides).
     */
-  private[graft] def jaccardSetsAndCandidates(docs: DataFrame, idCol: String,
-      textCol: String, n: Int, tauNum: Int, tauDen: Int)
-      : (DataFrame, DataFrame) = {
-    require(tauNum >= 1 && tauNum <= tauDen,
-      s"jaccardSimilarityJoin: need 0 < tauNum/tauDen <= 1, got $tauNum/$tauDen")
-    val grams = ngramsExploded(docs, idCol, textCol, n)
-      .select(col(idCol).as("__id"), col("g"))
-    val gdf = grams.groupBy("g").agg(count(lit(1)).as("gdf"))
-    // Dense long ids ranked rarest-first: ascending gid order = prefix
-    // order. A row_number() over an unpartitioned Window would funnel
-    // every distinct n-gram through ONE task: fine at sf0.1's vocabulary,
-    // a scale-killer against billions of distinct grams at 100 TB —
-    // hence the distributed rank in [[rankDictionary]].
-    val dict = rankDictionary(gdf)
-    // The per-doc set relation feeds the plan THREE times (probe explode +
-    // both verification sides); checkpoint it once so the gram pipeline
-    // (scan → n-gram window → dictionary join → collect) runs once, not
-    // three times — the DedupCluster reused-input lesson (3× → 1×).
-    val sets = grams.join(dict, "g")
+  final class GramIndex private[ext] (docs: DataFrame, idCol: String,
+      textCol: String, val n: Int) {
+    private[ext] lazy val enc: DataFrame = {
+      val tf = ngramRows(docs, idCol, textCol, n)
+        .groupBy(col(idCol).as("__id"), col("g"))
+        .agg(count(lit(1)).as("w"))
+      val gdf = tf.groupBy("g").agg(count(lit(1)).as("gdf"))
+      // Dense long ids ranked rarest-first: ascending gid order = prefix
+      // order. A row_number() over an unpartitioned Window would funnel
+      // every distinct n-gram through ONE task: fine at sf0.1's
+      // vocabulary, a scale-killer against billions of distinct grams at
+      // 100 TB — hence the distributed rank in [[rankDictionary]].
+      val dict = rankDictionary(gdf)
+      tf.join(dict, "g")
+        .select(col("__id"), col("gid"), least(col("w"), lit(65535L)).as("w"))
+        .localCheckpoint()
+    }
+    lazy val sets: DataFrame = enc
       .groupBy("__id")
       .agg(array_sort(collect_list(col("gid"))).as("gs"))
       .select(col("__id"), col("gs"), size(col("gs")).cast("long").as("nn"))
       .localCheckpoint()
+    private[ext] lazy val weighted: DataFrame = {
+      // Suffix squared norm from each position (rarest-first order) and
+      // the full squared norm — one doc-keyed window sort serves both.
+      val wOrd = Window.partitionBy("__id").orderBy("gid")
+      enc
+        .withColumn("sufsq", sum(col("w") * col("w"))
+          .over(wOrd.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+        .withColumn("n2", sum(col("w") * col("w"))
+          .over(Window.partitionBy("__id")))
+        .localCheckpoint()
+    }
+    private[ext] lazy val packed: DataFrame = weighted
+      .groupBy("__id")
+      .agg(array_sort(collect_list(col("gid") * 65536L + col("w"))).as("pk"),
+        min(col("n2")).as("n2"))
+      .localCheckpoint()
+  }
+
+  /** Build the shared [[GramIndex]] for a corpus (see its doc). */
+  def gramIndex(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 2): GramIndex = new GramIndex(docs, idCol, textCol, n)
+
+  /** The prefix/candidate stages of [[jaccardSimilarityJoin]], exposed so
+    * the soak harness can assert the prefix filter's fan-out bound
+    * directly (candidate pairs must scale with true duplicates, not
+    * quadratically). Returns (per-doc gram sets, distinct candidate pairs).
+    */
+  private[graft] def jaccardSetsAndCandidates(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, tauNum: Int, tauDen: Int)
+      : (DataFrame, DataFrame) =
+    jaccardSetsAndCandidates(gramIndex(docs, idCol, textCol, n), tauNum, tauDen)
+
+  private[graft] def jaccardSetsAndCandidates(index: GramIndex,
+      tauNum: Int, tauDen: Int): (DataFrame, DataFrame) = {
+    require(tauNum >= 1 && tauNum <= tauDen,
+      s"jaccardSimilarityJoin: need 0 < tauNum/tauDen <= 1, got $tauNum/$tauDen")
+    val sets = index.sets
     val prefixLen = (col("nn") -
       floor((col("nn") * tauNum + (tauDen - 1)) / lit(tauDen.toDouble)) + 1)
       .cast("int")
@@ -478,31 +535,16 @@ object Dedup {
     * times → one checkpoint.
     */
   def cosineSimilarityJoin(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 2, tauNum: Int = 1, tauDen: Int = 2): DataFrame = {
+      n: Int = 2, tauNum: Int = 1, tauDen: Int = 2): DataFrame =
+    cosineSimilarityJoin(gramIndex(docs, idCol, textCol, n), tauNum, tauDen)
+
+  /** [[cosineSimilarityJoin]] over a prebuilt [[GramIndex]]. */
+  def cosineSimilarityJoin(index: GramIndex, tauNum: Int,
+      tauDen: Int): DataFrame = {
     require(tauNum >= 1 && tauNum <= tauDen,
       s"cosineSimilarityJoin: need 0 < tauNum/tauDen <= 1, got $tauNum/$tauDen")
-    val tf = ngramRows(docs, idCol, textCol, n)
-      .groupBy(col(idCol).as("__id"), col("g"))
-      .agg(count(lit(1)).as("w"))
-    val gdf = tf.groupBy("g").agg(count(lit(1)).as("gdf"))
-    val dict = rankDictionary(gdf)
-    val weighted = tf.join(dict, "g")
-      .select(col("__id"), col("gid"),
-        least(col("w"), lit(65535L)).as("w"))
-    // Suffix squared norm from each position (rarest-first order) and the
-    // full squared norm — one doc-keyed window sort serves both.
-    val wOrd = Window.partitionBy("__id").orderBy("gid")
-    val withNorms = weighted
-      .withColumn("sufsq", sum(col("w") * col("w"))
-        .over(wOrd.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
-      .withColumn("n2", sum(col("w") * col("w"))
-        .over(Window.partitionBy("__id")))
-    val sets = withNorms
-      .groupBy("__id")
-      .agg(array_sort(collect_list(col("gid") * 65536L + col("w"))).as("pk"),
-        min(col("n2")).as("n2"))
-      .localCheckpoint()
-    val probes = withNorms
+    val sets = index.packed
+    val probes = index.weighted
       .filter(col("sufsq") * (tauDen.toLong * tauDen) >=
         col("n2") * (tauNum.toLong * tauNum))
       .select(col("__id"), col("gid"), col("sufsq"), col("n2"))
@@ -563,31 +605,28 @@ object Dedup {
     * codegen'd sorted merge-intersect, one row per candidate pair.
     */
   def containmentJoin(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 2, tauNum: Int = 4, tauDen: Int = 5): DataFrame = {
+      n: Int = 2, tauNum: Int = 4, tauDen: Int = 5): DataFrame =
+    containmentJoin(gramIndex(docs, idCol, textCol, n), tauNum, tauDen)
+
+  /** [[containmentJoin]] over a prebuilt [[GramIndex]]. */
+  def containmentJoin(index: GramIndex, tauNum: Int,
+      tauDen: Int): DataFrame = {
     require(tauNum >= 1 && tauNum <= tauDen,
       s"containmentJoin: need 0 < tauNum/tauDen <= 1, got $tauNum/$tauDen")
-    val grams = ngramsExploded(docs, idCol, textCol, n)
-      .select(col(idCol).as("__id"), col("g"))
-    val gdf = grams.groupBy("g").agg(count(lit(1)).as("gdf"))
-    val dict = rankDictionary(gdf)
-    val sets = grams.join(dict, "g")
-      .groupBy("__id")
-      .agg(array_sort(collect_list(col("gid"))).as("gs"))
-      .select(col("__id"), col("gs"), size(col("gs")).cast("long").as("nn"))
-      .localCheckpoint()
+    val sets = index.sets
     // prefix = nn − ⌈τ·nn⌉ + 1 probe grams (rarest-first = head of gs)
     val prefixLen = (col("nn") -
       floor((col("nn") * tauNum + (tauDen - 1)) / lit(tauDen.toDouble)) + 1)
       .cast("int")
     val probes = sets.select(col("__id"), col("nn"),
       posexplode(slice(col("gs"), lit(1), prefixLen)).as(Seq("pos", "gid")))
-    val index = sets.select(col("__id"), col("nn"),
+    val fullIndex = sets.select(col("__id"), col("nn"),
       posexplode(col("gs")).as(Seq("pos", "gid")))
     // Positional filter (the q86 pattern): at the smallest common gram —
     // matched at ranks (pa, pb) — the pair can share at most
     // 1 + min(na−pa−1, nb−pb−1) grams; requiring that best case to reach
     // ⌈τ·na⌉ prunes frequent-gram matches without false negatives.
-    val cand = probes.alias("a").join(index.alias("b"),
+    val cand = probes.alias("a").join(fullIndex.alias("b"),
       col("a.gid") === col("b.gid") &&
         col("a.__id") =!= col("b.__id") &&
         col("b.nn") * tauDen >= col("a.nn") * tauNum &&

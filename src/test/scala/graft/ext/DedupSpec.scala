@@ -195,6 +195,31 @@ class DedupSpec extends SparkSpec {
       java.lang.Long.bitCount(m(9L) ^ m(50L))
   }
 
+  test("GramIndex: one build serves jaccard + cosine + containment identically") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    val base = (0 until 60).map { i =>
+      val words = Seq.fill(10 + rnd.nextInt(8))(s"v${rnd.nextInt(25)}")
+      (i.toLong, words.mkString(" "))
+    }
+    val docs = (base :+ ((60L, base(7)._2 + " tail"))).toDF("doc_id", "text")
+    val idx = Dedup.gramIndex(docs, "doc_id", "text", n = 2)
+    // All three joins off ONE index (the gram pipeline materializes once —
+    // every shared relation is checkpointed inside the index) must equal
+    // the standalone per-join builds row for row.
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    rows(Dedup.jaccardSimilarityJoin(idx, 3, 10)) shouldBe
+      rows(Dedup.jaccardSimilarityJoin(docs, "doc_id", "text", 2, 3, 10))
+    rows(Dedup.cosineSimilarityJoin(idx, 4, 5)) shouldBe
+      rows(Dedup.cosineSimilarityJoin(docs, "doc_id", "text", 2, 4, 5))
+    rows(Dedup.containmentJoin(idx, 4, 5)) shouldBe
+      rows(Dedup.containmentJoin(docs, "doc_id", "text", 2, 4, 5))
+    // a second threshold on the same index reuses the same relations
+    rows(Dedup.jaccardSimilarityJoin(idx, 9, 10)) shouldBe
+      rows(Dedup.jaccardSimilarityJoin(docs, "doc_id", "text", 2, 9, 10))
+  }
+
   test("cosineSimilarityJoin ≡ brute force on random corpora (property)") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)
