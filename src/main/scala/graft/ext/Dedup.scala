@@ -390,8 +390,18 @@ object Dedup {
     */
   def jaccardSimilarityJoin(index: GramIndex, tauNum: Int,
       tauDen: Int): DataFrame = {
-    val (sets, cand) = jaccardSetsAndCandidates(index, tauNum, tauDen)
-    val verified = cand
+    val sets = index.sets
+    // Distinct-BEFORE-verify, deliberately: the tempting alternative —
+    // skip the pair-level distinct, verify every raw prefix match, dedup
+    // survivors — was measured strictly worse here (q86 5.9 s → 12.2 s,
+    // q103 7.0 s → 16.4 s at sf0.1): the verification joins are
+    // sort-merge (the per-doc array relation is tens of MB — past the
+    // broadcast threshold), so every raw match would be SORTED TWICE
+    // (once per verify join); the distinct's one hash exchange prunes
+    // duplication factor × (2 sorts + 2 kernel evals) and wins whenever
+    // duplication > ~1.1×. At τ=1/2 a near-dup pair shares ~half its
+    // grams as probes, so duplication is large, not the 1.4× of high-τ.
+    val verified = jaccardSetsAndCandidates(index, tauNum, tauDen)._2
       .join(sets.select(col("__id").as("doc_a"), col("gs").as("ga"),
         col("nn").as("na")), "doc_a")
       .join(sets.select(col("__id").as("doc_b"), col("gs").as("gb"),
@@ -428,7 +438,7 @@ object Dedup {
     */
   final class GramIndex private[ext] (docs: DataFrame, idCol: String,
       textCol: String, val n: Int) {
-    private[ext] lazy val enc: DataFrame = {
+    lazy val enc: DataFrame = {
       val tf = ngramRows(docs, idCol, textCol, n)
         .groupBy(col(idCol).as("__id"), col("g"))
         .agg(count(lit(1)).as("w"))
@@ -448,7 +458,7 @@ object Dedup {
       .agg(array_sort(collect_list(col("gid"))).as("gs"))
       .select(col("__id"), col("gs"), size(col("gs")).cast("long").as("nn"))
       .localCheckpoint()
-    private[ext] lazy val weighted: DataFrame = {
+    lazy val weighted: DataFrame = {
       // Suffix squared norm from each position (rarest-first order) and
       // the full squared norm — one doc-keyed window sort serves both.
       val wOrd = Window.partitionBy("__id").orderBy("gid")
@@ -459,7 +469,7 @@ object Dedup {
           .over(Window.partitionBy("__id")))
         .localCheckpoint()
     }
-    private[ext] lazy val packed: DataFrame = weighted
+    lazy val packed: DataFrame = weighted
       .groupBy("__id")
       .agg(array_sort(collect_list(col("gid") * 65536L + col("w"))).as("pk"),
         min(col("n2")).as("n2"))
@@ -558,6 +568,9 @@ object Dedup {
     // quadratically. Evaluated in DOUBLE with a 1e-9 relaxation (the
     // four-long product can overflow; a prune may only be conservative —
     // the exact integer comparison stays in the verification step).
+    // Distinct-before-verify (see the note in jaccardSimilarityJoin:
+    // verifying raw matches instead was measured 2.3× slower — the
+    // sort-merge verify joins would sort every duplicate twice).
     val cand = probes.alias("a").join(probes.alias("b"),
       col("a.gid") === col("b.gid") && col("a.__id") < col("b.__id") &&
         col("a.sufsq").cast("double") * col("b.sufsq") *
@@ -576,8 +589,8 @@ object Dedup {
           col("pa"), col("pb")))
       // DECIMAL(38,0) operands: dot²·tauDen² can reach ~2^66 — a silent
       // long wraparound (or an ANSI throw) at exactly the pairs nearest
-      // the threshold. Decimal math runs only on verified candidates
-      // (thousands of rows), never in the candidate-volume hot path.
+      // the threshold. Decimal math runs only on surviving candidates,
+      // never in the candidate-volume hot path.
       .filter(col("dot").cast("decimal(38,0)") * col("dot") *
           lit(tauDen.toLong * tauDen) >=
         col("na2").cast("decimal(38,0)") * col("nb2") *
@@ -626,6 +639,7 @@ object Dedup {
     // matched at ranks (pa, pb) — the pair can share at most
     // 1 + min(na−pa−1, nb−pb−1) grams; requiring that best case to reach
     // ⌈τ·na⌉ prunes frequent-gram matches without false negatives.
+    // Distinct-before-verify (see the note in jaccardSimilarityJoin).
     val cand = probes.alias("a").join(fullIndex.alias("b"),
       col("a.gid") === col("b.gid") &&
         col("a.__id") =!= col("b.__id") &&
