@@ -260,6 +260,19 @@ object Soak {
         Array.tabulate(64)(i => (i % 7 - 3) / 3.0), "vec_id", 10).count()
     })
 
+    // round-6: incremental IVF-PQ ingest — encoding a 1% batch against the
+    // frozen model must be O(batch): one broadcast-UDF pass, no k-means.
+    // (The build above it is the one-off cost a real deployment amortizes.)
+    val ivfpqModel = time("ivfpq build (nlist=16, m=8)")(
+      ext.IvfPq.build(vecs, "embedding", "vec_id",
+        nlist = 16, m = 8, ksub = 16, maxIter = 3))
+    time("ivfpq encodeBatch (1% ingest)")({
+      val batch = syntheticVecs(spark, nVecs / 100)
+        .withColumn("vec_id", col("vec_id") + nVecs)
+      ext.IvfPq.encodeBatch(ivfpqModel, batch, "embedding", "vec_id")
+        .encoded.filter(col("vec_id") >= nVecs).count()
+    })
+
     spark.stop()
   }
 }

@@ -83,6 +83,63 @@ object IvfPq {
       withResid.select(col(idCol), col("cell"), enc(col("_r")).as("codes")))
   }
 
+  /** Encode a NEW batch against the FROZEN model — no retraining. The
+    * at-scale ingest path: a 100 TB corpus grows by batches, and
+    * re-running both k-means trainings per ingest would make index
+    * maintenance O(corpus); this is O(batch) — one codegen'd pass that
+    * assigns each vector to its nearest coarse cell and PQ-encodes its
+    * residual with the existing codebooks (both broadcast: nlist·d +
+    * m·ksub·dsub doubles, kilobytes), then unions into `Model.encoded`.
+    * The relational twin of [[Dedup.incrementalDupIds]]: probe frozen
+    * structure, never rebuild it. Deterministic: re-encoding a vector the
+    * model was built on reproduces its (cell, codes) exactly, so searches
+    * over the appended index rank appended duplicates identically.
+    * Retrain only when drift degrades residuals (an offline decision —
+    * e.g. [[graft.ops.Drift]] on the per-cell ADC error distribution).
+    */
+  def encodeBatch(model: Model, batch: DataFrame, vecCol: String,
+      idCol: String): Model = {
+    val m = model.m; val dsub = model.dsub
+    val sc = batch.sparkSession.sparkContext
+    val bcCents = sc.broadcast(model.centroids)
+    val bcBooks = sc.broadcast(model.codebooks)
+    val assignEnc = udf { (v: Seq[Double]) =>
+      val cs = bcCents.value
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        var dd = 0.0; var i = 0
+        while (i < v.length) {
+          val df = v(i) - cs(c)(i); dd += df * df; i += 1
+        }
+        if (dd < bestD) { bestD = dd; best = c }
+        c += 1
+      }
+      val cc = cs(best)
+      val books = bcBooks.value
+      val ksub = books(0).length
+      val codes = Array.tabulate(m) { s =>
+        var bk = 0; var bd = Double.MaxValue
+        var k = 0
+        while (k < ksub) {
+          var dd = 0.0; var i = 0
+          while (i < dsub) {
+            val df = (v(s * dsub + i) - cc(s * dsub + i)) - books(s)(k)(i)
+            dd += df * df; i += 1
+          }
+          if (dd < bd) { bd = dd; bk = k }
+          k += 1
+        }
+        bk
+      }
+      (best, codes)
+    }
+    val enc = batch.select(col(idCol),
+      assignEnc(Similarity.asDouble(col(vecCol))).as("_ae"))
+      .select(col(idCol), col("_ae._1").as("cell"), col("_ae._2").as("codes"))
+    model.copy(encoded = model.encoded.unionByName(enc))
+  }
+
   /** Top-k: probe the `nprobe` nearest cells, ADC-scan their codes with
     * per-cell distance tables on the query's residual, exact-cosine
     * re-rank of the `k·refine` shortlist against the original vectors.
