@@ -105,6 +105,47 @@ object Dedup {
     hashed.groupBy(idCol).agg(mins.head, mins.tail: _*)
   }
 
+  /** Per-ROW minhash columns mh0..mh{k-1} — the array/HOF twin of
+    * [[minHashSignature]] (identical values: min over the same affine
+    * hashes of the same tokens). The HOF form is interpreted per element,
+    * so at corpus scale the relational groupBy form wins (see its doc);
+    * THIS form exists for Structured STREAMING, where a per-document
+    * signature must be plain column math — a groupBy signature would be a
+    * stateful streaming aggregation — and micro-batches are small enough
+    * that interpretation doesn't matter.
+    */
+  def minHashCols(text: Column): Seq[Column] = {
+    val hs = transform(tokens(text), t => tokenHash(t))
+    Seeds.zipWithIndex.map { case ((a, b), j) =>
+      array_min(transform(hs, h => (lit(a) * h + lit(b)) % lit(P))).as(s"mh$j")
+    }
+  }
+
+  /** The persistent (band_id, bk) key table of a corpus's LSH bands — the
+    * build-once side of [[incrementalDupIds]] and of the streaming
+    * dedup-on-arrival ([[graft.streaming.EventStreams.lshDedupAgainstStatic]]).
+    * Keys are distinct, so probe joins never fan out; persist (bucketed by
+    * bk at scale) and every future ingest is probe-only.
+    */
+  def corpusBandKeys(corpus: DataFrame, idCol: String, textCol: String,
+      bands: Seq[Seq[String]]): DataFrame =
+    bandKeyRows(minHashSignature(corpus, idCol, textCol), idCol, bands)
+      .select("band_id", "bk").distinct()
+
+  /** (id, band_id, bk) rows of a signature: key concatenates the band's
+    * signature columns (injective — minhash values are bounded longs, the
+    * separator can't occur inside one).
+    */
+  private def bandKeyRows(sig: DataFrame, idCol: String,
+      bands: Seq[Seq[String]]): DataFrame = {
+    val entries = array(bands.zipWithIndex.map { case (cols, bi) =>
+      struct(lit(bi.toLong).as("band_id"),
+        concat_ws("|", cols.map(col): _*).as("bk"))
+    }: _*)
+    sig.select(col(idCol), explode(entries).as("e"))
+      .select(col(idCol), col("e.band_id"), col("e.bk"))
+  }
+
   /** LSH banding over a minhash signature: documents sharing a band emit a
     * candidate pair (doc_a < doc_b, tagged with the band). Each band is an
     * equi-join on the band's plain hash columns (no struct packing — struct
@@ -295,24 +336,11 @@ object Dedup {
     * ingest.
     */
   def incrementalDupIds(corpus: DataFrame, batch: DataFrame, idCol: String,
-      textCol: String, bands: Seq[Seq[String]]): DataFrame = {
-    // (band_id, key) rows: key concatenates the band's signature columns
-    // (injective — minhash values are bounded longs, the separator can't
-    // occur inside one).
-    def bandKeys(sig: DataFrame): DataFrame = {
-      val entries = array(bands.zipWithIndex.map { case (cols, bi) =>
-        struct(lit(bi.toLong).as("band_id"),
-          concat_ws("|", cols.map(col): _*).as("bk"))
-      }: _*)
-      sig.select(col(idCol), explode(entries).as("e"))
-        .select(col(idCol), col("e.band_id"), col("e.bk"))
-    }
-    val corpusKeys = bandKeys(minHashSignature(corpus, idCol, textCol))
-      .select("band_id", "bk").distinct()
-    bandKeys(minHashSignature(batch, idCol, textCol))
-      .join(corpusKeys, Seq("band_id", "bk"), "left_semi")
+      textCol: String, bands: Seq[Seq[String]]): DataFrame =
+    bandKeyRows(minHashSignature(batch, idCol, textCol), idCol, bands)
+      .join(corpusBandKeys(corpus, idCol, textCol, bands),
+        Seq("band_id", "bk"), "left_semi")
       .groupBy(idCol).agg(min(col("band_id")).as("first_band"))
-  }
 
   /** Jaccard similarity of distinct word-n-gram sets between each doc and
     * its successor by id (a deterministic, oracle-friendly pairing).

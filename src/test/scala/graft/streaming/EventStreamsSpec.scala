@@ -11,6 +11,8 @@ import graft.SparkSpec
 case class Ev(event_id: Long, user_id: Long, event_type: String,
     ts: Timestamp, value: Double, props: String)
 
+case class ArrivingDoc(doc_id: Long, text: String)
+
 /** ST1–ST5: batch/stream parity — every transform produces identical
   * results when fed the same rows as a batch DataFrame and as a
   * MemoryStream (complete/append modes as appropriate).
@@ -127,6 +129,46 @@ class EventStreamsSpec extends SparkSpec {
       .select("event_id").distinct()
       .collect().map(_.getLong(0)).toSet
     batch shouldBe Set(2L, 3L, 5L)
+  }
+
+  test("ST7b streaming LSH dedup-on-arrival: near-dups of the corpus drop") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.Dedup
+    val bands = Seq(Seq("mh0", "mh1"), Seq("mh2", "mh3"))
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "entirely different reference material lives here")
+    ).toDF("doc_id", "text")
+    val corpusKeys = Dedup.corpusBandKeys(corpus, "doc_id", "text", bands)
+      .localCheckpoint()
+    val arriving = Seq(
+      ArrivingDoc(1L, "the quick brown fox jumps over the lazy dog"), // exact dup
+      ArrivingDoc(2L, "completely novel text about spark shuffles"),
+      ArrivingDoc(3L, "entirely different reference material lives here"))
+    // streaming: only the novel doc survives
+    val mem = MemoryStream[ArrivingDoc]
+    mem.addData(arriving)
+    val name = s"st7b_${System.nanoTime()}"
+    val q = EventStreams.lshDedupAgainstStatic(
+      mem.toDF(), corpusKeys, "text", bands)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val stream = spark.table(name).collect()
+    stream.map(_.getLong(0)).toSet shouldBe Set(2L)
+    // the operator passes rows through unchanged (no helper columns leak)
+    spark.table(name).columns.toSeq shouldBe Seq("doc_id", "text")
+    // batch parity: the same function over the same rows as a batch frame
+    val batch = EventStreams.lshDedupAgainstStatic(
+      arriving.toDF(), corpusKeys, "text", bands)
+      .collect().map(_.getLong(0)).toSet
+    batch shouldBe Set(2L)
+    // ...and agrees with the batch incremental dedup's verdict on who
+    // collided (ids 1 and 3 collide on at least one band)
+    val dupIds = Dedup.incrementalDupIds(corpus, arriving.toDF(),
+      "doc_id", "text", bands).collect().map(_.getLong(0)).toSet
+    dupIds shouldBe Set(1L, 3L)
   }
 
   test("ST4b flatMapGroupsWithState: running totals across micro-batches") {
