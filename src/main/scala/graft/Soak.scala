@@ -272,6 +272,28 @@ object Soak {
       ext.IvfPq.encodeBatch(ivfpqModel, batch, "embedding", "vec_id")
         .encoded.filter(col("vec_id") >= nVecs).count()
     })
+    // round-6: persisted-index probe latency — the stored layouts must
+    // make probes partition-pruned reads, so probe time is O(read
+    // partitions), decoupled from index size.
+    val idxDir = java.nio.file.Files.createTempDirectory("soak_idx_").toString
+    time("ivfpq code store write (by cell)")({
+      ext.IndexStore.writeIvfPqCodes(ivfpqModel, s"$idxDir/ivfpq"); 1L
+    })
+    time("ivfpq probe from store (nprobe=4)")({
+      val loaded = ext.IndexStore.loadIvfPqCodes(ivfpqModel, spark,
+        s"$idxDir/ivfpq")
+      ext.IvfPq.search(loaded, vecs, "embedding", "vec_id",
+        Array.tabulate(64)(i => (i % 7 - 3) / 3.0), nprobe = 4, k = 10).count()
+    })
+    time("postings store write (64 buckets)")({
+      ext.IndexStore.writePostings(
+        Retrieval.invertedIndex(docs, "doc_id", "text",
+          minDf = 1000L, postingCap = 5), s"$idxDir/postings")
+      1L
+    })
+    time("postings probe from store (3 terms)")(
+      ext.IndexStore.readPostings(spark, s"$idxDir/postings",
+        Seq("w17", "w4242", "w9001")).count())
 
     spark.stop()
   }

@@ -1,0 +1,68 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted index storage with PARTITION-PRUNED probes — the at-rest form
+  * of the retrieval/ANN indexes. Building an index is a corpus-scale job;
+  * probing it is not, and at 100 TB a probe that re-scans the whole index
+  * erases the point of having one. Both layouts here turn the probe's
+  * filter into hive partition pruning, so a query reads only its
+  * partitions' files (the q92 discipline, applied to index tables):
+  *
+  *  - postings: term-hash buckets (partitioning by raw term would mint a
+  *    directory per vocabulary word; a CRC32 bucket keeps directory count
+  *    fixed while still pruning to queried terms' buckets). The in-file
+  *    term filter still prunes row groups via parquet stats.
+  *  - IVF-PQ codes: partitioned by coarse cell — `IvfPq.search`'s nprobe
+  *    `isin` filter then IS partition pruning, unchanged.
+  */
+object IndexStore {
+
+  /** Driver-side twin of the bucket expression in [[writePostings]]
+    * (CRC32 over UTF-8 bytes — bit-identical in java.util.zip and Spark's
+    * `crc32`).
+    */
+  def termBucket(term: String, nBuckets: Int): Long = {
+    val c = new java.util.zip.CRC32()
+    c.update(term.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.lang.Math.floorMod(c.getValue, nBuckets.toLong)
+  }
+
+  /** Persist an inverted index ([[Retrieval.invertedIndex]] shape: one row
+    * per term) hive-partitioned by `nBuckets` CRC32 term buckets.
+    */
+  def writePostings(index: DataFrame, path: String, termCol: String = "w",
+      nBuckets: Int = 64): Unit =
+    index
+      .withColumn("term_bucket",
+        pmod(crc32(encode(col(termCol), "UTF-8")), lit(nBuckets.toLong)))
+      .write.partitionBy("term_bucket").mode("overwrite").parquet(path)
+
+  /** Probe persisted postings for `terms`: the bucket predicate prunes
+    * partitions (only the queried terms' buckets are read) and the term
+    * predicate prunes row groups inside them. `nBuckets` must match the
+    * write.
+    */
+  def readPostings(spark: SparkSession, path: String, terms: Seq[String],
+      termCol: String = "w", nBuckets: Int = 64): DataFrame = {
+    val buckets = terms.map(termBucket(_, nBuckets)).distinct
+    spark.read.parquet(path)
+      .filter(col("term_bucket").isin(buckets: _*) &&
+        col(termCol).isin(terms: _*))
+      .drop("term_bucket")
+  }
+
+  /** Persist IVF-PQ codes partitioned by coarse cell. */
+  def writeIvfPqCodes(model: IvfPq.Model, path: String,
+      idCol: String = "vec_id"): Unit =
+    model.encoded.write.partitionBy("cell").mode("overwrite").parquet(path)
+
+  /** Reload persisted codes into the model. [[IvfPq.search]]'s nprobe
+    * `cell isin (...)` filter over the result is partition pruning — a
+    * probe reads nprobe/nlist of the index's files, nothing else.
+    */
+  def loadIvfPqCodes(model: IvfPq.Model, spark: SparkSession,
+      path: String): IvfPq.Model =
+    model.copy(encoded = spark.read.parquet(path))
+}

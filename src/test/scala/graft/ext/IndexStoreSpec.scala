@@ -1,0 +1,65 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables, TestSpark}
+
+/** Persisted index probes must be PARTITION-pruned (plan-level pins, the
+  * q92 discipline): a probe that re-scans the whole stored index would
+  * erase the point of the index at 100 TB.
+  */
+class IndexStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def scanString(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.collectLeaves().map(_.toString()).mkString
+
+  test("postings store: term probe prunes to the queried buckets") {
+    val docs = Seq(
+      (0L, "alpha beta gamma"), (1L, "alpha delta"), (2L, "beta beta zeta"),
+      (3L, "eta theta iota"), (4L, "kappa alpha mu")
+    ).toDF("doc_id", "text")
+    val index = Retrieval.invertedIndex(docs, "doc_id", "text",
+      minDf = 1L, postingCap = 5)
+    val dir = java.nio.file.Files.createTempDirectory("idx_postings_").toString
+    IndexStore.writePostings(index, dir, nBuckets = 8)
+    val probe = IndexStore.readPostings(spark, dir, Seq("alpha", "zeta"),
+      nBuckets = 8)
+    // results match the in-memory index exactly
+    val want = index.filter($"w".isin("alpha", "zeta"))
+      .collect().map(_.toSeq).toSet
+    probe.select(index.columns.map(col): _*)
+      .collect().map(_.toSeq).toSet shouldBe want
+    // the bucket predicate must land in PartitionFilters (pruned read),
+    // the term predicate in the data filters
+    val scan = scanString(probe)
+    scan should include regex "PartitionFilters: \\[.*term_bucket.*\\]"
+    // wrong-bucket partitions are not read: probing a term whose bucket
+    // holds nothing returns empty WITHOUT scanning others' partitions
+    IndexStore.readPostings(spark, dir, Seq("nosuchterm"), nBuckets = 8)
+      .count() shouldBe 0L
+  }
+
+  test("IVF-PQ code store: nprobe search is partition pruning") {
+    val emb = Tables.embeddings(spark, TestSpark.Sf0001)
+    val model = IvfPq.build(emb, "embedding", "vec_id",
+      nlist = 8, m = 8, ksub = 16, maxIter = 5)
+    val dir = java.nio.file.Files.createTempDirectory("idx_ivfpq_").toString
+    IndexStore.writeIvfPqCodes(model, dir)
+    val loaded = IndexStore.loadIvfPqCodes(model, spark, dir)
+    val qv = emb.filter($"vec_id" === 0)
+      .head().getAs[scala.collection.Seq[Float]]("embedding")
+      .map(_.toDouble).toArray
+    val fromStore = IvfPq.search(loaded, emb, "embedding", "vec_id", qv,
+      nprobe = 3, k = 10)
+    val inMemory = IvfPq.search(model, emb, "embedding", "vec_id", qv,
+      nprobe = 3, k = 10)
+    fromStore.collect().map(_.toSeq).toSeq shouldBe
+      inMemory.collect().map(_.toSeq).toSeq
+    // the nprobe cell filter must be a PartitionFilter on the stored scan
+    val shortlistPlan = loaded.encoded
+      .filter($"cell".isin(0, 1, 2))
+    scanString(shortlistPlan) should include regex
+      "PartitionFilters: \\[.*cell.*\\]"
+  }
+}
