@@ -202,9 +202,14 @@ object Soak {
     // + rare collisions), never quadratic. A silent filter regression
     // would pass correctness (verification re-checks pairs) but melt at
     // 100 TB; this assertion catches it at the soak shape.
+    // The three exact joins share ONE GramIndex — the session shape the
+    // index exists for: the 50M-gram dictionary pipeline (the dominant
+    // cost of every exact join at this scale) runs once, not three times.
+    val gramIdx = Dedup.gramIndex(docs, "doc_id", "text", n = 2)
+    time("gram index build (shared, 1M docs)")(gramIdx.sets.count())
     time("jaccard join candidates (fan-out bound)")({
-      val (_, cand) = Dedup.jaccardSetsAndCandidates(
-        docs, "doc_id", "text", n = 2, tauNum = 1, tauDen = 2)
+      val (_, cand) = Dedup.jaccardSetsAndCandidates(gramIdx,
+        tauNum = 1, tauDen = 2)
       val nCand = cand.count()
       assert(nCand <= nDocs,
         s"prefix-filter fan-out broke: $nCand candidate pairs exceed the " +
@@ -244,11 +249,9 @@ object Soak {
     // round-5 widening: the weighted/asymmetric exact joins and the JL
     // sketch at soak scale.
     time("cosine join (tf bigrams, tau .9)")(
-      Dedup.cosineSimilarityJoin(docs, "doc_id", "text",
-        n = 2, tauNum = 9, tauDen = 10).count())
+      Dedup.cosineSimilarityJoin(gramIdx, tauNum = 9, tauDen = 10).count())
     time("containment join (bigrams, tau .9)")(
-      Dedup.containmentJoin(docs, "doc_id", "text",
-        n = 2, tauNum = 9, tauDen = 10).count())
+      Dedup.containmentJoin(gramIdx, tauNum = 9, tauDen = 10).count())
     time("random projection (64 -> 16 dims)")(
       Similarity.randomProject(vecs, "embedding", "vec_id", 16)
         .agg(sum("value")).count())

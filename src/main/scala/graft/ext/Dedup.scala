@@ -188,19 +188,31 @@ object Dedup {
     * complement — both engines compare fingerprints with XOR+popcount,
     * which is sign-agnostic).
     */
-  def simHash64Signature(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simHash64Signature(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    simHashSignature(df, idCol, textCol, nHashes = 4)
+
+  /** Relational SimHash over `16·nHashes` bits: explode tokens once, take
+    * `nHashes` salted hash columns (16 unbiased low bits each), compute
+    * every vote sum in ONE grouped codegen pass, assemble bits with OR.
+    * nHashes=1 computes bit-identical values to the [[simHash16]] Column
+    * (same hash, same votes, same sign rule) at 1/16th the hash work —
+    * the HOF form re-inlines the token hashing into every per-bit
+    * aggregate after projection collapse, interpreted.
+    */
+  private def simHashSignature(df: DataFrame, idCol: String, textCol: String,
+      nHashes: Int): DataFrame = {
     val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("w"))
-    val hashed = tok.select(col(idCol) +: (0 until 4).map { k =>
+    val hashed = tok.select(col(idCol) +: (0 until nHashes).map { k =>
       val salted = if (k == 0) col("w") else concat(col("w"), lit(s"|$k"))
       tokenHash(salted).as(s"h$k")
     }: _*)
-    val sums = (0 until 64).map { j =>
+    val sums = (0 until 16 * nHashes).map { j =>
       sum(when(shiftright(col(s"h${j / 16}"), j % 16)
         .bitwiseAND(lit(1L)) === 1, 1L).otherwise(-1L)).as(s"s$j")
     }
     hashed.groupBy(idCol).agg(sums.head, sums.tail: _*)
       .select(col(idCol),
-        (0 until 64).map(j =>
+        (0 until 16 * nHashes).map(j =>
           when(col(s"s$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
           .reduce(_ bitwiseOR _).as("sh"))
   }
@@ -277,11 +289,11 @@ object Dedup {
   def simHashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame = {
     require(maxDist >= 0 && maxDist < 16, s"simHashNearDupPairs: 0 <= maxDist < 16")
-    // The signature relation feeds BOTH self-join sides; checkpoint it so
-    // the per-token fingerprint pass (interpreted HOF over the whole
-    // corpus) runs once, not once per side — the q86/DedupCluster
-    // multi-use-subplan lesson (measured 21 s → ~7 s at sf0.1).
-    val sig = df.select(col(idCol).as("__id"), simHash16(col(textCol)).as("sh"))
+    // Relational signature (bit-identical to the simHash16 Column, 1/16th
+    // the hash work), checkpointed because it feeds BOTH self-join sides —
+    // the q86/DedupCluster multi-use-subplan lesson.
+    val sig = simHashSignature(df, idCol, textCol, nHashes = 1)
+      .select(col(idCol).as("__id"), col("sh"))
       .localCheckpoint()
     hammingNearDupPairs(sig, 16, maxDist)
   }
