@@ -478,21 +478,22 @@ object Dedup {
     */
   final class GramIndex private[ext] (docs: DataFrame, idCol: String,
       textCol: String, val n: Int) {
-    lazy val enc: DataFrame = {
-      val tf = ngramRows(docs, idCol, textCol, n)
-        .groupBy(col(idCol).as("__id"), col("g"))
-        .agg(count(lit(1)).as("w"))
-      val gdf = tf.groupBy("g").agg(count(lit(1)).as("gdf"))
-      // Dense long ids ranked rarest-first: ascending gid order = prefix
-      // order. A row_number() over an unpartitioned Window would funnel
-      // every distinct n-gram through ONE task: fine at sf0.1's
-      // vocabulary, a scale-killer against billions of distinct grams at
-      // 100 TB — hence the distributed rank in [[rankDictionary]].
-      val dict = rankDictionary(gdf)
-      tf.join(dict, "g")
-        .select(col("__id"), col("gid"), least(col("w"), lit(65535L)).as("w"))
-        .localCheckpoint()
-    }
+    private lazy val tf: DataFrame = ngramRows(docs, idCol, textCol, n)
+      .groupBy(col(idCol).as("__id"), col("g"))
+      .agg(count(lit(1)).as("w"))
+    /** (g, gid): the corpus vocabulary, dense gids ranked rarest-first so
+      * ascending gid order = prefix order. A row_number() over an
+      * unpartitioned Window would funnel every distinct n-gram through
+      * ONE task: fine at sf0.1's vocabulary, a scale-killer against
+      * billions of distinct grams at 100 TB — hence the distributed rank
+      * in [[rankDictionary]]. Checkpointed: the all-pairs joins consume
+      * it through `enc`, and the incremental batch join probes it again.
+      */
+    lazy val dict: DataFrame = rankDictionary(
+      tf.groupBy("g").agg(count(lit(1)).as("gdf"))).localCheckpoint()
+    lazy val enc: DataFrame = tf.join(dict, "g")
+      .select(col("__id"), col("gid"), least(col("w"), lit(65535L)).as("w"))
+      .localCheckpoint()
     lazy val sets: DataFrame = enc
       .groupBy("__id")
       .agg(array_sort(collect_list(col("gid"))).as("gs"))
@@ -700,6 +701,83 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_common"),
         round(col("n_common").cast("double") / col("na").cast("double"), 6)
           .as("containment"))
+  }
+
+  /** EXACT incremental Jaccard join: every (batch doc, corpus doc) pair
+    * with distinct-n-gram Jaccard ≥ tauNum/tauDen, probing a prebuilt
+    * corpus [[GramIndex]] — the EXACT complement of the probabilistic
+    * [[incrementalDupIds]] LSH probe, and the ingest-time shape of
+    * [[jaccardSimilarityJoin]]: a 100 TB corpus grows by batches, and
+    * re-running the all-pairs join per ingest would be O(corpus²) where
+    * this is O(batch · matches). No false negatives, nothing retrained:
+    * the corpus dictionary, prefix arrays, and set arrays are reused
+    * frozen.
+    *
+    * Order correctness with unseen grams: the prefix-filter lemma needs
+    * one total order shared by both sides of a pair. Batch grams absent
+    * from the corpus vocabulary can never match a corpus gram, but they
+    * still occupy prefix slots, so they must SORT somewhere consistent:
+    * they get NEGATIVE dense ids (a batch-local [[rankDictionary]] rank,
+    * negated) — below every corpus gid, i.e. treated as rarest of all
+    * (df 0 against any corpus df ≥ 1), which leaves corpus-side prefix
+    * arrays byte-identical to the all-pairs case. The verification
+    * merge-intersect only ever counts equal ids, and negative ids exist
+    * on the batch side only, so they can never inflate the overlap.
+    * Candidate generation joins batch prefixes to CORPUS prefixes (both
+    * under the shared order) with the standard length and positional
+    * filters; verification is the codegen'd sorted intersect with the
+    * integer threshold. Output: (doc_a = batch id, doc_b = corpus id,
+    * n_common, jac).
+    */
+  def incrementalJaccardJoin(index: GramIndex, batch: DataFrame,
+      idCol: String, textCol: String, tauNum: Int, tauDen: Int): DataFrame = {
+    require(tauNum >= 1 && tauNum <= tauDen,
+      s"incrementalJaccardJoin: need 0 < tauNum/tauDen <= 1, got $tauNum/$tauDen")
+    val bGrams = ngramsExploded(batch, idCol, textCol, index.n)
+      .select(col(idCol).as("__bid"), col("g"))
+    // corpus-known grams keep their corpus gid; unseen grams rank among
+    // themselves (deterministic (0, gram) order) and negate — distinct,
+    // below all corpus ids, identical for every batch doc containing them
+    val unseenDict = rankDictionary(
+      bGrams.join(index.dict, Seq("g"), "left_anti")
+        .select("g").distinct().withColumn("gdf", lit(0L)))
+      .select(col("g"), (-col("gid")).as("gid"))
+    val bDict = index.dict.unionByName(unseenDict)
+    val bSets = bGrams.join(bDict, "g")
+      .groupBy("__bid")
+      .agg(array_sort(collect_list(col("gid"))).as("gs"))
+      .select(col("__bid"), col("gs"), size(col("gs")).cast("long").as("nn"))
+      .localCheckpoint()
+    def prefixLen = (col("nn") -
+      floor((col("nn") * tauNum + (tauDen - 1)) / lit(tauDen.toDouble)) + 1)
+      .cast("int")
+    val bProbes = bSets.select(col("__bid"), col("nn"),
+      posexplode(slice(col("gs"), lit(1), prefixLen)).as(Seq("pos", "gid")))
+    val cSets = index.sets
+    val cProbes = cSets.select(col("__id"), col("nn"),
+      posexplode(slice(col("gs"), lit(1), prefixLen)).as(Seq("pos", "gid")))
+    val cand = bProbes.alias("a").join(cProbes.alias("b"),
+      col("a.gid") === col("b.gid") &&
+        col("a.nn") * tauNum <= col("b.nn") * tauDen &&
+        col("b.nn") * tauNum <= col("a.nn") * tauDen &&
+        (lit(1) + least(col("a.nn") - col("a.pos") - 1,
+          col("b.nn") - col("b.pos") - 1)) * (tauNum + tauDen) >=
+          (col("a.nn") + col("b.nn")) * tauNum)
+      .select(col("a.__bid").as("doc_a"), col("b.__id").as("doc_b"))
+      .distinct()
+    cand
+      .join(bSets.select(col("__bid").as("doc_a"), col("gs").as("ga"),
+        col("nn").as("na")), "doc_a")
+      .join(cSets.select(col("__id").as("doc_b"), col("gs").as("gb"),
+        col("nn").as("nb")), "doc_b")
+      .withColumn("n_common",
+        graft.functions.VectorExpressions.sortedIntersectCount(
+          col("ga"), col("gb")))
+      .filter(col("n_common") * tauDen >=
+        (col("na") + col("nb") - col("n_common")) * tauNum)
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("na") + col("nb") - col("n_common")).cast("double"), 6).as("jac"))
   }
 
   /** Exact-substring dedup (the ExactSubstr shape of Lee et al.,

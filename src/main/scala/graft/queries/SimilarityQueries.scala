@@ -284,6 +284,48 @@ object SimilarityQueries {
          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""),
   )
 
+  /** Q112 [X]: EXACT incremental Jaccard join — the 10%-of-ids "batch"
+    * against the frozen GramIndex of the other 90% at τ = 1/2: every
+    * (batch, corpus) pair over the threshold with exact overlap. The
+    * ingest-time exact complement of q76's LSH probe (O(batch·matches),
+    * nothing rebuilt); unseen batch grams take negative dictionary ids so
+    * the shared prefix order stays total. The twin brute-forces the
+    * cross-partition gram join.
+    */
+  val q112 = OracleQuery(
+    "q112_incremental_jaccard",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val idx = Dedup.gramIndex(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", n = 2)
+      Dedup.incrementalJaccardJoin(idx,
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+        tauNum = 1, tauDen = 2)
+    },
+    Some("""WITH ct AS (SELECT doc_id, string_split(text, ' ') AS t
+                        FROM documents WHERE doc_id % 10 != 0),
+                 bt AS (SELECT doc_id, string_split(text, ' ') AS t
+                        FROM documents WHERE doc_id % 10 = 0),
+                 cbg AS (SELECT DISTINCT doc_id, g FROM
+                          (SELECT doc_id, unnest([t[i] || ' ' || t[i+1]
+                                  FOR i IN generate_series(1, len(t) - 1)]) AS g FROM ct)),
+                 bbg AS (SELECT DISTINCT doc_id, g FROM
+                          (SELECT doc_id, unnest([t[i] || ' ' || t[i+1]
+                                  FOR i IN generate_series(1, len(t) - 1)]) AS g FROM bt)),
+                 cn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nn FROM cbg GROUP BY 1),
+                 bn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nn FROM bbg GROUP BY 1),
+                 i AS (SELECT b.doc_id AS doc_a, c.doc_id AS doc_b,
+                              CAST(count(*) AS BIGINT) AS n_common
+                       FROM bbg b JOIN cbg c ON c.g = b.g
+                       GROUP BY 1, 2)
+            SELECT doc_a, doc_b, n_common,
+                   round(CAST(n_common AS DOUBLE) /
+                         CAST(x.nn + y.nn - n_common AS DOUBLE), 6) AS jac
+            FROM i JOIN bn x ON x.doc_id = doc_a
+                   JOIN cn y ON y.doc_id = doc_b
+            WHERE 2 * n_common >= x.nn + y.nn - n_common"""),
+  )
+
   val all: Seq[OracleQuery] = Seq(q103, q104, q105, q106, q108, q109, q110,
-    q111)
+    q111, q112)
 }
