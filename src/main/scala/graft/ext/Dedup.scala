@@ -733,21 +733,7 @@ object Dedup {
       idCol: String, textCol: String, tauNum: Int, tauDen: Int): DataFrame = {
     require(tauNum >= 1 && tauNum <= tauDen,
       s"incrementalJaccardJoin: need 0 < tauNum/tauDen <= 1, got $tauNum/$tauDen")
-    val bGrams = ngramsExploded(batch, idCol, textCol, index.n)
-      .select(col(idCol).as("__bid"), col("g"))
-    // corpus-known grams keep their corpus gid; unseen grams rank among
-    // themselves (deterministic (0, gram) order) and negate — distinct,
-    // below all corpus ids, identical for every batch doc containing them
-    val unseenDict = rankDictionary(
-      bGrams.join(index.dict, Seq("g"), "left_anti")
-        .select("g").distinct().withColumn("gdf", lit(0L)))
-      .select(col("g"), (-col("gid")).as("gid"))
-    val bDict = index.dict.unionByName(unseenDict)
-    val bSets = bGrams.join(bDict, "g")
-      .groupBy("__bid")
-      .agg(array_sort(collect_list(col("gid"))).as("gs"))
-      .select(col("__bid"), col("gs"), size(col("gs")).cast("long").as("nn"))
-      .localCheckpoint()
+    val bSets = encodeBatchSets(index, batch, idCol, textCol)
     def prefixLen = (col("nn") -
       floor((col("nn") * tauNum + (tauDen - 1)) / lit(tauDen.toDouble)) + 1)
       .cast("int")
@@ -778,6 +764,81 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_common"),
         round(col("n_common").cast("double") /
           (col("na") + col("nb") - col("n_common")).cast("double"), 6).as("jac"))
+  }
+
+  /** Batch-side encoded set arrays (`__bid`, gs, nn) under the corpus
+    * index's gram order — the shared front half of the incremental exact
+    * joins. Corpus-known grams keep their corpus gid; unseen grams rank
+    * among themselves (deterministic (0, gram) order) and NEGATE —
+    * distinct ids below every corpus gid, identical for every batch doc
+    * containing them, so the global prefix order stays total and the
+    * verify intersect (equal ids only, negatives exist on the batch side
+    * only) can never overcount.
+    */
+  private def encodeBatchSets(index: GramIndex, batch: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val bGrams = ngramsExploded(batch, idCol, textCol, index.n)
+      .select(col(idCol).as("__bid"), col("g"))
+    val unseenDict = rankDictionary(
+      bGrams.join(index.dict, Seq("g"), "left_anti")
+        .select("g").distinct().withColumn("gdf", lit(0L)))
+      .select(col("g"), (-col("gid")).as("gid"))
+    val bDict = index.dict.unionByName(unseenDict)
+    bGrams.join(bDict, "g")
+      .groupBy("__bid")
+      .agg(array_sort(collect_list(col("gid"))).as("gs"))
+      .select(col("__bid"), col("gs"), size(col("gs")).cast("long").as("nn"))
+      .localCheckpoint()
+  }
+
+  /** EXACT incremental CONTAINMENT join: every (batch doc a, corpus doc b)
+    * pair with |A∩B| / |A| ≥ tauNum/tauDen, probing a prebuilt corpus
+    * [[GramIndex]] — the ingest-time [[containmentJoin]]: detects arriving
+    * quotes/excerpts of (and near-verbatim pulls from) the frozen corpus
+    * without touching corpus-side structures. Asymmetric like the
+    * all-pairs form: the batch (contained) side emits its rarest-first
+    * prefix of `|A| − ⌈τ·|A|⌉ + 1` grams (a qualifying pair needs
+    * ⌈τ·|A|⌉ common grams and the suffix holds one fewer, so a match
+    * lands in the prefix — under the shared order of [[encodeBatchSets]],
+    * where unseen batch grams sort first and can never match); the corpus
+    * side reuses the index's full per-doc arrays. Size filter
+    * `|B|·tauDen ≥ tauNum·|A|`, standard positional filter, codegen'd
+    * merge-intersect verify, integer threshold. Output:
+    * (doc_a = batch id, doc_b = corpus id, n_common, containment).
+    */
+  def incrementalContainmentJoin(index: GramIndex, batch: DataFrame,
+      idCol: String, textCol: String, tauNum: Int = 4,
+      tauDen: Int = 5): DataFrame = {
+    require(tauNum >= 1 && tauNum <= tauDen,
+      s"incrementalContainmentJoin: need 0 < tauNum/tauDen <= 1, got $tauNum/$tauDen")
+    val bSets = encodeBatchSets(index, batch, idCol, textCol)
+    val prefixLen = (col("nn") -
+      floor((col("nn") * tauNum + (tauDen - 1)) / lit(tauDen.toDouble)) + 1)
+      .cast("int")
+    val bProbes = bSets.select(col("__bid"), col("nn"),
+      posexplode(slice(col("gs"), lit(1), prefixLen)).as(Seq("pos", "gid")))
+    val cSets = index.sets
+    val cIndex = cSets.select(col("__id"), col("nn"),
+      posexplode(col("gs")).as(Seq("pos", "gid")))
+    val cand = bProbes.alias("a").join(cIndex.alias("b"),
+      col("a.gid") === col("b.gid") &&
+        col("b.nn") * tauDen >= col("a.nn") * tauNum &&
+        (lit(1) + least(col("a.nn") - col("a.pos") - 1,
+          col("b.nn") - col("b.pos") - 1)) * tauDen >=
+          col("a.nn") * tauNum)
+      .select(col("a.__bid").as("doc_a"), col("b.__id").as("doc_b"))
+      .distinct()
+    cand
+      .join(bSets.select(col("__bid").as("doc_a"), col("gs").as("ga"),
+        col("nn").as("na")), "doc_a")
+      .join(cSets.select(col("__id").as("doc_b"), col("gs").as("gb")), "doc_b")
+      .withColumn("n_common",
+        graft.functions.VectorExpressions.sortedIntersectCount(
+          col("ga"), col("gb")))
+      .filter(col("n_common") * tauDen >= col("na") * tauNum)
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        round(col("n_common").cast("double") / col("na").cast("double"), 6)
+          .as("containment"))
   }
 
   /** Exact-substring dedup (the ExactSubstr shape of Lee et al.,

@@ -326,6 +326,45 @@ object SimilarityQueries {
             WHERE 2 * n_common >= x.nn + y.nn - n_common"""),
   )
 
+  /** Q113 [X]: EXACT incremental CONTAINMENT join — the 10%-of-ids
+    * "batch" probed against the frozen GramIndex of the other 90% at
+    * τ = 3/5: every (batch doc A, corpus doc B) with |A∩B|/|A| ≥ τ —
+    * arriving quotes/excerpts of the frozen corpus detected at ingest,
+    * O(batch) like q112 but asymmetric (batch-side prefix, corpus-side
+    * full index). The twin brute-forces the cross-partition gram join.
+    */
+  val q113 = OracleQuery(
+    "q113_incremental_containment",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val idx = Dedup.gramIndex(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", n = 2)
+      Dedup.incrementalContainmentJoin(idx,
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+        tauNum = 3, tauDen = 5)
+    },
+    Some("""WITH ct AS (SELECT doc_id, string_split(text, ' ') AS t
+                        FROM documents WHERE doc_id % 10 != 0),
+                 bt AS (SELECT doc_id, string_split(text, ' ') AS t
+                        FROM documents WHERE doc_id % 10 = 0),
+                 cbg AS (SELECT DISTINCT doc_id, g FROM
+                          (SELECT doc_id, unnest([t[i] || ' ' || t[i+1]
+                                  FOR i IN generate_series(1, len(t) - 1)]) AS g FROM ct)),
+                 bbg AS (SELECT DISTINCT doc_id, g FROM
+                          (SELECT doc_id, unnest([t[i] || ' ' || t[i+1]
+                                  FOR i IN generate_series(1, len(t) - 1)]) AS g FROM bt)),
+                 bn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nn FROM bbg GROUP BY 1),
+                 i AS (SELECT b.doc_id AS doc_a, c.doc_id AS doc_b,
+                              CAST(count(*) AS BIGINT) AS n_common
+                       FROM bbg b JOIN cbg c ON c.g = b.g
+                       GROUP BY 1, 2)
+            SELECT doc_a, doc_b, n_common,
+                   round(CAST(n_common AS DOUBLE) / CAST(x.nn AS DOUBLE), 6)
+                     AS containment
+            FROM i JOIN bn x ON x.doc_id = doc_a
+            WHERE 5 * n_common >= 3 * x.nn"""),
+  )
+
   val all: Seq[OracleQuery] = Seq(q103, q104, q105, q106, q108, q109, q110,
-    q111, q112)
+    q111, q112, q113)
 }

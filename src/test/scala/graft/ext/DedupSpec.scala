@@ -261,6 +261,48 @@ class DedupSpec extends SparkSpec {
       "doc_id", "text", 1, 10).count() shouldBe 0L
   }
 
+  test("incrementalContainmentJoin ≡ brute force across the corpus/batch split") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(59)
+    val corpusRows = (0 until 60).map { i =>
+      val words = Seq.fill(12 + rnd.nextInt(8))(s"v${rnd.nextInt(40)}")
+      (i.toLong, words.mkString(" "))
+    }
+    // batch: a verbatim excerpt of corpus doc 9 (containment 1.0), a doc of
+    // ENTIRELY unseen grams, a half-seen half-unseen doc, and random docs
+    val batchRows = Seq(
+      (100L, corpusRows(9)._2.split(" ").take(8).mkString(" ")),
+      (101L, "zz1 zz2 zz3 zz4 zz5 zz6 zz7 zz8 zz9 zz10"),
+      (102L, corpusRows(4)._2.split(" ").take(6).mkString(" ") +
+        " qq1 qq2 qq3 qq4 qq5")
+    ) ++ (0 until 20).map { i =>
+      val words = Seq.fill(12 + rnd.nextInt(8))(s"v${rnd.nextInt(40)}")
+      (200L + i, words.mkString(" "))
+    }
+    val corpus = corpusRows.toDF("doc_id", "text")
+    val batch = batchRows.toDF("doc_id", "text")
+    val idx = Dedup.gramIndex(corpus, "doc_id", "text", n = 2)
+    def bigrams(t: String): Set[String] =
+      t.split(" ").sliding(2).map(_.mkString(" ")).toSet
+    for ((tn, td) <- Seq((1, 2), (3, 5), (9, 10))) {
+      val got = Dedup.incrementalContainmentJoin(idx, batch, "doc_id", "text",
+        tn, td)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = (for {
+        (ib, tb) <- batchRows; (ic, tc) <- corpusRows
+        sb = bigrams(tb); sc = bigrams(tc)
+        i = (sb & sc).size.toLong
+        if i * td >= sb.size * tn
+      } yield (ib, ic, i)).toSet
+      got shouldBe want
+      // the verbatim excerpt is fully contained at every threshold
+      got.map(p => (p._1, p._2)) should contain((100L, 9L))
+    }
+    // pure-unseen doc matches nothing and never errors
+    Dedup.incrementalContainmentJoin(idx, batch.filter($"doc_id" === 101L),
+      "doc_id", "text", 1, 10).count() shouldBe 0L
+  }
+
   test("cosineSimilarityJoin ≡ brute force on random corpora (property)") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)
