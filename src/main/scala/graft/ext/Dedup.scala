@@ -841,6 +841,80 @@ object Dedup {
           .as("containment"))
   }
 
+  /** EXACT incremental COSINE join: every (batch doc a, corpus doc b)
+    * pair with cos(a, b) ≥ tauNum/tauDen over tf-weighted word-n-gram
+    * vectors, probing a prebuilt corpus [[GramIndex]] — the tf-weighted
+    * ingest-time sibling of [[incrementalJaccardJoin]]. Batch grams
+    * unseen in the corpus vocabulary can never contribute to a dot
+    * product, so they are dropped from the packed vectors and the probe
+    * order entirely (unlike the set joins, no negative ids: the packed
+    * merge kernel compares keys unsigned) — but their squared weights
+    * STAY in the batch norm ‖a‖², so a mostly-novel doc is not declared
+    * similar merely because its corpus-known fraction matches. The
+    * prefix-filter proof survives the asymmetry: at the smallest common
+    * gram g*, dot ≤ √(sufsq_a(g*))·‖b‖ with sufsq over seen grams only
+    * (every common gram is corpus-known and ranks ≥ g*), so a qualifying
+    * pair still passes both per-side probe filters and the
+    * Cauchy-Schwarz positional product. Verification is the codegen'd
+    * [[graft.functions.PackedWeightedDot]] merge with the exact
+    * DECIMAL(38,0) threshold of [[cosineSimilarityJoin]]. Output:
+    * (doc_a = batch id, doc_b = corpus id, dot, cos).
+    */
+  def incrementalCosineJoin(index: GramIndex, batch: DataFrame,
+      idCol: String, textCol: String, tauNum: Int = 4,
+      tauDen: Int = 5): DataFrame = {
+    require(tauNum >= 1 && tauNum <= tauDen,
+      s"incrementalCosineJoin: need 0 < tauNum/tauDen <= 1, got $tauNum/$tauDen")
+    val bTf = ngramRows(batch, idCol, textCol, index.n)
+      .groupBy(col(idCol).as("__bid"), col("g"))
+      .agg(least(count(lit(1)), lit(65535L)).as("w"))
+    // full norm BEFORE the vocabulary join: unseen mass counts
+    val bn2 = bTf.groupBy("__bid").agg(sum(col("w") * col("w")).as("n2"))
+    val wOrd = Window.partitionBy("__bid").orderBy("gid")
+    val bWeighted = bTf.join(index.dict, "g")
+      .select(col("__bid"), col("gid"), col("w"))
+      .withColumn("sufsq", sum(col("w") * col("w"))
+        .over(wOrd.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .join(bn2, "__bid")
+      .localCheckpoint()
+    val bPacked = bWeighted
+      .groupBy("__bid")
+      .agg(array_sort(collect_list(col("gid") * 65536L + col("w"))).as("pk"),
+        min(col("n2")).as("n2"))
+    def probeFilter(df: DataFrame): DataFrame = df
+      .filter(col("sufsq") * (tauDen.toLong * tauDen) >=
+        col("n2") * (tauNum.toLong * tauNum))
+    val bProbes = probeFilter(bWeighted)
+      .select(col("__bid"), col("gid"), col("sufsq"), col("n2"))
+    val cProbes = probeFilter(index.weighted)
+      .select(col("__id"), col("gid"), col("sufsq"), col("n2"))
+    // Positional product filter + distinct-before-verify: see the
+    // scaladoc notes in cosineSimilarityJoin / jaccardSimilarityJoin.
+    val cand = bProbes.alias("a").join(cProbes.alias("b"),
+      col("a.gid") === col("b.gid") &&
+        col("a.sufsq").cast("double") * col("b.sufsq") *
+          lit(tauDen.toDouble * tauDen) >=
+          col("a.n2").cast("double") * col("b.n2") *
+            lit(tauNum.toDouble * tauNum * (1.0 - 1e-9)))
+      .select(col("a.__bid").as("doc_a"), col("b.__id").as("doc_b"))
+      .distinct()
+    cand
+      .join(bPacked.select(col("__bid").as("doc_a"), col("pk").as("pa"),
+        col("n2").as("na2")), "doc_a")
+      .join(index.packed.select(col("__id").as("doc_b"), col("pk").as("pb"),
+        col("n2").as("nb2")), "doc_b")
+      .withColumn("dot",
+        graft.functions.VectorExpressions.packedWeightedDot(
+          col("pa"), col("pb")))
+      .filter(col("dot").cast("decimal(38,0)") * col("dot") *
+          lit(tauDen.toLong * tauDen) >=
+        col("na2").cast("decimal(38,0)") * col("nb2") *
+          lit(tauNum.toLong * tauNum))
+      .select(col("doc_a"), col("doc_b"), col("dot"),
+        round(col("dot").cast("double") /
+          sqrt((col("na2") * col("nb2")).cast("double")), 6).as("cos"))
+  }
+
   /** Exact-substring dedup (the ExactSubstr shape of Lee et al.,
     * "Deduplicating Training Data Makes Language Models Better"): find
     * every token position covered by an `l`-token sequence that occurs at

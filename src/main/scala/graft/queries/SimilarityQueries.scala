@@ -365,6 +365,43 @@ object SimilarityQueries {
             WHERE 5 * n_common >= 3 * x.nn"""),
   )
 
+  /** Q114 [X]: EXACT incremental COSINE join — the 10%-of-ids "batch"
+    * probed against the frozen GramIndex of the other 90% at τ = 7/10:
+    * tf-weighted near-dups detected at ingest (the weighted complement of
+    * q112's set-Jaccard). Batch grams outside the corpus vocabulary stay
+    * in the batch norm but not the vectors (they can't contribute to any
+    * dot product), so the twin's full-corpus tf brute force agrees
+    * exactly. Integer dot + HUGEINT threshold on the DuckDB side.
+    */
+  val q114 = OracleQuery(
+    "q114_incremental_cosine",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val idx = Dedup.gramIndex(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", n = 2)
+      Dedup.incrementalCosineJoin(idx,
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+        tauNum = 7, tauDen = 10)
+    },
+    Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+                 bg AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1]
+                          FOR i IN generate_series(1, len(t) - 1)]) AS g FROM tok),
+                 tf AS (SELECT doc_id, g, least(CAST(count(*) AS BIGINT), 65535) AS w
+                        FROM bg GROUP BY 1, 2),
+                 n2 AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2
+                        FROM tf GROUP BY 1),
+                 i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                              CAST(sum(a.w * b.w) AS BIGINT) AS dot
+                       FROM tf a JOIN tf b ON b.g = a.g
+                        AND a.doc_id % 10 = 0 AND b.doc_id % 10 != 0
+                       GROUP BY 1, 2)
+            SELECT doc_a, doc_b, dot,
+                   round(CAST(dot AS DOUBLE) /
+                         sqrt(CAST(x.n2 * y.n2 AS DOUBLE)), 6) AS cos
+            FROM i JOIN n2 x ON x.doc_id = doc_a JOIN n2 y ON y.doc_id = doc_b
+            WHERE 100 * CAST(dot AS HUGEINT) * dot >= 49 * CAST(x.n2 AS HUGEINT) * y.n2"""),
+  )
+
   val all: Seq[OracleQuery] = Seq(q103, q104, q105, q106, q108, q109, q110,
-    q111, q112, q113)
+    q111, q112, q113, q114)
 }

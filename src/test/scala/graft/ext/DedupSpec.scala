@@ -303,6 +303,57 @@ class DedupSpec extends SparkSpec {
       "doc_id", "text", 1, 10).count() shouldBe 0L
   }
 
+  test("incrementalCosineJoin ≡ brute force; unseen mass stays in the norm") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(61)
+    val corpusRows = (0 until 60).map { i =>
+      val words = Seq.fill(12 + rnd.nextInt(8))(s"v${rnd.nextInt(30)}")
+      (i.toLong, words.mkString(" "))
+    }
+    // batch: a verbatim copy of corpus doc 13 (cos = 1), a doc whose
+    // known HALF matches doc 5 exactly but whose other half is unseen
+    // vocabulary (full-norm rule must hold its cosine down), a doc of
+    // entirely unseen grams, and random docs from the corpus vocab
+    val batchRows = Seq(
+      (100L, corpusRows(13)._2),
+      (101L, corpusRows(5)._2 + " zz1 zz2 zz3 zz4 zz5 zz6 zz7 zz8"),
+      (102L, "yy1 yy2 yy3 yy4 yy5 yy6 yy7 yy8 yy9 yy10")
+    ) ++ (0 until 20).map { i =>
+      val words = Seq.fill(12 + rnd.nextInt(8))(s"v${rnd.nextInt(30)}")
+      (200L + i, words.mkString(" "))
+    }
+    val corpus = corpusRows.toDF("doc_id", "text")
+    val batch = batchRows.toDF("doc_id", "text")
+    val idx = Dedup.gramIndex(corpus, "doc_id", "text", n = 2)
+    def tf(t: String): Map[String, Long] =
+      t.split(" ").sliding(2).map(_.mkString(" ")).toSeq
+        .groupBy(identity).map { case (g, o) => g -> math.min(o.size.toLong, 65535L) }
+    for ((tn, td) <- Seq((1, 2), (7, 10), (9, 10))) {
+      val got = Dedup.incrementalCosineJoin(idx, batch, "doc_id", "text",
+        tn, td)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = (for {
+        (ib, tb) <- batchRows; (ic, tc) <- corpusRows
+        fa = tf(tb); fb = tf(tc)
+        dot = fa.keysIterator.map(g => fa(g) * fb.getOrElse(g, 0L)).sum
+        na2 = fa.valuesIterator.map(w => w * w).sum
+        nb2 = fb.valuesIterator.map(w => w * w).sum
+        if BigInt(dot) * dot * td * td >= BigInt(na2) * nb2 * tn * tn && dot > 0
+      } yield (ib, ic, dot)).toSet
+      got shouldBe want
+      // the verbatim copy survives every threshold
+      got.map(p => (p._1, p._2)) should contain((100L, 13L))
+    }
+    // the half-unseen doc must NOT pass a high threshold against doc 5
+    // (its full norm includes the unseen half), but the verbatim copy does
+    val high = Dedup.incrementalCosineJoin(idx, batch, "doc_id", "text", 9, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    high should not contain ((101L, 5L))
+    // pure-unseen doc matches nothing and never errors
+    Dedup.incrementalCosineJoin(idx, batch.filter($"doc_id" === 102L),
+      "doc_id", "text", 1, 10).count() shouldBe 0L
+  }
+
   test("cosineSimilarityJoin ≡ brute force on random corpora (property)") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)
