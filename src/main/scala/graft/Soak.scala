@@ -219,6 +219,37 @@ object Soak {
       nCand
     })
 
+    // round-6: the incremental exact joins — probing the FROZEN 1M-doc
+    // index with a 1% batch must be O(batch), and match volume must be
+    // the planted twins (each batch doc regenerates a corpus text from
+    // the same seed), not a quadratic fan-out. The corpus-side pipeline
+    // is reused as-is (the index's checkpoints), so these stages time
+    // ONLY the batch encode + probe — the ingest path's real cost.
+    {
+      val nBatch = nDocs / 100
+      // same seeds 0..nBatch-1 as the corpus head → identical texts;
+      // every-100th-dup seeds mean a handful of docs match TWO corpus
+      // twins, hence the 2× upper bound.
+      val batch = syntheticDocs(spark, nBatch)
+        .withColumn("doc_id", col("doc_id") + nDocs)
+      def boundCheck(label: String, n: Long): Long = {
+        assert(n >= nBatch - nBatch / 50 && n <= 2 * nBatch,
+          s"$label match count $n outside [${nBatch - nBatch / 50}, " +
+            s"${2 * nBatch}] for $nBatch planted twins")
+        println(s"[soak] $label matches $n (planted twins $nBatch)")
+        n
+      }
+      time("incremental jaccard (1% batch)")(boundCheck("inc-jaccard",
+        Dedup.incrementalJaccardJoin(gramIdx, batch, "doc_id", "text",
+          9, 10).count()))
+      time("incremental containment (1% batch)")(boundCheck("inc-containment",
+        Dedup.incrementalContainmentJoin(gramIdx, batch, "doc_id", "text",
+          9, 10).count()))
+      time("incremental cosine (1% batch)")(boundCheck("inc-cosine",
+        Dedup.incrementalCosineJoin(gramIdx, batch, "doc_id", "text",
+          9, 10).count()))
+    }
+
     // round-6: the 64-bit simhash guardrail — the whole point of the wide
     // fingerprint is that 16-bit band keys (65536 buckets) keep bucket
     // occupancy near corpus/65536, so candidate generation stays linear.
@@ -289,9 +320,12 @@ object Soak {
         Array.tabulate(64)(i => (i % 7 - 3) / 3.0), nprobe = 4, k = 10).count()
     })
     time("postings store write (64 buckets)")({
+      // minDf scales with the corpus (1000 at the 1M default) so reduced
+      // soaks keep a non-empty index — mean gram df here is ~nDocs/125
       ext.IndexStore.writePostings(
         Retrieval.invertedIndex(docs, "doc_id", "text",
-          minDf = 1000L, postingCap = 5), s"$idxDir/postings")
+          minDf = math.max(1L, nDocs / 1000L), postingCap = 5),
+        s"$idxDir/postings")
       1L
     })
     time("postings probe from store (3 terms)")(

@@ -476,7 +476,7 @@ object Dedup {
     * @param packed   (__id, pk, n2): packed `gid·2^16 + w` arrays (cosine
     *                 verify sides).
     */
-  final class GramIndex private[ext] (docs: DataFrame, idCol: String,
+  class GramIndex private[ext] (docs: DataFrame, idCol: String,
       textCol: String, val n: Int) {
     private lazy val tf: DataFrame = ngramRows(docs, idCol, textCol, n)
       .groupBy(col(idCol).as("__id"), col("g"))
@@ -515,6 +515,68 @@ object Dedup {
       .agg(array_sort(collect_list(col("gid") * 65536L + col("w"))).as("pk"),
         min(col("n2")).as("n2"))
       .localCheckpoint()
+
+    /** A new [[GramIndex]] with `batch` documents APPENDED without
+      * rebuilding the corpus pipeline — the index-maintenance analog of
+      * [[graft.ext.IvfPq.encodeBatch]]: existing grams keep their gids
+      * (the dictionary is FROZEN), batch-new grams rank rarest-first
+      * among themselves and take ids AFTER the corpus order (maxGid +
+      * rank), and only batch-side relations are computed — the corpus
+      * enc/sets/weighted/packed checkpoints are reused as-is, so the
+      * cost is O(batch), not O(corpus). Every exact join over the
+      * appended index stays EXACT: the prefix/positional filters need
+      * only a TOTAL, consistent gram order (ascending gid), never the
+      * rarest-first heuristic itself — appended-new grams sit at the
+      * order's tail, which merely weakens pruning for batch-heavy
+      * vocabulary until a periodic full rebuild re-ranks (at 100 TB:
+      * append per ingest batch, rebuild on a slow cadence). Batch-side
+      * relations checkpoint LAZILY, so a jaccard-only caller never runs
+      * the cosine norm windows. Caller contract: batch ids are disjoint
+      * from corpus ids (not checked — id semantics belong to the
+      * caller, same as the all-pairs joins).
+      */
+    def append(batch: DataFrame, idCol: String, textCol: String): GramIndex = {
+      val self = this
+      val bTf = ngramRows(batch, idCol, textCol, n)
+        .groupBy(col(idCol).as("__id"), col("g"))
+        .agg(count(lit(1)).as("w"))
+        .localCheckpoint()
+      val base = self.dict.agg(coalesce(max(col("gid")), lit(0L)).as("__base"))
+      val newDict = rankDictionary(
+        bTf.join(self.dict, Seq("g"), "left_anti")
+          .groupBy("g").agg(count(lit(1)).as("gdf")))
+        .crossJoin(broadcast(base))
+        .select(col("g"), (col("gid") + col("__base")).as("gid"))
+      val fullDict = self.dict.unionByName(newDict).localCheckpoint()
+      val bEnc = bTf.join(fullDict, "g")
+        .select(col("__id"), col("gid"), least(col("w"), lit(65535L)).as("w"))
+        .localCheckpoint()
+      val bSets = bEnc
+        .groupBy("__id")
+        .agg(array_sort(collect_list(col("gid"))).as("gs"))
+        .select(col("__id"), col("gs"), size(col("gs")).cast("long").as("nn"))
+      val wOrd = Window.partitionBy("__id").orderBy("gid")
+      val bWeighted = bEnc
+        .withColumn("sufsq", sum(col("w") * col("w"))
+          .over(wOrd.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+        .withColumn("n2", sum(col("w") * col("w"))
+          .over(Window.partitionBy("__id")))
+        .localCheckpoint(false)
+      val bPacked = bWeighted
+        .groupBy("__id")
+        .agg(array_sort(collect_list(col("gid") * 65536L + col("w"))).as("pk"),
+          min(col("n2")).as("n2"))
+      new GramIndex(batch, idCol, textCol, n) {
+        override lazy val dict: DataFrame = fullDict
+        override lazy val enc: DataFrame = self.enc.unionByName(bEnc)
+        override lazy val sets: DataFrame =
+          self.sets.unionByName(bSets.localCheckpoint(false))
+        override lazy val weighted: DataFrame =
+          self.weighted.unionByName(bWeighted)
+        override lazy val packed: DataFrame =
+          self.packed.unionByName(bPacked.localCheckpoint(false))
+      }
+    }
   }
 
   /** Build the shared [[GramIndex]] for a corpus (see its doc). */

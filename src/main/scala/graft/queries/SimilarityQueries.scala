@@ -402,6 +402,40 @@ object SimilarityQueries {
             WHERE 100 * CAST(dot AS HUGEINT) * dot >= 49 * CAST(x.n2 AS HUGEINT) * y.n2"""),
   )
 
+  /** Q115 [X]: GramIndex APPEND maintenance certificate — the index is
+    * built over 90% of the corpus, the other 10% is `append`ed (frozen
+    * dictionary, batch-new grams ranked past the corpus tail, O(batch)
+    * encode), and the full all-pairs Jaccard join at τ = 1/2 runs over
+    * the appended index. The twin is q86's full-corpus brute force — the
+    * appended index must reproduce the from-scratch result bit for bit,
+    * proving exactness never depended on the rarest-first rank order the
+    * append path degrades.
+    */
+  val q115 = OracleQuery(
+    "q115_gram_index_append",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val idx = Dedup.gramIndex(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", n = 2)
+        .append(docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+      Dedup.jaccardSimilarityJoin(idx, tauNum = 1, tauDen = 2)
+    },
+    Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            bg AS (SELECT DISTINCT doc_id, g FROM
+                     (SELECT doc_id, unnest([t[i] || ' ' || t[i+1]
+                             FOR i IN generate_series(1, len(t) - 1)]) AS g FROM tok)),
+            n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nn FROM bg GROUP BY doc_id),
+            i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         CAST(count(*) AS BIGINT) AS n_common
+                  FROM bg a JOIN bg b ON b.g = a.g AND b.doc_id > a.doc_id
+                  GROUP BY 1, 2)
+            SELECT doc_a, doc_b, n_common,
+                   round(CAST(n_common AS DOUBLE) /
+                         CAST(x.nn + y.nn - n_common AS DOUBLE), 6) AS jac
+            FROM i JOIN n x ON x.doc_id = doc_a JOIN n y ON y.doc_id = doc_b
+            WHERE 2 * n_common >= (x.nn + y.nn - n_common)"""),
+  )
+
   val all: Seq[OracleQuery] = Seq(q103, q104, q105, q106, q108, q109, q110,
-    q111, q112, q113, q114)
+    q111, q112, q113, q114, q115)
 }

@@ -354,6 +354,56 @@ class DedupSpec extends SparkSpec {
       "doc_id", "text", 1, 10).count() shouldBe 0L
   }
 
+  test("GramIndex.append ≡ full rebuild for every exact join; corpus gids frozen") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(67)
+    val corpusRows = (0 until 50).map { i =>
+      val words = Seq.fill(12 + rnd.nextInt(8))(s"v${rnd.nextInt(30)}")
+      (i.toLong, words.mkString(" "))
+    }
+    // batch: a near-dup of a corpus doc, a doc of entirely NEW vocabulary
+    // (its grams must take ids past the corpus maxGid), and random docs
+    val batchRows = Seq(
+      (100L, corpusRows(3)._2 + " tail"),
+      (101L, "zz1 zz2 zz3 zz4 zz5 zz6 zz1 zz2 zz3 zz4")
+    ) ++ (0 until 15).map { i =>
+      val words = Seq.fill(12 + rnd.nextInt(8))(s"v${rnd.nextInt(30)}")
+      (200L + i, words.mkString(" "))
+    }
+    val corpus = corpusRows.toDF("doc_id", "text")
+    val batch = batchRows.toDF("doc_id", "text")
+    val base = Dedup.gramIndex(corpus, "doc_id", "text", n = 2)
+    val appended = base.append(batch, "doc_id", "text")
+    val full = Dedup.gramIndex(corpus.unionByName(batch), "doc_id", "text",
+      n = 2)
+    // the appended index's gid ORDER differs from the rebuild's (frozen
+    // corpus ranks + tail), but every exact join's OUTPUT must be
+    // identical — exactness never depends on the rarest-first heuristic
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    rows(Dedup.jaccardSimilarityJoin(appended, 1, 2)) shouldBe
+      rows(Dedup.jaccardSimilarityJoin(full, 1, 2))
+    rows(Dedup.cosineSimilarityJoin(appended, 7, 10)) shouldBe
+      rows(Dedup.cosineSimilarityJoin(full, 7, 10))
+    rows(Dedup.containmentJoin(appended, 4, 5)) shouldBe
+      rows(Dedup.containmentJoin(full, 4, 5))
+    // dictionary contract: corpus grams keep their exact gids; batch-new
+    // grams all rank past the corpus maximum
+    val origDict = base.dict.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val apDict = appended.dict.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    origDict.foreach { case (g, gid) => apDict(g) shouldBe gid }
+    val maxBase = origDict.values.max
+    (apDict.keySet -- origDict.keySet).foreach { g =>
+      apDict(g) should be > maxBase
+    }
+    // the appended index serves incremental probes like any other
+    val probe = Seq((300L, corpusRows(7)._2)).toDF("doc_id", "text")
+    Dedup.incrementalJaccardJoin(appended, probe, "doc_id", "text", 9, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))) should contain((300L, 7L))
+  }
+
   test("cosineSimilarityJoin ≡ brute force on random corpora (property)") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)
