@@ -171,6 +171,43 @@ class EventStreamsSpec extends SparkSpec {
     dupIds shouldBe Set(1L, 3L)
   }
 
+  test("ST8 streaming exact dedup-on-arrival: corpus matches drop at tau") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.Dedup
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog today"),
+      (101L, "entirely different reference material lives here now")
+    ).toDF("doc_id", "text")
+    val idx = Dedup.gramIndex(corpus, "doc_id", "text", n = 2)
+    val arriving = Seq(
+      ArrivingDoc(1L, "the quick brown fox jumps over the lazy dog today"),
+      ArrivingDoc(2L, "completely novel text about spark shuffles"),
+      ArrivingDoc(3L, "entirely different reference material lives here now"),
+      // one word changed: bigram jaccard 7/11 ≈ 0.64 — a near-dup that
+      // must DROP at τ=1/2 but SURVIVE at τ=9/10 (exactness is the point)
+      ArrivingDoc(4L, "the quick brown fox jumps over the lazy cat today"))
+    def runAt(tn: Int, td: Int): Set[Long] = {
+      val mem = MemoryStream[ArrivingDoc]
+      mem.addData(arriving)
+      val got = scala.collection.mutable.ArrayBuffer[Long]()
+      val q = EventStreams.exactDedupAgainstIndex(
+        mem.toDF(), idx, "doc_id", "text", tn, td) { surv =>
+        got.synchronized { got ++= surv.collect().map(_.getLong(0)) }
+      }
+      q.processAllAvailable()
+      q.stop()
+      got.toSet
+    }
+    runAt(9, 10) shouldBe Set(2L, 4L)
+    runAt(1, 2) shouldBe Set(2L)
+    // batch parity: the same kernel over the same rows as a batch frame,
+    // columns passed through unchanged
+    val batch = EventStreams.exactDedupBatch(
+      idx, arriving.toDF(), "doc_id", "text", 9, 10)
+    batch.columns.toSeq shouldBe Seq("doc_id", "text")
+    batch.collect().map(_.getLong(0)).toSet shouldBe Set(2L, 4L)
+  }
+
   test("ST4b flatMapGroupsWithState: running totals across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
