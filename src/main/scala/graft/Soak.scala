@@ -206,7 +206,7 @@ object Soak {
     // index exists for: the 50M-gram dictionary pipeline (the dominant
     // cost of every exact join at this scale) runs once, not three times.
     val gramIdx = Dedup.gramIndex(docs, "doc_id", "text", n = 2)
-    time("gram index build (shared, 1M docs)")(gramIdx.sets.count())
+    time("gram index build (shared)")(gramIdx.sets.count())
     time("jaccard join candidates (fan-out bound)")({
       val (_, cand) = Dedup.jaccardSetsAndCandidates(gramIdx,
         tauNum = 1, tauDen = 2)
@@ -318,6 +318,18 @@ object Soak {
         s"$idxDir/ivfpq")
       ext.IvfPq.search(loaded, vecs, "embedding", "vec_id",
         Array.tabulate(64)(i => (i % 7 - 3) / 3.0), nprobe = 4, k = 10).count()
+    })
+    // round-6: gram-index persistence — the write is the one-off corpus
+    // cost; the loaded probe must stay O(batch) with zero pipeline rebuild
+    time("gram index store write")({
+      ext.IndexStore.writeGramIndex(gramIdx, s"$idxDir/gram"); 1L
+    })
+    time("gram index probe from store (1% batch)")({
+      val loaded = ext.IndexStore.loadGramIndex(spark, s"$idxDir/gram")
+      val batch = syntheticDocs(spark, nDocs / 100)
+        .withColumn("doc_id", col("doc_id") + 2 * nDocs)
+      Dedup.incrementalJaccardJoin(loaded, batch, "doc_id", "text",
+        9, 10).count()
     })
     time("postings store write (64 buckets)")({
       // minDf scales with the corpus (1000 at the 1M default) so reduced

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, StringType}
@@ -582,6 +582,21 @@ object Dedup {
   /** Build the shared [[GramIndex]] for a corpus (see its doc). */
   def gramIndex(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 2): GramIndex = new GramIndex(docs, idCol, textCol, n)
+
+  /** A [[GramIndex]] whose relations read straight from
+    * [[IndexStore.writeGramIndex]] output — the parquet files ARE the
+    * materialization, so nothing recomputes or re-checkpoints; `weighted`
+    * derives from the loaded enc on first cosine use (the one window pass
+    * the at-rest form deliberately doesn't store).
+    */
+  private[ext] def loadedGramIndex(spark: SparkSession, path: String,
+      nGram: Int): GramIndex =
+    new GramIndex(null, null, null, nGram) {
+      override lazy val dict: DataFrame = spark.read.parquet(s"$path/dict")
+      override lazy val enc: DataFrame = spark.read.parquet(s"$path/enc")
+      override lazy val sets: DataFrame = spark.read.parquet(s"$path/sets")
+      override lazy val packed: DataFrame = spark.read.parquet(s"$path/packed")
+    }
 
   /** The prefix/candidate stages of [[jaccardSimilarityJoin]], exposed so
     * the soak harness can assert the prefix filter's fan-out bound

@@ -65,4 +65,36 @@ object IndexStore {
   def loadIvfPqCodes(model: IvfPq.Model, spark: SparkSession,
       path: String): IvfPq.Model =
     model.copy(encoded = spark.read.parquet(path))
+
+  /** Persist a [[Dedup.GramIndex]]'s MATERIALIZED relations (dict, enc,
+    * sets, packed — `weighted` re-derives from enc in one window pass on
+    * demand, so the at-rest form never stores the per-occurrence norm
+    * columns twice). Unlike the postings/IVF-PQ layouts above, a gram
+    * index's probes are JOINS (batch grams × dict, candidates × per-doc
+    * arrays) with no literal predicates, so hive partition pruning has
+    * nothing to bind against — at cluster scale AQE/DPP handle the join
+    * pruning. What persistence buys is skipping the corpus-scale
+    * tokenize→n-gram→rank pipeline REBUILD: a later session loads the
+    * relations and probes ([[Dedup.incrementalJaccardJoin]] etc.) or
+    * [[Dedup.GramIndex.append]]s in O(batch).
+    */
+  def writeGramIndex(index: Dedup.GramIndex, path: String): Unit = {
+    index.dict.write.mode("overwrite").parquet(s"$path/dict")
+    index.enc.write.mode("overwrite").parquet(s"$path/enc")
+    index.sets.write.mode("overwrite").parquet(s"$path/sets")
+    index.packed.write.mode("overwrite").parquet(s"$path/packed")
+    val spark = index.dict.sparkSession
+    spark.range(1).select(lit(index.n).as("n"))
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Reload a persisted gram index. The returned [[Dedup.GramIndex]]
+    * reads each relation from its parquet (no recompute, no
+    * re-checkpoint — the files ARE the materialization); `weighted`
+    * derives from the loaded enc on first cosine use.
+    */
+  def loadGramIndex(spark: SparkSession, path: String): Dedup.GramIndex = {
+    val n = spark.read.parquet(s"$path/meta").head().getAs[Int]("n")
+    Dedup.loadedGramIndex(spark, path, n)
+  }
 }

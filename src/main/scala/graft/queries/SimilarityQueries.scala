@@ -436,6 +436,49 @@ object SimilarityQueries {
             WHERE 2 * n_common >= (x.nn + y.nn - n_common)"""),
   )
 
+  /** Q116 [X]: persisted gram-index certificate — build the corpus
+    * GramIndex, write it to parquet (`IndexStore.writeGramIndex`), load
+    * it back, and run the full all-pairs Jaccard join FROM THE STORE.
+    * The twin is q86's in-memory brute force, so the hash match proves
+    * the at-rest form loses nothing: a later session probes/appends
+    * without re-running the corpus pipeline. Result is small (the τ=1/2
+    * pair set), so the q92 collect-and-clean pattern applies — no /tmp
+    * leak per Verify/Bench invocation.
+    */
+  val q116 = OracleQuery(
+    "q116_gram_index_store",
+    (s, d) => {
+      val outPath = java.nio.file.Files.createTempDirectory("graft_gidx_")
+      val out = outPath.toString
+      graft.ext.IndexStore.writeGramIndex(
+        Dedup.gramIndex(Tables.documents(s, d), "doc_id", "text", n = 2), out)
+      val joined = Dedup.jaccardSimilarityJoin(
+        graft.ext.IndexStore.loadGramIndex(s, out), tauNum = 1, tauDen = 2)
+      val rows = joined.collect().toSeq
+      val cleaned = s.createDataFrame(
+        s.sparkContext.parallelize(rows, 1), joined.schema)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(outPath).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      cleaned
+    },
+    Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            bg AS (SELECT DISTINCT doc_id, g FROM
+                     (SELECT doc_id, unnest([t[i] || ' ' || t[i+1]
+                             FOR i IN generate_series(1, len(t) - 1)]) AS g FROM tok)),
+            n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nn FROM bg GROUP BY doc_id),
+            i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         CAST(count(*) AS BIGINT) AS n_common
+                  FROM bg a JOIN bg b ON b.g = a.g AND b.doc_id > a.doc_id
+                  GROUP BY 1, 2)
+            SELECT doc_a, doc_b, n_common,
+                   round(CAST(n_common AS DOUBLE) /
+                         CAST(x.nn + y.nn - n_common AS DOUBLE), 6) AS jac
+            FROM i JOIN n x ON x.doc_id = doc_a JOIN n y ON y.doc_id = doc_b
+            WHERE 2 * n_common >= (x.nn + y.nn - n_common)"""),
+  )
+
   val all: Seq[OracleQuery] = Seq(q103, q104, q105, q106, q108, q109, q110,
-    q111, q112, q113, q114, q115)
+    q111, q112, q113, q114, q115, q116)
 }

@@ -62,4 +62,39 @@ class IndexStoreSpec extends SparkSpec {
     scanString(shortlistPlan) should include regex
       "PartitionFilters: \\[.*cell.*\\]"
   }
+
+  test("gram index store: load ≡ build for every join, probe, and append") {
+    val rnd = new scala.util.Random(71)
+    val corpusRows = (0 until 50).map { i =>
+      val words = Seq.fill(12 + rnd.nextInt(8))(s"v${rnd.nextInt(30)}")
+      (i.toLong, words.mkString(" "))
+    }
+    val corpus = corpusRows.toDF("doc_id", "text")
+    val built = Dedup.gramIndex(corpus, "doc_id", "text", n = 2)
+    val dir = java.nio.file.Files.createTempDirectory("idx_gram_").toString
+    IndexStore.writeGramIndex(built, dir)
+    val loaded = IndexStore.loadGramIndex(spark, dir)
+    loaded.n shouldBe 2
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    // all three exact joins read from the store and agree with the build
+    rows(Dedup.jaccardSimilarityJoin(loaded, 1, 2)) shouldBe
+      rows(Dedup.jaccardSimilarityJoin(built, 1, 2))
+    rows(Dedup.cosineSimilarityJoin(loaded, 7, 10)) shouldBe
+      rows(Dedup.cosineSimilarityJoin(built, 7, 10))
+    rows(Dedup.containmentJoin(loaded, 4, 5)) shouldBe
+      rows(Dedup.containmentJoin(built, 4, 5))
+    // an incremental probe against the loaded index finds its twin
+    val probe = Seq((300L, corpusRows(7)._2)).toDF("doc_id", "text")
+    Dedup.incrementalJaccardJoin(loaded, probe, "doc_id", "text", 9, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))) should
+      contain((300L, 7L))
+    // ...and the loaded index appends like the in-memory one
+    val batch = Seq((400L, corpusRows(3)._2 + " tail"),
+      (401L, "zz1 zz2 zz3 zz4 zz5 zz6")).toDF("doc_id", "text")
+    rows(Dedup.jaccardSimilarityJoin(
+      loaded.append(batch, "doc_id", "text"), 1, 2)) shouldBe
+      rows(Dedup.jaccardSimilarityJoin(
+        built.append(batch, "doc_id", "text"), 1, 2))
+  }
 }
