@@ -316,6 +316,42 @@ object Dedup {
     hammingNearDupPairs(sig, 64, maxDist)
   }
 
+  /** EXACT incremental SIMHASH probe: every (batch doc a, corpus doc b)
+    * pair whose 64-bit fingerprints differ in at most `maxDist` bits,
+    * probing a PRECOMPUTED corpus signature table — the Hamming member
+    * of the incremental family ([[incrementalJaccardJoin]] /
+    * [[incrementalContainmentJoin]] / [[incrementalCosineJoin]] probe a
+    * frozen [[GramIndex]]; this probes frozen fingerprints). The corpus
+    * pays nothing per batch: `corpusSig` is the one-off
+    * [[simHash64Signature]] pass (persist it; at rest the derived
+    * (band, bk) key table stores bucketed like the ST7b/postings
+    * layouts), and each arriving batch pays one fingerprint pass plus
+    * `maxDist + 1` asymmetric equi-joins on 65536-value band keys — no
+    * candidate can hide (pigeonhole), only candidates pay the
+    * XOR-popcount. Output: (doc_a = batch id, doc_b = corpus id, dist).
+    *
+    * @param corpusSig (idCol, sh) as produced by [[simHash64Signature]].
+    */
+  def incrementalSimHash64Pairs(corpusSig: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist < 64,
+      s"incrementalSimHash64Pairs: 0 <= maxDist < 64")
+    val bSig = simHash64Signature(batch, idCol, textCol)
+      .select(col(idCol).as("__id"), col("sh"))
+      .localCheckpoint()
+    val cSig = corpusSig.select(col(idCol).as("__id"), col("sh"))
+    val cand = hammingBandKeys(bSig, 64, maxDist).alias("a")
+      .join(hammingBandKeys(cSig, 64, maxDist).alias("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk"))
+      .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"),
+        col("a.sh").as("sha"), col("b.sh").as("shb"))
+      .distinct()
+    cand
+      .withColumn("dist", bit_count(col("sha").bitwiseXOR(col("shb"))))
+      .filter(col("dist") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("dist").cast("long").as("dist"))
+  }
+
   /** Benchmark decontamination: ids of `corpus` documents that share ANY
     * distinct word n-gram with `benchmark` — the standard eval-leak check
     * before training. The benchmark side is tiny next to the corpus, so

@@ -479,6 +479,31 @@ object SimilarityQueries {
             WHERE 2 * n_common >= (x.nn + y.nn - n_common)"""),
   )
 
+  /** Q117 [X]: incremental SIMHASH probe — the 10%-of-ids "batch"
+    * fingerprints probe the precomputed 64-bit signatures of the other
+    * 90% at Hamming radius 3: the ingest-time Hamming member of the
+    * incremental family (q112 jaccard / q113 containment / q114 cosine).
+    * All-integer; the twin recomputes both sides' fingerprints
+    * independently (the q111 HUGEINT assembly) and brute-forces the
+    * cross-split XOR-popcounts.
+    */
+  val q117 = OracleQuery(
+    "q117_incremental_simhash",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpusSig = Dedup.simHash64Signature(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+      Dedup.incrementalSimHash64Pairs(corpusSig,
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", maxDist = 3)
+    },
+    Some(s"""WITH sig AS ($simhash64Sql)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS dist
+         FROM sig a JOIN sig b
+           ON a.doc_id % 10 = 0 AND b.doc_id % 10 != 0
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""),
+  )
+
   val all: Seq[OracleQuery] = Seq(q103, q104, q105, q106, q108, q109, q110,
-    q111, q112, q113, q114, q115, q116)
+    q111, q112, q113, q114, q115, q116, q117)
 }

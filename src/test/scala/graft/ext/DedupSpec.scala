@@ -354,6 +354,46 @@ class DedupSpec extends SparkSpec {
       "doc_id", "text", 1, 10).count() shouldBe 0L
   }
 
+  test("incrementalSimHash64Pairs ≡ brute force across the corpus/batch split") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(73)
+    val corpusRows = (0 until 60).map { i =>
+      val words = Seq.fill(20 + rnd.nextInt(10))(s"v${rnd.nextInt(50)}")
+      (i.toLong, words.mkString(" "))
+    }
+    // batch: an exact copy of corpus doc 21 (dist 0), a lightly-edited
+    // near-dup of doc 8, and random docs from the same vocabulary
+    val batchRows = Seq(
+      (100L, corpusRows(21)._2),
+      (101L, corpusRows(8)._2 + " v1 v2")
+    ) ++ (0 until 20).map { i =>
+      val words = Seq.fill(20 + rnd.nextInt(10))(s"v${rnd.nextInt(50)}")
+      (200L + i, words.mkString(" "))
+    }
+    val corpus = corpusRows.toDF("doc_id", "text")
+    val batch = batchRows.toDF("doc_id", "text")
+    val corpusSig = Dedup.simHash64Signature(corpus, "doc_id", "text")
+      .localCheckpoint()
+    val sigOf: Map[Long, Long] = corpusSig.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val bSigOf: Map[Long, Long] =
+      Dedup.simHash64Signature(batch, "doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+    for (d <- Seq(0, 3, 7)) {
+      val got = Dedup.incrementalSimHash64Pairs(
+        corpusSig, batch, "doc_id", "text", maxDist = d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = (for {
+        (ib, _) <- batchRows; (ic, _) <- corpusRows
+        dist = java.lang.Long.bitCount(bSigOf(ib) ^ sigOf(ic)).toLong
+        if dist <= d
+      } yield (ib, ic, dist)).toSet
+      got shouldBe want
+      // the exact copy collides at distance 0 at every radius
+      got.map(p => (p._1, p._2)) should contain((100L, 21L))
+    }
+  }
+
   test("GramIndex.append ≡ full rebuild for every exact join; corpus gids frozen") {
     import spark.implicits._
     val rnd = new scala.util.Random(67)
