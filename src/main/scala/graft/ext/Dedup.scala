@@ -352,6 +352,47 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("dist").cast("long").as("dist"))
   }
 
+  /** INGEST GATE: the per-batch admit/reject decision a production
+    * pipeline renders at the door, combining the frozen-structure probes
+    * into one verdict table — exact duplicate (text equality against the
+    * corpus; the engine's join hash IS the hash table), exact Jaccard
+    * near-dup ≥ τ ([[incrementalJaccardJoin]] over the [[GramIndex]]),
+    * and simhash Hamming ≤ maxDist ([[incrementalSimHash64Pairs]] over
+    * the signature table). Each probe is O(batch) against structures the
+    * corpus paid for once; `admit` is the conjunction of all-clear
+    * flags. Emitting per-signal booleans (not just the verdict) is
+    * deliberate: curation wants the WHY — audit sampling, threshold
+    * tuning, and per-source dup-rate dashboards all read the flags.
+    * Output: (idCol, exact_dup, jac_dup, sh_dup, admit).
+    */
+  def ingestGate(index: GramIndex, corpusSig: DataFrame,
+      corpusTexts: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, tauNum: Int = 1, tauDen: Int = 2,
+      maxDist: Int = 3): DataFrame = {
+    val ex = batch
+      .join(corpusTexts.select(col(textCol)).distinct(), Seq(textCol),
+        "left_semi")
+      .select(col(idCol)).withColumn("exact_dup", lit(true))
+    val jd = incrementalJaccardJoin(index, batch, idCol, textCol,
+      tauNum, tauDen)
+      .select(col("doc_a").as(idCol)).distinct()
+      .withColumn("jac_dup", lit(true))
+    val sd = incrementalSimHash64Pairs(corpusSig, batch, idCol, textCol,
+      maxDist)
+      .select(col("doc_a").as(idCol)).distinct()
+      .withColumn("sh_dup", lit(true))
+    batch.select(col(idCol))
+      .join(ex, Seq(idCol), "left_outer")
+      .join(jd, Seq(idCol), "left_outer")
+      .join(sd, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("exact_dup"), lit(false)).as("exact_dup"),
+        coalesce(col("jac_dup"), lit(false)).as("jac_dup"),
+        coalesce(col("sh_dup"), lit(false)).as("sh_dup"))
+      .withColumn("admit",
+        !col("exact_dup") && !col("jac_dup") && !col("sh_dup"))
+  }
+
   /** Benchmark decontamination: ids of `corpus` documents that share ANY
     * distinct word n-gram with `benchmark` — the standard eval-leak check
     * before training. The benchmark side is tiny next to the corpus, so

@@ -504,6 +504,65 @@ object SimilarityQueries {
          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""),
   )
 
+  /** Q118 [X]: the INGEST GATE capstone — the 10%-of-ids batch probes
+    * ALL the frozen structures at once (corpus texts for exact-dup, the
+    * GramIndex for exact Jaccard ≥ 1/2, the signature table for simhash
+    * radius 3) and emits the per-signal flags + admit verdict a
+    * production pipeline acts on. The twin recomputes each signal
+    * independently (text-equality EXISTS, the q112 gram brute force, the
+    * q111 HUGEINT fingerprints) — flags cast to BIGINT on both sides.
+    */
+  val q118 = OracleQuery(
+    "q118_ingest_gate",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+      val gate = Dedup.ingestGate(
+        Dedup.gramIndex(corpus, "doc_id", "text", n = 2),
+        Dedup.simHash64Signature(corpus, "doc_id", "text"),
+        corpus, batch, "doc_id", "text",
+        tauNum = 1, tauDen = 2, maxDist = 3)
+      gate.select(col("doc_id"),
+        col("exact_dup").cast("long").as("exact_dup"),
+        col("jac_dup").cast("long").as("jac_dup"),
+        col("sh_dup").cast("long").as("sh_dup"),
+        col("admit").cast("long").as("admit"))
+    },
+    Some(s"""WITH sig AS ($simhash64Sql),
+         ct AS (SELECT doc_id, string_split(text, ' ') AS t
+                FROM documents WHERE doc_id % 10 != 0),
+         bt AS (SELECT doc_id, string_split(text, ' ') AS t
+                FROM documents WHERE doc_id % 10 = 0),
+         cbg AS (SELECT DISTINCT doc_id, g FROM
+                  (SELECT doc_id, unnest([t[i] || ' ' || t[i+1]
+                          FOR i IN generate_series(1, len(t) - 1)]) AS g FROM ct)),
+         bbg AS (SELECT DISTINCT doc_id, g FROM
+                  (SELECT doc_id, unnest([t[i] || ' ' || t[i+1]
+                          FOR i IN generate_series(1, len(t) - 1)]) AS g FROM bt)),
+         cn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nn FROM cbg GROUP BY 1),
+         bn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nn FROM bbg GROUP BY 1),
+         ji AS (SELECT b.doc_id AS doc_a, c.doc_id AS doc_b,
+                       CAST(count(*) AS BIGINT) AS n_common
+                FROM bbg b JOIN cbg c ON c.g = b.g GROUP BY 1, 2),
+         jd AS (SELECT DISTINCT doc_a AS doc_id FROM ji
+                JOIN bn x ON x.doc_id = doc_a JOIN cn y ON y.doc_id = doc_b
+                WHERE 2 * n_common >= x.nn + y.nn - n_common),
+         sd AS (SELECT DISTINCT a.doc_id FROM sig a JOIN sig b
+                ON a.doc_id % 10 = 0 AND b.doc_id % 10 != 0
+                WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         ex AS (SELECT DISTINCT b.doc_id FROM documents b JOIN documents c
+                ON b.doc_id % 10 = 0 AND c.doc_id % 10 != 0 AND c.text = b.text)
+         SELECT d.doc_id,
+                CAST(d.doc_id IN (SELECT doc_id FROM ex) AS BIGINT) AS exact_dup,
+                CAST(d.doc_id IN (SELECT doc_id FROM jd) AS BIGINT) AS jac_dup,
+                CAST(d.doc_id IN (SELECT doc_id FROM sd) AS BIGINT) AS sh_dup,
+                CAST(d.doc_id NOT IN (SELECT doc_id FROM ex)
+                 AND d.doc_id NOT IN (SELECT doc_id FROM jd)
+                 AND d.doc_id NOT IN (SELECT doc_id FROM sd) AS BIGINT) AS admit
+         FROM documents d WHERE d.doc_id % 10 = 0"""),
+  )
+
   val all: Seq[OracleQuery] = Seq(q103, q104, q105, q106, q108, q109, q110,
-    q111, q112, q113, q114, q115, q116, q117)
+    q111, q112, q113, q114, q115, q116, q117, q118)
 }

@@ -394,6 +394,38 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("ingestGate: per-signal flags and admit verdict against frozen structures") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(79)
+    val corpusRows = (0 until 50).map { i =>
+      val words = Seq.fill(20 + rnd.nextInt(10))(s"v${rnd.nextInt(50)}")
+      (i.toLong, words.mkString(" "))
+    }
+    val batchRows = Seq(
+      (100L, corpusRows(11)._2),                     // exact dup
+      (101L, corpusRows(4)._2 + " vx vy"),           // near-dup, not exact
+      (102L, "zz1 zz2 zz3 zz4 zz5 zz6 zz7 zz8 zz9 zz10 zz11 zz12")) // novel
+    val corpus = corpusRows.toDF("doc_id", "text")
+    val batch = batchRows.toDF("doc_id", "text")
+    val gate = Dedup.ingestGate(
+      Dedup.gramIndex(corpus, "doc_id", "text", n = 2),
+      Dedup.simHash64Signature(corpus, "doc_id", "text"),
+      corpus, batch, "doc_id", "text",
+      tauNum = 1, tauDen = 2, maxDist = 3)
+    val rows = gate.collect()
+      .map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4))))
+      .toMap
+    rows.keySet shouldBe Set(100L, 101L, 102L)       // one row per batch doc
+    rows(100L) shouldBe ((true, true, true, false))  // all signals fire
+    // the two-word append stays a jaccard+simhash near-dup but not exact
+    rows(101L)._1 shouldBe false
+    rows(101L)._2 shouldBe true
+    rows(101L)._4 shouldBe false
+    // the novel doc passes every signal
+    rows(102L) shouldBe ((false, false, false, true))
+  }
+
   test("GramIndex.append ≡ full rebuild for every exact join; corpus gids frozen") {
     import spark.implicits._
     val rnd = new scala.util.Random(67)
