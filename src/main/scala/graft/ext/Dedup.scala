@@ -132,11 +132,21 @@ object Dedup {
     bandKeyRows(minHashSignature(corpus, idCol, textCol), idCol, bands)
       .select("band_id", "bk").distinct()
 
+  /** The id-CARRYING (idCol, band_id, bk) band table of a corpus — the
+    * build-once side of [[DedupCluster.assignToClusters]], where the
+    * probe must learn WHICH corpus doc collided (to adopt its cluster),
+    * not merely that one did ([[corpusBandKeys]] keeps only the distinct
+    * keys for the drop/keep verdicts). Persist bucketed by bk at scale.
+    */
+  def corpusBandRows(corpus: DataFrame, idCol: String, textCol: String,
+      bands: Seq[Seq[String]]): DataFrame =
+    bandKeyRows(minHashSignature(corpus, idCol, textCol), idCol, bands)
+
   /** (id, band_id, bk) rows of a signature: key concatenates the band's
     * signature columns (injective — minhash values are bounded longs, the
     * separator can't occur inside one).
     */
-  private def bandKeyRows(sig: DataFrame, idCol: String,
+  private[ext] def bandKeyRows(sig: DataFrame, idCol: String,
       bands: Seq[Seq[String]]): DataFrame = {
     val entries = array(bands.zipWithIndex.map { case (cols, bi) =>
       struct(lit(bi.toLong).as("band_id"),

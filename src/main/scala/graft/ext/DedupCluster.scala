@@ -221,4 +221,41 @@ object DedupCluster {
       col("label").as("cluster_id"),
       (col("label") === col("node")).cast("int").as("is_keeper"))
   }
+
+  /** Incremental CLUSTER assignment: each arriving document adopts the
+    * cluster of any corpus document it shares an LSH band with — the
+    * O(batch) online counterpart of [[dedupClusters]], probing two
+    * build-once corpus structures (`corpusLabels` = a prior
+    * [[dedupClusters]] run; `corpusBandRows` =
+    * [[Dedup.corpusBandRows]]). A batch doc colliding with members of
+    * several clusters takes the MINIMUM cluster id (consistent with the
+    * min-id label convention) but does NOT merge those clusters — the
+    * standard online approximation; the periodic full re-cluster
+    * reconciles bridges, on the same cadence as the index rebuild.
+    * Batch docs are assigned independently (no intra-batch clustering —
+    * that is the per-document ingest decision; run [[dedupClusters]]
+    * over admitted docs for batch-internal groups). A doc colliding with
+    * nothing founds its own cluster (label = its id, keeper). Output
+    * matches [[dedupClusters]]: (idCol, cluster_id, is_keeper).
+    */
+  def assignToClusters(corpusLabels: DataFrame, corpusBandRows: DataFrame,
+      batch: DataFrame, idCol: String, textCol: String,
+      bands: Seq[Seq[String]] = Seq(Seq("mh0", "mh1"), Seq("mh2", "mh3")))
+      : DataFrame = {
+    val bRows = Dedup.corpusBandRows(batch, idCol, textCol, bands)
+      .select(col(idCol).as("__bid"), col("band_id"), col("bk"))
+    val cRows = corpusBandRows
+      .select(col(idCol).as("__cid"), col("band_id"), col("bk"))
+    val adopted = bRows.join(cRows, Seq("band_id", "bk"))
+      .join(corpusLabels.select(col(idCol).as("__cid"),
+        col("cluster_id").as("__cl")), "__cid")
+      .groupBy("__bid").agg(min(col("__cl")).as("__cl"))
+    batch.select(col(idCol))
+      .join(adopted.select(col("__bid").as(idCol), col("__cl")),
+        Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__cl"), col(idCol)).as("cluster_id"))
+      .withColumn("is_keeper",
+        (col("cluster_id") === col(idCol)).cast("int"))
+  }
 }

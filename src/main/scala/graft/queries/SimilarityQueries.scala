@@ -563,6 +563,54 @@ object SimilarityQueries {
          FROM documents d WHERE d.doc_id % 10 = 0"""),
   )
 
+  /** Q119 [X]: incremental CLUSTER assignment — the 10%-of-ids batch
+    * adopts existing near-dup clusters via LSH band collisions with the
+    * 90% corpus (min cluster id among collided members, own id when
+    * novel) — the O(batch) online counterpart of q41's full clustering.
+    * The twin recomputes the corpus components with q41's recursive CTE
+    * restricted to the corpus split, then mirrors the band-collision
+    * adoption. Batch ids sit above the corpus range at every SF, so no
+    * assignment can disturb a corpus label.
+    */
+  val q119 = OracleQuery(
+    "q119_assign_clusters",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val bands = Seq(Seq("mh0", "mh1"), Seq("mh2", "mh3"))
+      graft.ext.DedupCluster.assignToClusters(
+        graft.ext.DedupCluster.dedupClusters(corpus, "doc_id", "text", bands),
+        Dedup.corpusBandRows(corpus, "doc_id", "text", bands),
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", bands)
+    },
+    Some(s"""WITH RECURSIVE sig AS (${ExtQueries.minhashSigSql}),
+            cs AS (SELECT * FROM sig WHERE doc_id % 10 != 0),
+            bs AS (SELECT * FROM sig WHERE doc_id % 10 = 0),
+            b0 AS (SELECT mh0, mh1, min(doc_id) AS root FROM cs GROUP BY mh0, mh1),
+            b1 AS (SELECT mh2, mh3, min(doc_id) AS root FROM cs GROUP BY mh2, mh3),
+            e AS (SELECT s.doc_id AS a, b0.root AS b FROM cs s
+                    JOIN b0 USING (mh0, mh1) WHERE s.doc_id <> b0.root
+                  UNION
+                  SELECT s.doc_id AS a, b1.root AS b FROM cs s
+                    JOIN b1 USING (mh2, mh3) WHERE s.doc_id <> b1.root),
+            u AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+            lab AS (SELECT doc_id AS node, doc_id AS label FROM cs
+                    UNION
+                    SELECT u.a AS node, lab.label FROM lab JOIN u ON u.b = lab.node),
+            clab AS (SELECT node AS doc_id, min(label) AS cluster_id
+                     FROM lab GROUP BY node),
+            m AS (SELECT DISTINCT b.doc_id AS bid, c.doc_id AS cid
+                  FROM bs b JOIN cs c
+                    ON (b.mh0 = c.mh0 AND b.mh1 = c.mh1)
+                    OR (b.mh2 = c.mh2 AND b.mh3 = c.mh3)),
+            ad AS (SELECT m.bid AS doc_id, min(clab.cluster_id) AS cl
+                   FROM m JOIN clab ON clab.doc_id = m.cid GROUP BY 1)
+            SELECT b.doc_id, coalesce(ad.cl, b.doc_id) AS cluster_id,
+                   CAST(CASE WHEN coalesce(ad.cl, b.doc_id) = b.doc_id
+                        THEN 1 ELSE 0 END AS INTEGER) AS is_keeper
+            FROM bs b LEFT JOIN ad ON ad.doc_id = b.doc_id"""),
+  )
+
   val all: Seq[OracleQuery] = Seq(q103, q104, q105, q106, q108, q109, q110,
-    q111, q112, q113, q114, q115, q116, q117, q118)
+    q111, q112, q113, q114, q115, q116, q117, q118, q119)
 }

@@ -94,6 +94,49 @@ class TrainOpsSpec extends SparkSpec {
     out(5L)._2 shouldBe 1 // own cluster → keeper
   }
 
+  test("assignToClusters: adopt / bridge-min / novel-founds-own; ≡ recluster when no bridge") {
+    val docA = "the quick brown fox jumps over the lazy dog"
+    val docB = "totally unrelated text about query engines and columnar scans"
+    val docC = "a third corpus family concerning raster tiles and mercator math"
+    val corpus = Seq(
+      (1L, docA), (2L, docA),       // cluster 1
+      (5L, docB), (6L, docB),       // cluster 5
+      (9L, docC)                    // singleton cluster 9
+    ).toDF("doc_id", "text")
+    val labels = DedupCluster.dedupClusters(corpus, "doc_id", "text")
+      .localCheckpoint()
+    val bandRows = Dedup.corpusBandRows(corpus, "doc_id", "text",
+      Seq(Seq("mh0", "mh1"), Seq("mh2", "mh3"))).localCheckpoint()
+    // batch ids are LARGER than every corpus id, so a full recluster keeps
+    // corpus labels and the online assignment must reproduce it exactly
+    // for non-bridging docs
+    val batch = Seq(
+      (100L, docA),                               // adopts cluster 1
+      (101L, docB),                               // adopts cluster 5
+      (102L, "entirely novel content about streaming watermarks tonight")
+    ).toDF("doc_id", "text")
+    val got = DedupCluster.assignToClusters(labels, bandRows, batch,
+      "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    got(100L) shouldBe ((1L, 0))
+    got(101L) shouldBe ((5L, 0))
+    got(102L) shouldBe ((102L, 1))
+    // consistency: the full recluster over corpus ∪ batch agrees on every
+    // non-bridging batch doc
+    val full = DedupCluster.dedupClusters(
+      corpus.unionByName(batch), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (id, (cl, _)) => full(id) shouldBe cl }
+    // a batch doc colliding with two clusters takes the min WITHOUT
+    // merging them (online approximation — the full rebuild reconciles)
+    val bridge = Seq((200L, docA + " " + docB)).toDF("doc_id", "text")
+    val bg = DedupCluster.assignToClusters(labels, bandRows, bridge,
+      "doc_id", "text").collect()
+    if (bg.head.getLong(1) != 200L) {  // only if LSH actually collides both
+      bg.head.getLong(1) should (be(1L) or be(5L))
+    }
+  }
+
   test("band-star edges connect the same components as all-pairs banding") {
     val docs = Seq(
       (1L, "alpha beta gamma delta"),
