@@ -258,4 +258,23 @@ object DedupCluster {
       .withColumn("is_keeper",
         (col("cluster_id") === col(idCol)).cast("int"))
   }
+
+  /** Leakage-free train/val/test split: hash the near-dup CLUSTER id, not
+    * the document id. A plain per-document hash split (q42) puts two
+    * near-duplicates on opposite sides of the train/test fence roughly
+    * `2·p·(1−p)` of the time — the classic eval-contamination bug; hashing
+    * the [[dedupClusters]] label instead sends every near-dup family to
+    * the same side wholesale. Output: (idCol, cluster_id, split).
+    *
+    * Scale: the split itself is a pure projection over the cluster
+    * labels — all the cost is the clustering, which a pipeline runs once
+    * and reuses ([[assignToClusters]] extends labels to arriving batches,
+    * whose split assignment is then the same hash of the adopted id).
+    */
+  def leakageFreeSplit(docs: DataFrame, idCol: String, textCol: String,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame =
+    dedupClusters(docs, idCol, textCol)
+      .select(col(idCol), col("cluster_id"),
+        Sampling.splitAssign(col("cluster_id"), trainPct, valPct)
+          .as("split"))
 }

@@ -137,4 +137,34 @@ object Sampling {
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= n)
   }
+
+  /** Temperature-scaled mixture shares (the multilingual/domain-balance
+    * recipe: sampling share ∝ n_s^alpha, alpha < 1 flattens the head and
+    * lifts the tail). Returns one row per stratum: (stratumCol, n_s,
+    * share, expected_n) where `expected_n` = the stratum's row budget out
+    * of `budget` total.
+    *
+    * Cross-engine float discipline: the per-stratum weight n^alpha is
+    * rounded to 9 decimals, the normalizing sum runs in DECIMAL(38,9)
+    * (order-free exact — Spark's partial aggregation order differs from
+    * the oracle's single pass), the share divides double-by-double once,
+    * and `expected_n` uses floor(x+0.5) (engine rounding modes differ at
+    * .5 — CLAUDE.md q72/q47 lessons).
+    *
+    * Scale: a groupBy on the stratum key down to |strata| rows, then
+    * arithmetic on the tiny aggregate — the corpus is read once.
+    */
+  def temperatureShares(df: DataFrame, stratumCol: String, alpha: Double,
+      budget: Long): DataFrame = {
+    val counts = df.groupBy(stratumCol).agg(count(lit(1)).as("n_s"))
+    val weighted = counts.withColumn("__w",
+      round(pow(col("n_s").cast("double"), alpha), 9))
+    val total = weighted
+      .agg(sum(col("__w").cast("decimal(38,9)")).as("__tot"))
+    weighted.crossJoin(broadcast(total))
+      .select(col(stratumCol), col("n_s"),
+        round(col("__w") / col("__tot").cast("double"), 6).as("share"),
+        floor(round(col("__w") / col("__tot").cast("double"), 6)
+          * budget + 0.5).cast("long").as("expected_n"))
+  }
 }

@@ -15,15 +15,13 @@ import graft.ext.TextHash.tokenHashSql
   */
 object TrainQueries {
 
-  /** Q41 [X]: near-dup clusters — components of the band-star LSH graph.
-    * The DuckDB twin builds the same star edges (bucket → min member) and
-    * closes them with a recursive CTE; both sides label each cluster by
-    * its minimum doc id, so results match exactly.
+  /** Shared twin CTE for the LSH-graph connected components (q41, q120):
+    * star edges per band bucket (member → min member), closed by a
+    * recursive CTE; `cl` holds one row per doc with its min-reachable-id
+    * cluster label.
     */
-  val q41 = OracleQuery(
-    "q41_dedup_clusters",
-    (s, d) => DedupCluster.dedupClusters(Tables.documents(s, d), "doc_id", "text"),
-    Some(s"""WITH RECURSIVE sig AS (${ExtQueries.minhashSigSql}),
+  private def clustersCte: String =
+    s"""WITH RECURSIVE sig AS (${ExtQueries.minhashSigSql}),
             b0 AS (SELECT mh0, mh1, min(doc_id) AS root FROM sig GROUP BY mh0, mh1),
             b1 AS (SELECT mh2, mh3, min(doc_id) AS root FROM sig GROUP BY mh2, mh3),
             e AS (SELECT s.doc_id AS a, b0.root AS b FROM sig s
@@ -34,10 +32,21 @@ object TrainQueries {
             u AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
             lab AS (SELECT doc_id AS node, doc_id AS label FROM sig
                     UNION
-                    SELECT u.a AS node, lab.label FROM lab JOIN u ON u.b = lab.node)
-            SELECT node AS doc_id, min(label) AS cluster_id,
-                   CAST(CASE WHEN min(label) = node THEN 1 ELSE 0 END AS INTEGER) AS is_keeper
-            FROM lab GROUP BY node"""),
+                    SELECT u.a AS node, lab.label FROM lab JOIN u ON u.b = lab.node),
+            cl AS (SELECT node AS doc_id, min(label) AS cluster_id,
+                          CAST(CASE WHEN min(label) = node THEN 1 ELSE 0 END AS INTEGER) AS is_keeper
+                   FROM lab GROUP BY node)"""
+
+  /** Q41 [X]: near-dup clusters — components of the band-star LSH graph.
+    * The DuckDB twin builds the same star edges (bucket → min member) and
+    * closes them with a recursive CTE; both sides label each cluster by
+    * its minimum doc id, so results match exactly.
+    */
+  val q41 = OracleQuery(
+    "q41_dedup_clusters",
+    (s, d) => DedupCluster.dedupClusters(Tables.documents(s, d), "doc_id", "text"),
+    Some(s"""$clustersCte
+            SELECT doc_id, cluster_id, is_keeper FROM cl"""),
   )
 
   /** Q42 [X]: deterministic hash-bucket train/val/test split (80/10/10). */
@@ -381,7 +390,98 @@ object TrainQueries {
     Some(graft.queries.StubCodecSql.q57Oracle),
   )
 
+  /** Q120 [X]: leakage-free split — q42's hash split keyed on the q41
+    * near-dup CLUSTER id, so a near-dup family never straddles the
+    * train/test fence (the eval-contamination fix). Twin: the q41
+    * recursive-CTE components + the same portable hash CASE on the label.
+    */
+  val q120 = OracleQuery(
+    "q120_cluster_split",
+    (s, d) => DedupCluster.leakageFreeSplit(
+      Tables.documents(s, d), "doc_id", "text"),
+    Some(s"""$clustersCte
+            SELECT doc_id, cluster_id,
+                   CASE WHEN ${Sampling.hashBucketSql("cluster_id")} < 80 THEN 'train'
+                        WHEN ${Sampling.hashBucketSql("cluster_id")} < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM cl"""),
+  )
+
+  /** Q121 [X]: RAG chunking — overlapping 32-word windows at stride 16
+    * over every document (trailing chunks shorter; every word covered).
+    * Pure flatMap shape: no shuffle, runs at scan speed.
+    */
+  val q121 = OracleQuery(
+    "q121_chunk_windows",
+    (s, d) => graft.ext.Chunker.chunk(
+      Tables.documents(s, d), "doc_id", "text", 32, 16),
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS arr,
+                              len(string_split(text, ' ')) AS n
+                       FROM documents),
+                 st AS (SELECT doc_id, arr, n,
+                               UNNEST(generate_series(0, n - 1, 16)) AS s
+                        FROM w)
+            SELECT doc_id,
+                   CAST(s // 16 AS BIGINT) AS chunk_idx,
+                   CAST(s AS BIGINT) AS chunk_start,
+                   CAST(least(32, n - s) AS BIGINT) AS chunk_words,
+                   array_to_string(arr[s + 1 : s + 32], ' ') AS chunk_text
+            FROM st"""),
+  )
+
+  /** Q122 [X]: chunk-granularity exact corpus dedup with reassembly (the
+    * C4/CCNet boilerplate drop): non-overlapping 8-word chunks, corpus-wide
+    * first occurrence kept (min (doc_id, chunk_idx)), documents rebuilt
+    * from their surviving chunks in order.
+    */
+  val q122 = OracleQuery(
+    "q122_chunk_dedup",
+    (s, d) => graft.ext.Chunker.dedupChunks(
+      Tables.documents(s, d), "doc_id", "text", 8),
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS arr,
+                              len(string_split(text, ' ')) AS n
+                       FROM documents),
+                 c AS (SELECT doc_id,
+                              CAST(s // 8 AS BIGINT) AS chunk_idx,
+                              array_to_string(arr[s + 1 : s + 8], ' ') AS chunk_text
+                       FROM (SELECT doc_id, arr, n,
+                                    UNNEST(generate_series(0, n - 1, 8)) AS s
+                             FROM w)),
+                 m AS (SELECT doc_id, chunk_idx, chunk_text,
+                              row_number() OVER (PARTITION BY chunk_text
+                                ORDER BY doc_id, chunk_idx) AS rn
+                       FROM c)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_chunks,
+                   CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   coalesce(string_agg(CASE WHEN rn = 1 THEN chunk_text END,
+                                       ' ' ORDER BY chunk_idx), '') AS dedup_text
+            FROM m GROUP BY doc_id"""),
+  )
+
+  /** Q123 [X]: temperature-scaled mixture shares per source (share ∝
+    * n^0.5) with expected row counts under a 100k budget. Twin follows
+    * the same round(9) → DECIMAL(38,9) sum → single double division →
+    * round(6) / floor(x+0.5) discipline.
+    */
+  val q123 = OracleQuery(
+    "q123_temperature_mix",
+    (s, d) => Sampling.temperatureShares(
+      Tables.documents(s, d), "source", 0.5, 100000L),
+    Some("""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
+                       FROM documents GROUP BY source),
+                 wt AS (SELECT source, n_s,
+                               round(pow(CAST(n_s AS DOUBLE), 0.5), 9) AS w
+                        FROM c),
+                 t AS (SELECT CAST(sum(CAST(w AS DECIMAL(38,9))) AS DOUBLE) AS tot
+                       FROM wt)
+            SELECT source, n_s,
+                   round(w / tot, 6) AS share,
+                   CAST(floor(round(w / tot, 6) * 100000 + 0.5) AS BIGINT) AS expected_n
+            FROM wt, t"""),
+  )
+
   val all: Seq[OracleQuery] =
     Seq(q41, q42, q42b, q43, q44, q45, q46, q47, q48, q49, q50,
-      q53, q54, q55, q56, q57)
+      q53, q54, q55, q56, q57, q120, q121, q122, q123)
 }

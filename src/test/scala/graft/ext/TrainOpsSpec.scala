@@ -2,7 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.functions._
 
-import graft.SparkSpec
+import graft.{SparkSpec, Tables}
 
 /** [X] training-data pipeline operators: near-dup clustering (connected
   * components), deterministic sampling/splits, shard packing, quality
@@ -355,5 +355,76 @@ class TrainOpsSpec extends SparkSpec {
       TextAnalysis.maskCount($"text", Seq("the", "a", "of", "is")).as("n")).head()
     r.getString(0) shouldBe "<x> theme <x> <x> cat <x> <x> hat" // "theme" untouched
     r.getLong(1) shouldBe 5L
+  }
+
+  test("Chunker.chunk: overlapping windows cover every word, tails shorter") {
+    // 7 words, width 4, stride 2 → starts 0,2,4,6
+    val df = Seq((1L, "a b c d e f g")).toDF("doc_id", "text")
+    val rows = Chunker.chunk(df, "doc_id", "text", 4, 2)
+      .orderBy("chunk_idx")
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    rows shouldBe Array(
+      (0L, 0L, 4L, "a b c d"),
+      (1L, 2L, 4L, "c d e f"),
+      (2L, 4L, 3L, "e f g"),
+      (3L, 6L, 1L, "g"))
+    // non-overlapping: stride = width partitions the document exactly
+    val part = Chunker.chunk(df, "doc_id", "text", 3, 3)
+      .orderBy("chunk_idx").collect().map(_.getString(4))
+    part shouldBe Array("a b c", "d e f", "g")
+    an[IllegalArgumentException] should be thrownBy
+      Chunker.chunk(df, "doc_id", "text", 2, 4) // stride > width drops words
+  }
+
+  test("Chunker.dedupChunks: corpus-wide first occurrence wins, order kept") {
+    // doc 1 owns both chunks; doc 2 repeats chunk "a b" (dropped) and adds
+    // "x y"; doc 3 is pure boilerplate → comes back empty, not missing.
+    val df = Seq(
+      (1L, "a b c d"),
+      (2L, "a b x y"),
+      (3L, "a b a b")).toDF("doc_id", "text")
+    val out = Chunker.dedupChunks(df, "doc_id", "text", 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    out shouldBe Array(
+      (1L, 2L, 2L, "a b c d"),
+      (2L, 2L, 1L, "x y"),
+      (3L, 2L, 0L, ""))
+  }
+
+  test("leakageFreeSplit: a near-dup family lands on one side wholesale") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val split = DedupCluster.leakageFreeSplit(docs, "doc_id", "text")
+    // every cluster maps to exactly one split value
+    split.groupBy("cluster_id")
+      .agg(countDistinct("split").as("n"))
+      .filter($"n" > 1).count() shouldBe 0
+    // and the assignment is the hash of the cluster id (spot-check: each
+    // doc's split equals its cluster representative's split)
+    val byId = split.select($"doc_id", $"split").as[(Long, String)]
+      .collect().toMap
+    val byCluster = split.select($"cluster_id", $"split").distinct()
+      .as[(Long, String)].collect().toMap
+    split.select($"doc_id", $"cluster_id").as[(Long, Long)].collect()
+      .foreach { case (d, c) => byId(d) shouldBe byCluster(c) }
+  }
+
+  test("temperatureShares: alpha=1 recovers proportions, alpha=0 flattens") {
+    val df = (0L until 90L).map(i => (i, if (i < 80) "big" else "small"))
+      .toDF("id", "src")
+    val t1 = Sampling.temperatureShares(df, "src", 1.0, 1000L)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getLong(3))).toMap
+    t1("big")._1 shouldBe (80.0 / 90.0 +- 1e-6)
+    t1("big")._2 shouldBe 889L // floor(round(8/9)·1000 + .5)
+    val t0 = Sampling.temperatureShares(df, "src", 0.0, 1000L)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    t0("big") shouldBe (0.5 +- 1e-6)
+    t0("small") shouldBe (0.5 +- 1e-6)
+    // alpha=0.5 sits between
+    val th = Sampling.temperatureShares(df, "src", 0.5, 1000L)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    th("small") should be > t1("small")._1
+    th("small") should be < 0.5
   }
 }
