@@ -78,8 +78,46 @@ object Chunker {
     val chunks = chunk(docs, idCol, textCol, width, width)
     val firstW = Window.partitionBy(col("chunk_text"))
       .orderBy(col(idCol), col("chunk_idx"))
-    chunks
-      .withColumn("__keep", row_number().over(firstW) === 1)
+    reassemble(
+      chunks.withColumn("__keep", row_number().over(firstW) === 1), idCol)
+  }
+
+  /** Incremental [[dedupChunks]]: arriving batch documents deduplicated
+    * against a FROZEN corpus at chunk granularity — arrival order wins,
+    * so ANY corpus occurrence of a chunk text (kept or itself deduped)
+    * suppresses the batch copy, and within the batch the usual
+    * min (id, chunk_idx) first-occurrence rule applies. The chunk member
+    * of the incremental family (q112 exact Jaccard, q113 containment,
+    * q114 cosine, q117 simhash): O(batch) probe work — the corpus
+    * contributes one distinct-chunk-text relation, built once and
+    * reusable across batches.
+    *
+    * Scale: the corpus side reduces to its distinct chunk texts (a
+    * build-once, persistable relation); the probe is one left join of
+    * batch chunks against it plus the batch-internal first-occurrence
+    * window. No corpus re-shuffle per batch.
+    */
+  def incrementalDedupChunks(corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, width: Int): DataFrame = {
+    val seen = chunk(corpus, idCol, textCol, width, width)
+      .select(col("chunk_text")).distinct()
+      .withColumn("__seen", lit(true))
+    val firstW = Window.partitionBy(col("chunk_text"))
+      .orderBy(col(idCol), col("chunk_idx"))
+    val marked = chunk(batch, idCol, textCol, width, width)
+      .join(seen, Seq("chunk_text"), "left")
+      .withColumn("__keep",
+        col("__seen").isNull && row_number().over(firstW) === 1)
+    reassemble(marked, idCol)
+  }
+
+  /** Shared reassembly tail: per document, count chunks, count survivors,
+    * and join the surviving chunk texts back in `chunk_idx` order. The
+    * higher-order `transform` runs over ~n_words/width elements per group
+    * — bounded, not per-token.
+    */
+  private def reassemble(marked: DataFrame, idCol: String): DataFrame =
+    marked
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_chunks"),
@@ -90,5 +128,4 @@ object Chunker {
               struct(col("chunk_idx"), col("chunk_text"))))),
             x => x.getField("chunk_text")),
           " ").as("dedup_text"))
-  }
 }

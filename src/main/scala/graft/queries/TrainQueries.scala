@@ -481,7 +481,45 @@ object TrainQueries {
             FROM wt, t"""),
   )
 
+  /** Q124 [X]: incremental chunk-level dedup — the 10%-ids batch
+    * deduplicated against the frozen 90% corpus at 8-word chunk
+    * granularity (arrival order wins: ANY corpus occurrence suppresses
+    * the batch copy; within the batch, min (id, idx)). The chunk member
+    * of the q112/q113/q114/q117 incremental family.
+    */
+  val q124 = OracleQuery(
+    "q124_incremental_chunks",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ext.Chunker.incrementalDedupChunks(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", 8)
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS arr,
+                              len(string_split(text, ' ')) AS n
+                       FROM documents),
+                 c AS (SELECT doc_id,
+                              CAST(s // 8 AS BIGINT) AS chunk_idx,
+                              array_to_string(arr[s + 1 : s + 8], ' ') AS chunk_text
+                       FROM (SELECT doc_id, arr, n,
+                                    UNNEST(generate_series(0, n - 1, 8)) AS s
+                             FROM w)),
+                 seen AS (SELECT DISTINCT chunk_text FROM c WHERE doc_id % 10 != 0),
+                 m AS (SELECT doc_id, chunk_idx, chunk_text,
+                              chunk_text NOT IN (SELECT chunk_text FROM seen)
+                                AND row_number() OVER (PARTITION BY chunk_text
+                                      ORDER BY doc_id, chunk_idx) = 1 AS keep
+                       FROM c WHERE doc_id % 10 = 0)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_chunks,
+                   CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   coalesce(string_agg(CASE WHEN keep THEN chunk_text END,
+                                       ' ' ORDER BY chunk_idx), '') AS dedup_text
+            FROM m GROUP BY doc_id"""),
+  )
+
   val all: Seq[OracleQuery] =
     Seq(q41, q42, q42b, q43, q44, q45, q46, q47, q48, q49, q50,
-      q53, q54, q55, q56, q57, q120, q121, q122, q123)
+      q53, q54, q55, q56, q57, q120, q121, q122, q123, q124)
 }

@@ -393,6 +393,29 @@ class TrainOpsSpec extends SparkSpec {
       (3L, 2L, 0L, ""))
   }
 
+  test("incrementalDedupChunks: corpus wins regardless of id order") {
+    // Corpus doc 50 owns "a b"; batch doc 2 (SMALLER id) repeats it —
+    // arrival order beats id order, so the batch copy is suppressed.
+    // Batch docs 2 and 4 both carry novel "x y": min (id, idx) wins.
+    val corpus = Seq((50L, "a b c d")).toDF("doc_id", "text")
+    val batch = Seq(
+      (2L, "a b x y"),
+      (4L, "x y q r")).toDF("doc_id", "text")
+    val out = Chunker.incrementalDedupChunks(
+      corpus, batch, "doc_id", "text", 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    out shouldBe Array(
+      (2L, 2L, 1L, "x y"),
+      (4L, 2L, 1L, "q r"))
+    // with an empty corpus the incremental form IS the batch-internal dedup
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val inc = Chunker.incrementalDedupChunks(empty, batch, "doc_id", "text", 2)
+    val full = Chunker.dedupChunks(batch, "doc_id", "text", 2)
+    inc.except(full).count() shouldBe 0
+    full.except(inc).count() shouldBe 0
+  }
+
   test("leakageFreeSplit: a near-dup family lands on one side wholesale") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val split = DedupCluster.leakageFreeSplit(docs, "doc_id", "text")
