@@ -208,6 +208,51 @@ class EventStreamsSpec extends SparkSpec {
     batch.collect().map(_.getLong(0)).toSet shouldBe Set(2L, 4L)
   }
 
+  test("ST9 streaming ingest gate: per-doc flags match the batch gate") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.Dedup
+    val rnd = new scala.util.Random(83)
+    val corpusRows = (0 until 50).map { i =>
+      val words = Seq.fill(20 + rnd.nextInt(10))(s"v${rnd.nextInt(50)}")
+      (i.toLong, words.mkString(" "))
+    }
+    val corpus = corpusRows.toDF("doc_id", "text")
+    val idx = Dedup.gramIndex(corpus, "doc_id", "text", n = 2)
+    val sig = Dedup.simHash64Signature(corpus, "doc_id", "text")
+      .localCheckpoint()
+    val arriving = Seq(
+      ArrivingDoc(100L, corpusRows(11)._2),           // exact dup
+      ArrivingDoc(101L, corpusRows(4)._2 + " vx vy"), // near-dup, not exact
+      ArrivingDoc(102L,
+        "zz1 zz2 zz3 zz4 zz5 zz6 zz7 zz8 zz9 zz10 zz11 zz12")) // novel
+    val mem = MemoryStream[ArrivingDoc]
+    mem.addData(arriving)
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Boolean, Boolean, Boolean, Boolean)]()
+    val q = EventStreams.gateOnArrival(
+      mem.toDF(), idx, sig, corpus, "doc_id", "text") { verdicts =>
+      got.synchronized {
+        got ++= verdicts.collect().map(r => (r.getLong(0), r.getBoolean(1),
+          r.getBoolean(2), r.getBoolean(3), r.getBoolean(4)))
+      }
+    }
+    q.processAllAvailable()
+    q.stop()
+    val byId = got.map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    byId.keySet shouldBe Set(100L, 101L, 102L)
+    byId(100L) shouldBe ((true, true, true, false))
+    byId(101L)._1 shouldBe false
+    byId(101L)._2 shouldBe true
+    byId(101L)._4 shouldBe false
+    byId(102L) shouldBe ((false, false, false, true))
+    // stream ≡ batch: the same verdicts as one batch ingestGate call
+    val batchGate = Dedup.ingestGate(idx, sig, corpus,
+      arriving.map(a => (a.doc_id, a.text)).toDF("doc_id", "text"),
+      "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1),
+        r.getBoolean(2), r.getBoolean(3), r.getBoolean(4)))).toMap
+    byId shouldBe batchGate
+  }
+
   test("ST4b flatMapGroupsWithState: running totals across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
