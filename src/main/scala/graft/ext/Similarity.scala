@@ -102,6 +102,52 @@ object Similarity {
         col("cos_r"), col("rnk"))
   }
 
+  /** Contrastive pair mining — the batch that a contrastive/embedding
+    * trainer consumes: for every anchor, the `kPos` nearest SAME-label
+    * candidates (positives) and the `kNeg` nearest DIFFERENT-label
+    * candidates (hard negatives — the near-misses that carry the
+    * gradient; random negatives are trivially separable). One relation
+    * out: (qidCol, idCol, is_pos, cos_r, rnk), rnk per (anchor, side).
+    *
+    * Scale: the [[knnJoin]] shape — anchors broadcast (a training batch
+    * is small next to the corpus), the candidate side scans once, one
+    * codegen'd dot per pair with per-row norms precomputed, and the
+    * top-k window plans a partial WindowGroupLimit before the exchange
+    * so only k·anchors·2 rows shuffle. Swap the crossJoin for an
+    * IVF/PQ shortlist when the candidate corpus outgrows brute force.
+    */
+  def contrastivePairs(candidates: DataFrame, anchors: DataFrame,
+      idCol: String, vecCol: String, labelCol: String,
+      kPos: Int, kNeg: Int,
+      qidCol: String = "qid"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(idCol != qidCol,
+      s"contrastivePairs: candidate id column '$idCol' collides with anchor id")
+    val c = candidates
+      .select(col(idCol).as("__cid"), col(labelCol).as("__cl"),
+        asDouble(col(vecCol)).as("__cv"))
+      .withColumn("__cnrm", sqrt(dot(col("__cv"), col("__cv"))))
+    val q = anchors
+      .select(col(idCol).as("__qid"), col(labelCol).as("__ql"),
+        asDouble(col(vecCol)).as("__qv"))
+      .withColumn("__qnrm", sqrt(dot(col("__qv"), col("__qv"))))
+    val w = Window.partitionBy(col("__qid"), col("is_pos"))
+      .orderBy(desc("cos_r"), col("__cid"))
+    c.crossJoin(broadcast(q))
+      .select(col("__qid"), col("__cid"),
+        (col("__cl") === col("__ql")).as("is_pos"),
+        round(dot(col("__cv"), col("__qv")) / (col("__cnrm") * col("__qnrm")), 6)
+          .as("cos_r"))
+      .withColumn("rnk", row_number().over(w))
+      // The literal bound keeps Spark 4's partial WindowGroupLimit
+      // applicable (it matches `rank <= literal` conjuncts only); the
+      // CASE refines per side when kPos != kNeg.
+      .filter(col("rnk") <= math.max(kPos, kNeg) &&
+        col("rnk") <= when(col("is_pos"), kPos).otherwise(kNeg))
+      .select(col("__qid").as(qidCol), col("__cid").as(idCol),
+        col("is_pos"), col("cos_r"), col("rnk"))
+  }
+
   /** All pairs (a < b) with rounded cosine ≥ threshold — embedding-space
     * near-duplicate detection. Brute force here; compose with
     * [[signBucket]] blocking for the at-scale variant.

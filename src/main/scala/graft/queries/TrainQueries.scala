@@ -519,7 +519,37 @@ object TrainQueries {
             FROM m GROUP BY doc_id"""),
   )
 
+  /** Q125 [X]: contrastive pair mining — for each anchor (ids 0-4), the
+    * 3 nearest same-label candidates (positives) and 2 nearest
+    * different-label candidates (hard negatives) among ids ≥ 5; the
+    * batch a contrastive embedding trainer consumes (q48's kNN join
+    * with the label predicate split).
+    */
+  val q125 = OracleQuery(
+    "q125_contrastive_pairs",
+    (s, d) => {
+      import graft.ext.Similarity
+      val emb = Tables.embeddings(s, d)
+      Similarity.contrastivePairs(
+        emb.filter(col("vec_id") >= 5), emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", "label", kPos = 3, kNeg = 2)
+    },
+    Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+                 q AS (SELECT vec_id AS qid, label AS ql, v AS qv FROM e WHERE vec_id < 5),
+                 c AS (SELECT vec_id, label, v FROM e WHERE vec_id >= 5),
+                 s AS (SELECT qid, c.vec_id AS vec_id,
+                              c.label = ql AS is_pos,
+                              round(list_dot_product(v, qv) /
+                                    (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_r
+                       FROM c, q)
+            SELECT qid, vec_id, is_pos, cos_r,
+                   CAST(row_number() OVER (PARTITION BY qid, is_pos
+                          ORDER BY cos_r DESC, vec_id) AS INTEGER) AS rnk
+            FROM s QUALIFY rnk <= CASE WHEN is_pos THEN 3 ELSE 2 END"""),
+  )
+
   val all: Seq[OracleQuery] =
     Seq(q41, q42, q42b, q43, q44, q45, q46, q47, q48, q49, q50,
-      q53, q54, q55, q56, q57, q120, q121, q122, q123, q124)
+      q53, q54, q55, q56, q57, q120, q121, q122, q123, q124, q125)
 }

@@ -87,6 +87,35 @@ class SimilaritySpec extends SparkSpec {
         qidCol = "embedding", qvCol = "searchvec")
   }
 
+  test("contrastivePairs: positives same-label, hard negatives nearest other-label") {
+    // candidates: label 0 along +x, label 1 along +y, one label-1 vector
+    // CLOSE to +x (the hard negative that must outrank the easy one)
+    val cands = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f), 0),
+      (11L, Array(0.9f, 0.1f, 0.0f), 0),
+      (12L, Array(0.0f, 1.0f, 0.0f), 1),
+      (13L, Array(0.7f, 0.7f, 0.0f), 1), // hard negative for a +x anchor
+      (14L, Array(-1.0f, 0.0f, 0.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val anchors = Seq((1L, Array(1.0f, 0.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.contrastivePairs(cands, anchors,
+      "vec_id", "embedding", "label", kPos = 2, kNeg = 1)
+      .collect()
+      .map(r => (r.getBoolean(2), r.getInt(4)) -> r.getLong(1)).toMap
+    out((true, 1)) shouldBe 10L   // exact same direction
+    out((true, 2)) shouldBe 11L   // close, same label
+    out((false, 1)) shouldBe 13L  // the 45° label-1 vector, not the 90° one
+    out.size shouldBe 3           // kNeg=1 → easy negative 12 excluded
+    // the anchor side broadcasts; the top-k is a group limit before the
+    // exchange (rank <= literal conjunct kept for the optimizer)
+    val plan = Similarity.contrastivePairs(cands, anchors,
+      "vec_id", "embedding", "label", 2, 1)
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastNestedLoopJoin")
+    plan should include("WindowGroupLimit")
+  }
+
   test("nearDupPairs: only ≥-threshold pairs, a<b canonical order") {
     val pairs = Similarity.nearDupPairs(emb, "embedding", "vec_id", 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
