@@ -148,6 +148,66 @@ object Similarity {
         col("is_pos"), col("cos_r"), col("rnk"))
   }
 
+  /** MMR diversified re-ranking (Maximal Marginal Relevance, Carbonell &
+    * Goldstein SIGIR'98): greedily pick k of the shortlist maximizing
+    * `λ·cos(q,d) − (1−λ)·max_{s∈selected} cos(d,s)` — relevance traded
+    * against redundancy, the standard retrieval-diversity pass between
+    * ANN shortlist and prompt assembly. λ=1 degenerates to plain top-k.
+    *
+    * Scale split: the SHORTLIST is distributed (one scan, codegen'd dot,
+    * TakeOrderedAndProject top-`shortlist`); the greedy selection is
+    * inherently sequential in k, so it runs on the driver over the
+    * collected shortlist — bounded at `shortlist` rows by construction
+    * (the q74/q91 certificate-collect discipline, not a corpus collect).
+    * Ties (equal MMR score) break by id for determinism.
+    *
+    * Output: (idCol, cos_r, rnk) — rnk is selection order, 1-based.
+    */
+  def mmrRerank(candidates: DataFrame, vecCol: String, idCol: String,
+      queryVec: Array[Double], shortlist: Int, k: Int,
+      lambda: Double): DataFrame = {
+    require(k <= shortlist, s"mmrRerank: k=$k > shortlist=$shortlist")
+    require(lambda >= 0.0 && lambda <= 1.0, s"mmrRerank: lambda=$lambda")
+    val spark = candidates.sparkSession
+    val qn = math.sqrt(queryVec.map(x => x * x).sum)
+    val qlit = array(queryVec.map(lit(_)): _*)
+    val short = candidates
+      .select(col(idCol).as("__cid"), asDouble(col(vecCol)).as("__cv"))
+      .withColumn("__cnrm", sqrt(dot(col("__cv"), col("__cv"))))
+      .withColumn("cos_r",
+        round(dot(col("__cv"), qlit) / (col("__cnrm") * lit(qn)), 6))
+      .orderBy(desc("cos_r"), col("__cid"))
+      .limit(shortlist)
+      .collect()
+      // tuple = (id, vec, cos_r, norm) — cos_r is column 3, __cnrm column 2
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(3),
+        r.getDouble(2)))
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val chosen = scala.collection.mutable.Set.empty[Long]
+    def cos(a: (Long, Array[Double], Double, Double),
+        b: (Long, Array[Double], Double, Double)): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < a._2.length) { s += a._2(i) * b._2(i); i += 1 }
+      s / (a._4 * b._4)
+    }
+    while (selected.size < math.min(k, short.length)) {
+      val sel = short.filter(c => chosen.contains(c._1))
+      val best = short.iterator.filterNot(c => chosen.contains(c._1))
+        .map { c =>
+          val red = if (sel.isEmpty) 0.0 else sel.map(s => cos(c, s)).max
+          (lambda * c._3 - (1 - lambda) * red, -c._1, c)
+        }
+        .maxBy(t => (t._1, t._2))._3
+      chosen += best._1
+      selected += ((best._1, best._3))
+    }
+    import spark.implicits._
+    selected.zipWithIndex
+      .map { case ((id, c), i) => (id, c, i + 1) }
+      .toSeq.toDF(idCol, "cos_r", "rnk")
+  }
+
   /** All pairs (a < b) with rounded cosine ≥ threshold — embedding-space
     * near-duplicate detection. Brute force here; compose with
     * [[signBucket]] blocking for the at-scale variant.

@@ -549,7 +549,41 @@ object TrainQueries {
             FROM s QUALIFY rnk <= CASE WHEN is_pos THEN 3 ELSE 2 END"""),
   )
 
+  /** Q126 [X]: MMR diversified re-rank — λ=0.7 over a 50-deep shortlist,
+    * k=10, query = vec 0. CERTIFICATE oracle (the q74 route): the run
+    * records the selected (id, rank) pairs; the twin recomputes the
+    * exact cosine for those ids from the raw table — value correctness
+    * hash-checked, greedy-selection semantics pinned by `SimilaritySpec`.
+    */
+  private object MmrCert { @volatile var sel: Option[Seq[(Long, Int)]] = None }
+  val q126 = OracleQuery(
+    "q126_mmr_rerank",
+    (s, d) => {
+      import graft.ext.Similarity
+      val emb = Tables.embeddings(s, d)
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(Similarity.asDouble(col("embedding")))
+        .head().getSeq[Double](0).toArray
+      val res = Similarity.mmrRerank(emb.filter(col("vec_id") =!= 0),
+        "embedding", "vec_id", qv, shortlist = 50, k = 10, lambda = 0.7)
+      val rows = res.collect().toSeq
+      MmrCert.sel = Some(rows.map(r => (r.getLong(0), r.getInt(2))))
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), res.schema)
+    },
+    None,
+    dynOracle = () => MmrCert.sel.map(sel =>
+      s"""WITH sel(vec_id, rnk) AS (VALUES ${
+        sel.map { case (id, r) => s"($id, $r)" }.mkString(", ")}),
+               e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+               q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+          SELECT e.vec_id,
+                 round(list_dot_product(v, qv) /
+                       (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_r,
+                 CAST(rnk AS INTEGER) AS rnk
+          FROM e JOIN sel ON sel.vec_id = e.vec_id, q"""),
+  )
+
   val all: Seq[OracleQuery] =
     Seq(q41, q42, q42b, q43, q44, q45, q46, q47, q48, q49, q50,
-      q53, q54, q55, q56, q57, q120, q121, q122, q123, q124, q125)
+      q53, q54, q55, q56, q57, q120, q121, q122, q123, q124, q125, q126)
 }

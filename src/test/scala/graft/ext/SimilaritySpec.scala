@@ -116,6 +116,36 @@ class SimilaritySpec extends SparkSpec {
     plan should include("WindowGroupLimit")
   }
 
+  test("mmrRerank: diversity beats redundancy at low lambda, λ=1 is plain top-k") {
+    // Query +x. Candidates: two near-copies of +x (10, 11), one diverse
+    // 45° vector (12), one orthogonal (13).
+    val cands = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f)),
+      (11L, Array(0.999f, 0.01f, 0.0f)),
+      (12L, Array(0.7f, 0.7f, 0.0f)),
+      (13L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val q = Array(1.0, 0.0, 0.0)
+    // λ=1: pure relevance → the two near-copies first
+    val plain = Similarity.mmrRerank(cands, "embedding", "vec_id", q,
+      shortlist = 4, k = 3, lambda = 1.0)
+      .orderBy("rnk").collect().map(_.getLong(0)).toSeq
+    plain shouldBe Seq(10L, 11L, 12L)
+    // λ=0.5: after picking 10, the near-copy 11 is maximally redundant —
+    // the diverse 12 must take rank 2
+    val div = Similarity.mmrRerank(cands, "embedding", "vec_id", q,
+      shortlist = 4, k = 3, lambda = 0.5)
+      .orderBy("rnk").collect().map(_.getLong(0)).toSeq
+    div.take(2) shouldBe Seq(10L, 12L)
+    // k capped by the candidate count; contract guards
+    Similarity.mmrRerank(cands, "embedding", "vec_id", q, 4, 4, 0.7)
+      .count() shouldBe 4
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.mmrRerank(cands, "embedding", "vec_id", q, 2, 3, 0.7)
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.mmrRerank(cands, "embedding", "vec_id", q, 4, 2, 1.5)
+  }
+
   test("nearDupPairs: only ≥-threshold pairs, a<b canonical order") {
     val pairs = Similarity.nearDupPairs(emb, "embedding", "vec_id", 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
