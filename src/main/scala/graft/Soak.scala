@@ -121,6 +121,18 @@ object Soak {
         "doc_id", Seq("text"))
         .groupBy("change").count().count())
 
+    // round-6: chunk-granularity dedup — one window on the chunk text +
+    // one reassembly groupBy; the incremental probe stays O(batch)
+    time("chunk-level dedup (width 8)")(
+      ext.Chunker.dedupChunks(docs, "doc_id", "text", 8)
+        .agg(sum("n_kept")).count())
+    time("incremental chunk dedup (1% batch)")({
+      val batch = syntheticDocs(spark, nDocs / 100)
+        .withColumn("doc_id", col("doc_id") + 3 * nDocs)
+      ext.Chunker.incrementalDedupChunks(docs, batch, "doc_id", "text", 8)
+        .count()
+    })
+
     val vecs = syntheticVecs(spark, nVecs).cache()
     time("materialize vecs")(vecs.count())
     val q = vecs.filter(col("vec_id") === 0)
@@ -131,6 +143,17 @@ object Soak {
       Similarity.bucketedTopK(vecs, "embedding", "vec_id",
         vecs.filter(col("vec_id") === 0).select(col("embedding").as("qv")),
         12, 10).count())
+    time("contrastive pairs (64 anchors, 8 pos / 8 neg)")({
+      val lab = vecs.withColumn("label",
+        pmod(col("vec_id"), lit(16L)).cast("int"))
+      Similarity.contrastivePairs(lab.filter(col("vec_id") >= 64),
+        lab.filter(col("vec_id") < 64),
+        "vec_id", "embedding", "label", 8, 8).count()
+    })
+    time("mmr re-rank (shortlist 200, k=20)")(
+      Similarity.mmrRerank(vecs, "embedding", "vec_id",
+        Array.tabulate(64)(i => (i % 7 - 3) / 3.0),
+        shortlist = 200, k = 20, lambda = 0.7).count())
 
     time("int8 quantization + mse")(
       vecs.select(col("vec_id"),
