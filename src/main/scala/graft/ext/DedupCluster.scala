@@ -277,4 +277,29 @@ object DedupCluster {
       .select(col(idCol), col("cluster_id"),
         Sampling.splitAssign(col("cluster_id"), trainPct, valPct)
           .as("split"))
+
+  /** Per-group duplicate-rate dashboard — the number the ingest gate's
+    * per-signal flags ultimately feed: for each `groupCol` value (source,
+    * crawl, language…), how many documents sit in a non-singleton
+    * near-dup cluster, and the rate. The canonical curation monitor for
+    * "which feed is flooding us with copies".
+    *
+    * Scale: the clustering dominates (run once, reuse); on top of it this
+    * is one per-cluster count (|clusters| rows — AQE broadcasts it), one
+    * join back, one groupBy on `groupCol`.
+    */
+  def dupRateByGroup(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String): DataFrame = {
+    val cl = dedupClusters(docs, idCol, textCol)
+    val sizes = cl.groupBy("cluster_id").agg(count(lit(1)).as("__csz"))
+    docs.select(col(idCol), col(groupCol))
+      .join(cl.select(col(idCol), col("cluster_id")), idCol)
+      .join(sizes, "cluster_id")
+      .groupBy(groupCol)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum((col("__csz") > 1).cast("long")).as("n_dup"))
+      .withColumn("dup_rate",
+        round(col("n_dup").cast("double") / col("n_docs").cast("double"), 6))
+  }
 }

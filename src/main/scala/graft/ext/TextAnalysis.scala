@@ -152,6 +152,30 @@ object TextAnalysis {
         count(lit(1)).as("n_tok"))
   }
 
+  /** Per-document word-distribution Shannon entropy (nats) — the
+    * information-density quality signal: telegraphic spam and
+    * single-phrase repetition score low, natural prose scores near
+    * ln(n_unique). Computed as `ln(n) − Σ c·ln(c) / n` so the per-term
+    * work is one log on the tf count (never per-token): one (doc, word)
+    * shuffle, then a per-doc aggregate. Sum-then-round(6) follows the
+    * [[unigramLogProb]] cross-engine discipline.
+    *
+    * Output: (idCol, n_tok, n_unique, entropy).
+    */
+  def wordEntropy(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol), explode(Dedup.tokens(col(textCol))).as("w"))
+      .groupBy(col(idCol), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(idCol)
+      .agg(
+        sum("c").as("n_tok"),
+        count(lit(1)).as("n_unique"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("__s"))
+      .select(col(idCol), col("n_tok"), col("n_unique"),
+        round(log(col("n_tok").cast("double"))
+          - col("__s") / col("n_tok").cast("double"), 6).as("entropy"))
+
   /** CCNet-style boilerplate removal over pre-split lines: drop every line
     * whose DOCUMENT frequency (distinct docs containing that exact line)
     * reaches `minDf`, and reassemble each document's surviving lines in

@@ -583,7 +583,52 @@ object TrainQueries {
           FROM e JOIN sel ON sel.vec_id = e.vec_id, q"""),
   )
 
+  /** Q127 [X]: word-entropy quality signal — per-doc Shannon entropy of
+    * the word distribution (information density; spam and repetition
+    * score low). One tf shuffle, per-term log on counts (never
+    * per-token), sum-then-round(6) as in q46.
+    */
+  val q127 = OracleQuery(
+    "q127_word_entropy",
+    (s, d) => TextAnalysis.wordEntropy(Tables.documents(s, d), "doc_id", "text"),
+    Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                         FROM documents),
+                 tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+                        FROM tok GROUP BY 1, 2),
+                 a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+                              CAST(count(*) AS BIGINT) AS n_unique,
+                              sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS s
+                       FROM tf GROUP BY 1)
+            SELECT doc_id, n_tok, n_unique,
+                   round(ln(CAST(n_tok AS DOUBLE)) - s / CAST(n_tok AS DOUBLE), 6) AS entropy
+            FROM a"""),
+  )
+
+  /** Q128 [X]: per-source duplicate-rate dashboard — for every source,
+    * the count and share of documents in a non-singleton near-dup
+    * cluster (the curation monitor the ingest-gate flags feed). Twin:
+    * the q41 component CTE + a cluster-size join.
+    */
+  val q128 = OracleQuery(
+    "q128_dup_rate_by_source",
+    (s, d) => DedupCluster.dupRateByGroup(
+      Tables.documents(s, d), "doc_id", "text", "source"),
+    Some(s"""$clustersCte,
+             sz AS (SELECT cluster_id, count(*) AS csz FROM cl GROUP BY 1),
+             j AS (SELECT d.source, c.cluster_id, sz.csz
+                   FROM documents d
+                   JOIN cl c ON c.doc_id = d.doc_id
+                   JOIN sz USING (cluster_id))
+             SELECT source,
+                    CAST(count(*) AS BIGINT) AS n_docs,
+                    CAST(sum(CASE WHEN csz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+                    round(CAST(sum(CASE WHEN csz > 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+                          CAST(count(*) AS DOUBLE), 6) AS dup_rate
+             FROM j GROUP BY source"""),
+  )
+
   val all: Seq[OracleQuery] =
     Seq(q41, q42, q42b, q43, q44, q45, q46, q47, q48, q49, q50,
-      q53, q54, q55, q56, q57, q120, q121, q122, q123, q124, q125, q126)
+      q53, q54, q55, q56, q57, q120, q121, q122, q123, q124, q125, q126,
+      q127, q128)
 }

@@ -416,6 +416,37 @@ class TrainOpsSpec extends SparkSpec {
     full.except(inc).count() shouldBe 0
   }
 
+  test("wordEntropy: hand-computed values; repetition scores low") {
+    val df = Seq(
+      (1L, "a b c d"),     // uniform over 4 → ln(4)
+      (2L, "a a a a"),     // single word → 0
+      (3L, "a a b b")      // uniform over 2 → ln(2)
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.wordEntropy(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    out(1L) shouldBe ((4L, 4L, BigDecimal(math.log(4))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    out(2L) shouldBe ((4L, 1L, 0.0))
+    out(3L) shouldBe ((4L, 2L, BigDecimal(math.log(2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+  }
+
+  test("dupRateByGroup: non-singleton cluster members counted per group") {
+    // docs 1 and 2 identical (one cluster of 2), 3 and 4 unique
+    val df = Seq(
+      (1L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10", "sA"),
+      (2L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10", "sB"),
+      (3L, "y1 y2 y3 y4 y5 y6 y7 y8 y9 y10", "sA"),
+      (4L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10", "sB")
+    ).toDF("doc_id", "text", "source")
+    val out = DedupCluster.dupRateByGroup(df, "doc_id", "text", "source")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    out("sA") shouldBe ((2L, 1L, 0.5))
+    out("sB") shouldBe ((2L, 1L, 0.5))
+  }
+
   test("leakageFreeSplit: a near-dup family lands on one side wholesale") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val split = DedupCluster.leakageFreeSplit(docs, "doc_id", "text")
