@@ -627,8 +627,42 @@ object TrainQueries {
              FROM j GROUP BY source"""),
   )
 
+  /** Q129 [X capstone]: the curated-corpus report — quality rules (q44)
+    * → exact dedup (min-id keeper per text) → leakage-free cluster split
+    * (q120) → documents and tokens per (split, source); the table a team
+    * reviews before a training run. Twin composes the same CTEs.
+    */
+  val q129 = OracleQuery(
+    "q129_curation_report",
+    (s, d) => graft.ext.Curation.curatedReport(
+      Tables.documents(s, d), "doc_id", "text", "source"),
+    Some(s"""$clustersCte,
+             t AS (SELECT doc_id, source, text,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                     round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+                           CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS uniq_ratio,
+                     round(CAST(length(text) AS DOUBLE) /
+                           CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS chars_per_tok
+                   FROM documents),
+             k AS (SELECT doc_id, source, text, n_tok FROM t
+                   WHERE NOT (n_tok < 30 OR uniq_ratio < 0.40 OR chars_per_tok > 5.8)),
+             dd AS (SELECT doc_id, source, n_tok,
+                           row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+                    FROM k),
+             sp AS (SELECT doc_id,
+                           CASE WHEN ${Sampling.hashBucketSql("cluster_id")} < 80 THEN 'train'
+                                WHEN ${Sampling.hashBucketSql("cluster_id")} < 90 THEN 'val'
+                                ELSE 'test' END AS split
+                    FROM cl)
+             SELECT split, source,
+                    CAST(count(*) AS BIGINT) AS n_docs,
+                    CAST(sum(n_tok) AS BIGINT) AS n_tokens
+             FROM dd JOIN sp USING (doc_id)
+             WHERE rn = 1 GROUP BY 1, 2"""),
+  )
+
   val all: Seq[OracleQuery] =
     Seq(q41, q42, q42b, q43, q44, q45, q46, q47, q48, q49, q50,
       q53, q54, q55, q56, q57, q120, q121, q122, q123, q124, q125, q126,
-      q127, q128)
+      q127, q128, q129)
 }

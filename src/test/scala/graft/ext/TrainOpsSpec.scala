@@ -447,6 +447,21 @@ class TrainOpsSpec extends SparkSpec {
     out("sB") shouldBe ((2L, 1L, 0.5))
   }
 
+  test("curatedReport: quality losers and exact dups excluded, tokens summed") {
+    val good = (1 to 40).map(i => s"t$i").mkString(" ") // 40 distinct tokens
+    val df = Seq(
+      (1L, good, "sA"),            // survives
+      (2L, good, "sB"),            // exact dup of 1 → dropped (min-id keeps 1)
+      (3L, "short text only", "sA"), // S flag → dropped
+      (4L, (1 to 40).map(i => s"u$i").mkString(" "), "sB") // survives
+    ).toDF("doc_id", "text", "source")
+    val out = Curation.curatedReport(df, "doc_id", "text", "source")
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    out.map(_._2).sum shouldBe 2           // docs 1 and 4 only
+    out.map(_._3).sum shouldBe 80L         // 40 tokens each
+    out.map(_._1).toSet shouldBe Set("sA", "sB")
+  }
+
   test("leakageFreeSplit: a near-dup family lands on one side wholesale") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val split = DedupCluster.leakageFreeSplit(docs, "doc_id", "text")
