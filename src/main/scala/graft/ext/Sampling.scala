@@ -138,6 +138,34 @@ object Sampling {
       .filter(col("rnk") <= n)
   }
 
+  /** Per-stratum DYNAMIC quota sampling: like [[capPerStratum]] but the
+    * quota comes from a relation (stratumCol, quotaCol) instead of one
+    * constant — the executor of a mixture plan ([[temperatureShares]]
+    * decides how many, this picks WHICH, deterministically by the
+    * portable id hash). Strata missing from `quotas` contribute nothing.
+    *
+    * Scale: the quota table is tiny (one row per stratum) and broadcasts;
+    * the rank window is the one corpus shuffle. A 1-row `agg(max)`
+    * collect turns the dynamic bound into a LITERAL rank conjunct so
+    * Spark 4 still plans the partial WindowGroupLimit — only
+    * maxQuota·strata rows cross the exchange, the q14 shape (bounded
+    * driver work: one long).
+    */
+  def quotaSample(df: DataFrame, idCol: String, strataCol: String,
+      quotas: DataFrame, quotaCol: String): DataFrame = {
+    val maxQ = quotas.agg(max(col(quotaCol).cast("long"))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    val w = Window.partitionBy(strataCol)
+      .orderBy(hashBucket(col(idCol), 1000000), col(idCol))
+    df.join(broadcast(quotas.select(col(strataCol),
+        col(quotaCol).cast("long").as("__q"))), strataCol)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= maxQ && col("rnk") <= col("__q"))
+      .drop("__q")
+  }
+
   /** Temperature-scaled mixture shares (the multilingual/domain-balance
     * recipe: sampling share ∝ n_s^alpha, alpha < 1 flattens the head and
     * lifts the tail). Returns one row per stratum: (stratumCol, n_s,

@@ -661,8 +661,75 @@ object TrainQueries {
              WHERE rn = 1 GROUP BY 1, 2"""),
   )
 
+  /** Q130 [X source]: JSONL corpus round-trip — the LLM interchange
+    * format: write the documents as 4 JSONL shards, read them back with
+    * an EXPLICIT schema (inference would be a full extra corpus pass at
+    * 100 TB), aggregate per language. The q92 collect-and-clean
+    * discipline keeps /tmp from accumulating corpus copies.
+    */
+  val q130 = OracleQuery(
+    "q130_jsonl_roundtrip",
+    (s, d) => {
+      val p = java.nio.file.Files.createTempDirectory("graft_jsonl_")
+      val docs = Tables.documents(s, d)
+      graft.ops.JsonlCorpus.write(docs, p.toString, 4)
+      val agg = graft.ops.JsonlCorpus.read(s, p.toString, docs.schema)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"),
+          max("doc_id").as("max_id"))
+      val rows = agg.collect().toSeq
+      val cleaned = s.createDataFrame(
+        s.sparkContext.parallelize(rows, 1), agg.schema)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      cleaned
+    },
+    Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS chars,
+                   max(doc_id) AS max_id
+            FROM documents GROUP BY lang"""),
+  )
+
+  /** Q131 [X]: mixture-plan execution — q123's temperature quotas
+    * (α=0.5, 1000-doc budget) handed to the dynamic per-stratum quota
+    * sampler: the plan decides HOW MANY per source, the portable hash
+    * decides WHICH. Twin recomputes shares and ranks identically.
+    */
+  val q131 = OracleQuery(
+    "q131_quota_sample",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val quotas = Sampling
+        .temperatureShares(docs, "source", 0.5, 1000L)
+        .select(col("source"), col("expected_n"))
+      Sampling.quotaSample(docs.select(col("doc_id"), col("source")),
+        "doc_id", "source", quotas, "expected_n")
+    },
+    Some(s"""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
+                        FROM documents GROUP BY source),
+                  wt AS (SELECT source, n_s,
+                                round(pow(CAST(n_s AS DOUBLE), 0.5), 9) AS w
+                         FROM c),
+                  t AS (SELECT CAST(sum(CAST(w AS DECIMAL(38,9))) AS DOUBLE) AS tot
+                        FROM wt),
+                  q AS (SELECT source,
+                               CAST(floor(round(w / tot, 6) * 1000 + 0.5) AS BIGINT) AS qn
+                        FROM wt, t),
+                  h AS (SELECT doc_id, source,
+                               ${Sampling.hashBucketSql("doc_id", 1000000)} AS hb
+                        FROM documents),
+                  r AS (SELECT doc_id, source,
+                               CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY hb, doc_id) AS BIGINT) AS rnk
+                        FROM h)
+             SELECT doc_id, source, rnk
+             FROM r JOIN q USING (source) WHERE rnk <= qn"""),
+  )
+
   val all: Seq[OracleQuery] =
     Seq(q41, q42, q42b, q43, q44, q45, q46, q47, q48, q49, q50,
       q53, q54, q55, q56, q57, q120, q121, q122, q123, q124, q125, q126,
-      q127, q128, q129)
+      q127, q128, q129, q130, q131)
 }

@@ -479,6 +479,47 @@ class TrainOpsSpec extends SparkSpec {
       .foreach { case (d, c) => byId(d) shouldBe byCluster(c) }
   }
 
+  test("quotaSample: per-stratum dynamic quotas, missing strata excluded") {
+    val df = (0L until 30L).map(i => (i, if (i < 20) "big" else "small"))
+      .toDF("id", "src")
+    val quotas = Seq(("big", 5L), ("small", 2L)).toDF("src", "q")
+    val out = Sampling.quotaSample(df, "id", "src", quotas, "q")
+    out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap shouldBe
+      Map("big" -> 5L, "small" -> 2L)
+    // deterministic: same ids every run
+    val again = Sampling.quotaSample(df, "id", "src", quotas, "q")
+    out.select("id").except(again.select("id")).count() shouldBe 0
+    // a stratum absent from the quota table contributes nothing
+    val partial = Sampling.quotaSample(df, "id", "src",
+      Seq(("small", 3L)).toDF("src", "q"), "q")
+    partial.select("src").distinct().collect().map(_.getString(0)).toSeq shouldBe
+      Seq("small")
+    // the literal max-quota conjunct keeps the partial group limit
+    out.queryExecution.executedPlan.toString should include("WindowGroupLimit")
+  }
+
+  test("JsonlCorpus: explicit-schema round-trip preserves rows and shards") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val p = java.nio.file.Files.createTempDirectory("jsonl_spec_")
+    try {
+      graft.ops.JsonlCorpus.write(docs, p.toString, 3)
+      val back = graft.ops.JsonlCorpus.read(spark, p.toString, docs.schema)
+      back.schema shouldBe docs.schema
+      back.count() shouldBe docs.count()
+      back.except(docs).count() shouldBe 0
+      // the shard count is the stated choice
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(p).iterator().asScala
+        .count(_.toString.endsWith(".json")) shouldBe 3
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("temperatureShares: alpha=1 recovers proportions, alpha=0 flattens") {
     val df = (0L until 90L).map(i => (i, if (i < 80) "big" else "small"))
       .toDF("id", "src")
