@@ -728,8 +728,41 @@ object TrainQueries {
              FROM r JOIN q USING (source) WHERE rnk <= qn"""),
   )
 
+  /** Q132 [X]: BPE merge candidates — the first-round adjacent-character
+    * pair counts over the word-frequency table (the relational core of
+    * `Bpe.train`; the full greedy loop is spec-pinned in TrainOpsSpec).
+    * The rank window runs over the pair-count relation, bounded by
+    * alphabet² — tiny by construction.
+    */
+  val q132 = OracleQuery(
+    "q132_bpe_pairs",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.ext.Bpe.pairCounts(
+        graft.ext.Bpe.initialVocab(Tables.documents(s, d), "text"))
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(desc("cnt"), col("s1"), col("s2"))).cast("int"))
+        .filter(col("rnk") <= 20)
+    },
+    Some("""WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+                       FROM documents),
+                 wf AS (SELECT word, CAST(count(*) AS BIGINT) AS f
+                        FROM w GROUP BY 1),
+                 ch AS (SELECT f, string_split(word, '') AS cs FROM wf
+                        WHERE len(word) >= 2),
+                 pr AS (SELECT f,
+                               unnest([cs[i] FOR i IN generate_series(1, len(cs) - 1)]) AS s1,
+                               unnest([cs[i + 1] FOR i IN generate_series(1, len(cs) - 1)]) AS s2
+                        FROM ch),
+                 pc AS (SELECT s1, s2, CAST(sum(f) AS BIGINT) AS cnt
+                        FROM pr GROUP BY 1, 2)
+            SELECT s1, s2, cnt,
+                   CAST(row_number() OVER (ORDER BY cnt DESC, s1, s2) AS INTEGER) AS rnk
+            FROM pc QUALIFY rnk <= 20"""),
+  )
+
   val all: Seq[OracleQuery] =
     Seq(q41, q42, q42b, q43, q44, q45, q46, q47, q48, q49, q50,
       q53, q54, q55, q56, q57, q120, q121, q122, q123, q124, q125, q126,
-      q127, q128, q129, q130, q131)
+      q127, q128, q129, q130, q131, q132)
 }

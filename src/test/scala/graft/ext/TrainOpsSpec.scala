@@ -479,6 +479,26 @@ class TrainOpsSpec extends SparkSpec {
       .foreach { case (d, c) => byId(d) shouldBe byCluster(c) }
   }
 
+  test("Bpe.train: hand-computed merge sequence, frequency-weighted") {
+    // corpus "aa aa ab": vocab (aa,2) (ab,1) → round 1 pair (a,a) cnt 2
+    // beats (a,b) cnt 1; round 2 merges (a,b); round 3 exhausts.
+    val df = Seq((1L, "aa aa ab")).toDF("doc_id", "text")
+    val m = Bpe.train(df, "text", 5).orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    m shouldBe Array((1, "a", "a", "aa", 2L), (2, "a", "b", "ab", 1L))
+  }
+
+  test("Bpe.train: runs merge non-overlapping left-to-right (both pairs)") {
+    // "aaaa": after merging (a,a) BOTH disjoint pairs must collapse —
+    // round 2 must see (aa, aa), not a leftover (a, a)/(aa, a) mix.
+    val df = Seq((1L, "aaaa aaaa")).toDF("doc_id", "text")
+    val m = Bpe.train(df, "text", 2).orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
+    m(0) shouldBe ((1, "a", "a", 6L)) // 3 adjacent pairs × freq 2
+    m(1) shouldBe ((2, "aa", "aa", 2L))
+  }
+
   test("quotaSample: per-stratum dynamic quotas, missing strata excluded") {
     val df = (0L until 30L).map(i => (i, if (i < 20) "big" else "small"))
       .toDF("id", "src")
