@@ -95,4 +95,42 @@ object Bpe {
     import spark.implicits._
     merges.toSeq.toDF("rank", "s1", "s2", "merged", "cnt")
   }
+
+  /** Apply a learned merge list to a (sym, …) vocab relation, in merge
+    * order — the ENCODE side of BPE, same two-pass-replace application as
+    * training (so encode ∘ train is self-consistent). Vocab-sized work;
+    * the projection chain is cut every 8 merges so codegen never sees an
+    * unboundedly deep replace tree.
+    */
+  def applyMerges(vocab: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    merges.zipWithIndex.foldLeft(vocab) { case (v, ((s1, s2), i)) =>
+      val (pat, rep) = (lit(s" $s1 $s2 "), lit(s" $s1$s2 "))
+      val out = v.withColumn("sym",
+        replace(replace(col("sym"), pat, rep), pat, rep))
+      if ((i + 1) % 8 == 0) out.localCheckpoint() else out
+    }
+
+  /** Tokenize the corpus under a learned merge list: per document, the
+    * BPE token count (and word count). The corpus-scale side is two
+    * narrow passes (explode + join + aggregate); the merge application
+    * runs once on the distinct-word table and joins back as an
+    * aggregated build side — the same skew-capped shape as the
+    * boilerplate-line dedup.
+    */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val words = docs.select(col(idCol),
+      explode(Dedup.tokens(col(textCol))).as("w"))
+    val enc = applyMerges(
+      words.groupBy("w").agg(count(lit(1)).as("f"))
+        .select(col("w"),
+          concat(lit(" "), array_join(split(col("w"), ""), " "), lit(" "))
+            .as("sym")),
+      merges)
+      .select(col("w"), size(split(trim(col("sym")), " ")).as("__n_sym"))
+    words.join(enc, "w")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("__n_sym")).as("n_bpe_tokens"))
+  }
 }

@@ -499,6 +499,21 @@ class TrainOpsSpec extends SparkSpec {
     m(1) shouldBe ((2, "aa", "aa", 2L))
   }
 
+  test("Bpe.tokenCounts: encode under learned merges is self-consistent") {
+    val df = Seq((1L, "aaaa ab aaaa"), (2L, "ab c")).toDF("doc_id", "text")
+    val merges = Bpe.train(df, "text", 2).orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    // merge 1 = (a,a) cnt 6 (3 pairs × freq 2); round 2 ties (aa,aa)=2
+    // with (a,b)=2 and the lexicographic tiebreak picks (a,b)
+    merges shouldBe Seq(("a", "a"), ("a", "b"))
+    val out = Bpe.tokenCounts(df, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc 1: aaaa → "aa aa" (2 syms) ×2, ab → "ab" (1 sym) = 5
+    out(1L) shouldBe ((3L, 5L))
+    // doc 2: ab(1) + c(1) = 2
+    out(2L) shouldBe ((2L, 2L))
+  }
+
   test("quotaSample: per-stratum dynamic quotas, missing strata excluded") {
     val df = (0L until 30L).map(i => (i, if (i < 20) "big" else "small"))
       .toDF("id", "src")
