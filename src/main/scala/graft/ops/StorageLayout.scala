@@ -62,4 +62,42 @@ object StorageLayout {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Rendezvous (highest-random-weight) shard assignment: a row's shard is
+    * `argmax_s hash(id, s)`. The property modulo hashing can't give:
+    * growing `shards` → `shards+1` moves only ~1/(shards+1) of rows (each
+    * row moves only if the NEW shard wins its argmax), where `pmod(hash,
+    * shards)` reshuffles essentially everything. That is the difference
+    * between re-encoding an exabyte corpus and topping up one shard when
+    * a dataset outgrows its file count.
+    *
+    * All codegen'd column math: `shards` (hash, shard) structs in an
+    * `array_max` (lexicographic struct compare; the shard id tiebreak is
+    * deterministic). The portable md5-digit hash keeps the DuckDB twin
+    * exact; a production deployment swaps in xxhash64 for throughput —
+    * same argmax shape. Cost is O(shards) hashes per row, the standard
+    * rendezvous trade; for file-count-scale fan-outs (tens to hundreds)
+    * that is a handful of ns-scale hashes inside the scan.
+    */
+  def rendezvousShard(id: Column, shards: Int): Column = {
+    require(shards > 0 && shards <= 1024,
+      s"rendezvousShard: shards=$shards outside (0, 1024]")
+    val entries = (0 until shards).map { s =>
+      struct(
+        graft.ext.TextHash.tokenHash(
+          concat(id.cast("string"), lit("#"), lit(s.toString))).as("h"),
+        lit(s.toLong).as("s"))
+    }
+    array_max(array(entries: _*)).getField("s")
+  }
+
+  /** DuckDB twin of [[rendezvousShard]]. */
+  def rendezvousShardSql(e: String, shards: Int): String = {
+    val items = (0 until shards).map { s =>
+      val h = graft.ext.TextHash.tokenHashSql(
+        s"CAST($e AS VARCHAR) || '#' || '$s'")
+      s"{'h': $h, 's': CAST($s AS BIGINT)}"
+    }.mkString(", ")
+    s"list_max([$items])['s']"
+  }
 }

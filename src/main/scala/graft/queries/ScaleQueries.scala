@@ -369,6 +369,27 @@ object ScaleQueries {
             WHERE 2 * n_common >= (x.nn + y.nn - n_common)"""),
   )
 
+  /** Q133 [layout]: rendezvous sharding under a reshard — each document's
+    * shard at 8 and at 9 shards plus the moved flag; the minimal-movement
+    * property (only ~1/9 of rows move, all of them TO the new shard) is
+    * part of the hash-checked output, not just a spec claim.
+    */
+  val q133 = OracleQuery(
+    "q133_rendezvous_shard",
+    (s, d) =>
+      graft.Tables.documents(s, d).select(
+        col("doc_id"),
+        graft.ops.StorageLayout.rendezvousShard(col("doc_id"), 8).as("s8"),
+        graft.ops.StorageLayout.rendezvousShard(col("doc_id"), 9).as("s9"))
+        .withColumn("moved", (col("s8") =!= col("s9")).cast("int")),
+    Some(s"""SELECT doc_id,
+                    ${graft.ops.StorageLayout.rendezvousShardSql("doc_id", 8)} AS s8,
+                    ${graft.ops.StorageLayout.rendezvousShardSql("doc_id", 9)} AS s9,
+                    CAST(${graft.ops.StorageLayout.rendezvousShardSql("doc_id", 8)} !=
+                         ${graft.ops.StorageLayout.rendezvousShardSql("doc_id", 9)} AS INTEGER) AS moved
+             FROM documents"""),
+  )
+
   val all: Seq[OracleQuery] =
-    Seq(q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86)
+    Seq(q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q133)
 }

@@ -85,6 +85,28 @@ class StorageLayoutSpec extends SparkSpec {
     spark.read.parquet(s"$base/z").count() shouldBe li.count()
   }
 
+  test("rendezvousShard: balanced-ish, and resharding moves only winners") {
+    import spark.implicits._
+    val ids = (0L until 2000L).toDF("id")
+    val out = ids.select(col("id"),
+      StorageLayout.rendezvousShard(col("id"), 8).as("s8"),
+      StorageLayout.rendezvousShard(col("id"), 9).as("s9"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    // every shard id in range and populated
+    out.map(_._1).toSet shouldBe (0L until 8L).toSet
+    out.map(_._2).toSet shouldBe (0L until 9L).toSet
+    // minimal movement: expected 1/9 ≈ 222 of 2000; allow 2× slack
+    val moved = out.count { case (a, b) => a != b }
+    moved should be > 0
+    moved should be < 445
+    // the rendezvous property: a row that moves moves TO the new shard
+    out.filter { case (a, b) => a != b }.foreach { case (_, b) =>
+      b shouldBe 8L
+    }
+    an[IllegalArgumentException] should be thrownBy
+      StorageLayout.rendezvousShard(col("id"), 0)
+  }
+
   test("repartition by write key bounds file count per partition") {
     val dir = java.nio.file.Files.createTempDirectory("layout2").toString
     Tables.lineitem(spark, TestSpark.Sf0001)
