@@ -278,6 +278,36 @@ object DedupCluster {
         Sampling.splitAssign(col("cluster_id"), trainPct, valPct)
           .as("split"))
 
+  /** Split-leakage AUDIT — the complement of [[leakageFreeSplit]]: given
+    * ANY split assignment (a column over `docs`), count the LSH near-dup
+    * candidate pairs that straddle split boundaries, per (split, split)
+    * cell. Zero off-diagonal = no family crosses the fence; a per-doc
+    * hash split (q42) audited here shows exactly the eval contamination
+    * [[leakageFreeSplit]] removes. Output: (split_a ≤ split_b, n_pairs).
+    *
+    * Scale: band equi-joins (never all-pairs), one pair distinct, two
+    * id joins against the tiny (id, split) projection, |splits|² output
+    * rows.
+    */
+  def splitLeakageAudit(docs: DataFrame, idCol: String, textCol: String,
+      split: org.apache.spark.sql.Column,
+      bands: Seq[Seq[String]] = Seq(Seq("mh0", "mh1"), Seq("mh2", "mh3")))
+      : DataFrame = {
+    val sig = Dedup.minHashSignature(docs, idCol, textCol)
+    val pairs = Dedup.lshCandidatePairs(sig, idCol, bands)
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val sp = docs.select(col(idCol), split.as("__sp"))
+    pairs
+      .join(sp.select(col(idCol).as("doc_a"), col("__sp").as("__sa")),
+        "doc_a")
+      .join(sp.select(col(idCol).as("doc_b"), col("__sp").as("__sb")),
+        "doc_b")
+      .groupBy(
+        least(col("__sa"), col("__sb")).as("split_a"),
+        greatest(col("__sa"), col("__sb")).as("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Per-group duplicate-rate dashboard — the number the ingest gate's
     * per-signal flags ultimately feed: for each `groupCol` value (source,
     * crawl, language…), how many documents sit in a non-singleton

@@ -761,8 +761,36 @@ object TrainQueries {
             FROM pc QUALIFY rnk <= 20"""),
   )
 
+  /** Q134 [X]: split-leakage audit of the NAIVE per-doc hash split (q42)
+    * — LSH near-dup candidate pairs per (split, split) cell; the nonzero
+    * off-diagonal is the eval contamination the cluster split (q120)
+    * eliminates. Twin: the q41 band star joins with UNION dedup + the
+    * q42 split CASE.
+    */
+  val q134 = OracleQuery(
+    "q134_leakage_audit",
+    (s, d) => DedupCluster.splitLeakageAudit(
+      Tables.documents(s, d), "doc_id", "text",
+      Sampling.splitAssign(col("doc_id"))),
+    Some(s"""WITH sig AS (${ExtQueries.minhashSigSql}),
+                  p AS (SELECT a.doc_id AS da, b.doc_id AS db FROM sig a JOIN sig b
+                          ON a.mh0 = b.mh0 AND a.mh1 = b.mh1 AND a.doc_id < b.doc_id
+                        UNION
+                        SELECT a.doc_id AS da, b.doc_id AS db FROM sig a JOIN sig b
+                          ON a.mh2 = b.mh2 AND a.mh3 = b.mh3 AND a.doc_id < b.doc_id),
+                  sp AS (SELECT doc_id,
+                                CASE WHEN ${Sampling.hashBucketSql("doc_id")} < 80 THEN 'train'
+                                     WHEN ${Sampling.hashBucketSql("doc_id")} < 90 THEN 'val'
+                                     ELSE 'test' END AS s
+                         FROM documents)
+             SELECT least(x.s, y.s) AS split_a, greatest(x.s, y.s) AS split_b,
+                    CAST(count(*) AS BIGINT) AS n_pairs
+             FROM p JOIN sp x ON x.doc_id = da JOIN sp y ON y.doc_id = db
+             GROUP BY 1, 2"""),
+  )
+
   val all: Seq[OracleQuery] =
     Seq(q41, q42, q42b, q43, q44, q45, q46, q47, q48, q49, q50,
       q53, q54, q55, q56, q57, q120, q121, q122, q123, q124, q125, q126,
-      q127, q128, q129, q130, q131, q132)
+      q127, q128, q129, q130, q131, q132, q134)
 }

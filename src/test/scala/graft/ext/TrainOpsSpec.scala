@@ -462,6 +462,21 @@ class TrainOpsSpec extends SparkSpec {
     out.map(_._1).toSet shouldBe Set("sA", "sB")
   }
 
+  test("splitLeakageAudit: cluster split audits clean, naive split can leak") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    // audited under the CLUSTER split: zero off-diagonal by construction
+    val cl = DedupCluster.leakageFreeSplit(docs, "doc_id", "text")
+      .select($"doc_id", $"split")
+    val clAudit = DedupCluster.splitLeakageAudit(
+      docs.join(cl, "doc_id"), "doc_id", "text", col("split"))
+    clAudit.filter($"split_a" =!= $"split_b").count() shouldBe 0
+    // total pair mass is the same under any split column
+    val naive = DedupCluster.splitLeakageAudit(docs, "doc_id", "text",
+      Sampling.splitAssign($"doc_id"))
+    naive.agg(sum("n_pairs")).head().getLong(0) shouldBe
+      clAudit.agg(sum("n_pairs")).head().getLong(0)
+  }
+
   test("leakageFreeSplit: a near-dup family lands on one side wholesale") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val split = DedupCluster.leakageFreeSplit(docs, "doc_id", "text")
