@@ -611,6 +611,48 @@ object SimilarityQueries {
             FROM bs b LEFT JOIN ad ON ad.doc_id = b.doc_id"""),
   )
 
+  /** Q135 [X]: the gate DASHBOARD — q118's per-document verdicts rolled
+    * up per source: batch size, per-signal hit counts, admit rate. The
+    * number a curation on-call actually watches ("which feed started
+    * flooding us"). Twin = the q118 twin as a subquery (nested WITH) +
+    * one source join and rollup, so the signal definitions exist exactly
+    * once.
+    */
+  val q135 = OracleQuery(
+    "q135_gate_dashboard",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+      val gate = Dedup.ingestGate(
+        Dedup.gramIndex(corpus, "doc_id", "text", n = 2),
+        Dedup.simHash64Signature(corpus, "doc_id", "text"),
+        corpus, batch, "doc_id", "text",
+        tauNum = 1, tauDen = 2, maxDist = 3)
+      gate.join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("exact_dup").cast("long")).as("n_exact"),
+          sum(col("jac_dup").cast("long")).as("n_jac"),
+          sum(col("sh_dup").cast("long")).as("n_sh"),
+          sum(col("admit").cast("long")).as("n_admit"))
+        .withColumn("admit_rate",
+          round(col("n_admit").cast("double") / col("n_docs").cast("double"), 6))
+    },
+    Some(s"""WITH g AS (${q118.oracle.get})
+             SELECT d2.source,
+                    CAST(count(*) AS BIGINT) AS n_docs,
+                    CAST(sum(exact_dup) AS BIGINT) AS n_exact,
+                    CAST(sum(jac_dup) AS BIGINT) AS n_jac,
+                    CAST(sum(sh_dup) AS BIGINT) AS n_sh,
+                    CAST(sum(admit) AS BIGINT) AS n_admit,
+                    round(CAST(sum(admit) AS DOUBLE) /
+                          CAST(count(*) AS DOUBLE), 6) AS admit_rate
+             FROM g JOIN documents d2 USING (doc_id)
+             GROUP BY 1"""),
+  )
+
   val all: Seq[OracleQuery] = Seq(q103, q104, q105, q106, q108, q109, q110,
-    q111, q112, q113, q114, q115, q116, q117, q118, q119)
+    q111, q112, q113, q114, q115, q116, q117, q118, q119, q135)
 }
