@@ -62,4 +62,39 @@ object SemDedup {
       .filter(col("cos_r") >= threshold)
       .groupBy("dropped")
       .agg(min(col("a_id")).as("keeper"), count(lit(1)).as("n_sim"))
+
+  /** INCREMENTAL SemDeDup — the semantic member of the incremental-ingest
+    * family (exact Jaccard [[Dedup.incrementalJaccardJoin]], simhash
+    * [[Dedup.incrementalSimHash64Pairs]], chunk
+    * [[Chunker.incrementalDedupChunks]]): an arriving batch is scored
+    * against a FROZEN corpus in embedding space, O(batch · n/k), with no
+    * corpus rescan and no retraining.
+    *
+    * `corpusAssigned` is the persisted output of [[assign]] over the
+    * corpus (vid, v, nrm, cid — the at-rest form; centroids stay frozen,
+    * same contract as [[IvfPq.encodeBatch]]). The batch assigns against
+    * the SAME broadcast centroids, then one equi-join on `cid` compares
+    * each batch vector only with its cluster's corpus members. A batch
+    * vector is dropped when ANY corpus member reaches rounded cosine ≥
+    * `threshold` — no id ordering (the corpus is always the keeper side,
+    * arrival order wins, exactly the [[Chunker.incrementalDedupChunks]]
+    * rule). Output per dropped batch id: the smallest qualifying corpus
+    * id and the number of corpus near-duplicates.
+    *
+    * At 100 TB the corpus side is hive-partitioned by `cid` (the
+    * [[IndexStore]] IVF pattern), so the join's shuffle prunes to the
+    * cells the batch actually touches; the batch side carries k rows per
+    * vector through one broadcast cross + window, never a corpus scan.
+    */
+  def incrementalDropList(corpusAssigned: DataFrame, batch: DataFrame,
+      vecCol: String, idCol: String, centroids: DataFrame,
+      threshold: Double): DataFrame =
+    assign(batch, vecCol, idCol, centroids).alias("x")
+      .join(corpusAssigned.alias("y"), col("x.cid") === col("y.cid"))
+      .select(col("x.vid").as("dropped"), col("y.vid").as("c_id"),
+        round(Similarity.dot(col("x.v"), col("y.v")) /
+          (col("x.nrm") * col("y.nrm")), 6).as("cos_r"))
+      .filter(col("cos_r") >= threshold)
+      .groupBy("dropped")
+      .agg(min(col("c_id")).as("keeper"), count(lit(1)).as("n_sim"))
 }

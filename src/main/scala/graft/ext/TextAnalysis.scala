@@ -176,6 +176,60 @@ object TextAnalysis {
         round(log(col("n_tok").cast("double"))
           - col("__s") / col("n_tok").cast("double"), 6).as("entropy"))
 
+  /** Arriving-batch fluency under a FROZEN corpus bigram LM — the
+    * perplexity member of the incremental-ingest family (CCNet gates
+    * crawl batches on exactly this signal: score each arriving document
+    * under a reference-corpus LM, drop the tail). [[unigramLogProb]] and
+    * q56 score a corpus against itself; here the LM is trained ONCE on
+    * the frozen corpus and new text is scored against it, so the gate
+    * needs add-1 smoothing to price bigrams (and contexts) the corpus
+    * has never seen: P(w|p) = (cnt(p,w)+1)/(cnt(p·)+V), with V the
+    * corpus unigram vocabulary — an unseen context prices at 1/V.
+    *
+    * Output per batch doc (docs with < 2 tokens have no bigrams and are
+    * absent, q56's contract): `logprob` = round(Σ ln P, 6), `n_bigrams`,
+    * and `oov_bigrams` = how many of the document's bigrams the corpus
+    * never saw — the raw novelty count the smoothed score prices in.
+    *
+    * Scale shape: the corpus contributes one tokenize-and-count pass
+    * whose (p,w) and (p) count tables are the AT-REST form of the LM —
+    * built once, persistable, reused per batch (the
+    * [[SemDedup.incrementalDropList]] contract). Batch bigrams extract
+    * with explode+element_at — codegen, no per-doc window shuffle — and
+    * the probes are equi-joins keyed on vocabulary entries; the batch
+    * side is O(batch), never a corpus rescan, and AQE picks the join
+    * strategy (a forced broadcast of a 100 TB corpus' bigram table is
+    * exactly the dictionary-broadcast failure the soak exposed).
+    */
+  def bigramLmScore(corpus: org.apache.spark.sql.DataFrame,
+      batch: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    def bigrams(df: org.apache.spark.sql.DataFrame) =
+      df.select(col(idCol), Dedup.tokens(col(textCol)).as("__t"))
+        .filter(size(col("__t")) >= 2) // sequence(1,0) would step DOWN
+        .select(col(idCol),
+          explode(sequence(lit(1), size(col("__t")) - 1)).as("__i"),
+          col("__t"))
+        .select(col(idCol), element_at(col("__t"), col("__i")).as("p"),
+          element_at(col("__t"), col("__i") + lit(1)).as("w"))
+    val cbg = bigrams(corpus).groupBy("p", "w").agg(count(lit(1)).as("cbg"))
+    val cu = bigrams(corpus).groupBy("p").agg(count(lit(1)).as("cu"))
+    val v = corpus
+      .select(explode(Dedup.tokens(col(textCol))).as("w"))
+      .agg(countDistinct(col("w")).as("vv"))
+    bigrams(batch)
+      .join(cbg, Seq("p", "w"), "left")
+      .join(cu, Seq("p"), "left")
+      .crossJoin(broadcast(v))
+      .select(col(idCol), col("cbg"),
+        log((coalesce(col("cbg"), lit(0L)) + lit(1L)).cast("double") /
+          (coalesce(col("cu"), lit(0L)) + col("vv")).cast("double")).as("__lp"))
+      .groupBy(idCol)
+      .agg(round(sum(col("__lp")), 6).as("logprob"),
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("cbg").isNull, 1L).otherwise(0L)).as("oov_bigrams"))
+  }
+
   /** CCNet-style boilerplate removal over pre-split lines: drop every line
     * whose DOCUMENT frequency (distinct docs containing that exact line)
     * reaches `minDf`, and reassemble each document's surviving lines in

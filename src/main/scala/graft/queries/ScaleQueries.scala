@@ -390,6 +390,49 @@ object ScaleQueries {
              FROM documents"""),
   )
 
+  /** Q136 [X]: INCREMENTAL SemDeDup — the 10%-of-ids "batch" scored in
+    * embedding space against the frozen 90% corpus (q79's centroids and
+    * assignment, persisted): a batch vector is dropped when any
+    * same-cluster corpus member reaches cosine ≥ τ, arrival order wins
+    * (the corpus is always the keeper side). O(batch · n/k) — the
+    * semantic member of the q112/q113/q114/q117/q124 incremental family.
+    */
+  val q136 = OracleQuery(
+    "q136_incremental_semdedup",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"),
+          Similarity.asDouble(col("embedding")).as("cv"))
+      val corpus = SemDedup.assign(
+        emb.filter(col("vec_id") >= 8 && col("vec_id") % 10 =!= 0),
+        "embedding", "vec_id", centroids)
+      SemDedup.incrementalDropList(corpus,
+        emb.filter(col("vec_id") >= 8 && col("vec_id") % 10 === 0),
+        "embedding", "vec_id", centroids, threshold = 0.2)
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+            a AS (SELECT vec_id, v, cid,
+                         round(list_dot_product(v, cv) /
+                               (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6) AS cs
+                  FROM e, c WHERE vec_id >= 8),
+            asg AS (SELECT vec_id, v, cid FROM
+                       (SELECT *, row_number() OVER
+                              (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+                        FROM a) z
+                     WHERE rn = 1),
+            co AS (SELECT * FROM asg WHERE vec_id % 10 != 0),
+            ba AS (SELECT * FROM asg WHERE vec_id % 10 = 0),
+            p AS (SELECT x.vec_id AS dropped, y.vec_id AS c_id,
+                         round(list_dot_product(x.v, y.v) /
+                               (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6) AS cos_r
+                  FROM ba x JOIN co y ON x.cid = y.cid)
+            SELECT dropped, min(c_id) AS keeper, CAST(count(*) AS BIGINT) AS n_sim
+            FROM p WHERE cos_r >= 0.2 GROUP BY dropped"""),
+  )
+
   val all: Seq[OracleQuery] =
-    Seq(q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q133)
+    Seq(q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q133,
+      q136)
 }

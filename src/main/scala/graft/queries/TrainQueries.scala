@@ -789,8 +789,49 @@ object TrainQueries {
              GROUP BY 1, 2"""),
   )
 
+  /** Q137 [X]: the LM ingest gate signal — the 10%-of-ids "batch" scored
+    * under the bigram LM trained ONCE on the frozen 90% corpus, add-1
+    * smoothed over the corpus vocabulary so never-seen bigrams and
+    * contexts price at a finite 1/V instead of −∞ (CCNet's
+    * perplexity-filter shape; q56 is the self-scored corpus twin).
+    * `oov_bigrams` counts the corpus-unseen bigrams the smoothing paid
+    * for — the raw novelty signal next to the fluency score.
+    */
+  val q137 = OracleQuery(
+    "q137_lm_ingest_score",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ext.TextAnalysis.bigramLmScore(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+    },
+    Some("""WITH ct AS (SELECT doc_id, string_split(text, ' ') AS t
+                        FROM documents WHERE doc_id % 10 != 0),
+                 bt AS (SELECT doc_id, string_split(text, ' ') AS t
+                        FROM documents WHERE doc_id % 10 = 0),
+                 cbgs AS (SELECT t[i-1] AS p, t[i] AS w FROM ct,
+                          UNNEST(generate_series(2, len(t))) AS u(i)),
+                 cbg AS (SELECT p, w, CAST(count(*) AS BIGINT) AS cbg
+                         FROM cbgs GROUP BY p, w),
+                 cu AS (SELECT p, CAST(count(*) AS BIGINT) AS cu
+                        FROM cbgs GROUP BY p),
+                 vv AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+                        FROM (SELECT unnest(t) AS tok FROM ct)),
+                 bbg AS (SELECT doc_id, t[i-1] AS p, t[i] AS w FROM bt,
+                         UNNEST(generate_series(2, len(t))) AS u(i))
+            SELECT doc_id,
+                   round(sum(ln(CAST(coalesce(cbg, 0) + 1 AS DOUBLE) /
+                                CAST(coalesce(cu, 0) + v AS DOUBLE))), 6) AS logprob,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   CAST(sum(CASE WHEN cbg IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     AS oov_bigrams
+            FROM bbg LEFT JOIN cbg USING (p, w) LEFT JOIN cu USING (p)
+                 CROSS JOIN vv
+            GROUP BY doc_id"""),
+  )
+
   val all: Seq[OracleQuery] =
     Seq(q41, q42, q42b, q43, q44, q45, q46, q47, q48, q49, q50,
       q53, q54, q55, q56, q57, q120, q121, q122, q123, q124, q125, q126,
-      q127, q128, q129, q130, q131, q132, q134)
+      q127, q128, q129, q130, q131, q132, q134, q137)
 }

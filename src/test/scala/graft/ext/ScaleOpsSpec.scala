@@ -169,6 +169,80 @@ class ScaleOpsSpec extends SparkSpec {
     loose shouldBe Set(12L, 13L)
   }
 
+  test("incrementalDropList drops batch near-dups of the corpus, keeps novel") {
+    // Corpus (frozen): 20 on the x-axis, 21 on the y-axis.
+    // Batch: 30 ≈ x-axis (near-dup of 20), 31 well off both (novel).
+    val cents = Seq((0L, vec(1.0, 0.0)), (1L, vec(0.0, 1.0))).toDF("cid", "cv")
+    val corpus = SemDedup.assign(
+      Seq((20L, Seq(1.0f, 0.01f)), (21L, Seq(0.01f, 1.0f)))
+        .toDF("vec_id", "embedding"),
+      "embedding", "vec_id", cents)
+    val batch = Seq(
+      (30L, Seq(1.0f, 0.02f)),  // cos(30,20) ≈ 1 → dropped, keeper 20
+      (31L, Seq(1.0f, 0.9f))    // cluster 0, cos(31,20) ≈ 0.74 → kept
+    ).toDF("vec_id", "embedding")
+    val out = SemDedup.incrementalDropList(
+      corpus, batch, "embedding", "vec_id", cents, 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    out.toSeq shouldBe Seq((30L, 20L, 1L))
+  }
+
+  test("incrementalDropList never compares across clusters; corpus always keeps") {
+    // Batch vector 40 is parallel to corpus 21 but assigns to cluster 0
+    // (cos to centroid 0 higher) → no comparison with 21, survives.
+    val cents = Seq((0L, vec(1.0, 0.0)), (1L, vec(0.0, 1.0))).toDF("cid", "cv")
+    val corpus = SemDedup.assign(
+      Seq((21L, Seq(1.0f, 0.8f))).toDF("vec_id", "embedding"),
+      "embedding", "vec_id", cents) // cluster 0
+    val batch = Seq((40L, Seq(0.8f, 1.0f))).toDF("vec_id", "embedding") // cluster 1
+    SemDedup.incrementalDropList(corpus, batch, "embedding", "vec_id",
+      cents, 0.5).count() shouldBe 0L
+    // Same pair, threshold met, when both land in one cluster: batch id
+    // is ALWAYS the dropped side even though 21 < 40 — arrival order wins.
+    val oneCell = Seq((0L, vec(1.0, 0.0))).toDF("cid", "cv")
+    val co1 = SemDedup.assign(
+      Seq((21L, Seq(1.0f, 0.8f))).toDF("vec_id", "embedding"),
+      "embedding", "vec_id", oneCell)
+    val got = SemDedup.incrementalDropList(co1, batch, "embedding",
+      "vec_id", oneCell, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    got.toSeq shouldBe Seq((40L, 21L))
+  }
+
+  test("incrementalDropList matches brute force over the split") {
+    // 40 seeded vectors, centroids = first 4, corpus = ids with id%3!=0,
+    // batch = id%3==0; brute force recomputes every (batch, corpus)
+    // cosine restricted to equal assigned clusters.
+    val rnd = new scala.util.Random(7)
+    val all = (4L until 44L).map(i =>
+      (i, Seq.fill(8)(rnd.nextFloat() * 2f - 1f))).toDF("vec_id", "embedding")
+    val cents = (0L until 4L).map(i =>
+      (i, Seq.fill(8)(rnd.nextDouble() * 2 - 1))).toDF("cid", "cv")
+    val corpusDf = all.filter(col("vec_id") % 3 =!= 0)
+    val batchDf = all.filter(col("vec_id") % 3 === 0)
+    val corpus = SemDedup.assign(corpusDf, "embedding", "vec_id", cents)
+    val got = SemDedup.incrementalDropList(
+      corpus, batchDf, "embedding", "vec_id", cents, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val asg = SemDedup.assign(all, "embedding", "vec_id", cents)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Double](1), r.getDouble(2), r.getLong(3)))).toMap
+    val want = asg.keys.filter(_ % 3 == 0).flatMap { b =>
+      val (bv, bn, bc) = asg(b)
+      val hits = asg.keys.filter(c => c % 3 != 0 && asg(c)._3 == bc)
+        .map { c =>
+          val (cv, cn, _) = asg(c)
+          val cos = BigDecimal(bv.zip(cv).map(p => p._1 * p._2).sum / (bn * cn))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (c, cos)
+        }.filter(_._2 >= 0.5)
+      if (hits.isEmpty) None
+      else Some((b, hits.map(_._1).min, hits.size.toLong))
+    }.toSet
+    got shouldBe want
+    got.nonEmpty shouldBe true // the seed plants at least one near-dup
+  }
+
   test("dropBoilerplate removes cross-doc frequent lines, keeps order, counts") {
     // "footer" appears in all three docs → boilerplate. "a b" repeats
     // WITHIN doc 1 only → document frequency 1, kept (both occurrences).

@@ -432,6 +432,37 @@ class TrainOpsSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
   }
 
+  test("bigramLmScore prices seen and unseen bigrams under the frozen LM") {
+    // Corpus "a b a b": cnt(a,b)=2, cnt(b,a)=1, ctx a=2, b=1; V=2.
+    val corpus = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "a b c"), // (a,b): (2+1)/(2+2)=3/4; (b,c) oov: 1/(1+2)=1/3
+      (11L, "z z"),   // unseen CONTEXT too: 1/(0+2) = 1/2
+      (12L, "q")      // single token → no bigrams → absent
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLmScore(corpus, batch, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getLong(2), r.getLong(3)))).toMap
+    out.keySet shouldBe Set(10L, 11L)
+    out(10L) shouldBe ((BigDecimal(math.log(0.75) + math.log(1.0 / 3))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, 2L, 1L))
+    out(11L) shouldBe ((BigDecimal(math.log(0.5))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, 1L, 1L))
+  }
+
+  test("bigramLmScore ranks corpus-like batch text above shuffled noise") {
+    val corpus = Seq.tabulate(20)(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "the quick brown fox"),  // verbatim corpus phrase
+      (101L, "fox the brown quick")   // same words, alien bigrams
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLmScore(corpus, batch, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    out(100L) should be > out(101L)
+  }
+
   test("dupRateByGroup: non-singleton cluster members counted per group") {
     // docs 1 and 2 identical (one cluster of 2), 3 and 4 unique
     val df = Seq(
