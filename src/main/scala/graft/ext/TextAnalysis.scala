@@ -203,24 +203,59 @@ object TextAnalysis {
     */
   def bigramLmScore(corpus: org.apache.spark.sql.DataFrame,
       batch: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String): org.apache.spark.sql.DataFrame = {
-    def bigrams(df: org.apache.spark.sql.DataFrame) =
-      df.select(col(idCol), Dedup.tokens(col(textCol)).as("__t"))
-        .filter(size(col("__t")) >= 2) // sequence(1,0) would step DOWN
-        .select(col(idCol),
-          explode(sequence(lit(1), size(col("__t")) - 1)).as("__i"),
-          col("__t"))
-        .select(col(idCol), element_at(col("__t"), col("__i")).as("p"),
-          element_at(col("__t"), col("__i") + lit(1)).as("w"))
-    val cbg = bigrams(corpus).groupBy("p", "w").agg(count(lit(1)).as("cbg"))
-    val cu = bigrams(corpus).groupBy("p").agg(count(lit(1)).as("cu"))
-    val v = corpus
-      .select(explode(Dedup.tokens(col(textCol))).as("w"))
-      .agg(countDistinct(col("w")).as("vv"))
-    bigrams(batch)
-      .join(cbg, Seq("p", "w"), "left")
-      .join(cu, Seq("p"), "left")
-      .crossJoin(broadcast(v))
+      textCol: String): org.apache.spark.sql.DataFrame =
+    scoreBigramLm(trainBigramLm(corpus, idCol, textCol), batch, idCol,
+      textCol)
+
+  /** A trained bigram LM at rest: (p,w) counts, context counts, and the
+    * 1-row vocabulary size — the three relations [[scoreBigramLm]] probes.
+    * All three are lazily checkpointed at train time so a streaming gate
+    * scoring many micro-batches (ST10) pays the corpus pass once, not per
+    * batch (the [[Dedup.GramIndex]] discipline); they are plain DataFrames,
+    * so persisting them is a parquet write away.
+    */
+  final case class BigramLm(cbg: org.apache.spark.sql.DataFrame,
+      cu: org.apache.spark.sql.DataFrame,
+      vocab: org.apache.spark.sql.DataFrame)
+
+  /** One row per in-doc bigram occurrence: (idCol, p, w). Codegen'd
+    * explode+element_at — no per-doc window shuffle.
+    */
+  private def bigramOccurrences(df: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol), Dedup.tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= 2) // sequence(1,0) would step DOWN
+      .select(col(idCol),
+        explode(sequence(lit(1), size(col("__t")) - 1)).as("__i"),
+        col("__t"))
+      .select(col(idCol), element_at(col("__t"), col("__i")).as("p"),
+        element_at(col("__t"), col("__i") + lit(1)).as("w"))
+
+  /** One corpus pass → the frozen [[BigramLm]]. */
+  def trainBigramLm(corpus: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): BigramLm = {
+    val bg = bigramOccurrences(corpus, idCol, textCol)
+    BigramLm(
+      bg.groupBy("p", "w").agg(count(lit(1)).as("cbg"))
+        .localCheckpoint(eager = false),
+      bg.groupBy("p").agg(count(lit(1)).as("cu"))
+        .localCheckpoint(eager = false),
+      corpus.select(explode(Dedup.tokens(col(textCol))).as("w"))
+        .agg(countDistinct(col("w")).as("vv"))
+        .localCheckpoint(eager = false))
+  }
+
+  /** Score a batch under a frozen [[BigramLm]] — O(batch), equi-join
+    * probes of the count tables, AQE-chosen strategy (a forced broadcast
+    * of a 100 TB corpus' bigram table is exactly the dictionary-broadcast
+    * failure the soak exposed).
+    */
+  def scoreBigramLm(lm: BigramLm, batch: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame =
+    bigramOccurrences(batch, idCol, textCol)
+      .join(lm.cbg, Seq("p", "w"), "left")
+      .join(lm.cu, Seq("p"), "left")
+      .crossJoin(broadcast(lm.vocab))
       .select(col(idCol), col("cbg"),
         log((coalesce(col("cbg"), lit(0L)) + lit(1L)).cast("double") /
           (coalesce(col("cu"), lit(0L)) + col("vv")).cast("double")).as("__lp"))
@@ -228,6 +263,46 @@ object TextAnalysis {
       .agg(round(sum(col("__lp")), 6).as("logprob"),
         count(lit(1)).as("n_bigrams"),
         sum(when(col("cbg").isNull, 1L).otherwise(0L)).as("oov_bigrams"))
+
+  /** SELF-CALIBRATED LM admit gate: the threshold is not a magic number
+    * but the corpus' own `pctNum/pctDen` quantile of per-bigram fluency —
+    * score the corpus under its own LM, take the k-th smallest rounded
+    * `logprob/n_bigrams` (k = ⌈pct·n⌉, a DISCRETE rank: an interpolated
+    * quantile would reopen the q110 float-boundary parity surface), and
+    * admit a batch doc iff its rounded per-bigram score reaches it.
+    * Length normalization matters: raw `logprob` scales with doc length,
+    * so an unnormalized gate would just be a length filter.
+    *
+    * Output per scorable batch doc: `lm_avg`, `oov_bigrams`, `admit` —
+    * callers route admits to the corpus-append path (the
+    * [[Dedup.ingestGate]] pattern; this is its fluency sibling).
+    *
+    * Scale: calibration is one extra corpus-scale pass at TRAIN time
+    * (score + rank), amortized over every batch; the threshold crosses as
+    * a broadcast 1-row relation and batch scoring stays O(batch). The
+    * rank pulls k via one bounded 1-row collect (the q131 literal-bound
+    * pattern) so the sort is `orderBy().limit(k)` — TakeOrdered, never a
+    * global sort.
+    */
+  def calibratedLmGate(corpus: org.apache.spark.sql.DataFrame,
+      batch: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      pctNum: Int = 1, pctDen: Int = 10): org.apache.spark.sql.DataFrame = {
+    require(pctNum > 0 && pctNum < pctDen, "quantile must be in (0,1)")
+    val lm = trainBigramLm(corpus, idCol, textCol)
+    val selfAvg = scoreBigramLm(lm, corpus, idCol, textCol)
+      .select(round(col("logprob") / col("n_bigrams"), 6).as("__a"))
+      .localCheckpoint(eager = false)
+    val n = selfAvg.count()
+    val k = ((n * pctNum + pctDen - 1) / pctDen).toInt.max(1)
+    val thr = selfAvg.orderBy(col("__a")).limit(k)
+      .agg(max(col("__a")).as("__thr"))
+    scoreBigramLm(lm, batch, idCol, textCol)
+      .select(col(idCol),
+        round(col("logprob") / col("n_bigrams"), 6).as("lm_avg"),
+        col("oov_bigrams"))
+      .crossJoin(broadcast(thr))
+      .withColumn("admit", (col("lm_avg") >= col("__thr")).cast("int"))
+      .drop("__thr")
   }
 
   /** CCNet-style boilerplate removal over pre-split lines: drop every line

@@ -830,8 +830,69 @@ object TrainQueries {
             GROUP BY doc_id"""),
   )
 
+  /** Q138 [X]: the self-calibrated LM admit gate — q137's scoring with
+    * the threshold derived from the CORPUS, not hand-picked: the 10th
+    * percentile of the corpus' own per-bigram self-score (a DISCRETE
+    * k-th-smallest rank over rounded values — interpolated quantiles
+    * would reopen the q110 float-boundary parity surface). A batch doc
+    * admits iff its rounded per-bigram fluency reaches what 90% of the
+    * corpus itself achieves; length-normalized so the gate isn't a
+    * hidden length filter.
+    */
+  val q138 = OracleQuery(
+    "q138_calibrated_lm_gate",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ext.TextAnalysis.calibratedLmGate(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+        pctNum = 1, pctDen = 10)
+    },
+    Some("""WITH ct AS (SELECT doc_id, string_split(text, ' ') AS t
+                        FROM documents WHERE doc_id % 10 != 0),
+                 bt AS (SELECT doc_id, string_split(text, ' ') AS t
+                        FROM documents WHERE doc_id % 10 = 0),
+                 cbgs AS (SELECT t[i-1] AS p, t[i] AS w FROM ct,
+                          UNNEST(generate_series(2, len(t))) AS u(i)),
+                 cbg AS (SELECT p, w, CAST(count(*) AS BIGINT) AS cbg
+                         FROM cbgs GROUP BY p, w),
+                 cu AS (SELECT p, CAST(count(*) AS BIGINT) AS cu
+                        FROM cbgs GROUP BY p),
+                 vv AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+                        FROM (SELECT unnest(t) AS tok FROM ct)),
+                 sbg AS (SELECT doc_id, t[i-1] AS p, t[i] AS w FROM ct,
+                         UNNEST(generate_series(2, len(t))) AS u(i)),
+                 sa AS (SELECT doc_id,
+                               round(sum(ln(CAST(coalesce(cbg, 0) + 1 AS DOUBLE) /
+                                            CAST(coalesce(cu, 0) + v AS DOUBLE))), 6) AS lp,
+                               CAST(count(*) AS BIGINT) AS nb
+                        FROM sbg LEFT JOIN cbg USING (p, w)
+                             LEFT JOIN cu USING (p) CROSS JOIN vv
+                        GROUP BY doc_id),
+                 saa AS (SELECT round(lp / nb, 6) AS a FROM sa),
+                 nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM saa),
+                 th AS (SELECT a AS thr FROM
+                          (SELECT a, row_number() OVER (ORDER BY a) AS rn
+                           FROM saa) z, nn
+                        WHERE rn = (n + 9) // 10),
+                 bbg AS (SELECT doc_id, t[i-1] AS p, t[i] AS w FROM bt,
+                         UNNEST(generate_series(2, len(t))) AS u(i)),
+                 ba AS (SELECT doc_id,
+                               round(sum(ln(CAST(coalesce(cbg, 0) + 1 AS DOUBLE) /
+                                            CAST(coalesce(cu, 0) + v AS DOUBLE))), 6) AS lp,
+                               CAST(count(*) AS BIGINT) AS nb,
+                               CAST(sum(CASE WHEN cbg IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                                 AS oov_bigrams
+                        FROM bbg LEFT JOIN cbg USING (p, w)
+                             LEFT JOIN cu USING (p) CROSS JOIN vv
+                        GROUP BY doc_id)
+            SELECT doc_id, round(lp / nb, 6) AS lm_avg, oov_bigrams,
+                   CAST(round(lp / nb, 6) >= thr AS INTEGER) AS admit
+            FROM ba, th"""),
+  )
+
   val all: Seq[OracleQuery] =
     Seq(q41, q42, q42b, q43, q44, q45, q46, q47, q48, q49, q50,
       q53, q54, q55, q56, q57, q120, q121, q122, q123, q124, q125, q126,
-      q127, q128, q129, q130, q131, q132, q134, q137)
+      q127, q128, q129, q130, q131, q132, q134, q137, q138)
 }

@@ -463,6 +463,31 @@ class TrainOpsSpec extends SparkSpec {
     out(100L) should be > out(101L)
   }
 
+  test("calibratedLmGate: threshold is the corpus' k-th smallest self-score") {
+    // Nine fluent corpus docs + one alien one → with pct = 1/10, k = 1,
+    // the threshold is the alien doc's (unique minimum) self-score.
+    val corpus = (Seq.tabulate(9)(i =>
+      (i.toLong, "the cat sat on the mat")) :+ (9L, "zz qq rr ss"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "the cat sat"),   // fluent, well above threshold → admit
+      (101L, "qq zz ss rr"),   // alien UNSEEN bigrams → below min → reject
+      (102L, "zz qq rr ss")    // verbatim copy of the threshold doc → its
+    ).toDF("doc_id", "text")   //   score EQUALS the threshold → admit (>=)
+    val out = TextAnalysis.calibratedLmGate(corpus, batch, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getInt(3)))).toMap
+    out(100L)._2 shouldBe 1
+    out(101L)._2 shouldBe 0
+    out(102L)._2 shouldBe 1
+    // the boundary doc's score is exactly the corpus minimum self-score
+    val lm = TextAnalysis.trainBigramLm(corpus, "doc_id", "text")
+    val selfMin = TextAnalysis.scoreBigramLm(lm, corpus, "doc_id", "text")
+      .select(round(col("logprob") / col("n_bigrams"), 6).as("a"))
+      .agg(min("a")).head().getDouble(0)
+    out(102L)._1 shouldBe selfMin
+    out(101L)._1 should be < selfMin
+  }
+
   test("dupRateByGroup: non-singleton cluster members counted per group") {
     // docs 1 and 2 identical (one cluster of 2), 3 and 4 unique
     val df = Seq(

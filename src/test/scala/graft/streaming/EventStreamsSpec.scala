@@ -253,6 +253,40 @@ class EventStreamsSpec extends SparkSpec {
     byId shouldBe batchGate
   }
 
+  test("ST10 streaming LM scoring: per-doc scores match the batch scorer") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.TextAnalysis
+    val corpus = Seq.tabulate(10)(i =>
+      (i.toLong, "the cat sat on the mat")).toDF("doc_id", "text")
+    val lm = TextAnalysis.trainBigramLm(corpus, "doc_id", "text")
+    val arriving = Seq(
+      ArrivingDoc(100L, "the cat sat"),    // all bigrams seen
+      ArrivingDoc(101L, "mat the on cat"), // same vocab, alien bigrams
+      ArrivingDoc(102L, "solo"))           // < 2 tokens → absent
+    val mem = MemoryStream[ArrivingDoc]
+    mem.addData(arriving)
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Double, Long, Long)]()
+    val q = EventStreams.lmScoreOnArrival(
+      mem.toDF(), lm, "doc_id", "text") { scores =>
+      got.synchronized {
+        got ++= scores.collect().map(r =>
+          (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+      }
+    }
+    q.processAllAvailable()
+    q.stop()
+    val byId = got.map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    byId.keySet shouldBe Set(100L, 101L)
+    byId(101L)._1 should be < byId(100L)._1 // alien bigrams price lower
+    // stream ≡ batch: identical rows from one scoreBigramLm call
+    val batchScores = TextAnalysis.scoreBigramLm(lm,
+      arriving.map(a => (a.doc_id, a.text)).toDF("doc_id", "text"),
+      "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getLong(2), r.getLong(3)))).toMap
+    byId shouldBe batchScores
+  }
+
   test("ST4b flatMapGroupsWithState: running totals across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
