@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, DedupCluster, Packing, PqIndex, Retrieval, Sampling, Similarity, TextAnalysis}
+import graft.ext.{Dedup, DedupCluster, Packing, PqIndex, Retrieval, Sampling, SemDedup, Similarity, TextAnalysis}
 import graft.ops.{Graph, RangeJoin}
 
 /** Opt-in large-synthetic soak (SURVEY §5.6): generates corpora 100-1000×
@@ -132,6 +132,35 @@ object Soak {
       ext.Chunker.incrementalDedupChunks(docs, batch, "doc_id", "text", 8)
         .count()
     })
+
+    // round-6 (cont.): the frozen bigram LM — train once on the corpus
+    // (count tables checkpoint), then scoring a 1% batch is an O(batch)
+    // probe; calibration adds one corpus-scale self-score pass at train
+    // time. The batch reuses corpus-head seeds, so its docs are
+    // corpus-typical: the p10 gate must admit the large majority.
+    {
+      val nBatch = nDocs / 100
+      val batch = syntheticDocs(spark, nBatch)
+        .withColumn("doc_id", col("doc_id") + 4 * nDocs)
+      val lm = time("bigram LM train (corpus pass)")({
+        val m = TextAnalysis.trainBigramLm(docs, "doc_id", "text")
+        m.cbg.count(); m.cu.count(); m.vocab.count()
+        m
+      })
+      time("bigram LM score (1% batch)")({
+        val n = TextAnalysis.scoreBigramLm(lm, batch, "doc_id", "text").count()
+        assert(n == nBatch, s"LM scored $n of $nBatch batch docs")
+        n
+      })
+      time("calibrated LM gate (p10, 1% batch)")({
+        val admits = TextAnalysis.calibratedLmGate(docs, batch,
+          "doc_id", "text").filter(col("admit") === 1).count()
+        assert(admits >= nBatch * 7 / 10 && admits <= nBatch,
+          s"p10 gate admitted $admits of $nBatch corpus-typical docs")
+        println(s"[soak] lm gate admits $admits / $nBatch")
+        admits
+      })
+    }
 
     val vecs = syntheticVecs(spark, nVecs).cache()
     time("materialize vecs")(vecs.count())
@@ -309,6 +338,33 @@ object Soak {
     time("random projection (64 -> 16 dims)")(
       Similarity.randomProject(vecs, "embedding", "vec_id", 16)
         .agg(sum("value")).count())
+
+    // round-6 (cont.): incremental SemDeDup — the corpus assignment is the
+    // one-off build (persistable); the batch probe compares each arriving
+    // vector only with its cluster's corpus members, O(batch · n/k). The
+    // batch clones the corpus head with new ids, so every batch vector has
+    // a cos=1 corpus twin in its own cluster: dropped count must be
+    // exactly the batch size (random 64-dim vectors never reach τ=0.9).
+    {
+      val nBatch = nVecs / 100
+      val cents = vecs.filter(col("vec_id") < 256)
+        .select(col("vec_id").as("cid"),
+          Similarity.asDouble(col("embedding")).as("cv"))
+      val corpusAssigned = time("semdedup corpus assign (k=256)")({
+        val a = SemDedup.assign(vecs, "embedding", "vec_id", cents)
+          .localCheckpoint()
+        a.count(); a
+      })
+      time("incremental semdedup (1% batch)")({
+        val batch = syntheticVecs(spark, nBatch)
+          .withColumn("vec_id", col("vec_id") + 2 * nVecs)
+        val dropped = SemDedup.incrementalDropList(corpusAssigned, batch,
+          "embedding", "vec_id", cents, 0.9).count()
+        assert(dropped == nBatch,
+          s"incremental semdedup dropped $dropped of $nBatch planted twins")
+        dropped
+      })
+    }
 
     time("pq build + adc search (m=8, k=10)")({
       val model = PqIndex.build(vecs, "embedding", "vec_id",

@@ -653,6 +653,47 @@ object SimilarityQueries {
              GROUP BY 1"""),
   )
 
+  /** Q139 [X]: the FULL ingest capstone — q118's dedup gate joined with
+    * q138's self-calibrated LM verdict into the one per-doc relation a
+    * production ingest acts on: admit = not a duplicate (exact, Jaccard,
+    * simhash) AND fluent enough for the corpus' own p10 bar. Docs too
+    * short to score under the LM (< 2 tokens) fail the quality side —
+    * `lm_ok` coalesces to 0. Twin = both twins as nested-WITH CTEs (the
+    * q135 pattern), so every signal definition exists exactly once.
+    */
+  val q139 = OracleQuery(
+    "q139_full_ingest_gate",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+      val gate = Dedup.ingestGate(
+        Dedup.gramIndex(corpus, "doc_id", "text", n = 2),
+        Dedup.simHash64Signature(corpus, "doc_id", "text"),
+        corpus, batch, "doc_id", "text",
+        tauNum = 1, tauDen = 2, maxDist = 3)
+      val lm = graft.ext.TextAnalysis.calibratedLmGate(
+        corpus, batch, "doc_id", "text")
+      gate
+        .join(lm.select(col("doc_id"), col("admit").as("lm_ok")),
+          Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          col("exact_dup").cast("long").as("exact_dup"),
+          col("jac_dup").cast("long").as("jac_dup"),
+          col("sh_dup").cast("long").as("sh_dup"),
+          coalesce(col("lm_ok"), lit(0)).cast("long").as("lm_ok"),
+          (col("admit") && coalesce(col("lm_ok"), lit(0)) === 1)
+            .cast("long").as("admit"))
+    },
+    Some(s"""WITH g AS (${q118.oracle.get}),
+                  l AS (${graft.queries.TrainQueries.q138.oracle.get})
+             SELECT g.doc_id, g.exact_dup, g.jac_dup, g.sh_dup,
+                    CAST(coalesce(l.admit, 0) AS BIGINT) AS lm_ok,
+                    CAST(CASE WHEN g.admit = 1 AND coalesce(l.admit, 0) = 1
+                         THEN 1 ELSE 0 END AS BIGINT) AS admit
+             FROM g LEFT JOIN l ON l.doc_id = g.doc_id"""),
+  )
+
   val all: Seq[OracleQuery] = Seq(q103, q104, q105, q106, q108, q109, q110,
-    q111, q112, q113, q114, q115, q116, q117, q118, q119, q135)
+    q111, q112, q113, q114, q115, q116, q117, q118, q119, q135, q139)
 }
