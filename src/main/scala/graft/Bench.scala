@@ -65,11 +65,29 @@ object Bench {
     // (the contract's own example uses "q1") at 3-decimal precision. The
     // headline "value"/"queries" are the per-query MINIMA (steady-state);
     // "value_median" carries the typical-run total for noise calibration.
-    val shortQs = results.map { case (k, v, _) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f"
-    }.mkString("{", ",", "}")
-    val line =
-      f"""{"metric":"total","value":$totalMin%.3f,"unit":"sec","n_runs":$runs,"value_median":$totalMed%.3f,"queries":$shortQs,"errors":$errors,"sf":"$sfDir"}"""
+    // The 2000-char window is a hard budget: at 141 queries the 3-decimal
+    // compact line was 1922 chars and round 8 (whose errors array pushed it
+    // to 1999+) came back beheaded → parsed:null. Degrade precision first
+    // (3dp → 2dp), then if still over budget keep the slowest queries
+    // verbatim and fold the fastest tail into one "rest" entry (their sum)
+    // — per-query regression data matters most where the time is.
+    def compactLine(dp: Int, foldBelow: Int): String = {
+      val ranked = results.sortBy(-_._2)
+      val kept = if (foldBelow <= 0) ranked else ranked.take(foldBelow)
+      val rest = if (foldBelow <= 0) Nil else ranked.drop(foldBelow)
+      val fmt = s"%.${dp}f"
+      val entries = kept.sortBy(_._1).map { case (k, v, _) =>
+        "\"" + k.takeWhile(_ != '_') + "\":" + fmt.format(v)
+      } ++ (if (rest.nonEmpty)
+        Seq("\"rest\":" + fmt.format(rest.map(_._2).filter(_ >= 0).sum),
+            "\"n_rest\":" + rest.size) else Nil)
+      val qs = entries.mkString("{", ",", "}")
+      f"""{"metric":"total","value":$totalMin%.3f,"unit":"sec","n_runs":$runs,"value_median":$totalMed%.3f,"queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
+    }
+    val line = Iterator(compactLine(3, 0), compactLine(2, 0),
+        compactLine(2, 100), compactLine(2, 60), compactLine(2, 30))
+      .find(_.length <= 1900)
+      .getOrElse(compactLine(2, 15))
     println(s"""{"metric":"total_fullnames_min","value":$totalMin,"unit":"sec","queries":${jmap(r => (r._1, r._2))},"errors":$errors,"sf":"$sfDir"}""")
     println(s"""{"metric":"total_fullnames_median","value":$totalMed,"unit":"sec","queries":${jmap(r => (r._1, r._3))},"errors":$errors,"sf":"$sfDir"}""")
     // Print the JSON line LAST — after spark.stop() — so no shutdown logging

@@ -25,18 +25,39 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** `events` with `ts` as a proper TimestampType (µs, UTC). */
+  /** `events` with `ts` as a proper TimestampType (µs, UTC).
+    *
+    * Schema-adaptive: older generated data stores `ts` as INT64
+    * TIMESTAMP(NANOS) (surfaced as a long under the legacy conf and
+    * truncated to µs here); newer data stores a plain TIMESTAMP(MICROS),
+    * which the legacy conf leaves untouched and needs no conversion.
+    */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // NB: integer `div`, not `/` — ns-since-epoch (~1.7e18) exceeds the
-    // exact-integer range of a double, so float division would corrupt µs.
-    table(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = table(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      // NB: integer `div`, not `/` — ns-since-epoch (~1.7e18) exceeds the
+      // exact-integer range of a double, so float division would corrupt µs.
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // Newer data is TIMESTAMP_NTZ; with the session TZ pinned to UTC the
+      // cast to LTZ preserves the underlying micros exactly.
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   /** `events` keeping raw nanosecond longs (for exact-nanos arithmetic). */
   def eventsRawNanos(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, sfDir, "events")
+    val raw = table(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      case _ =>
+        raw.withColumn(
+          "ts",
+          unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType)) * lit(1000L))
+    }
   }
 }
