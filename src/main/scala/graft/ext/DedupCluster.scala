@@ -285,27 +285,54 @@ object DedupCluster {
     * hash split (q42) audited here shows exactly the eval contamination
     * [[leakageFreeSplit]] removes. Output: (split_a ≤ split_b, n_pairs).
     *
-    * Scale: band equi-joins (never all-pairs), one pair distinct, two
-    * id joins against the tiny (id, split) projection, |splits|² output
-    * rows.
+    * Scale: the audit needs pair COUNTS per cell, not the pairs — so no
+    * pair is ever materialized. Per band, bucket the signatures and count
+    * docs per (bucket, split); a bucket with counts (c_train, c_val, …)
+    * contributes C(c,2) same-split and c_a·c_b cross-split pairs, summed
+    * in a self-join over the AGGREGATED (|buckets|·|splits|-row) relation.
+    * Pairs colliding in several bands are de-duplicated by
+    * inclusion-exclusion over band subsets (a subset's joint bucket key is
+    * the concatenation of its bands' columns; 2^|bands|−1 terms — |bands|
+    * is 2-4). Replaces the candidate-pair materialize + distinct, which
+    * is Θ(Σ bucket²) rows before the distinct — THE cost center of every
+    * exact similarity join — with |bands| scans of counts: 9.8 s → the
+    * aggregation floor at sf0.1, and at 100 TB the difference between a
+    * pair explosion and a linear groupBy.
     */
   def splitLeakageAudit(docs: DataFrame, idCol: String, textCol: String,
       split: org.apache.spark.sql.Column,
       bands: Seq[Seq[String]] = Seq(Seq("mh0", "mh1"), Seq("mh2", "mh3")))
       : DataFrame = {
     val sig = Dedup.minHashSignature(docs, idCol, textCol)
-    val pairs = Dedup.lshCandidatePairs(sig, idCol, bands)
-      .select(col("doc_a"), col("doc_b")).distinct()
     val sp = docs.select(col(idCol), split.as("__sp"))
-    pairs
-      .join(sp.select(col(idCol).as("doc_a"), col("__sp").as("__sa")),
-        "doc_a")
-      .join(sp.select(col(idCol).as("doc_b"), col("__sp").as("__sb")),
-        "doc_b")
-      .groupBy(
-        least(col("__sa"), col("__sb")).as("split_a"),
-        greatest(col("__sa"), col("__sb")).as("split_b"))
-      .agg(count(lit(1)).as("n_pairs"))
+    // One (id, mh…, split) relation feeds every inclusion-exclusion term.
+    val tagged = sig.join(sp, idCol).localCheckpoint(eager = false)
+    val terms = (1 until (1 << bands.size)).map { m =>
+      val idxs = (0 until bands.size).filter(i => ((m >> i) & 1) == 1)
+      val keyCols = idxs.flatMap(bands(_))
+      val sign = if (idxs.size % 2 == 1) 1L else -1L
+      val g = tagged
+        .groupBy((keyCols.map(col) :+ col("__sp")): _*)
+        .agg(count(lit(1)).as("__c"))
+      val a = g.select(keyCols.map(col) :+ col("__sp").as("__sa")
+        :+ col("__c").as("__ca"): _*)
+      val b = g.select(keyCols.map(col) :+ col("__sp").as("__sb")
+        :+ col("__c").as("__cb"): _*)
+      a.join(b, keyCols)
+        .filter(col("__sa") <= col("__sb"))
+        .select(
+          col("__sa").as("split_a"), col("__sb").as("split_b"),
+          // c·(c−1) is even, so the >>1 is an exact halve — and stays
+          // LongType, where `/` would promote to double and the cell
+          // counts would round at corpus scale.
+          (when(col("__sa") === col("__sb"),
+              shiftright(col("__ca") * (col("__ca") - lit(1L)), 1))
+            .otherwise(col("__ca") * col("__cb")) * lit(sign)).as("__n"))
+    }
+    terms.reduce(_ unionByName _)
+      .groupBy("split_a", "split_b")
+      .agg(sum(col("__n")).as("n_pairs"))
+      .filter(col("n_pairs") =!= 0L)
   }
 
   /** Per-group duplicate-rate dashboard — the number the ingest gate's

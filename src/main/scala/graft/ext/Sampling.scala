@@ -195,4 +195,43 @@ object Sampling {
         floor(round(col("__w") / col("__tot").cast("double"), 6)
           * budget + 0.5).cast("long").as("expected_n"))
   }
+
+  /** EPOCH-weighted mixture materialization — the executor of a data
+    * recipe with per-source epoch counts (wiki ×2.5, web ×0.3 …): emit
+    * each document `floor(e)` times plus one more for a deterministic
+    * `frac(e)` share of its stratum, as `(id, stratum, copy)` rows with
+    * `copy` in 1..n. The fractional copy is decided by a SALTED portable
+    * id hash (salt "#em") so it is independent of [[splitAssign]] and
+    * [[hashBucket]] decisions on the same ids — an unsalted reuse would
+    * correlate "gets the extra epoch" with "lands in train". Strata
+    * absent from `epochs` contribute nothing.
+    *
+    * Fractions are snapped to 1/`granularity` (default ‰) so the
+    * keep-decision is an exact integer compare — no float boundary to
+    * disagree across engines.
+    *
+    * Scale: pure map-side — a CASE ladder over |strata| literals, one
+    * hash, one bounded `sequence` explode. Output size is the recipe's
+    * token multiple of the input; nothing shuffles.
+    */
+  def epochMix(df: DataFrame, idCol: String, stratumCol: String,
+      epochs: Map[String, Double], granularity: Int = 1000): DataFrame = {
+    require(epochs.values.forall(e => e >= 0 && e <= 100),
+      "epochMix: epochs must be in [0, 100]")
+    val whole = epochs.map { case (k, e) => k -> math.floor(e).toLong }
+    val fracG = epochs.map { case (k, e) =>
+      k -> math.round((e - math.floor(e)) * granularity) }
+    def ladder(m: Map[String, Long]): Column =
+      m.foldLeft(lit(0L)) { case (acc, (k, v)) =>
+        when(col(stratumCol) === lit(k), lit(v)).otherwise(acc) }
+    val salted = TextHash.tokenHash(
+      concat(col(idCol).cast("string"), lit("#em")))
+    val copies = ladder(whole) +
+      when(pmod(salted, lit(granularity.toLong)) < ladder(fracG), lit(1L))
+        .otherwise(lit(0L))
+    df.select(col(idCol), col(stratumCol), copies.as("__n"))
+      .filter(col("__n") >= 1L)
+      .select(col(idCol), col(stratumCol),
+        explode(sequence(lit(1L), col("__n"))).as("copy"))
+  }
 }

@@ -891,8 +891,60 @@ object TrainQueries {
             FROM ba, th"""),
   )
 
+  /** Q140 [X]: GPT-style concat-and-chop sequence packing — the corpus
+    * laid end-to-end in the portable-hash shuffle order, chopped every
+    * 512 tokens; each doc reports its global token offset and the
+    * sequence ids it spans. The twin's single ORDER BY cumsum equals the
+    * Spark side's two-phase (bucket totals + local prefix) formulation —
+    * the hash match IS the proof the distributed cumsum is exact.
+    */
+  val q140 = OracleQuery(
+    "q140_seq_packing",
+    (s, d) => Packing.packSequences(
+      Tables.documents(s, d), "doc_id", "text", ctxLen = 512L),
+    Some(s"""WITH t AS (SELECT doc_id,
+                          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                          ${tokenHashSql("CAST(doc_id AS VARCHAR)")} AS h
+                        FROM documents),
+                  o AS (SELECT doc_id, n_tokens,
+                          CAST(sum(n_tokens) OVER (ORDER BY h % 256, h, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens
+                            AS tok_offset
+                        FROM t)
+             SELECT doc_id, n_tokens, tok_offset,
+                    tok_offset // 512 AS seq_first,
+                    (tok_offset + greatest(n_tokens, 1) - 1) // 512 AS seq_last
+             FROM o"""),
+  )
+
+  /** Q141 [X]: epoch-weighted mixture materialization — the data-recipe
+    * executor: src0 ×2.5, src1 ×0.3, src2 ×1.0, src5 ×1.25, everything
+    * else ×0. Fractional epochs decide per doc by a salted portable hash
+    * (independent of the split hash); `copy` enumerates the repeats the
+    * training loader sees.
+    */
+  val q141 = OracleQuery(
+    "q141_epoch_mix",
+    (s, d) => Sampling.epochMix(
+      Tables.documents(s, d), "doc_id", "source",
+      Map("src0" -> 2.5, "src1" -> 0.3, "src2" -> 1.0, "src5" -> 1.25)),
+    Some(s"""WITH d AS (SELECT doc_id, source,
+                          CASE source WHEN 'src0' THEN 2 WHEN 'src2' THEN 1
+                               WHEN 'src5' THEN 1 ELSE 0 END
+                          + CASE WHEN ${tokenHashSql(
+                              "(CAST(doc_id AS VARCHAR) || '#em')")} % 1000 <
+                                 CASE source WHEN 'src0' THEN 500
+                                      WHEN 'src1' THEN 300
+                                      WHEN 'src5' THEN 250 ELSE 0 END
+                            THEN 1 ELSE 0 END AS n
+                        FROM documents)
+             SELECT doc_id, source,
+                    CAST(unnest(generate_series(1, n)) AS BIGINT) AS copy
+             FROM d WHERE n >= 1"""),
+  )
+
   val all: Seq[OracleQuery] =
     Seq(q41, q42, q42b, q43, q44, q45, q46, q47, q48, q49, q50,
       q53, q54, q55, q56, q57, q120, q121, q122, q123, q124, q125, q126,
-      q127, q128, q129, q130, q131, q132, q134, q137, q138)
+      q127, q128, q129, q130, q131, q132, q134, q137, q138, q140, q141)
 }

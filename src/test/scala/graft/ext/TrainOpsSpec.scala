@@ -626,6 +626,56 @@ class TrainOpsSpec extends SparkSpec {
     }
   }
 
+  test("packSequences: offsets form an exact partition of the token stream") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val packed = Packing.packSequences(docs, "doc_id", "text", ctxLen = 512L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._3)
+    // exclusive-prefix property: offsets are 0, then cumsum of n_tokens,
+    // with no gaps and no overlaps — the chop is over a contiguous stream
+    packed.head._3 shouldBe 0L
+    packed.sliding(2).foreach { case Array(a, b) =>
+      b._3 shouldBe (a._3 + a._2)
+    }
+    // seq ids derive from the offsets
+    packed.foreach { case (_, n, off, sf, sl) =>
+      sf shouldBe off / 512L
+      sl shouldBe (off + math.max(n, 1L) - 1L) / 512L
+      sl should be >= sf
+    }
+    // the order is hash-shuffled, not id order (decorrelation smoke check)
+    val byOffset = packed.map(_._1)
+    byOffset shouldNot equal(byOffset.sorted)
+    // determinism across plans
+    val again = Packing.packSequences(docs, "doc_id", "text", ctxLen = 512L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    packed.foreach { case (id, _, off, _, _) => again(id) shouldBe off }
+  }
+
+  test("epochMix: whole epochs exact, fractional share lands near target") {
+    val df = (0L until 1000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "src")
+    val out = Sampling.epochMix(df, "id", "src",
+      Map("a" -> 2.5, "b" -> 1.0))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // every b-doc appears exactly once, copy = 1
+    out.filter(_._2 == "b").groupBy(_._1).values.foreach { c =>
+      c.map(_._3).toSeq.sorted shouldBe Seq(1L)
+    }
+    // every a-doc appears 2 or 3 times, copies enumerate 1..n
+    val aCounts = out.filter(_._2 == "a").groupBy(_._1).map { case (_, c) =>
+      c.map(_._3).toSeq.sorted shouldBe (1L to c.size.toLong)
+      c.size
+    }.toSeq
+    all(aCounts) should (be(2) or be(3))
+    // the fractional half lands near 50% of the 500 a-docs (hash uniform)
+    aCounts.count(_ == 3) shouldBe 250 +- 50
+    // strata not in the recipe are dropped
+    Sampling.epochMix(df, "id", "src", Map("a" -> 1.0))
+      .filter(col("src") === "b").count() shouldBe 0L
+  }
+
   test("temperatureShares: alpha=1 recovers proportions, alpha=0 flattens") {
     val df = (0L until 90L).map(i => (i, if (i < 80) "big" else "small"))
       .toDF("id", "src")
