@@ -418,6 +418,72 @@ object Dedup {
       .select(idCol).distinct()
   }
 
+  /** Decontamination by EXCISION — the surgical complement of
+    * [[contaminatedIds]]: instead of flagging (and losing) every corpus
+    * document that shares an n-gram with the benchmark, cut the shared
+    * token SPANS out and keep the rest. Every occurrence of a benchmark
+    * n-gram marks tokens [pos, pos+n), overlapping marks merge
+    * (gaps-and-islands, the [[repeatedSubstrSpans]] discipline), covered
+    * tokens drop, and the document reassembles in order (q04 sorted
+    * collect). Output: (id, clean_text, n_tokens, n_removed) for EVERY
+    * corpus doc — untouched docs pass through with n_removed = 0.
+    *
+    * Scale: the benchmark n-gram set broadcasts (it is benchmark-sized,
+    * not corpus-sized); the corpus contributes one posexplode scan probed
+    * map-side, windows partition by doc id, and the span→position explode
+    * is O(removed tokens). The token relation feeds both hit-detection
+    * and reassembly — checkpointed once (the multi-use-subplan rule).
+    */
+  def decontaminateExcise(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val bg = ngramsExploded(benchmark, idCol, textCol, n)
+      .select("g").distinct()
+    val tok = corpus
+      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("p0", "w")))
+      .select(col(idCol), (col("p0") + 1).as("p"), col("w"))
+      .localCheckpoint(eager = false)
+    val wLead = Window.partitionBy(idCol).orderBy("p")
+    val occ = (1 until n).foldLeft(tok.withColumn("g0", col("w"))) {
+      (acc, k) => acc.withColumn(s"g$k", lead(col("w"), k).over(wLead))
+    }
+      .filter(col(s"g${n - 1}").isNotNull)
+      .select(col(idCol), col("p"),
+        concat_ws(" ", (0 until n).map(k => col(s"g$k")): _*).as("gram"))
+    val hits = occ
+      .join(broadcast(bg.withColumnRenamed("g", "gram")), Seq("gram"), "left_semi")
+      .select(col(idCol), col("p").as("pos"), (col("p") + (n - 1)).as("fin"))
+    val wPrev = Window.partitionBy(idCol).orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(idCol).orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val covered = hits
+      .withColumn("prev_end", max(col("fin")).over(wPrev))
+      .withColumn("brk",
+        when(col("prev_end").isNull || col("pos") > col("prev_end"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(wRun))
+      .groupBy(col(idCol), col("island"))
+      .agg(min(col("pos")).as("start"), max(col("fin")).as("fin"))
+      .select(col(idCol),
+        explode(sequence(col("start"), col("fin"))).as("p"))
+    tok
+      .join(covered, Seq(idCol, "p"), "left_anti")
+      .groupBy(idCol)
+      .agg(
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("p"), col("w")))),
+            x => x.getField("w"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+      // Right join on the totals: a FULLY-excised doc has no kept tokens
+      // and would otherwise vanish — it must surface as ("", n, n).
+      .join(tok.groupBy(idCol).agg(count(lit(1)).as("n_tokens")),
+        Seq(idCol), "right")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Incremental near-dup detection: ids of `batch` documents whose minhash
     * signature collides with ANY `corpus` document on at least one LSH band
     * (plus the first band that matched). The at-scale dedup pattern for a

@@ -943,8 +943,68 @@ object TrainQueries {
              FROM d WHERE n >= 1"""),
   )
 
+  /** Q142 [X]: decontamination by EXCISION — q50's flag turned into
+    * surgery: benchmark 4-gram occurrences in the corpus are located by
+    * position, overlapping hits merge into spans (gaps-and-islands), the
+    * covered tokens are cut, and every doc reassembles in order — clean
+    * text plus an exact removed-token count, untouched docs passing
+    * through intact.
+    */
+  val q142 = OracleQuery(
+    "q142_decontaminate_excise",
+    (s, d) => {
+      import graft.ext.Dedup
+      val docs = Tables.documents(s, d)
+      Dedup.decontaminateExcise(
+        docs.filter(col("doc_id") >= 10),
+        docs.filter(col("doc_id") < 10),
+        "doc_id", "text", 4)
+    },
+    Some("""WITH tokb AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+                 tokr AS (SELECT doc_id, unnest(t) AS w,
+                                 generate_subscripts(t, 1) AS p
+                          FROM tokb WHERE doc_id >= 10),
+                 tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+                         FROM tokr GROUP BY 1),
+                 b AS (SELECT DISTINCT g FROM
+                       (SELECT unnest([array_to_string(t[i:i+3], ' ')
+                               FOR i IN generate_series(1, len(t) - 3)]) AS g
+                        FROM tokb WHERE doc_id < 10)),
+                 occ0 AS (SELECT doc_id, t,
+                                 unnest(generate_series(1, len(t) - 3)) AS i
+                          FROM tokb WHERE doc_id >= 10 AND len(t) >= 4),
+                 occ AS (SELECT doc_id, i AS pos, i + 3 AS fin FROM occ0
+                         WHERE array_to_string(t[i:i+3], ' ') IN (SELECT g FROM b)),
+                 isl AS (SELECT doc_id, pos, fin,
+                                max(fin) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                                  AS prev_end
+                         FROM occ),
+                 isl2 AS (SELECT doc_id, pos, fin,
+                                 sum(CASE WHEN prev_end IS NULL OR pos > prev_end
+                                     THEN 1 ELSE 0 END)
+                                   OVER (PARTITION BY doc_id ORDER BY pos
+                                     ROWS UNBOUNDED PRECEDING) AS island
+                          FROM isl),
+                 sp AS (SELECT doc_id, island, min(pos) AS s, max(fin) AS f
+                        FROM isl2 GROUP BY 1, 2),
+                 cov AS (SELECT DISTINCT doc_id,
+                                unnest(generate_series(s, f)) AS p FROM sp),
+                 kept AS (SELECT r.doc_id, r.w, r.p FROM tokr r
+                          WHERE NOT EXISTS (SELECT 1 FROM cov c
+                            WHERE c.doc_id = r.doc_id AND c.p = r.p)),
+                 ag AS (SELECT doc_id, string_agg(w, ' ' ORDER BY p) AS clean_text,
+                               CAST(count(*) AS BIGINT) AS n_kept
+                        FROM kept GROUP BY 1)
+            SELECT t.doc_id, coalesce(ag.clean_text, '') AS clean_text,
+                   t.n_tokens,
+                   t.n_tokens - coalesce(ag.n_kept, 0) AS n_removed
+            FROM tot t LEFT JOIN ag ON ag.doc_id = t.doc_id"""),
+  )
+
   val all: Seq[OracleQuery] =
     Seq(q41, q42, q42b, q43, q44, q45, q46, q47, q48, q49, q50,
       q53, q54, q55, q56, q57, q120, q121, q122, q123, q124, q125, q126,
-      q127, q128, q129, q130, q131, q132, q134, q137, q138, q140, q141)
+      q127, q128, q129, q130, q131, q132, q134, q137, q138, q140, q141,
+      q142)
 }

@@ -348,6 +348,31 @@ class TrainOpsSpec extends SparkSpec {
     hit shouldBe Seq(10L)
   }
 
+  test("decontaminateExcise: spans cut, overlaps merge, untouched docs intact") {
+    val corpus = Seq(
+      // one benchmark 4-gram in the middle → tokens 3..6 excised
+      (10L, "keep1 keep2 alpha beta gamma delta keep3 keep4"),
+      // two OVERLAPPING occurrences (alpha..delta at 1, beta..eps at 2)
+      // merge into one span covering tokens 1..5
+      (11L, "alpha beta gamma delta epsilon tail1 tail2"),
+      // no overlap with the benchmark → identity, n_removed = 0
+      (12L, "totally unrelated words without any overlap at all"),
+      // the doc IS a benchmark 4-gram → fully excised, empty clean text
+      (13L, "alpha beta gamma delta")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (1L, "prefix alpha beta gamma delta epsilon suffix")).toDF("doc_id", "text")
+    val out = Dedup.decontaminateExcise(corpus, bench, "doc_id", "text", 4)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    out(10L) shouldBe (("keep1 keep2 keep3 keep4", 8L, 4L))
+    out(11L) shouldBe (("tail1 tail2", 7L, 5L))
+    out(12L) shouldBe (("totally unrelated words without any overlap at all", 8L, 0L))
+    out(13L) shouldBe (("", 4L, 4L))
+    out.size shouldBe 4
+  }
+
   test("maskWords masks whole words only; maskCount counts them") {
     val df = Seq((1L, "the theme of a cat is a hat")).toDF("id", "text")
     val r = df.select(
