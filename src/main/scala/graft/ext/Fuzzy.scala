@@ -1,15 +1,16 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Edit-distance (Levenshtein) similarity self-join — the STRING member of
-  * the exact similarity-join family (set Jaccard/cosine/containment live in
+/** Edit-distance (Levenshtein) similarity joins — the STRING member of the
+  * exact similarity-join family (set Jaccard/cosine/containment live in
   * [[Dedup]], vector cosine in [[Similarity]]): all pairs with
   * `levenshtein(a, b) <= k`, found without comparing all pairs.
   *
-  * Candidate generation is the PassJoin / Li et al. segment pigeonhole
-  * (cf. ariadnes-thread's fuzzy tag matching, which scans linearly): split
+  * Candidate generation is the PassJoin segment pigeonhole (Li, Deng, Feng,
+  * "PassJoin: a partition-based method for similarity joins", VLDB 2012;
+  * cf. ariadnes-thread's fuzzy tag matching, which scans linearly): split
   * every string into `k+1` contiguous segments; if `ed(s, t) <= k` then `t`
   * contains at least one of `s`'s segments VERBATIM, within `k` positions of
   * its home offset, and `|len(s) - len(t)| <= k`. So the index side emits
@@ -32,10 +33,79 @@ import org.apache.spark.sql.functions._
   * data-dependent (hot segments — e.g. a shared constant prefix — fan out);
   * the prefix order inside segments is positional, so unlike the set joins
   * there is no rarest-first rescue: pick segment count (= k) against the
-  * alphabet. Output: (id_a, id_b, dist), id_a < id_b.
+  * alphabet. [[segmentIndex]] freezes the index side so batches probe a
+  * built corpus in O(batch) ([[incrementalEditDistanceJoin]]), completing
+  * the incremental family (Jaccard/containment/cosine `Dedup.scala`,
+  * simhash `Dedup.incrementalSimhash`, chunks `Chunker`, SemDeDup).
   */
 object Fuzzy {
 
+  /** Segment i (0-based) of a length-L string under the (k+1)-way PassJoin
+    * partition, longer segments LAST: base = L div (k+1), r = L mod (k+1);
+    * len_i = base + (i >= k+1-r ? 1 : 0);
+    * start_i (1-based) = i*base + max(0, i - (k+1-r)) + 1.
+    */
+  private def segLen(k: Int)(lc: Column, i: Column): Column = {
+    val bi = floor(lc.cast("int") / lit(k + 1)).cast("int")
+    val r = lc.cast("int") % lit(k + 1)
+    bi + when(i >= lit(k + 1) - r, 1).otherwise(0)
+  }
+
+  private def segStart(k: Int)(lc: Column, i: Column): Column = {
+    val bi = floor(lc.cast("int") / lit(k + 1)).cast("int")
+    val r = lc.cast("int") % lit(k + 1)
+    i * bi + greatest(lit(0), i - (lit(k + 1) - r)) + lit(1)
+  }
+
+  /** Frozen segment index over strings with at least k+1 chars: k+1 rows
+    * per string, `(cid, clen, seg_idx, seg)`. Persist next to the corpus
+    * strings and probe later batches in O(batch) with
+    * [[incrementalEditDistanceJoin]]. Strings under k+1 chars are absent by
+    * construction — the incremental short path re-derives them from the
+    * corpus relation (a pushed-down `length < k+1` scan, no index needed).
+    */
+  def segmentIndex(df: DataFrame, idCol: String, strCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 8, s"segmentIndex: 1 <= k <= 8, got $k")
+    val segIdx = (0 to k).map(lit(_))
+    df.select(col(idCol).as("cid"), col(strCol).as("__cs"),
+        length(col(strCol)).as("clen"))
+      .filter(col("clen") >= k + 1)
+      .select(col("cid"), col("clen"), col("__cs"),
+        explode(array(segIdx: _*)).as("seg_idx"))
+      .select(col("cid"), col("clen"), col("seg_idx"),
+        substring(col("__cs"), segStart(k)(col("clen"), col("seg_idx")),
+          segLen(k)(col("clen"), col("seg_idx"))).as("seg"))
+  }
+
+  /** Every substring of a probe string that could equal a segment of a
+    * partner of admissible length: (2k+1) length deltas × (k+1) segment
+    * indices × (2k+1) position shifts — constant fan-out, codegen'd
+    * substring arithmetic. Input columns (pid, __s, plen); output
+    * (pid, clen = the guessed partner length, seg_idx, seg), equi-joinable
+    * against [[segmentIndex]] output.
+    */
+  private def probeSubstrings(probe: DataFrame, k: Int): DataFrame = {
+    val combos = for {
+      dl <- -k to k; i <- 0 to k; o <- -k to k
+    } yield struct(lit(dl).as("dl"), lit(i).as("i"), lit(o).as("o"))
+    probe
+      .select(col("pid"), col("__s"), col("plen"),
+        explode(array(combos: _*)).as("__c"))
+      .withColumn("clen", col("plen") + col("__c.dl"))
+      .filter(col("clen") >= k + 1)
+      .withColumn("seg_idx", col("__c.i"))
+      .withColumn("__sl", segLen(k)(col("clen"), col("seg_idx")))
+      .withColumn("__sp", segStart(k)(col("clen"), col("seg_idx")) + col("__c.o"))
+      .filter(col("__sp") >= 1 &&
+        col("__sp") + col("__sl") - 1 <= col("plen"))
+      .select(col("pid"), col("clen"), col("seg_idx"),
+        substring(col("__s"), col("__sp"), col("__sl")).as("seg"))
+  }
+
+  /** Self-join: all unordered pairs with `levenshtein <= k`.
+    * Output `(id_a, id_b, dist)`, id_a < id_b. See object scaladoc.
+    */
   def editDistanceJoin(df: DataFrame, idCol: String, strCol: String,
       k: Int): DataFrame = {
     require(k >= 1 && k <= 8, s"editDistanceJoin: 1 <= k <= 8, got $k")
@@ -44,59 +114,27 @@ object Fuzzy {
       .localCheckpoint(eager = false)
 
     // ---- long path: strings with at least k+1 chars --------------------
-    val long = base.filter(col("__l") >= k + 1)
-    // Segment i of a length-L string (k+1 segments, longer ones LAST):
-    //   base = L div (k+1), r = L mod (k+1)
-    //   len_i = base + (i >= k+1-r ? 1 : 0)
-    //   start_i (1-based) = i*base + max(0, i - (k+1-r)) + 1
-    def segLen(lc: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) = {
-      val b = lc.cast("int") / lit(k + 1)
-      val bi = floor(b).cast("int")
-      val r = lc.cast("int") % lit(k + 1)
-      bi + when(i >= lit(k + 1) - r, 1).otherwise(0)
-    }
-    def segStart(lc: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) = {
-      val bi = floor(lc.cast("int") / lit(k + 1)).cast("int")
-      val r = lc.cast("int") % lit(k + 1)
-      i * bi + greatest(lit(0), i - (lit(k + 1) - r)) + lit(1)
-    }
-    val segIdx = (0 to k).map(lit(_))
-    val index = long
-      .select(col("__id"), col("__s"), col("__l"),
-        explode(array(segIdx: _*)).as("__i"))
-      .select(col("__id").as("ia"), col("__l").as("la"),
-        col("__i"),
-        expr(s"substring(__s, ${segStartSql("__l", "__i")}, ${segLenSql("__l", "__i")})")
-          .as("__seg"))
-    // Probe: every (length delta, segment idx, shift) combo — constant.
-    val combos = for {
-      dl <- -k to k; i <- 0 to k; o <- -k to k
-    } yield struct(lit(dl).as("dl"), lit(i).as("i"), lit(o).as("o"))
-    val probe = long
-      .select(col("__id"), col("__s"), col("__l"),
-        explode(array(combos: _*)).as("__c"))
-      .withColumn("__l2", col("__l") + col("__c.dl"))     // partner length
-      .filter(col("__l2") >= k + 1)
-      .withColumn("__i", col("__c.i"))
-      .withColumn("__sl", segLen(col("__l2"), col("__i")))
-      .withColumn("__sp", segStart(col("__l2"), col("__i")) + col("__c.o"))
-      .filter(col("__sp") >= 1 &&
-        col("__sp") + col("__sl") - 1 <= col("__l"))
-      .select(col("__id").as("ib"), col("__l2").as("la"), col("__i"),
-        expr("substring(__s, __sp, __sl)").as("__seg"))
-    val candLong = index.join(probe, Seq("__seg", "__i", "la"))
-      .filter(col("ia") < col("ib"))
-      .select(col("ia"), col("ib"))
+    val index = segmentIndex(base, "__id", "__s", k)
+    val probe = probeSubstrings(
+      base.filter(col("__l") >= k + 1)
+        .select(col("__id").as("pid"), col("__s"), col("__l").as("plen")), k)
+    // Each qualifying pair is found in BOTH orientations (the pigeonhole
+    // applies to either string's partition), so keeping index-id < probe-id
+    // loses nothing.
+    val candLong = index.join(probe, Seq("seg", "seg_idx", "clen"))
+      .filter(col("cid") < col("pid"))
+      .select(col("cid").as("ia"), col("pid").as("ib"))
 
     // ---- short path: strings under k+1 chars (partners are <= 2k+1) ----
     val shortAll = base.filter(col("__l") <= 2 * k + 1)
       .select(col("__id"), col("__l"))
-    val shortSide = base.filter(col("__l") < k + 1).select(col("__id"), col("__l"))
-    val candShort = shortSide.alias("x")
-      .join(shortAll.alias("y"),
-        abs(col("x.__l") - col("y.__l")) <= k && col("x.__id") =!= col("y.__id"))
-      .select(least(col("x.__id"), col("y.__id")).as("ia"),
-        greatest(col("x.__id"), col("y.__id")).as("ib"))
+    val shortSide = base.filter(col("__l") < k + 1)
+      .select(col("__id").as("sid"), col("__l").as("sl"))
+    val candShort = shortSide
+      .join(shortAll,
+        abs(col("sl") - col("__l")) <= k && col("sid") =!= col("__id"))
+      .select(least(col("sid"), col("__id")).as("ia"),
+        greatest(col("sid"), col("__id")).as("ib"))
 
     // ---- verify ---------------------------------------------------------
     val cands = candLong.unionByName(candShort).distinct()
@@ -108,11 +146,44 @@ object Fuzzy {
       .select(col("ia").as("id_a"), col("ib").as("id_b"), col("dist"))
   }
 
-  // SQL-text twins of segLen/segStart for the index side (substring wants
-  // them inline; identical arithmetic, integer div).
-  private def segLenSql(l: String, i: String): String =
-    s"($l div ${k1}) + (CASE WHEN $i >= ${k1} - ($l % ${k1}) THEN 1 ELSE 0 END)"
-  private def segStartSql(l: String, i: String): String =
-    s"$i * ($l div ${k1}) + greatest(0, $i - (${k1} - ($l % ${k1}))) + 1"
-  private def k1: String = "__K1__" // patched per call below
+  /** Incremental probe: every (batch, corpus) pair with `levenshtein <= k`,
+    * from a FROZEN corpus — `index` is [[segmentIndex]] output over
+    * `corpus` (built once, or loaded from parquet), nothing is rebuilt.
+    * The batch side enumerates its (2k+1)²·(k+1) candidate substrings and
+    * equi-joins the index: O(batch) work like the other incremental
+    * members (`Dedup.incrementalJaccardJoin` et al.). The pigeonhole only
+    * needs the CORPUS side partitioned (a batch string containing a corpus
+    * segment is the one orientation probed), so completeness holds for
+    * batch strings of any length, including under k+1 chars.
+    * Batch-batch pairs are NOT reported (same contract as q112–q114).
+    * Output `(id_a, id_b, dist)` = (batch id, corpus id, distance).
+    */
+  def incrementalEditDistanceJoin(index: DataFrame, corpus: DataFrame,
+      batch: DataFrame, idCol: String, strCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 8,
+      s"incrementalEditDistanceJoin: 1 <= k <= 8, got $k")
+    val c = corpus.select(col(idCol).as("cid"), col(strCol).as("__cs"),
+      length(col(strCol)).as("clen"))
+    val b = batch.select(col(idCol).as("pid"), col(strCol).as("__s"),
+      length(col(strCol)).as("plen"))
+      .localCheckpoint(eager = false)
+
+    val candLong = index.join(probeSubstrings(b, k), Seq("seg", "seg_idx", "clen"))
+      .select(col("cid"), col("pid"))
+    // Corpus strings under k+1 chars are not in the index; their batch
+    // partners have length <= 2k (length filter), a pushed-down scan of
+    // both small slices.
+    val candShort = b.filter(col("plen") <= 2 * k)
+      .select(col("pid"), col("plen"))
+      .join(c.filter(col("clen") < k + 1).select(col("cid"), col("clen")),
+        abs(col("plen") - col("clen")) <= k)
+      .select(col("cid"), col("pid"))
+
+    candLong.unionByName(candShort).distinct()
+      .join(c.select(col("cid"), col("__cs")), "cid")
+      .join(b.select(col("pid"), col("__s")), "pid")
+      .withColumn("dist", levenshtein(col("__s"), col("__cs")))
+      .filter(col("dist") <= k)
+      .select(col("pid").as("id_a"), col("cid").as("id_b"), col("dist"))
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{Dedup, Similarity, TextHash}
+import graft.ext.{Dedup, Fuzzy, Similarity, TextHash}
 
 /** Round-5 widening: exact similarity joins beyond Jaccard (tf-weighted
   * cosine, asymmetric containment) and the seeded random-projection
@@ -694,6 +694,57 @@ object SimilarityQueries {
              FROM g LEFT JOIN l ON l.doc_id = g.doc_id"""),
   )
 
+  /** Q143 [X]: exact EDIT-DISTANCE self-join (PassJoin segment pigeonhole,
+    * `Fuzzy.editDistanceJoin`) at k = 3 over 16-char document prefixes on
+    * a 1-in-3 id slice — the STRING member of the exact similarity-join
+    * family (q86 Jaccard / q103 cosine / q105 containment). The slice
+    * bounds the twin's brute-force `levenshtein` cross join (the oracle is
+    * O(n²); the operator is not). Spark and DuckDB both implement classic
+    * unit-cost Levenshtein, so `dist` compares exactly.
+    */
+  val q143 = OracleQuery(
+    "q143_edit_distance_join",
+    (s, d) => Fuzzy.editDistanceJoin(
+      Tables.documents(s, d).filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), substring(col("text"), 1, 16).as("__p")),
+      "doc_id", "__p", k = 3),
+    Some("""WITH t AS (SELECT doc_id, substr(text, 1, 16) AS s
+                       FROM documents WHERE doc_id % 3 = 0)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
+            FROM t a JOIN t b ON b.doc_id > a.doc_id
+            WHERE levenshtein(a.s, b.s) <= 3"""),
+  )
+
+  /** Q144 [X]: incremental EDIT-DISTANCE probe — the 1-in-10 "batch" of
+    * the q143 slice against the frozen segment index of the other 90%:
+    * every (batch, corpus) pair within k = 3, O(batch) work against a
+    * built corpus (`Fuzzy.segmentIndex` + `incrementalEditDistanceJoin`),
+    * completing the incremental family (q112 jaccard / q113 containment /
+    * q114 cosine / q117 simhash). The twin brute-forces the cross-split
+    * `levenshtein` join.
+    */
+  val q144 = OracleQuery(
+    "q144_incremental_edit_distance",
+    (s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), substring(col("text"), 1, 16).as("__p"))
+      val corpus = docs.filter(col("doc_id") % 30 =!= 0)
+      val batch = docs.filter(col("doc_id") % 30 === 0)
+      Fuzzy.incrementalEditDistanceJoin(
+        Fuzzy.segmentIndex(corpus, "doc_id", "__p", 3), corpus, batch,
+        "doc_id", "__p", k = 3)
+    },
+    Some("""WITH t AS (SELECT doc_id, substr(text, 1, 16) AS s
+                       FROM documents WHERE doc_id % 3 = 0)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
+            FROM t a JOIN t b
+              ON a.doc_id % 30 = 0 AND b.doc_id % 30 != 0
+            WHERE levenshtein(a.s, b.s) <= 3"""),
+  )
+
   val all: Seq[OracleQuery] = Seq(q103, q104, q105, q106, q108, q109, q110,
-    q111, q112, q113, q114, q115, q116, q117, q118, q119, q135, q139)
+    q111, q112, q113, q114, q115, q116, q117, q118, q119, q135, q139,
+    q143, q144)
 }

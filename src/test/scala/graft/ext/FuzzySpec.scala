@@ -1,0 +1,103 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** [X] edit-distance similarity joins (PassJoin segment pigeonhole) vs a
+  * brute-force `levenshtein` cross join — over a k grid, including the
+  * short-string (`len <= k`) path and every segment-boundary residue
+  * (`L mod (k+1)` in 0..k appears in the length mix by construction).
+  */
+class FuzzySpec extends SparkSpec {
+  import spark.implicits._
+
+  // Deterministic word soup over a 3-letter alphabet: lots of near-pairs.
+  // Lengths 0..14 cover every L mod (k+1) residue for k in 1..4, the
+  // short path (len <= k), the exact boundary (len = k+1), and the short
+  // path's partner bound (len = 2k+1).
+  private val strings: Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(42)
+    val alpha = "abc"
+    (0L until 160L).map { id =>
+      val len = rnd.nextInt(15)
+      id -> Array.fill(len)(alpha(rnd.nextInt(alpha.length))).mkString
+    }
+  }
+  private lazy val df = strings.toDF("id", "s")
+
+  private def brute(data: DataFrame, k: Int): Set[(Long, Long, Int)] =
+    data.alias("a").join(data.alias("b"), col("a.id") < col("b.id"))
+      .withColumn("dist", levenshtein(col("a.s"), col("b.s")))
+      .filter(col("dist") <= k)
+      .select(col("a.id"), col("b.id"), col("dist"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+  for (k <- 1 to 4)
+    test(s"editDistanceJoin == brute force at k=$k") {
+      val got = Fuzzy.editDistanceJoin(df, "id", "s", k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val want = brute(df, k)
+      got shouldBe want
+      withClue("degenerate fixture — no pairs to check:") {
+        want should not be empty
+      }
+    }
+
+  test("segment-boundary lengths: every residue L mod (k+1), k=3") {
+    // One string per length 4..12 built so adjacent lengths are 1 edit
+    // apart: prefixes of a fixed word — hits all residues of mod 4.
+    val word = "abcabcabcabc"
+    val pre = (4 to 12).map(l => (l.toLong, word.take(l))).toDF("id", "s")
+    val got = Fuzzy.editDistanceJoin(pre, "id", "s", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    got shouldBe brute(pre, 3)
+    // prefixes l and l+d are exactly d deletions apart
+    got should contain ((4L, 7L, 3))
+    got should not contain ((4L, 8L, 4))
+  }
+
+  test("short-string path: empty and sub-k strings pair correctly, k=2") {
+    val tiny = Seq(1L -> "", 2L -> "a", 3L -> "ab", 4L -> "abcd",
+      5L -> "abcde", 6L -> "zz").toDF("id", "s")
+    val got = Fuzzy.editDistanceJoin(tiny, "id", "s", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    got shouldBe brute(tiny, 2)
+    got should contain ((1L, 3L, 2)) // "" vs "ab": 2 inserts, both short
+    got should contain ((3L, 4L, 2)) // short vs long crossing k+1
+  }
+
+  for (k <- Seq(1, 3))
+    test(s"incrementalEditDistanceJoin == brute batch×corpus at k=$k") {
+      val corpus = df.filter($"id" % 4 =!= 0L)
+      val batch = df.filter($"id" % 4 === 0L)
+      val idx = Fuzzy.segmentIndex(corpus, "id", "s", k)
+      val got = Fuzzy.incrementalEditDistanceJoin(idx, corpus, batch, "id", "s", k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val want = batch.alias("a").join(corpus.alias("b"))
+        .withColumn("dist", levenshtein(col("a.s"), col("b.s")))
+        .filter(col("dist") <= k)
+        .select(col("a.id"), col("b.id"), col("dist"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      got shouldBe want
+      withClue("degenerate fixture — no pairs to check:") {
+        want should not be empty
+      }
+    }
+
+  test("incremental index survives a parquet round-trip") {
+    val tmp = java.nio.file.Files.createTempDirectory("fuzzyidx").toString
+    val corpus = df.filter($"id" % 4 =!= 0L)
+    val batch = df.filter($"id" % 4 === 0L)
+    Fuzzy.segmentIndex(corpus, "id", "s", 2).write.mode("overwrite")
+      .parquet(s"$tmp/seg")
+    val loaded = spark.read.parquet(s"$tmp/seg")
+    val got = Fuzzy.incrementalEditDistanceJoin(loaded, corpus, batch, "id", "s", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val idx = Fuzzy.segmentIndex(corpus, "id", "s", 2)
+    val direct = Fuzzy.incrementalEditDistanceJoin(idx, corpus, batch, "id", "s", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    got shouldBe direct
+  }
+}
