@@ -218,6 +218,9 @@ object Sampling {
       epochs: Map[String, Double], granularity: Int = 1000): DataFrame = {
     require(epochs.values.forall(e => e >= 0 && e <= 100),
       "epochMix: epochs must be in [0, 100]")
+    // granularity 0 would make pmod(salted, 0) null (non-ANSI) — silently
+    // dropping every fractional epoch — or throw under ANSI.
+    require(granularity >= 1, s"epochMix: granularity >= 1, got $granularity")
     val whole = epochs.map { case (k, e) => k -> math.floor(e).toLong }
     val fracG = epochs.map { case (k, e) =>
       k -> math.round((e - math.floor(e)) * granularity) }
