@@ -435,9 +435,27 @@ object Dedup {
     * and reassembly — checkpointed once (the multi-use-subplan rule).
     */
   def decontaminateExcise(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame =
+    decontaminateExciseAgainstGrams(corpus,
+      benchmarkGrams(benchmark, idCol, textCol, n), idCol, textCol, n)
+
+  /** The benchmark's distinct n-gram set, as a one-column `g` relation —
+    * the frozen structure streaming excision (ST11) probes per
+    * micro-batch. Train-once: `localCheckpoint` (or persist) the result so
+    * arriving batches never re-run the benchmark tokenize pass.
+    */
+  def benchmarkGrams(benchmark: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    ngramsExploded(benchmark, idCol, textCol, n).select("g").distinct()
+
+  /** [[decontaminateExcise]] kernel against a PRE-BUILT benchmark gram set
+    * ([[benchmarkGrams]]): plain DataFrame → DataFrame, so the streaming
+    * path (ST11) and its batch twin share one body and batch≡stream parity
+    * is directly testable. `n` must equal the gram width `bg` was built
+    * with (spans cover [pos, pos+n)).
+    */
+  def decontaminateExciseAgainstGrams(corpus: DataFrame, bg: DataFrame,
       idCol: String, textCol: String, n: Int): DataFrame = {
-    val bg = ngramsExploded(benchmark, idCol, textCol, n)
-      .select("g").distinct()
     val tok = corpus
       .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("p0", "w")))
       .select(col(idCol), (col("p0") + 1).as("p"), col("w"))

@@ -287,6 +287,47 @@ class EventStreamsSpec extends SparkSpec {
     byId shouldBe batchScores
   }
 
+  test("ST11 streaming decontamination: excised text matches the batch kernel") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.Dedup
+    val benchmark = Seq(
+      (0L, "q1 q2 q3 q4"),
+      (1L, "e1 e2 e3 e4 e5")).toDF("doc_id", "text")
+    val bg = Dedup.benchmarkGrams(benchmark, "doc_id", "text", 4)
+      .localCheckpoint() // frozen once; micro-batches only probe
+    val arriving = Seq(
+      ArrivingDoc(100L, "a b q1 q2 q3 q4 c d"),          // one span cut
+      ArrivingDoc(101L, "e1 e2 e3 e4 e5 x e1 e2 e3 e4"), // overlap + repeat
+      ArrivingDoc(102L, "clean doc nothing shared here"), // untouched
+      ArrivingDoc(103L, "q1 q2 q3 q4"))                  // fully excised
+    val mem = MemoryStream[ArrivingDoc]
+    mem.addData(arriving)
+    val got = scala.collection.mutable.ArrayBuffer[(Long, String, Long, Long)]()
+    val q = EventStreams.decontaminateOnArrival(
+      mem.toDF(), bg, "doc_id", "text", n = 4) { cleaned =>
+      got.synchronized {
+        got ++= cleaned.collect().map(r =>
+          (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      }
+    }
+    q.processAllAvailable()
+    q.stop()
+    val byId = got.map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    byId.keySet shouldBe Set(100L, 101L, 102L, 103L)
+    byId(100L) shouldBe (("a b c d", 8L, 4L))
+    // 101: positions 1-5 (e1..e5 covers two overlapping grams) and 7-10 cut
+    byId(101L) shouldBe (("x", 10L, 9L))
+    byId(102L) shouldBe (("clean doc nothing shared here", 5L, 0L))
+    byId(103L) shouldBe (("", 4L, 4L)) // fully-excised docs still surface
+    // stream ≡ batch: identical rows from one decontaminateExcise call
+    val batchClean = Dedup.decontaminateExcise(
+      arriving.map(a => (a.doc_id, a.text)).toDF("doc_id", "text"),
+      benchmark, "doc_id", "text", 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    byId shouldBe batchClean
+  }
+
   test("ST4b flatMapGroupsWithState: running totals across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
