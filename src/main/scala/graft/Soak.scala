@@ -69,7 +69,7 @@ object Soak {
       Dedup.minHashSignature(docs, "doc_id", "text").count())
     val sig = Dedup.minHashSignature(docs, "doc_id", "text").cache()
     sig.count()
-    time("lsh candidate pairs")(
+    val lshPairCount = time("lsh candidate pairs")(
       Dedup.lshCandidatePairs(sig, "doc_id",
         Seq(Seq("mh0", "mh1"), Seq("mh2", "mh3"))).count())
     time("simhash")(
@@ -422,6 +422,94 @@ object Soak {
     time("postings probe from store (3 terms)")(
       ext.IndexStore.readPostings(spark, s"$idxDir/postings",
         Seq("w17", "w4242", "w9001")).count())
+
+    // round-9: sequence packing — the two-phase cumsum must tile the token
+    // stream exactly (last doc's end == corpus token total); the phase-1
+    // single-partition window sees nBuckets rows by construction, so
+    // wall-time here is the linear groupBy, never a corpus-wide window.
+    time("sequence packing (ctx 2048)")({
+      val r = Packing.packSequences(docs, "doc_id", "text", 2048L)
+        .agg(max(col("tok_offset") + col("n_tokens")).as("mx"),
+          sum(col("n_tokens")).as("tot"), count(lit(1)).as("n")).head()
+      assert(r.getAs[Long]("n") == nDocs,
+        s"packSequences emitted ${r.getAs[Long]("n")} of $nDocs docs")
+      assert(r.getAs[Long]("mx") == r.getAs[Long]("tot"),
+        s"cumsum is not a perfect tiling: max end ${r.getAs[Long]("mx")}" +
+          s" != token total ${r.getAs[Long]("tot")}")
+      r
+    })
+    // round-9: leakage audit — the combinatorial path never materializes a
+    // pair, but its cell counts must still SUM to the DISTINCT pairs the
+    // materializing LSH path finds over the same bands: C(c,2) + cross
+    // products + inclusion-exclusion ≡ distinct pairs, at 1M docs.
+    // (lshPairCount above carries band multiplicity — a pair colliding in
+    // both bands counts twice there, once here.)
+    time("split leakage audit (hash split)")({
+      val distinctPairs = Dedup.lshCandidatePairs(sig, "doc_id",
+          Seq(Seq("mh0", "mh1"), Seq("mh2", "mh3")))
+        .select("doc_a", "doc_b").distinct().count()
+      assert(distinctPairs <= lshPairCount, "band multiplicity sanity")
+      val cells = DedupCluster.splitLeakageAudit(docs, "doc_id", "text",
+        Sampling.splitAssign(col("doc_id"))).collect()
+      val tot = cells.map(_.getAs[Long]("n_pairs")).sum
+      assert(tot == distinctPairs,
+        s"audit cells sum to $tot, LSH distinct pairs are $distinctPairs")
+      cells.length
+    })
+    // round-9: epoch mixing is pure map-side — the plan must carry NO
+    // exchange (the 100-TB property: output is recipe-sized, shuffle-free).
+    time("epoch mix (recipe over 4 strata)")({
+      val mixed = Sampling.epochMix(
+        docs.withColumn("src", pmod(col("doc_id"), lit(4L)).cast("string")),
+        "doc_id", "src", Map("0" -> 2.5, "1" -> 0.3, "2" -> 1.0))
+      val plan = mixed.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"epochMix plan shuffles:\n$plan")
+      val n = mixed.count()
+      val expect = (nDocs / 4.0 * (2.5 + 0.3 + 1.0)).toLong
+      assert(math.abs(n - expect) <= expect / 20,
+        s"epoch mix emitted $n rows, recipe expects ~$expect")
+      n
+    })
+    // round-9: decontamination by excision at corpus scale — a 1k-doc
+    // benchmark broadcasts; corpus docs sharing its seeds (the first 1k,
+    // plus their planted dups) lose spans, everything else passes through.
+    time("decontaminate excise (1k benchmark)")({
+      val bench = syntheticDocs(spark, 1000L)
+        .withColumn("doc_id", col("doc_id") + 5 * nDocs)
+      val out = Dedup.decontaminateExcise(docs, bench, "doc_id", "text", 8)
+      val r = out.agg(count(lit(1)).as("n"),
+        sum(when(col("n_removed") > 0, 1L).otherwise(0L)).as("hit")).head()
+      assert(r.getAs[Long]("n") == nDocs,
+        s"excision emitted ${r.getAs[Long]("n")} of $nDocs docs")
+      assert(r.getAs[Long]("hit") >= 1000,
+        s"only ${r.getAs[Long]("hit")} docs hit — benchmark seeds overlap 1k+")
+      r
+    })
+    // round-10: edit-distance join (PassJoin) over 24-char prefixes at
+    // k=2 — segment equi-join + verify, never all-pairs; the planted
+    // every-100th exact dups guarantee >= nDocs/100 dist-0 pairs.
+    val edStrings = docs.select(col("doc_id"),
+      substring(col("text"), 1, 24).as("s")).cache()
+    time("edit-distance join (24-char, k=2)")({
+      val n = ext.Fuzzy.editDistanceJoin(edStrings, "doc_id", "s", 2).count()
+      assert(n >= nDocs / 100,
+        s"edit join found $n pairs, planted dups alone are ${nDocs / 100}")
+      n
+    })
+    time("incremental edit distance (1% batch)")({
+      val batch = syntheticDocs(spark, nDocs / 100)
+        .withColumn("doc_id", col("doc_id") + 6 * nDocs)
+        .select(col("doc_id"), substring(col("text"), 1, 24).as("s"))
+      val idx = ext.Fuzzy.segmentIndex(edStrings, "doc_id", "s", 2)
+      val n = ext.Fuzzy.incrementalEditDistanceJoin(idx, edStrings, batch,
+        "doc_id", "s", 2).count()
+      // batch seeds reuse the corpus head: every batch doc has its seed
+      // twin (and that twin's planted dup) in the corpus at dist 0
+      assert(n >= nDocs / 100,
+        s"incremental edit join found $n matches for ${nDocs / 100} batch docs")
+      n
+    })
+    edStrings.unpersist()
 
     spark.stop()
   }

@@ -403,6 +403,36 @@ object Dedup {
         !col("exact_dup") && !col("jac_dup") && !col("sh_dup"))
   }
 
+  /** [[ingestGate]] plus the STRING signal: edit-distance near-dup at
+    * distance ≤ k on a short normalized key column (title, URL slug, text
+    * prefix — full texts are the set joins' job; Levenshtein on kilobyte
+    * strings discriminates nothing). Batch keys probe the FROZEN
+    * [[Fuzzy.segmentIndex]] built over `editCorpus` (idCol, editCol) —
+    * O(batch) like every other signal; `batch` must carry BOTH textCol
+    * and editCol. Output adds `ed_dup`, and `admit` is the conjunction
+    * of all four all-clears. Kept as a separate entry point so the
+    * three-signal [[ingestGate]] (q118/q139) stays byte-stable.
+    */
+  def ingestGateWithEdit(index: GramIndex, corpusSig: DataFrame,
+      corpusTexts: DataFrame, editIndex: DataFrame, editCorpus: DataFrame,
+      batch: DataFrame, idCol: String, textCol: String, editCol: String,
+      k: Int, tauNum: Int = 1, tauDen: Int = 2,
+      maxDist: Int = 3): DataFrame = {
+    val base = ingestGate(index, corpusSig, corpusTexts, batch, idCol,
+      textCol, tauNum, tauDen, maxDist)
+    val ed = Fuzzy.incrementalEditDistanceJoin(editIndex, editCorpus,
+      batch, idCol, editCol, k)
+      .select(col("id_a").as(idCol)).distinct()
+      .withColumn("__ed", lit(true))
+    base.drop("admit")
+      .join(ed, Seq(idCol), "left_outer")
+      .withColumn("ed_dup", coalesce(col("__ed"), lit(false)))
+      .drop("__ed")
+      .withColumn("admit",
+        !col("exact_dup") && !col("jac_dup") && !col("sh_dup") &&
+          !col("ed_dup"))
+  }
+
   /** Benchmark decontamination: ids of `corpus` documents that share ANY
     * distinct word n-gram with `benchmark` — the standard eval-leak check
     * before training. The benchmark side is tiny next to the corpus, so

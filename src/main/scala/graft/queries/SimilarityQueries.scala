@@ -744,7 +744,55 @@ object SimilarityQueries {
             WHERE levenshtein(a.s, b.s) <= 3"""),
   )
 
+  /** Q145 [X]: the ingest gate grown a STRING signal — q118's three
+    * frozen-structure probes plus edit-distance ≤ 2 on 16-char text
+    * prefixes against the frozen `Fuzzy.segmentIndex`
+    * (`Dedup.ingestGateWithEdit`): catches the title/prefix-level
+    * near-dup that bigram Jaccard and simhash both miss (a shared short
+    * head with a divergent tail). The twin nests q118's twin and
+    * brute-forces the cross-split prefix `levenshtein`.
+    */
+  val q145 = OracleQuery(
+    "q145_ingest_gate_with_edit",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      def keyed(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("doc_id"), col("text"),
+          substring(col("text"), 1, 16).as("__p"))
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+      val gate = Dedup.ingestGateWithEdit(
+        Dedup.gramIndex(corpus, "doc_id", "text", n = 2),
+        Dedup.simHash64Signature(corpus, "doc_id", "text"),
+        corpus,
+        Fuzzy.segmentIndex(keyed(corpus), "doc_id", "__p", 2),
+        keyed(corpus).select(col("doc_id"), col("__p")),
+        keyed(batch),
+        "doc_id", "text", "__p", k = 2,
+        tauNum = 1, tauDen = 2, maxDist = 3)
+      gate.select(col("doc_id"),
+        col("exact_dup").cast("long").as("exact_dup"),
+        col("jac_dup").cast("long").as("jac_dup"),
+        col("sh_dup").cast("long").as("sh_dup"),
+        col("ed_dup").cast("long").as("ed_dup"),
+        col("admit").cast("long").as("admit"))
+    },
+    Some(s"""WITH g AS (${q118.oracle.get}),
+         ed AS (SELECT DISTINCT a.doc_id FROM
+                (SELECT doc_id, substr(text, 1, 16) AS s FROM documents
+                 WHERE doc_id % 10 = 0) a
+                JOIN (SELECT doc_id, substr(text, 1, 16) AS s FROM documents
+                      WHERE doc_id % 10 != 0) b
+                ON levenshtein(a.s, b.s) <= 2)
+         SELECT g.doc_id, g.exact_dup, g.jac_dup, g.sh_dup,
+                CAST(g.doc_id IN (SELECT doc_id FROM ed) AS BIGINT) AS ed_dup,
+                CAST(CASE WHEN g.admit = 1 AND
+                     g.doc_id NOT IN (SELECT doc_id FROM ed)
+                     THEN 1 ELSE 0 END AS BIGINT) AS admit
+         FROM g"""),
+  )
+
   val all: Seq[OracleQuery] = Seq(q103, q104, q105, q106, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q135, q139,
-    q143, q144)
+    q143, q144, q145)
 }

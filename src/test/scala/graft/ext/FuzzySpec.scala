@@ -86,6 +86,35 @@ class FuzzySpec extends SparkSpec {
       }
     }
 
+  test("ingestGateWithEdit: prefix near-dup fires ONLY the string signal") {
+    import org.apache.spark.sql.DataFrame
+    val corpus = Seq(
+      (1L, "alpha beta gam w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"),
+      (2L, "k1 k2 k3 k4 k5 k6 k7 k8 k9 k10 k11 k12 k13 k14")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      // prefix16 "alpha beta gam q" is 1 edit from doc 1's prefix, but the
+      // body shares only 2 of ~26 bigrams: jaccard and simhash stay clear
+      (10L, "alpha beta gam q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11 q12"),
+      (11L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 z11 z12 z13 z14")  // novel
+    ).toDF("doc_id", "text")
+    def keyed(df: DataFrame) = df.select(col("doc_id"), col("text"),
+      substring(col("text"), 1, 16).as("__p"))
+    val gate = Dedup.ingestGateWithEdit(
+      Dedup.gramIndex(corpus, "doc_id", "text", n = 2),
+      Dedup.simHash64Signature(corpus, "doc_id", "text"),
+      corpus,
+      Fuzzy.segmentIndex(keyed(corpus), "doc_id", "__p", 2),
+      keyed(corpus).select(col("doc_id"), col("__p")),
+      keyed(batch), "doc_id", "text", "__p", k = 2)
+    val byId = gate.collect().map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[Boolean]("exact_dup"), r.getAs[Boolean]("jac_dup"),
+        r.getAs[Boolean]("sh_dup"), r.getAs[Boolean]("ed_dup"),
+        r.getAs[Boolean]("admit")))).toMap
+    byId(10L) shouldBe ((false, false, false, true, false))
+    byId(11L) shouldBe ((false, false, false, false, true))
+  }
+
   test("incremental index survives a parquet round-trip") {
     val tmp = java.nio.file.Files.createTempDirectory("fuzzyidx").toString
     val corpus = df.filter($"id" % 4 =!= 0L)
