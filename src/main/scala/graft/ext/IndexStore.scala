@@ -97,4 +97,31 @@ object IndexStore {
     val n = spark.read.parquet(s"$path/meta").head().getAs[Int]("n")
     Dedup.loadedGramIndex(spark, path, n)
   }
+
+  /** Persist a [[Fuzzy.segmentIndex]] with its corpus key strings and k —
+    * the at-rest form of the STRING member of the incremental family:
+    * a later session loads both relations and probes batches in O(batch)
+    * ([[Fuzzy.incrementalEditDistanceJoin]]) with zero corpus re-scan.
+    * `corpus` must be the (idCol, strCol) relation the index was built
+    * over (the verify join and the short-string path read it).
+    */
+  def writeSegmentIndex(index: DataFrame, corpus: DataFrame, k: Int,
+      path: String): Unit = {
+    index.write.mode("overwrite").parquet(s"$path/seg")
+    corpus.write.mode("overwrite").parquet(s"$path/corpus")
+    val spark = index.sparkSession
+    spark.range(1).select(lit(k).as("k"))
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Reload a persisted segment index: (segment relation, corpus keys, k).
+    * Pass the first two straight to [[Fuzzy.incrementalEditDistanceJoin]]
+    * with the loaded k.
+    */
+  def loadSegmentIndex(spark: SparkSession,
+      path: String): (DataFrame, DataFrame, Int) = {
+    val k = spark.read.parquet(s"$path/meta").head().getAs[Int]("k")
+    (spark.read.parquet(s"$path/seg"),
+      spark.read.parquet(s"$path/corpus"), k)
+  }
 }

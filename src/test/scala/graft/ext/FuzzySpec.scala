@@ -115,18 +115,21 @@ class FuzzySpec extends SparkSpec {
     byId(11L) shouldBe ((false, false, false, false, true))
   }
 
-  test("incremental index survives a parquet round-trip") {
+  test("incremental index survives an IndexStore round-trip") {
     val tmp = java.nio.file.Files.createTempDirectory("fuzzyidx").toString
     val corpus = df.filter($"id" % 4 =!= 0L)
     val batch = df.filter($"id" % 4 === 0L)
-    Fuzzy.segmentIndex(corpus, "id", "s", 2).write.mode("overwrite")
-      .parquet(s"$tmp/seg")
-    val loaded = spark.read.parquet(s"$tmp/seg")
-    val got = Fuzzy.incrementalEditDistanceJoin(loaded, corpus, batch, "id", "s", 2)
+    IndexStore.writeSegmentIndex(
+      Fuzzy.segmentIndex(corpus, "id", "s", 2), corpus, 2, tmp)
+    val (loadedIdx, loadedCorpus, k) = IndexStore.loadSegmentIndex(spark, tmp)
+    k shouldBe 2
+    val got = Fuzzy.incrementalEditDistanceJoin(
+        loadedIdx, loadedCorpus, batch, "id", "s", k)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     val idx = Fuzzy.segmentIndex(corpus, "id", "s", 2)
     val direct = Fuzzy.incrementalEditDistanceJoin(idx, corpus, batch, "id", "s", 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     got shouldBe direct
+    direct should not be empty
   }
 }
