@@ -25,8 +25,11 @@ import org.apache.spark.sql.functions._
   *
   * Strings shorter than `k + 1` cannot give k+1 non-empty segments (an
   * empty segment matches everything); they route through a brute path
-  * restricted to lengths `<= 2k + 1` — a bounded universe (any partner of
-  * a short string is itself short, by the length filter).
+  * restricted to lengths `<= 2k + 1` (any partner of a short string is
+  * itself short, by the length filter) that nested-loops over the
+  * DISTINCT short-string universe — bounded by alphabet^(2k+1), tiny in
+  * practice — and re-expands to ids via hash equi-joins on the string
+  * value, so repeated short strings are never re-compared.
   *
   * Scale: one exploded scan per side (constant fan-out), one hash-join
   * shuffle on segment keys, distinct, map-side verify. Candidate volume is
@@ -126,13 +129,26 @@ object Fuzzy {
       .select(col("cid").as("ia"), col("pid").as("ib"))
 
     // ---- short path: strings under k+1 chars (partners are <= 2k+1) ----
-    val shortAll = base.filter(col("__l") <= 2 * k + 1)
-      .select(col("__id"), col("__l"))
-    val shortSide = base.filter(col("__l") < k + 1)
-      .select(col("__id").as("sid"), col("__l").as("sl"))
-    val candShort = shortSide
-      .join(shortAll,
-        abs(col("sl") - col("__l")) <= k && col("sid") =!= col("__id"))
+    // Brute-compare the DISTINCT STRING UNIVERSE, not the rows: strings of
+    // <= 2k+1 chars repeat massively at corpus scale, and the universe is
+    // bounded (alphabet^(2k+1) worst case; in practice tiny), so the
+    // nested-loop is quadratic in |universe| while ids re-enter only
+    // through hash equi-joins on the string value.
+    val shortRows = base.filter(col("__l") <= 2 * k + 1)
+      .select(col("__id"), col("__s"), col("__l"))
+    val su = shortRows.select(col("__s"), col("__l")).distinct()
+    val sPairs = su
+      .filter(col("__l") < k + 1)
+      .select(col("__s").as("__ssa"), col("__l").as("__sla"))
+      .join(su.select(col("__s").as("__ssb"), col("__l").as("__slb")),
+        abs(col("__sla") - col("__slb")) <= k &&
+          levenshtein(col("__ssa"), col("__ssb")) <= k)
+      .select(col("__ssa"), col("__ssb"))
+    val candShort = sPairs
+      .join(shortRows.filter(col("__l") < k + 1)
+        .select(col("__id").as("sid"), col("__s").as("__ssa")), Seq("__ssa"))
+      .join(shortRows.select(col("__id"), col("__s").as("__ssb")), Seq("__ssb"))
+      .filter(col("sid") =!= col("__id"))
       .select(least(col("sid"), col("__id")).as("ia"),
         greatest(col("sid"), col("__id")).as("ib"))
 
@@ -171,12 +187,21 @@ object Fuzzy {
     val candLong = index.join(probeSubstrings(b, k), Seq("seg", "seg_idx", "clen"))
       .select(col("cid"), col("pid"))
     // Corpus strings under k+1 chars are not in the index; their batch
-    // partners have length <= 2k (length filter), a pushed-down scan of
-    // both small slices.
-    val candShort = b.filter(col("plen") <= 2 * k)
-      .select(col("pid"), col("plen"))
-      .join(c.filter(col("clen") < k + 1).select(col("cid"), col("clen")),
-        abs(col("plen") - col("clen")) <= k)
+    // partners have length <= 2k. Same distinct-universe discipline as the
+    // self-join: nested-loop over distinct short STRINGS, ids re-enter by
+    // hash equi-joins.
+    val bShort = b.filter(col("plen") <= 2 * k)
+      .select(col("pid"), col("__s"), col("plen"))
+    val cShort = c.filter(col("clen") < k + 1)
+      .select(col("cid"), col("__cs"), col("clen"))
+    val sPairs = bShort.select(col("__s"), col("plen")).distinct()
+      .join(cShort.select(col("__cs"), col("clen")).distinct(),
+        abs(col("plen") - col("clen")) <= k &&
+          levenshtein(col("__s"), col("__cs")) <= k)
+      .select(col("__s"), col("__cs"))
+    val candShort = sPairs
+      .join(bShort.select(col("pid"), col("__s")), Seq("__s"))
+      .join(cShort.select(col("cid"), col("__cs")), Seq("__cs"))
       .select(col("cid"), col("pid"))
 
     candLong.unionByName(candShort).distinct()
