@@ -186,6 +186,19 @@ object DedupCluster {
     // of stage overhead regardless of row count, so the structure below
     // adds NO other checkpoint on the small-graph path.
     val edges = bandStarEdges(sig, idCol, bands).localCheckpoint()
+    clustersFromEdges(docs, idCol, edges, localThreshold)
+  }
+
+  /** Components + keeper labels from an ALREADY-MATERIALIZED (src, dst)
+    * edge relation — the engine under [[dedupClusters]], factored so any
+    * similarity join's pairs close into clusters the same way (the
+    * edit-distance family uses it via `Fuzzy.editDistanceClusters`).
+    * Callers must checkpoint `edges` first: the size probe, contraction,
+    * the CC loop, and the expansion each re-materialize their input.
+    * Output: (idCol, cluster_id = min reachable id, is_keeper).
+    */
+  def clustersFromEdges(docs: DataFrame, idCol: String, edges: DataFrame,
+      localThreshold: Long = 100000L): DataFrame = {
     val probe = math.min(localThreshold + 1, Int.MaxValue.toLong).toInt
     val labels =
       if (edges.limit(probe).count() <= localThreshold) {

@@ -162,6 +162,24 @@ object Fuzzy {
       .select(col("ia").as("id_a"), col("ib").as("id_b"), col("dist"))
   }
 
+  /** Edit-distance DEDUP CLUSTERS: connected components of the
+    * [[editDistanceJoin]] pair graph, labeled by minimum reachable id with
+    * keeper flags — fuzzy dedup carried to its keeper-selection end, the
+    * string sibling of `DedupCluster.dedupClusters` (whose contraction +
+    * checkpointed-loop CC engine this reuses via `clustersFromEdges`).
+    * Output: (idCol, cluster_id, is_keeper).
+    */
+  def editDistanceClusters(df: DataFrame, idCol: String, strCol: String,
+      k: Int, localThreshold: Long = 100000L): DataFrame = {
+    // Materialize the edge list once — the size probe, contraction, CC
+    // loop, and expansion each re-materialize their input (the
+    // checkpoint-the-loop-INPUT rule).
+    val edges = editDistanceJoin(df, idCol, strCol, k)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .localCheckpoint()
+    DedupCluster.clustersFromEdges(df, idCol, edges, localThreshold)
+  }
+
   /** Incremental probe: every (batch, corpus) pair with `levenshtein <= k`,
     * from a FROZEN corpus — `index` is [[segmentIndex]] output over
     * `corpus` (built once, or loaded from parquet), nothing is rebuilt.

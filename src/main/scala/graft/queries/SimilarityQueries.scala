@@ -792,7 +792,37 @@ object SimilarityQueries {
          FROM g"""),
   )
 
+  /** Q146 [X]: edit-distance DEDUP CLUSTERS — q143's pair graph closed
+    * into components with min-id labels and keeper flags
+    * (`Fuzzy.editDistanceClusters`, sharing `DedupCluster`'s contraction
+    * + CC engine): fuzzy dedup carried to keeper selection, the string
+    * twin of q41. The DuckDB twin brute-forces the edge set and closes it
+    * with a recursive CTE, labeling identically by minimum reachable id.
+    */
+  val q146 = OracleQuery(
+    "q146_edit_distance_clusters",
+    (s, d) => Fuzzy.editDistanceClusters(
+      Tables.documents(s, d).filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), substring(col("text"), 1, 16).as("__p")),
+      "doc_id", "__p", k = 3),
+    Some("""WITH RECURSIVE t AS (SELECT doc_id, substr(text, 1, 16) AS s
+                                 FROM documents WHERE doc_id % 3 = 0),
+                 e0 AS (SELECT a.doc_id AS a, b.doc_id AS b FROM t a JOIN t b
+                        ON b.doc_id > a.doc_id
+                        AND levenshtein(a.s, b.s) <= 3),
+                 u AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+                 lab AS (SELECT doc_id AS node, doc_id AS label FROM t
+                         UNION
+                         SELECT u.a AS node, lab.label FROM lab
+                         JOIN u ON u.b = lab.node),
+                 cl AS (SELECT node AS doc_id, min(label) AS cluster_id,
+                               CAST(CASE WHEN min(label) = node
+                                    THEN 1 ELSE 0 END AS INTEGER) AS is_keeper
+                        FROM lab GROUP BY node)
+            SELECT doc_id, cluster_id, is_keeper FROM cl"""),
+  )
+
   val all: Seq[OracleQuery] = Seq(q103, q104, q105, q106, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q135, q139,
-    q143, q144, q145)
+    q143, q144, q145, q146)
 }

@@ -86,6 +86,37 @@ class FuzzySpec extends SparkSpec {
       }
     }
 
+  test("editDistanceClusters: transitive closure, min-id labels, keepers") {
+    // chain a~b~c (a!~c directly: dist 4) must land in ONE cluster — the
+    // closure matters; d is a singleton keeper
+    val docs = Seq(
+      1L -> "aaaa", 2L -> "aabb", 3L -> "bbbb", 4L -> "zzzzzz"
+    ).toDF("id", "s")
+    val got = Fuzzy.editDistanceClusters(docs, "id", "s", 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    got(1L) shouldBe ((1L, 1))
+    got(2L) shouldBe ((1L, 0))
+    got(3L) shouldBe ((1L, 0)) // reached only through 2
+    got(4L) shouldBe ((4L, 1))
+    // parity with brute-force edges + driver closure on the random corpus
+    val k = 2
+    val edges = brute(df, k).map(t => (t._1, t._2))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    strings.foreach { case (id, _) => parent(id) = id }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = strings.map { case (id, _) => id -> find(id) }.toMap
+    val gotAll = Fuzzy.editDistanceClusters(df, "id", "s", k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    gotAll shouldBe want
+  }
+
   test("ingestGateWithEdit: prefix near-dup fires ONLY the string signal") {
     import org.apache.spark.sql.DataFrame
     val corpus = Seq(
