@@ -180,6 +180,31 @@ object Fuzzy {
     DedupCluster.clustersFromEdges(df, idCol, edges, localThreshold)
   }
 
+  /** Incremental edit-cluster ASSIGNMENT — the string member of the online
+    * clustering family (`DedupCluster.assignToClusters` is the LSH
+    * sibling): each arriving doc adopts the MINIMUM cluster id among its
+    * edit-distance ≤ k corpus matches ([[incrementalEditDistanceJoin]]
+    * against the frozen index), does NOT merge bridged clusters (the
+    * periodic full [[editDistanceClusters]] reconciles), and founds its
+    * own cluster when nothing matches. `corpusLabels` is a prior
+    * [[editDistanceClusters]] run over the SAME corpus/key column.
+    * Output matches it: (idCol, cluster_id, is_keeper).
+    */
+  def assignToEditClusters(corpusLabels: DataFrame, index: DataFrame,
+      corpus: DataFrame, batch: DataFrame, idCol: String, strCol: String,
+      k: Int): DataFrame = {
+    val adopted = incrementalEditDistanceJoin(index, corpus, batch,
+        idCol, strCol, k)
+      .join(corpusLabels.select(col(idCol).as("id_b"),
+        col("cluster_id").as("__cl")), "id_b")
+      .groupBy(col("id_a")).agg(min(col("__cl")).as("__cl"))
+    batch.select(col(idCol))
+      .join(adopted.select(col("id_a").as(idCol), col("__cl")),
+        Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__cl"), col(idCol)).as("cluster_id"))
+      .withColumn("is_keeper", (col("cluster_id") === col(idCol)).cast("int"))
+  }
+
   /** Incremental probe: every (batch, corpus) pair with `levenshtein <= k`,
     * from a FROZEN corpus — `index` is [[segmentIndex]] output over
     * `corpus` (built once, or loaded from parquet), nothing is rebuilt.

@@ -822,7 +822,50 @@ object SimilarityQueries {
             SELECT doc_id, cluster_id, is_keeper FROM cl"""),
   )
 
+  /** Q147 [X]: incremental edit-cluster assignment — the 1-in-10 batch of
+    * the q143 slice adopts q146-style corpus cluster labels through the
+    * frozen segment index (`Fuzzy.assignToEditClusters`): min-label
+    * adoption, no bridge merging, novel docs found their own cluster —
+    * the string sibling of q119. The twin closes the corpus edges with a
+    * recursive CTE and brute-forces the cross-split adoption join.
+    */
+  val q147 = OracleQuery(
+    "q147_assign_edit_clusters",
+    (s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), substring(col("text"), 1, 16).as("__p"))
+      val corpus = docs.filter(col("doc_id") % 30 =!= 0)
+      val batch = docs.filter(col("doc_id") % 30 === 0)
+      Fuzzy.assignToEditClusters(
+        Fuzzy.editDistanceClusters(corpus, "doc_id", "__p", 3),
+        Fuzzy.segmentIndex(corpus, "doc_id", "__p", 3),
+        corpus, batch, "doc_id", "__p", k = 3)
+    },
+    Some("""WITH RECURSIVE t AS (SELECT doc_id, substr(text, 1, 16) AS s
+                                 FROM documents WHERE doc_id % 3 = 0),
+                 cs AS (SELECT * FROM t WHERE doc_id % 30 != 0),
+                 bs AS (SELECT * FROM t WHERE doc_id % 30 = 0),
+                 e0 AS (SELECT a.doc_id AS a, b.doc_id AS b FROM cs a JOIN cs b
+                        ON b.doc_id > a.doc_id
+                        AND levenshtein(a.s, b.s) <= 3),
+                 u AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+                 lab AS (SELECT doc_id AS node, doc_id AS label FROM cs
+                         UNION
+                         SELECT u.a AS node, lab.label FROM lab
+                         JOIN u ON u.b = lab.node),
+                 clab AS (SELECT node AS doc_id, min(label) AS cluster_id
+                          FROM lab GROUP BY node),
+                 m AS (SELECT b.doc_id AS bid, c.doc_id AS cid
+                       FROM bs b JOIN cs c ON levenshtein(b.s, c.s) <= 3),
+                 ad AS (SELECT m.bid AS doc_id, min(clab.cluster_id) AS cl
+                        FROM m JOIN clab ON clab.doc_id = m.cid GROUP BY 1)
+            SELECT b.doc_id, coalesce(ad.cl, b.doc_id) AS cluster_id,
+                   CAST(CASE WHEN coalesce(ad.cl, b.doc_id) = b.doc_id
+                        THEN 1 ELSE 0 END AS INTEGER) AS is_keeper
+            FROM bs b LEFT JOIN ad ON ad.doc_id = b.doc_id"""),
+  )
+
   val all: Seq[OracleQuery] = Seq(q103, q104, q105, q106, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q135, q139,
-    q143, q144, q145, q146)
+    q143, q144, q145, q146, q147)
 }

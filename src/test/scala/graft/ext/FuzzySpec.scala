@@ -117,6 +117,32 @@ class FuzzySpec extends SparkSpec {
     gotAll shouldBe want
   }
 
+  test("assignToEditClusters: min-label adoption, novel docs found their own") {
+    val k = 2
+    val corpus = df.filter($"id" % 4 =!= 0L)
+    val batch = df.filter($"id" % 4 === 0L)
+    val labels = Fuzzy.editDistanceClusters(corpus, "id", "s", k)
+    val got = Fuzzy.assignToEditClusters(labels,
+        Fuzzy.segmentIndex(corpus, "id", "s", k), corpus, batch, "id", "s", k)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    // brute expectation: min corpus label among levenshtein <= k matches
+    val labMap = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val matches = batch.alias("a").join(corpus.alias("b"),
+        levenshtein(col("a.s"), col("b.s")) <= k)
+      .select(col("a.id"), col("b.id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(p => labMap(p._2)).min).toMap
+    val batchIds = batch.select("id").collect().map(_.getLong(0))
+    val want = batchIds.map { id =>
+      val cl = matches.getOrElse(id, id)
+      id -> ((cl, if (cl == id) 1 else 0))
+    }.toMap
+    got shouldBe want
+    withClue("degenerate fixture — nothing adopted:") {
+      matches should not be empty
+    }
+  }
+
   test("ingestGateWithEdit: prefix near-dup fires ONLY the string signal") {
     import org.apache.spark.sql.DataFrame
     val corpus = Seq(

@@ -328,6 +328,55 @@ class EventStreamsSpec extends SparkSpec {
     byId shouldBe batchClean
   }
 
+  test("ST12 streaming 4-signal gate: verdicts match the batch gate") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.{Dedup, Fuzzy}
+    import org.apache.spark.sql.DataFrame
+    val corpus = Seq(
+      (1L, "alpha beta gam w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"),
+      (2L, "k1 k2 k3 k4 k5 k6 k7 k8 k9 k10 k11 k12 k13 k14")
+    ).toDF("doc_id", "text")
+    def keyed(df: DataFrame) = df.select(col("doc_id"), col("text"),
+      substring(col("text"), 1, 16).as("pfx"))
+    val idx = Dedup.gramIndex(corpus, "doc_id", "text", n = 2)
+    val sig = Dedup.simHash64Signature(corpus, "doc_id", "text")
+      .localCheckpoint()
+    val editIdx = Fuzzy.segmentIndex(keyed(corpus), "doc_id", "pfx", 2)
+      .localCheckpoint()
+    val editCorpus = keyed(corpus).select(col("doc_id"), col("pfx"))
+      .localCheckpoint()
+    val arriving = Seq(
+      ArrivingDoc(10L, "alpha beta gam q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11 q12"),
+      ArrivingDoc(11L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 z11 z12 z13 z14"))
+    val mem = MemoryStream[ArrivingDoc]
+    mem.addData(arriving)
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Boolean, Boolean, Boolean, Boolean, Boolean)]()
+    val q = EventStreams.gateWithEditOnArrival(
+      keyed(mem.toDF()), idx, sig, corpus, editIdx, editCorpus,
+      "doc_id", "text", "pfx", k = 2) { verdicts =>
+      got.synchronized {
+        got ++= verdicts.collect().map(r => (r.getAs[Long]("doc_id"),
+          r.getAs[Boolean]("exact_dup"), r.getAs[Boolean]("jac_dup"),
+          r.getAs[Boolean]("sh_dup"), r.getAs[Boolean]("ed_dup"),
+          r.getAs[Boolean]("admit")))
+      }
+    }
+    q.processAllAvailable()
+    q.stop()
+    val byId = got.map(t => t._1 -> ((t._2, t._3, t._4, t._5, t._6))).toMap
+    byId(10L) shouldBe ((false, false, false, true, false)) // string-only hit
+    byId(11L) shouldBe ((false, false, false, false, true)) // novel admits
+    // stream ≡ batch: identical verdicts from one ingestGateWithEdit call
+    val batchGate = Dedup.ingestGateWithEdit(idx, sig, corpus, editIdx,
+      editCorpus, keyed(arriving.map(a => (a.doc_id, a.text))
+        .toDF("doc_id", "text")), "doc_id", "text", "pfx", k = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("exact_dup"), r.getAs[Boolean]("jac_dup"),
+          r.getAs[Boolean]("sh_dup"), r.getAs[Boolean]("ed_dup"),
+          r.getAs[Boolean]("admit")))).toMap
+    byId shouldBe batchGate
+  }
+
   test("ST4b flatMapGroupsWithState: running totals across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
