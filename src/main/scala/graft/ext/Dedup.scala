@@ -261,12 +261,13 @@ object Dedup {
       .select(col("__id"), col("sh"), col("e.band"), col("e.bk"))
   }
 
-  /** Shared banding + verification behind both fingerprint widths:
+  /** Shared banding + verification behind both fingerprint widths (and
+    * `Similarity.srpNearDupPairs`, the embedding-space fingerprint):
     * equi-join each band's keys, dedup candidate pairs, exact XOR-popcount
     * verify. Only candidates pay the popcount; no false negatives
     * (pigeonhole: maxDist flips cannot touch all maxDist+1 bands).
     */
-  private def hammingNearDupPairs(sig: DataFrame, totalBits: Int,
+  private[graft] def hammingNearDupPairs(sig: DataFrame, totalBits: Int,
       maxDist: Int): DataFrame = {
     val banded = hammingBandKeys(sig, totalBits, maxDist)
     val cand = banded.alias("a").join(banded.alias("b"),
@@ -350,8 +351,18 @@ object Dedup {
       .select(col(idCol).as("__id"), col("sh"))
       .localCheckpoint()
     val cSig = corpusSig.select(col(idCol).as("__id"), col("sh"))
-    val cand = hammingBandKeys(bSig, 64, maxDist).alias("a")
-      .join(hammingBandKeys(cSig, 64, maxDist).alias("b"),
+    hammingProbePairs(bSig, cSig, 64, maxDist)
+  }
+
+  /** Asymmetric Hamming band probe behind [[incrementalSimHash64Pairs]]
+    * and `Similarity.incrementalSrpPairs`: batch fingerprints equi-join a
+    * frozen corpus signature table on (band, key), candidates pay the
+    * XOR-popcount. Both inputs are (`__id`, `sh`).
+    */
+  private[graft] def hammingProbePairs(bSig: DataFrame, cSig: DataFrame,
+      totalBits: Int, maxDist: Int): DataFrame = {
+    val cand = hammingBandKeys(bSig, totalBits, maxDist).alias("a")
+      .join(hammingBandKeys(cSig, totalBits, maxDist).alias("b"),
         col("a.band") === col("b.band") && col("a.bk") === col("b.bk"))
       .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"),
         col("a.sh").as("sha"), col("b.sh").as("shb"))

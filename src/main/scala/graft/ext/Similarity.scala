@@ -374,4 +374,96 @@ object Similarity {
       .agg(round((sum("term") / lit(1099511627776.0)).cast("double"), 6)
         .as("value"))
   }
+
+  /** Sign-random-projection (SRP) 64-bit fingerprint of an embedding
+    * vector — Charikar's random-hyperplane LSH (STOC'02): bit j is the
+    * sign of ⟨v, r_j⟩ for 64 seeded ±1 hyperplanes, so
+    * P[bit differs] = angle(a, b)/π and Hamming distance on fingerprints
+    * estimates angular distance. The embedding-space sibling of
+    * `Dedup.simHash64Signature` (token space), sharing its banding,
+    * verification, and incremental-probe machinery.
+    *
+    * Hyperplanes use [[randomProject]]'s seeded matrix (r_j[i] = ±1 by the
+    * portable md5-digit hash of "i_j") packed to ONE long per dimension
+    * (bit j = [r_j[i] = +1]), so the corpus pass is a single broadcast
+    * join + one grouped codegen aggregation with 64 conditional sums —
+    * the `simHash64Signature` shape, not 64 per-bit passes.
+    *
+    * Cross-engine exactness: each dot term is truncated at 2^-40
+    * (`CAST(x·2^40 AS LONG)`, negated when r = −1 — truncation toward
+    * zero is symmetric, so ±trunc(x·2^40) ≡ trunc(±x·2^40)), making every
+    * projection sum exact integer arithmetic in any order and any engine;
+    * the sign rule `sum ≥ 0 → 1` is then boundary-exact. Output:
+    * (idCol, sh: long, two's complement).
+    */
+  def srpSignature(emb: DataFrame, vecCol: String, idCol: String): DataFrame = {
+    val spark = emb.sparkSession
+    val d = emb.select(size(col(vecCol))).head().getInt(0) // 1-row probe
+    val signs = spark.range(d.toLong).select(
+      col("id").cast("int").as("i"),
+      (0 until 64).map { j =>
+        when(pmod(TextHash.tokenHash(
+          concat_ws("_", col("id").cast("int"), lit(j))), lit(2L)) === 0,
+          lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ bitwiseOR _).as("m"))
+    val cells = emb.select(col(idCol),
+      posexplode(asDouble(col(vecCol))).as(Seq("i", "x")))
+      .select(col(idCol), col("i"),
+        (col("x") * lit(1099511627776.0)).cast("long").as("t"))
+    val sums = (0 until 64).map { j =>
+      sum(when(shiftright(col("m"), j).bitwiseAND(lit(1L)) === 1,
+        col("t")).otherwise(-col("t"))).as(s"s$j")
+    }
+    cells.join(broadcast(signs), "i")
+      .groupBy(idCol).agg(sums.head, sums.tail: _*)
+      .select(col(idCol),
+        (0 until 64).map(j =>
+          when(col(s"s$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ bitwiseOR _).as("sh"))
+  }
+
+  /** Embedding near-dup pairs via SRP fingerprints: every pair whose
+    * 64-bit [[srpSignature]]s differ in at most `maxDist` bits, found by
+    * `Dedup`'s Hamming band pigeonholing (maxDist+1 band equi-joins, only
+    * candidates pay the XOR-popcount, no false negatives W.R.T. the
+    * fingerprint). Radius calibrates to angle: E[dist] = 64·θ/π, so
+    * maxDist 3 ⇒ θ ≲ 8° — near-duplicate embeddings (the dedup setting,
+    * where bands are 16 bits wide and candidate volume stays linear);
+    * wider radii are a recall knob for coarser blocking. Output:
+    * (id_a, id_b, dist), id_a < id_b.
+    */
+  def srpNearDupPairs(emb: DataFrame, vecCol: String, idCol: String,
+      maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist < 64, s"srpNearDupPairs: 0 <= maxDist < 64")
+    // Checkpoint: the signature pass feeds both self-join sides (the
+    // q86/DedupCluster multi-use-subplan lesson).
+    val sig = srpSignature(emb, vecCol, idCol)
+      .select(col(idCol).as("__id"), col("sh"))
+      .localCheckpoint()
+    Dedup.hammingNearDupPairs(sig, 64, maxDist)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"), col("dist"))
+  }
+
+  /** Incremental SRP probe: every (batch vector, corpus vector) pair
+    * within `maxDist` fingerprint bits, probing a PRECOMPUTED corpus
+    * [[srpSignature]] table — the EMBEDDING member of the incremental
+    * ingest family (`Dedup.incrementalSimHash64Pairs` is the token-space
+    * twin; `SemDedup.incrementalDropList` the centroid-partitioned
+    * alternative). The corpus pays nothing per batch; each arriving batch
+    * pays one signature pass plus maxDist+1 asymmetric band equi-joins.
+    * Output: (id_a = batch id, id_b = corpus id, dist).
+    *
+    * @param corpusSig (idCol, sh) as produced by [[srpSignature]].
+    */
+  def incrementalSrpPairs(corpusSig: DataFrame, batch: DataFrame,
+      vecCol: String, idCol: String, maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist < 64,
+      s"incrementalSrpPairs: 0 <= maxDist < 64")
+    val bSig = srpSignature(batch, vecCol, idCol)
+      .select(col(idCol).as("__id"), col("sh"))
+      .localCheckpoint()
+    val cSig = corpusSig.select(col(idCol).as("__id"), col("sh"))
+    Dedup.hammingProbePairs(bSig, cSig, 64, maxDist)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"), col("dist"))
+  }
 }

@@ -865,7 +865,101 @@ object SimilarityQueries {
             FROM bs b LEFT JOIN ad ON ad.doc_id = b.doc_id"""),
   )
 
+  /** DuckDB twin of `Similarity.srpSignature`: the seeded ±1 hyperplane
+    * matrix rebuilt from the portable md5-digit hash (4096 hash calls for
+    * the 64×64 matrix, once, in a CTE), per-term 2^-40 truncation so every
+    * projection sum is exact integer math in any order, fingerprint
+    * assembled in HUGEINT against a 64-row power-of-two literal table and
+    * wrapped to the signed BIGINT two's complement Spark's long carries
+    * (the q111 discipline — xor/bit_count are then bit-identical).
+    * DuckDB CAST(double AS BIGINT) rounds, so the truncation is an
+    * explicit `trunc` (the q-family cast trap).
+    */
+  private[queries] val srpSql: String = {
+    val hashIJ = TextHash.tokenHashSql(
+      "CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)")
+    val bitRows = (0 until 64)
+      .map(j => s"($j, ${BigInt(1) << j}::HUGEINT)").mkString(", ")
+    s"""WITH m AS (SELECT r1.i, r2.j,
+                 CASE WHEN $hashIJ % 2 = 0 THEN 1 ELSE -1 END AS s
+               FROM range(64) r1(i), range(64) r2(j)),
+            cells AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS i,
+                 CAST(trunc(CAST(x AS DOUBLE) * 1099511627776.0) AS BIGINT) AS t
+               FROM (SELECT vec_id, unnest(embedding) AS x,
+                            generate_subscripts(embedding, 1) AS i
+                     FROM embeddings)),
+            sums AS (SELECT vec_id, j,
+                 SUM(CASE WHEN s = 1 THEN t ELSE -t END) AS sj
+               FROM cells JOIN m USING (i) GROUP BY 1, 2),
+            bits(j, p) AS (VALUES $bitRows),
+            uu AS (SELECT vec_id,
+                 SUM(CASE WHEN sj >= 0 THEN p ELSE 0::HUGEINT END) AS u
+               FROM sums JOIN bits USING (j) GROUP BY 1)
+            SELECT vec_id,
+                   CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+                             THEN u - 18446744073709551616::HUGEINT
+                             ELSE u END AS BIGINT) AS sh
+            FROM uu"""
+  }
+
+  /** Q148 [X]: SRP fingerprints of the WHOLE embeddings table — the
+    * determinism anchor for the embedding-LSH family: the twin rebuilds
+    * the hyperplane matrix, the exact-integer projection sums, and the
+    * 64-bit assembly independently, so a hash match certifies every bit
+    * of every fingerprint (the sign rule has no float boundary by
+    * construction — sums are integers).
+    */
+  val q148 = OracleQuery(
+    "q148_srp_signature",
+    (s, d) => Similarity.srpSignature(
+      Tables.embeddings(s, d), "embedding", "vec_id"),
+    Some(srpSql),
+  )
+
+  /** Q149 [X]: embedding near-dup pairs via SRP band pigeonholing — all
+    * pairs within Hamming distance 14 of the 64-bit fingerprint (≈ 40°;
+    * this corpus has no planted duplicate vectors, so the oracle radius
+    * sits where the angular tail begins — production dedup runs radius
+    * ≤ 3 and the spec pins that regime with planted near-dups). The twin
+    * brute-forces the n²/2 XOR-popcounts over the independently
+    * recomputed fingerprints; all-integer, no float parity surface.
+    */
+  val q149 = OracleQuery(
+    "q149_srp_near_dup",
+    (s, d) => Similarity.srpNearDupPairs(
+      Tables.embeddings(s, d), "embedding", "vec_id", maxDist = 14),
+    Some(s"""WITH sig AS ($srpSql)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS dist
+         FROM sig a JOIN sig b ON b.vec_id > a.vec_id
+         WHERE bit_count(xor(a.sh, b.sh)) <= 14"""),
+  )
+
+  /** Q150 [X]: incremental SRP probe — the 10%-of-ids batch of vectors
+    * against the frozen corpus signature table at radius 16: the
+    * EMBEDDING member of the incremental ingest family (q112 jaccard /
+    * q113 containment / q114 cosine / q117 simhash / q144 edit distance).
+    * The twin brute-forces the cross-split XOR-popcounts.
+    */
+  val q150 = OracleQuery(
+    "q150_incremental_srp",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.incrementalSrpPairs(
+        Similarity.srpSignature(
+          emb.filter(col("vec_id") % 10 =!= 0), "embedding", "vec_id"),
+        emb.filter(col("vec_id") % 10 === 0), "embedding", "vec_id",
+        maxDist = 16)
+    },
+    Some(s"""WITH sig AS ($srpSql)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS dist
+         FROM sig a JOIN sig b
+           ON a.vec_id % 10 = 0 AND b.vec_id % 10 != 0
+         WHERE bit_count(xor(a.sh, b.sh)) <= 16"""),
+  )
+
   val all: Seq[OracleQuery] = Seq(q103, q104, q105, q106, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q135, q139,
-    q143, q144, q145, q146, q147)
+    q143, q144, q145, q146, q147, q148, q149, q150)
 }

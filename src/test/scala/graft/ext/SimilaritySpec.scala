@@ -222,4 +222,86 @@ class SimilaritySpec extends SparkSpec {
       math.sqrt(x.zip(y).map { case (u, v) => (u - v) * (u - v) }.sum)
     dist(p(0L), p(1L)) should be < dist(p(0L), p(2L)) / 10
   }
+
+  // ---- SRP fingerprints -------------------------------------------------
+
+  /** Driver-side reference of `Similarity.srpSignature`: same hyperplane
+    * hash, same 2^-40 truncation (Scala's `.toLong` truncates toward zero
+    * like Spark's cast), same `sum >= 0` sign rule.
+    */
+  private def refSrp(v: Array[Float]): Long = {
+    var sh = 0L
+    for (j <- 0 until 64) {
+      var s = 0L
+      for (i <- v.indices) {
+        val sg = if (refHash(s"${i}_$j") % 2 == 0) 1L else -1L
+        s += sg * (v(i).toDouble * 1099511627776.0).toLong
+      }
+      if (s >= 0) sh |= (1L << j)
+    }
+    sh
+  }
+
+  /** 40 random dim-8 vectors plus planted structure: 100 = exact copy of
+    * 0, 101 = 0 with one jittered coordinate (near in angle), 102 = the
+    * negation of 0 (max angle).
+    */
+  private lazy val srpData: Seq[(Long, Array[Float])] = {
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 40L).map(id =>
+      id -> Array.fill(8)((rnd.nextDouble() * 2 - 1).toFloat))
+    val v0 = base.head._2
+    val jit = v0.clone(); jit(3) = jit(3) + 0.02f
+    base ++ Seq(100L -> v0.clone(), 101L -> jit, 102L -> v0.map(-_))
+  }
+
+  test("srpSignature: bit-exact vs the driver-side reference") {
+    val df = srpData.toDF("vec_id", "embedding")
+    val got = Similarity.srpSignature(df, "embedding", "vec_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.size shouldBe srpData.size
+    for ((id, v) <- srpData) got(id) shouldBe refSrp(v)
+    // planted structure shows up in the fingerprints themselves
+    got(100L) shouldBe got(0L)
+    java.lang.Long.bitCount(got(101L) ^ got(0L)) should be <= 8
+    // negation flips every non-zero-sum bit: far in Hamming space
+    java.lang.Long.bitCount(got(102L) ^ got(0L)) should be >= 56
+  }
+
+  test("srpNearDupPairs ≡ brute-force Hamming over a radius grid") {
+    val df = srpData.toDF("vec_id", "embedding")
+    val sigs = srpData.map { case (id, v) => id -> refSrp(v) }
+    for (r <- Seq(0, 5, 14, 33)) {
+      val expect = (for {
+        (a, sa) <- sigs; (b, sb) <- sigs if a < b
+        d = java.lang.Long.bitCount(sa ^ sb) if d <= r
+      } yield (a, b, d.toLong)).toSet
+      val got = Similarity.srpNearDupPairs(df, "embedding", "vec_id", r)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+      withClue(s"radius $r:") { got shouldBe expect }
+    }
+    // the exact copy collides at radius 0 (the jittered near-dup may too —
+    // a 0.02 nudge often flips no sign; exactness is pinned by the grid)
+    Similarity.srpNearDupPairs(df, "embedding", "vec_id", 0)
+      .collect().map(x => (x.getLong(0), x.getLong(1))) should contain((0L, 100L))
+  }
+
+  test("incrementalSrpPairs ≡ cross-split brute force; copy collides at 0") {
+    val (corpus, batch) = srpData.partition(_._1 < 100L)
+    val cDf = corpus.toDF("vec_id", "embedding")
+    val bDf = batch.toDF("vec_id", "embedding")
+    val cSig = Similarity.srpSignature(cDf, "embedding", "vec_id")
+    for (r <- Seq(0, 14)) {
+      val expect = (for {
+        (a, va) <- batch; (b, vb) <- corpus
+        d = java.lang.Long.bitCount(refSrp(va) ^ refSrp(vb)) if d <= r
+      } yield (a, b, d.toLong)).toSet
+      val got = Similarity.incrementalSrpPairs(
+        cSig, bDf, "embedding", "vec_id", r)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+      withClue(s"radius $r:") { got shouldBe expect }
+    }
+    Similarity.incrementalSrpPairs(cSig, bDf, "embedding", "vec_id", 0)
+      .collect().map(x => (x.getLong(0), x.getLong(1))) should contain((100L, 0L))
+  }
 }
