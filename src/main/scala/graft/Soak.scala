@@ -339,6 +339,60 @@ object Soak {
       Similarity.randomProject(vecs, "embedding", "vec_id", 16)
         .agg(sum("value")).count())
 
+    // round-10: SRP embedding fingerprints — the vector-space simhash.
+    // A dup-planted clone of the vec corpus (every 100th vector re-derives
+    // from its predecessor's seed → exact-copy pairs at Hamming 0) must
+    // surface all planted pairs at radius 3 with linear pair volume, and
+    // the 16-bit band buckets must hold the same 32×-mean occupancy bound
+    // as simhash64 (fingerprint-bias canary). The incremental probe then
+    // clones the corpus head as a 1% batch: every batch vector has an
+    // identical corpus twin, and the probe must stay O(batch).
+    val srpSig = time("srp fingerprints (dup-planted vecs)")({
+      val dv = spark.range(nVecs).select(col("id").as("vec_id"),
+        when(col("id") % 100 === 99, col("id") - 1).otherwise(col("id"))
+          .as("seed"))
+        .select(col("vec_id"), transform(sequence(lit(0), lit(63)),
+          i => (pmod(xxhash64(col("seed") * 64 + i), lit(2000))
+            .cast("double") - 1000.0) / 1000.0).as("embedding"))
+      val s = Similarity.srpSignature(dv, "embedding", "vec_id")
+        .localCheckpoint()
+      s.count()
+      s
+    })
+    time("srp band buckets + pairs (radius 3)")({
+      val sigR = srpSig.select(col("vec_id").as("__id"), col("sh"))
+      val maxBucket = Dedup.hammingBandKeys(sigR, 64, 3)
+        .groupBy("band", "bk").count()
+        .agg(max("count")).head().getLong(0)
+      val bound = math.max(64L, 32L * nVecs / 65536L)
+      assert(maxBucket <= bound,
+        s"srp band bucket $maxBucket exceeds $bound (~32× the uniform " +
+          s"mean ${nVecs / 65536L}) — fingerprint bits are biased")
+      println(s"[soak] srp max band bucket $maxBucket <= bound $bound")
+      val nPairs = Dedup.hammingNearDupPairs(sigR, 64, 3).count()
+      assert(nPairs >= nVecs / 100 && nPairs <= 2 * nVecs,
+        s"srp pair count $nPairs outside [${nVecs / 100}, ${2 * nVecs}]")
+      println(s"[soak] srp pairs $nPairs (planted dups ${nVecs / 100})")
+      nPairs
+    })
+    time("incremental srp (1% batch)")({
+      val nBatch = nVecs / 100
+      val batch = spark.range(nBatch).select(col("id").as("vec_id"),
+        when(col("id") % 100 === 99, col("id") - 1).otherwise(col("id"))
+          .as("seed"))
+        .select((col("vec_id") + nVecs).as("vec_id"),
+          transform(sequence(lit(0), lit(63)),
+            i => (pmod(xxhash64(col("seed") * 64 + i), lit(2000))
+              .cast("double") - 1000.0) / 1000.0).as("embedding"))
+      val n = Similarity.incrementalSrpPairs(srpSig, batch, "embedding",
+        "vec_id", 3).count()
+      assert(n >= nBatch && n <= 2 * nBatch,
+        s"incremental srp match count $n outside [$nBatch, ${2 * nBatch}] " +
+          s"for $nBatch planted twins")
+      println(s"[soak] incremental srp matches $n (planted twins $nBatch)")
+      n
+    })
+
     // round-6 (cont.): incremental SemDeDup — the corpus assignment is the
     // one-off build (persistable); the batch probe compares each arriving
     // vector only with its cluster's corpus members, O(batch · n/k). The

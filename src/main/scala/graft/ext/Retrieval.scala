@@ -125,6 +125,65 @@ object Retrieval {
         sum(when(col("tid").isNull, 1L).otherwise(0L)).as("n_oov"))
   }
 
+  /** FROZEN collection statistics for BM25 serving — the retrieval member
+    * of the incremental-ingest family (GramIndex / simhash signatures /
+    * segment index / SRP signatures / bigram LM): the full-vocabulary
+    * document-frequency table plus the 1-row (n_docs, avgdl) globals,
+    * built once from the corpus and checkpointed. `termDf` persists
+    * through `IndexStore.writePostings` (termCol = "w") so a later
+    * session probes it with partition pruning instead of rebuilding.
+    *
+    * Scale shape: one (doc, term)-distinct shuffle + one term shuffle —
+    * the irreducible index-build cost; everything downstream is O(batch).
+    */
+  final case class Bm25Stats(termDf: DataFrame, global: DataFrame)
+
+  def bm25Stats(docs: DataFrame, idCol: String, textCol: String): Bm25Stats = {
+    val tok = docs.select(col(idCol).as("__id"),
+      explode(Dedup.tokens(col(textCol))).as("w"))
+    val termDf = tok.distinct()
+      .groupBy("w").agg(count(lit(1)).as("df"))
+      .localCheckpoint()
+    val dl = tok.groupBy("__id").agg(count(lit(1)).as("dl"))
+    val global = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(dl.agg(avg(col("dl")).as("avgdl")))
+      .localCheckpoint()
+    Bm25Stats(termDf, global)
+  }
+
+  /** Score an arriving BATCH of documents for `queryTerms` under FROZEN
+    * collection statistics — df/N/avgdl come from [[bm25Stats]]' corpus,
+    * tf/dl from the batch document itself: the standard serving
+    * approximation (new documents are priced by the index they are about
+    * to join; the periodic rebuild re-stats). O(batch): the batch pays one
+    * tokenize + two narrow aggregates, the stats side is a |query|-row
+    * broadcast. Same per-term round→DECIMAL route and operator
+    * association as [[bm25TopK]], so scores compare exactly across
+    * engines. Terms absent from the frozen vocabulary take df = 0 (the
+    * maximal Lucene idf — a novel term is maximally selective). Only
+    * batch docs containing ≥1 query term appear. Output: (idCol, score).
+    */
+  def scoreBatchBm25(stats: Bm25Stats, batch: DataFrame, idCol: String,
+      textCol: String, queryTerms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tok = batch.select(col(idCol), explode(Dedup.tokens(col(textCol))).as("w"))
+    val dl = tok.groupBy(idCol).agg(count(lit(1)).as("dl"))
+    val tf = tok.filter(col("w").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("tf"))
+    val dfq = stats.termDf.filter(col("w").isin(queryTerms: _*))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfNorm = col("tf") * (lit(k1) + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+    tf.join(broadcast(dfq), Seq("w"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats.global))
+      .select(col(idCol), round(idf * tfNorm, 9).cast("decimal(28,9)").as("c"))
+      .groupBy(idCol)
+      .agg(round(sum(col("c")).cast("double"), 6).as("score"))
+  }
+
   /** The DuckDB twin of [[bm25TopK]] (same stats, same rounding route, and
     * the same operator association: idf · (tf·(k1+1) / denom), parenthesized
     * so neither engine re-associates the product before the division —

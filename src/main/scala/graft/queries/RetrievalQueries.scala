@@ -460,7 +460,55 @@ object RetrievalQueries {
             FROM walk GROUP BY node"""),
   )
 
+  /** Q151 [X]: incremental BM25 — the 10%-of-ids batch scored for q87's
+    * query terms under the FROZEN collection statistics of the other 90%
+    * (`Retrieval.bm25Stats` + `scoreBatchBm25`): the retrieval member of
+    * the incremental-ingest family (q112/q113/q114/q117/q137/q144/q150) —
+    * arriving documents are priced by the index they are about to join,
+    * with df/N/avgdl frozen and tf/dl from the batch doc. Same per-term
+    * round→DECIMAL route as q87, so the sums compare exactly.
+    */
+  val q151 = OracleQuery(
+    "q151_incremental_bm25",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Retrieval.scoreBatchBm25(
+        Retrieval.bm25Stats(
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text"),
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+        Bm25Terms)
+    },
+    Some(s"""WITH ctok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                      FROM documents WHERE doc_id % 10 != 0),
+              cdl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+                      FROM ctok GROUP BY 1),
+              ad AS (SELECT avg(dl) AS avgdl FROM cdl),
+              nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs
+                     FROM documents WHERE doc_id % 10 != 0),
+              cdf AS (SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                      FROM ctok
+                      WHERE w IN ('spark', 'merge', 'shuffle') GROUP BY 1),
+              btok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                       FROM documents WHERE doc_id % 10 = 0),
+              bdl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+                      FROM btok GROUP BY 1),
+              tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+                     FROM btok
+                     WHERE w IN ('spark', 'merge', 'shuffle') GROUP BY 1, 2),
+              c AS (SELECT doc_id,
+                      CAST(round(
+                        ln(1.0 + (n_docs - coalesce(df, 0) + 0.5) /
+                                 (coalesce(df, 0) + 0.5)) *
+                        ((tf * (1.2 + 1.0)) /
+                         (tf + 1.2 * (1.0 - 0.75 + 0.75 * bdl.dl / ad.avgdl))), 9)
+                        AS DECIMAL(28,9)) AS c
+                    FROM tf LEFT JOIN cdf USING (w)
+                         JOIN bdl USING (doc_id), ad, nd)
+         SELECT doc_id, round(CAST(sum(c) AS DOUBLE), 6) AS score
+         FROM c GROUP BY doc_id"""),
+  )
+
   val all: Seq[OracleQuery] =
     Seq(q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98,
-      q99, q100, q101, q102)
+      q99, q100, q101, q102, q151)
 }

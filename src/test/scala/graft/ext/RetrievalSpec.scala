@@ -33,6 +33,53 @@ class RetrievalSpec extends SparkSpec {
     top.find(_._1 == 1L).get._2 shouldBe expected1 +- 1e-9
   }
 
+  test("scoreBatchBm25: hand-computed score under FROZEN corpus stats") {
+    // Corpus = docs 0-3 (N=4, avgdl=17/4, df(spark)=2, df(merge)=2);
+    // batch doc 10 "spark merge" has the same shape as corpus doc 1, so
+    // its per-term idf/tf/dl numbers match the bm25TopK hand computation.
+    val stats = Retrieval.bm25Stats(docs, "doc_id", "text")
+    val batch = Seq((10L, "spark merge"), (11L, "sortless wordless"))
+      .toDF("doc_id", "text")
+    val out = Retrieval.scoreBatchBm25(stats, batch, "doc_id", "text",
+      Seq("spark", "merge"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    out.keySet shouldBe Set(10L) // doc 11 matches no query term
+    val idf = math.log(2.0)
+    val tfn = 2.2 / (1.0 + 1.2 * (1 - 0.75 + 0.75 * 2 / 4.25))
+    val expected = BigDecimal(2 * (BigDecimal(idf * tfn)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    out(10L) shouldBe expected +- 1e-9
+  }
+
+  test("scoreBatchBm25: df is FROZEN — batch content cannot perturb it; " +
+      "unseen terms take df = 0") {
+    val stats = Retrieval.bm25Stats(docs, "doc_id", "text")
+    // a batch full of 'spark' repetitions scores under the corpus df(spark)=2,
+    // identically whether the batch has 1 doc or many
+    val one = Retrieval.scoreBatchBm25(stats,
+      Seq((10L, "spark merge")).toDF("doc_id", "text"),
+      "doc_id", "text", Seq("spark", "merge"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val many = Retrieval.scoreBatchBm25(stats,
+      (Seq((10L, "spark merge")) ++ (20L to 40L).map(i => (i, "spark spark")))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", Seq("spark", "merge"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    many(10L) shouldBe one(10L)
+    // term absent from the frozen vocabulary: df=0 → the maximal Lucene
+    // idf ln(1 + (N+0.5)/0.5) = ln(10) at N=4, with tf=1, dl=1
+    val novel = Retrieval.scoreBatchBm25(stats,
+      Seq((50L, "quantization")).toDF("doc_id", "text"),
+      "doc_id", "text", Seq("quantization"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val tfn0 = 2.2 / (1.0 + 1.2 * (1 - 0.75 + 0.75 * 1 / 4.25))
+    val exp0 = BigDecimal((BigDecimal(math.log(10.0) * tfn0)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    novel(50L) shouldBe exp0 +- 1e-9
+  }
+
   test("bm25TopK: a doc saturated in one term scores below one matching both") {
     val top = Retrieval.bm25TopK(docs, "doc_id", "text",
       Seq("spark", "merge"), k = 1).collect()

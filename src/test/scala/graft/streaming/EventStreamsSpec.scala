@@ -12,6 +12,7 @@ case class Ev(event_id: Long, user_id: Long, event_type: String,
     ts: Timestamp, value: Double, props: String)
 
 case class ArrivingDoc(doc_id: Long, text: String)
+case class ArrivingVec(vec_id: Long, embedding: Array[Float])
 
 /** ST1–ST5: batch/stream parity — every transform produces identical
   * results when fed the same rows as a batch DataFrame and as a
@@ -488,6 +489,40 @@ class EventStreamsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
     stream shouldBe batch
     batch.find(_._1 == 1L).get._2 should startWith("S--|")
+  }
+
+  test("ST13 streaming SRP dedup-on-arrival: fingerprint collisions drop") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.Similarity
+    val rnd = new scala.util.Random(29)
+    def vec() = Array.fill(8)((rnd.nextDouble() * 2 - 1).toFloat)
+    val corpusRows = (0L until 30L).map(i => i -> vec())
+    val corpus = corpusRows.toDF("vec_id", "embedding")
+    val corpusSig = Similarity.srpSignature(corpus, "embedding", "vec_id")
+      .localCheckpoint()
+    val arriving = Seq(
+      ArrivingVec(100L, corpusRows(7)._2.clone()), // exact copy: dist 0
+      ArrivingVec(101L, vec()),                    // novel
+      ArrivingVec(102L, vec()))                    // novel
+    val mem = MemoryStream[ArrivingVec]
+    mem.addData(arriving)
+    val got = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = EventStreams.srpDedupOnArrival(
+      mem.toDF(), corpusSig, "embedding", "vec_id", maxDist = 3) { surv =>
+      got.synchronized { got ++= surv.collect().map(_.getLong(0)) }
+    }
+    q.processAllAvailable()
+    q.stop()
+    // stream ≡ batch kernel ≡ the q150 incremental probe's verdict
+    val batch = EventStreams.srpDedupBatch(
+      corpusSig, arriving.toDF("vec_id", "embedding"), "embedding",
+      "vec_id", 3)
+    batch.columns.toSeq shouldBe Seq("vec_id", "embedding")
+    val batchIds = batch.collect().map(_.getLong(0)).toSet
+    got.toSet shouldBe batchIds
+    // the exact copy collides at dist 0 and drops; random dim-8 vectors
+    // sit tens of bits apart, so the novel pair survives radius 3
+    batchIds shouldBe Set(101L, 102L)
   }
 
   test("ST5: unreadable existing target fails the batch, never wipes it") {
