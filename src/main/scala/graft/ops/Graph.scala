@@ -111,4 +111,62 @@ object Graph {
     }
     dist
   }
+
+  /** PageRank, fixed iteration count (power iteration with damping):
+    * r₀ = 1/N, then `iters` rounds of
+    * r'(v) = (1−d)/N + d·Σ_{(u,v)∈E} r(u)/outdeg(u). Centrality over the
+    * routing graph the reference builds (the pgRouting tables serve
+    * exactly this kind of downstream analytics), and the influence score
+    * of citation/link-graph curation in a training pipeline.
+    *
+    * Semantics: a FIXED number of rounds (the bounded-operator discipline
+    * of [[weightedSssp]] — the result after k rounds is well-defined in
+    * itself); dangling-node mass is dropped, not redistributed (pass both
+    * edge directions for an undirected graph and none exists). Ranks then
+    * sum to < 1 in graphs with dangling nodes — callers normalize if they
+    * need a distribution.
+    *
+    * Cross-engine determinism (the q72/q104 discipline, per round):
+    * per-edge contributions round at 1e-12 then sum as DECIMAL(38,12) —
+    * exact in any order and any engine — and the new rank rounds at 1e-9;
+    * every float op left (two divisions, one multiply, one add per value)
+    * is a single IEEE op with operator-for-operator twins in SQL, so a k-
+    * round run compares exactly. No interpolation/libm surface at all.
+    *
+    * Scale shape: outdeg and nodes are one-off aggregates of the
+    * checkpointed edge list (at 100 TB, pre-bucket edges by `src`: every
+    * round's join co-locates with zero edge re-shuffle); each round is
+    * ONE frontier-shaped join + a map-side-combinable sum; rank state
+    * checkpoints lazily (constant-size plans, one materializing job per
+    * round — the DedupCluster loop discipline). N is a bounded 1-value
+    * collect (node count).
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"pageRank: iters >= 1, got $iters")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct().localCheckpoint()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint() // referenced every round
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint() // referenced every round (left join keeps sinks)
+    val n = nodes.count()
+    var ranks = nodes.select(col("node"), lit(1.0 / n).as("pr"))
+    for (_ <- 0 until iters) {
+      val contrib = e
+        .join(ranks, e("src") === ranks("node"))
+        .join(outdeg, "src")
+        .select(col("dst").as("node"),
+          round(col("pr") / col("outdeg"), 12).cast("decimal(38,12)").as("c"))
+        .groupBy("node").agg(sum("c").as("s"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          round(lit((1 - damping) / n) +
+            lit(damping) * coalesce(col("s").cast("double"), lit(0.0)), 9)
+            .as("pr"))
+        .localCheckpoint(eager = false)
+    }
+    ranks.select(col("node"), round(col("pr"), 6).as("pr"))
+  }
 }

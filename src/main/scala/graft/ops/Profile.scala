@@ -50,4 +50,69 @@ object Profile {
         least(greatest(col(valCol), col("__lo")), col("__hi")))
       .drop("__lo", "__hi")
   }
+
+  /** Robust per-group outlier profile via MAD (median absolute deviation):
+    * per group the exact median m, MAD = median(|x − m|), and the count of
+    * rows with |x − m| > k·MAD — the robust z-score monitor (mean/stddev
+    * break under the very outliers they are meant to find; median/MAD have
+    * a 50% breakdown point). Two grouped exact-percentile passes (groups ≪
+    * rows, bounds broadcast back — the [[winsorize]] shape); both engines
+    * interpolate the even-count median identically on integer inputs, and
+    * every derived float op (subtract, abs, one multiply, compares) is a
+    * single IEEE op — no parity surface. A degenerate group (≥ half the
+    * values identical) has MAD 0: every other value counts as an outlier,
+    * the documented MAD edge. Output: (groupCol, med, mad, n, n_out).
+    */
+  def madOutlierProfile(df: DataFrame, groupCol: String, valCol: String,
+      k: Double = 3.0): DataFrame = {
+    val med = df.groupBy(groupCol)
+      .agg(percentile(col(valCol).cast("double"), lit(0.5)).as("med"))
+    val dev = df.join(broadcast(med), groupCol)
+      .withColumn("__adev", abs(col(valCol).cast("double") - col("med")))
+    val mad = dev.groupBy(groupCol)
+      .agg(percentile(col("__adev"), lit(0.5)).as("mad"))
+    dev.join(broadcast(mad), groupCol)
+      .groupBy(groupCol)
+      .agg(first(col("med")).as("med"), first(col("mad")).as("mad"),
+        count(lit(1)).as("n"),
+        sum(when(col("__adev") > lit(k) * col("mad"), 1L).otherwise(0L))
+          .as("n_out"))
+  }
+
+  /** Per-group simple linear regression (OLS) of `yCol` on `xCol`, both
+    * integer by contract: slope, intercept, and r² from the five
+    * sufficient sums (n, Σx, Σy, Σxy, Σx², Σy²) — the drift/scaling-law
+    * profile (e.g. tokens-vs-chars per source; a slope break flags a
+    * tokenizer or encoding change).
+    *
+    * Scale + parity shape: ONE aggregation pass; every sufficient sum is
+    * exact DECIMAL(38,0) integer arithmetic (order-free, overflow-safe to
+    * ~10³⁸ where long products at corpus scale overflow), and the
+    * numerator/denominator combinations stay in DECIMAL until a final
+    * cast-to-double + single division/multiply chain, then round(6) (the
+    * q72 discipline applied to second moments). Degenerate groups
+    * (constant x → zero variance) emit null slope/intercept/r². Output:
+    * (groupCol, n, slope, intercept, r2).
+    */
+  def groupOls(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val x = col(xCol).cast("decimal(38,0)")
+    val y = col(yCol).cast("decimal(38,0)")
+    val sums = df.groupBy(groupCol).agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(x).as("sx"), sum(y).as("sy"),
+      sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+    // exact DECIMAL combinations; doubles only at the final ops. Guards,
+    // not NaN filtering: ANSI mode raises DIVIDE_BY_ZERO even for doubles.
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val denx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val deny = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    sums.select(col(groupCol), col("n").cast("long").as("n"),
+      when(denx > 0, round(num / denx, 6)).as("slope"),
+      when(denx > 0,
+        round((col("sy").cast("double") - (num / denx) * col("sx").cast("double"))
+          / col("n").cast("double"), 6)).as("intercept"),
+      when(denx > 0 && deny > 0,
+        round(num * num / (denx * deny), 6)).as("r2"))
+  }
 }

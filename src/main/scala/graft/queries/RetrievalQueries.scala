@@ -508,7 +508,63 @@ object RetrievalQueries {
          FROM c GROUP BY doc_id"""),
   )
 
+  /** DuckDB twin of `Graph.pageRank`: the k rounds UNROLL as chained CTEs
+    * (r0 → c1/r1 → … → rk) generated by the same builder loop, each round
+    * mirroring the Spark plan operation-for-operation — contributions
+    * round at 1e-12 and sum as DECIMAL(38,12) (order-free exact), the new
+    * rank rounds at 1e-9, and every float literal is CAST to DOUBLE so
+    * DuckDB's DECIMAL literal arithmetic cannot diverge from Spark's
+    * double math (1.0 − 0.85 must be the DOUBLE 0.15000000000000002 on
+    * both engines, not an exact DECIMAL 0.15).
+    */
+  private def pageRankSql(iters: Int, damping: Double): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""c$i AS (SELECT e.dst AS node,
+                 SUM(CAST(round(r${i - 1}.r / od.outdeg, 12) AS DECIMAL(38,12))) AS s
+               FROM e JOIN r${i - 1} ON r${i - 1}.node = e.src
+                      JOIN od ON od.src = e.src
+               GROUP BY 1),
+          r$i AS (SELECT nodes.node,
+                 round((CAST(1.0 AS DOUBLE) - $damping) / nn.n +
+                       $damping * CAST(coalesce(c$i.s, 0) AS DOUBLE), 9) AS r
+               FROM nodes LEFT JOIN c$i ON c$i.node = nodes.node, nn)"""
+    }.mkString(",\n          ")
+    s"""WITH base AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s,
+                     CAST(l_partkey AS BIGINT) + 1000000 AS p
+              FROM lineitem WHERE l_quantity < 2),
+          e AS (SELECT s AS src, p AS dst FROM base
+                UNION ALL SELECT p, s FROM base),
+          od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+                 FROM e GROUP BY 1),
+          nodes AS (SELECT DISTINCT node FROM
+                    (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+          nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+          r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS r FROM nodes, nn),
+          $rounds
+        SELECT node, round(r, 6) AS pr FROM r$iters"""
+  }
+
+  /** Q152: PageRank over the q89/q102 supplier–part bipartite graph
+    * (both edge directions → no dangling nodes), 3 damped power-iteration
+    * rounds (`Graph.pageRank`) — link-graph centrality as a first-class
+    * operator, with the per-round round→DECIMAL discipline making a
+    * multi-round float fixpoint hash-comparable across engines. The twin
+    * unrolls the same three rounds as chained CTEs from the same builder.
+    */
+  val q152 = OracleQuery(
+    "q152_pagerank",
+    (s, d) => {
+      val base = Tables.lineitem(s, d).filter(col("l_quantity") < 2)
+        .select(col("l_suppkey").cast("long").as("s"),
+          (col("l_partkey").cast("long") + 1000000L).as("p")).distinct()
+      val edges = base.select(col("s").as("src"), col("p").as("dst"))
+        .unionAll(base.select(col("p").as("src"), col("s").as("dst")))
+      graft.ops.Graph.pageRank(edges, "src", "dst", iters = 3)
+    },
+    Some(pageRankSql(3, 0.85)),
+  )
+
   val all: Seq[OracleQuery] =
     Seq(q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98,
-      q99, q100, q101, q102, q151)
+      q99, q100, q101, q102, q151, q152)
 }

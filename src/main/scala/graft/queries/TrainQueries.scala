@@ -1002,9 +1002,75 @@ object TrainQueries {
             FROM tot t LEFT JOIN ag ON ag.doc_id = t.doc_id"""),
   )
 
+  /** Q153: robust outlier profile — per-source exact median, MAD, and
+    * k = 3 outlier count over document lengths (`Profile.madOutlierProfile`):
+    * the robust sibling of q54's moment statistics (median/MAD survive the
+    * very outliers mean/stddev drown in). Integer inputs make every median
+    * an exact binary fraction, so the interpolated even-count median and
+    * all derived compares are bit-identical across engines.
+    */
+  val q153 = OracleQuery(
+    "q153_mad_outliers",
+    (s, d) => graft.ops.Profile.madOutlierProfile(
+      Tables.documents(s, d), "source", "n_chars", k = 3.0),
+    Some("""WITH med AS (SELECT source, median(CAST(n_chars AS DOUBLE)) AS med
+                         FROM documents GROUP BY 1),
+                 dev AS (SELECT d.source, med.med,
+                                abs(CAST(n_chars AS DOUBLE) - med.med) AS adev
+                         FROM documents d JOIN med USING (source)),
+                 mad AS (SELECT source, median(adev) AS mad FROM dev GROUP BY 1)
+            SELECT dev.source, first(dev.med) AS med, first(mad.mad) AS mad,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(*) FILTER (WHERE adev > 3.0 * mad.mad) AS BIGINT)
+                     AS n_out
+            FROM dev JOIN mad ON mad.source = dev.source
+            GROUP BY dev.source"""),
+  )
+
+  /** Q154: per-source OLS of whitespace-token count on character count
+    * (`Profile.groupOls`) — the scaling-law/drift profile: a slope break
+    * in tokens-per-char flags a tokenizer or encoding change in one
+    * source. All sufficient sums are exact DECIMAL(38,0) (order-free;
+    * long products would overflow at corpus scale), doubles enter only in
+    * the final division chain, round(6) on both engines.
+    */
+  val q154 = OracleQuery(
+    "q154_group_ols",
+    (s, d) => graft.ops.Profile.groupOls(
+      Tables.documents(s, d)
+        .select(col("source"), col("n_chars"),
+          graft.ext.TextAnalysis.tokenCount(col("text")).as("n_tok")),
+      "source", "n_chars", "n_tok"),
+    Some("""WITH v AS (SELECT source, CAST(n_chars AS DECIMAL(38,0)) AS x,
+                         CAST(len(string_split(text, ' ')) AS DECIMAL(38,0)) AS y
+                       FROM documents),
+                 s AS (SELECT source, CAST(count(*) AS DECIMAL(38,0)) AS n,
+                         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+                         SUM(x * x) AS sxx, SUM(y * y) AS syy
+                       FROM v GROUP BY 1)
+            SELECT source, CAST(n AS BIGINT) AS n,
+                   CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0 THEN
+                   round(CAST(n * sxy - sx * sy AS DOUBLE) /
+                         CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS slope,
+                   CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0 THEN
+                   round((CAST(sy AS DOUBLE) -
+                          (CAST(n * sxy - sx * sy AS DOUBLE) /
+                           CAST(n * sxx - sx * sx AS DOUBLE)) *
+                          CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+                     END AS intercept,
+                   round(CASE WHEN CAST(n * syy - sy * sy AS DOUBLE) > 0
+                          AND CAST(n * sxx - sx * sx AS DOUBLE) > 0
+                         THEN CAST(n * sxy - sx * sy AS DOUBLE) *
+                              CAST(n * sxy - sx * sy AS DOUBLE) /
+                              (CAST(n * sxx - sx * sx AS DOUBLE) *
+                               CAST(n * syy - sy * sy AS DOUBLE)) END, 6)
+                     AS r2
+            FROM s"""),
+  )
+
   val all: Seq[OracleQuery] =
     Seq(q41, q42, q42b, q43, q44, q45, q46, q47, q48, q49, q50,
       q53, q54, q55, q56, q57, q120, q121, q122, q123, q124, q125, q126,
       q127, q128, q129, q130, q131, q132, q134, q137, q138, q140, q141,
-      q142)
+      q142, q153, q154)
 }

@@ -168,6 +168,59 @@ class RetrievalSpec extends SparkSpec {
     dist(2L) shouldBe 3L // via seed 5's chain, not seed 1's direct edge
   }
 
+  /** Driver-side reference of `Graph.pageRank`, mirroring its rounding
+    * discipline exactly (HALF_UP at 12 for contributions, exact BigDecimal
+    * sum, HALF_UP at 9 for the new rank, HALF_UP at 6 on output).
+    */
+  private def refPageRank(edges: Seq[(Long, Long)], iters: Int,
+      d: Double = 0.85): Map[Long, Double] = {
+    val es = edges.distinct
+    val nodes = (es.map(_._1) ++ es.map(_._2)).distinct
+    val out = es.groupBy(_._1).view.mapValues(_.size).toMap
+    val n = nodes.size
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 0 until iters) {
+      val contrib = scala.collection.mutable.Map[Long, BigDecimal]()
+        .withDefaultValue(BigDecimal(0))
+      for ((u, v) <- es)
+        contrib(v) += BigDecimal(r(u) / out(u))
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      r = nodes.map { v =>
+        v -> BigDecimal((1 - d) / n + d * contrib(v).toDouble)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.toMap
+    }
+    r.map { case (k, x) =>
+      k -> BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble }
+  }
+
+  test("pageRank: exact vs the driver-side reference; hub outranks leaves") {
+    // deterministic pseudo-random digraph: 12 nodes, node 0 is a hub
+    val rnd = new scala.util.Random(17)
+    val edges = (0 until 30).map(_ =>
+      (rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+      .filter { case (a, b) => a != b } ++
+      (1L to 11L).map(i => (i, 0L)) // every node links the hub
+    val df = edges.toDF("src", "dst")
+    val got = Graph.pageRank(df, "src", "dst", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expect = refPageRank(edges, 4)
+    got.keySet shouldBe expect.keySet
+    for ((k, v) <- expect) got(k) shouldBe v +- 1e-12
+    // the hub received every node's link: top rank
+    got.maxBy(_._2)._1 shouldBe 0L
+  }
+
+  test("pageRank: symmetric graph conserves mass (Σpr ≈ 1), 2-cycle is uniform") {
+    val sym = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val pr = Graph.pageRank(sym, "src", "dst", iters = 5)
+      .collect().map(_.getDouble(1))
+    pr.sum shouldBe 1.0 +- 1e-3
+    // fully symmetric 3-cycle: uniform fixpoint 1/3 at every node
+    pr.foreach(_ shouldBe (1.0 / 3) +- 1e-6)
+  }
+
   test("invertedIndex: df/tf/caps from a known corpus") {
     val idx = Retrieval.invertedIndex(docs, "doc_id", "text",
       minDf = 2L, postingCap = 2)

@@ -27,4 +27,58 @@ class ProfileSpec extends SparkSpec {
     // multiple count-distincts compile to ONE Expand over one scan
     plan.linesIterator.count(_.contains("Expand [")) shouldBe 1
   }
+
+  test("madOutlierProfile: hand-computed median/MAD/outlier count") {
+    // group a: 1 2 3 4 100 → med 3, |dev| = 2 1 0 1 97 → MAD 1,
+    //   outliers (> 3·1): only 100 → n_out 1
+    // group b: 5 5 5 7 → med 5, |dev| = 0 0 0 2 → MAD 0 (degenerate),
+    //   outliers (> 0): only 7 → n_out 1
+    val df = (Seq(1, 2, 3, 4, 100).map(("a", _)) ++
+      Seq(5, 5, 5, 7).map(("b", _))).toDF("g", "v")
+    val out = Profile.madOutlierProfile(df, "g", "v", k = 3.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4))).toMap
+    out("a") shouldBe ((3.0, 1.0, 5L, 1L))
+    out("b") shouldBe ((5.0, 0.0, 4L, 1L))
+  }
+
+  test("madOutlierProfile: even counts interpolate; robust to the outlier") {
+    // 1 2 3 1000: med 2.5 (interpolated), |dev| = 1.5 .5 .5 997.5 →
+    // MAD = 1.0; the huge value does NOT drag the center (vs mean 251.5)
+    val df = Seq(1, 2, 3, 1000).map(("a", _)).toDF("g", "v")
+    val r = Profile.madOutlierProfile(df, "g", "v").collect().head
+    r.getDouble(1) shouldBe 2.5
+    r.getDouble(2) shouldBe 1.0
+    r.getLong(4) shouldBe 1L
+  }
+
+  test("groupOls: exact fit on a perfect line; r2 = 1") {
+    // y = 3x + 2 exactly
+    val df = (1 to 10).map(x => ("a", x, 3 * x + 2)).toDF("g", "x", "y")
+    val r = Profile.groupOls(df, "g", "x", "y").collect().head
+    r.getLong(1) shouldBe 10L
+    r.getDouble(2) shouldBe 3.0 +- 1e-9
+    r.getDouble(3) shouldBe 2.0 +- 1e-9
+    r.getDouble(4) shouldBe 1.0 +- 1e-9
+  }
+
+  test("groupOls: hand-computed slope on a noisy group; degenerate nulls") {
+    // points (0,0) (1,1) (2,1): n=3 sx=3 sy=2 sxy=3 sxx=5
+    // slope = (9-6)/(15-9) = 0.5; intercept = (2 - 0.5·3)/3 = 1/6
+    // r2 = 3²/(6·(3·2-4)) = 9/12 = 0.75
+    val df = (Seq((0, 0), (1, 1), (2, 1)).map { case (x, y) => ("a", x, y) } ++
+      Seq(("cx", 5, 1), ("cx", 5, 9), // constant x → no fit
+        ("cy", 1, 4), ("cy", 2, 4))) // constant y → slope 0, r2 null
+      .toDF("g", "x", "y")
+    val out = Profile.groupOls(df, "g", "x", "y")
+      .collect().map(r => r.getString(0) -> r).toMap
+    out("a").getDouble(2) shouldBe 0.5 +- 1e-9
+    out("a").getDouble(3) shouldBe (1.0 / 6) +- 1e-6
+    out("a").getDouble(4) shouldBe 0.75 +- 1e-9
+    out("cx").isNullAt(2) shouldBe true
+    out("cx").isNullAt(3) shouldBe true
+    out("cx").isNullAt(4) shouldBe true
+    out("cy").getDouble(2) shouldBe 0.0 +- 1e-9
+    out("cy").isNullAt(4) shouldBe true
+  }
 }
