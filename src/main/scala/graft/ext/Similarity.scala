@@ -466,4 +466,48 @@ object Similarity {
     Dedup.hammingProbePairs(bSig, cSig, 64, maxDist)
       .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"), col("dist"))
   }
+
+  /** Embedding near-dup CLUSTERS: [[srpNearDupPairs]]' pair graph closed
+    * into connected components with min-id labels and keeper flags —
+    * semantic dedup carried to keeper selection, the embedding member of
+    * the clustering family (`DedupCluster.dedupClusters` / LSH,
+    * `Fuzzy.editDistanceClusters` / strings), sharing the same factored
+    * contraction + checkpointed-CC engine. Output:
+    * (idCol, cluster_id, is_keeper).
+    */
+  def srpClusters(emb: DataFrame, vecCol: String, idCol: String,
+      maxDist: Int = 3, localThreshold: Long = 100000L): DataFrame = {
+    // Materialize the edge list once — the size probe, contraction, CC
+    // loop, and expansion each re-materialize their input (the
+    // checkpoint-the-loop-INPUT rule).
+    val edges = srpNearDupPairs(emb, vecCol, idCol, maxDist)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .localCheckpoint()
+    DedupCluster.clustersFromEdges(emb, idCol, edges, localThreshold)
+  }
+
+  /** Incremental SRP-cluster ASSIGNMENT — the embedding member of the
+    * online clustering family (`DedupCluster.assignToClusters` / LSH,
+    * `Fuzzy.assignToEditClusters` / strings): each arriving vector adopts
+    * the MINIMUM cluster id among its fingerprint matches within
+    * `maxDist` bits ([[incrementalSrpPairs]] against the frozen corpus
+    * signature table), does NOT merge bridged clusters (the periodic full
+    * [[srpClusters]] reconciles), and founds its own cluster when nothing
+    * matches. `corpusLabels` is a prior [[srpClusters]] run over the SAME
+    * corpus. Output matches it: (idCol, cluster_id, is_keeper).
+    */
+  def assignToSrpClusters(corpusLabels: DataFrame, corpusSig: DataFrame,
+      batch: DataFrame, vecCol: String, idCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val adopted = incrementalSrpPairs(corpusSig, batch, vecCol, idCol,
+        maxDist)
+      .join(corpusLabels.select(col(idCol).as("id_b"),
+        col("cluster_id").as("__cl")), "id_b")
+      .groupBy(col("id_a")).agg(min(col("__cl")).as("__cl"))
+    batch.select(col(idCol))
+      .join(adopted.select(col("id_a").as(idCol), col("__cl")),
+        Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__cl"), col(idCol)).as("cluster_id"))
+      .withColumn("is_keeper", (col("cluster_id") === col(idCol)).cast("int"))
+  }
 }

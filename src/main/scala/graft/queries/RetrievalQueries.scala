@@ -564,7 +564,46 @@ object RetrievalQueries {
     Some(pageRankSql(3, 0.85)),
   )
 
+  /** Q155: per-user activity streaks — the gaps-and-islands idiom as a
+    * first-class analytics query (q142 uses it for span excision; this is
+    * the canonical engagement form): distinct active DAYS per user, island
+    * key = day − row_number (consecutive days share it), then per-user
+    * total active days, longest consecutive-day streak, and streak count.
+    * All integer (µs div 86400e6 day bucketing, the q93 discipline) — no
+    * parity surface; the per-user day window is partition-local.
+    */
+  val q155 = OracleQuery(
+    "q155_activity_streaks",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val days = Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"))
+        .withColumn("day", expr("tus DIV 86400000000"))
+        .select("user_id", "day").distinct()
+      val w = Window.partitionBy("user_id").orderBy("day")
+      val st = days.withColumn("grp", col("day") - row_number().over(w))
+        .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+      st.groupBy("user_id").agg(
+        sum("len").as("n_active_days"),
+        max("len").as("longest_streak"),
+        count(lit(1)).as("n_streaks"))
+    },
+    Some("""WITH days AS (SELECT DISTINCT user_id,
+                     epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+                   FROM events),
+              isl AS (SELECT user_id, day,
+                     day - row_number() OVER (PARTITION BY user_id
+                                              ORDER BY day) AS grp
+                   FROM days),
+              st AS (SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len
+                   FROM isl GROUP BY 1, 2)
+         SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+                max(len) AS longest_streak,
+                CAST(count(*) AS BIGINT) AS n_streaks
+         FROM st GROUP BY user_id"""),
+  )
+
   val all: Seq[OracleQuery] =
     Seq(q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98,
-      q99, q100, q101, q102, q151, q152)
+      q99, q100, q101, q102, q151, q152, q155)
 }

@@ -959,7 +959,78 @@ object SimilarityQueries {
          WHERE bit_count(xor(a.sh, b.sh)) <= 16"""),
   )
 
+  /** Q156 [X]: embedding near-dup CLUSTERS — q149's SRP pair graph closed
+    * into components with min-id labels and keeper flags
+    * (`Similarity.srpClusters`, sharing `DedupCluster`'s contraction + CC
+    * engine): semantic dedup carried to keeper selection, the embedding
+    * twin of q41 (LSH) and q146 (edit distance). The DuckDB twin
+    * brute-forces the fingerprint edge set and closes it with a recursive
+    * CTE, labeling identically by minimum reachable id.
+    */
+  val q156 = OracleQuery(
+    "q156_srp_clusters",
+    (s, d) => Similarity.srpClusters(
+      Tables.embeddings(s, d), "embedding", "vec_id", maxDist = 14),
+    Some(s"""WITH RECURSIVE sig AS ($srpSql),
+                 e0 AS (SELECT a.vec_id AS a, b.vec_id AS b
+                        FROM sig a JOIN sig b ON b.vec_id > a.vec_id
+                        AND bit_count(xor(a.sh, b.sh)) <= 14),
+                 u AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+                 lab AS (SELECT vec_id AS node, vec_id AS label FROM sig
+                         UNION
+                         SELECT u.a AS node, lab.label FROM lab
+                         JOIN u ON u.b = lab.node),
+                 cl AS (SELECT node AS vec_id, min(label) AS cluster_id,
+                               CAST(CASE WHEN min(label) = node
+                                    THEN 1 ELSE 0 END AS INTEGER) AS is_keeper
+                        FROM lab GROUP BY node)
+            SELECT vec_id, cluster_id, is_keeper FROM cl"""),
+  )
+
+  /** Q157 [X]: incremental SRP-cluster assignment — the 10%-of-ids batch
+    * of vectors adopts q156-style corpus cluster labels through the
+    * frozen corpus signature table (`Similarity.assignToSrpClusters`):
+    * min-label adoption, no bridge merging, novel vectors found their own
+    * cluster — the embedding sibling of q119 (LSH) and q147 (edit
+    * distance). The twin closes the corpus edges with a recursive CTE and
+    * brute-forces the cross-split adoption join.
+    */
+  val q157 = OracleQuery(
+    "q157_assign_srp_clusters",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+      val batch = emb.filter(col("vec_id") % 10 === 0)
+      Similarity.assignToSrpClusters(
+        Similarity.srpClusters(corpus, "embedding", "vec_id", maxDist = 16),
+        Similarity.srpSignature(corpus, "embedding", "vec_id"),
+        batch, "embedding", "vec_id", maxDist = 16)
+    },
+    Some(s"""WITH RECURSIVE sig AS ($srpSql),
+                 cs AS (SELECT * FROM sig WHERE vec_id % 10 != 0),
+                 bs AS (SELECT * FROM sig WHERE vec_id % 10 = 0),
+                 e0 AS (SELECT a.vec_id AS a, b.vec_id AS b
+                        FROM cs a JOIN cs b ON b.vec_id > a.vec_id
+                        AND bit_count(xor(a.sh, b.sh)) <= 16),
+                 u AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+                 lab AS (SELECT vec_id AS node, vec_id AS label FROM cs
+                         UNION
+                         SELECT u.a AS node, lab.label FROM lab
+                         JOIN u ON u.b = lab.node),
+                 clab AS (SELECT node AS vec_id, min(label) AS cluster_id
+                          FROM lab GROUP BY node),
+                 m AS (SELECT b.vec_id AS bid, c.vec_id AS cid
+                       FROM bs b JOIN cs c
+                       ON bit_count(xor(b.sh, c.sh)) <= 16),
+                 ad AS (SELECT m.bid AS vec_id, min(clab.cluster_id) AS cl
+                        FROM m JOIN clab ON clab.vec_id = m.cid GROUP BY 1)
+            SELECT b.vec_id, coalesce(ad.cl, b.vec_id) AS cluster_id,
+                   CAST(CASE WHEN coalesce(ad.cl, b.vec_id) = b.vec_id
+                        THEN 1 ELSE 0 END AS INTEGER) AS is_keeper
+            FROM bs b LEFT JOIN ad ON ad.vec_id = b.vec_id"""),
+  )
+
   val all: Seq[OracleQuery] = Seq(q103, q104, q105, q106, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q135, q139,
-    q143, q144, q145, q146, q147, q148, q149, q150)
+    q143, q144, q145, q146, q147, q148, q149, q150, q156, q157)
 }

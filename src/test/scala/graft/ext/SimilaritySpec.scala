@@ -304,4 +304,61 @@ class SimilaritySpec extends SparkSpec {
     Similarity.incrementalSrpPairs(cSig, bDf, "embedding", "vec_id", 0)
       .collect().map(x => (x.getLong(0), x.getLong(1))) should contain((100L, 0L))
   }
+
+  /** Driver union-find with union-by-min: the root of each component is
+    * its minimum id, matching clustersFromEdges' min-label semantics.
+    */
+  private def unionFind(ids: Seq[Long],
+      pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x
+      else { val r = find(parent(x)); parent(x) = r; r }
+    for ((a, b) <- pairs) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    ids.map(i => i -> find(i)).toMap
+  }
+
+  test("srpClusters ≡ driver union-find over the brute pair graph") {
+    val df = srpData.toDF("vec_id", "embedding")
+    val sigs = srpData.map { case (id, v) => id -> refSrp(v) }
+    val pairs = for {
+      (a, sa) <- sigs; (b, sb) <- sigs
+      if a < b && java.lang.Long.bitCount(sa ^ sb) <= 14
+    } yield (a, b)
+    val expect = unionFind(sigs.map(_._1), pairs)
+    val got = Similarity.srpClusters(df, "embedding", "vec_id", 14)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getInt(2))).toMap
+    got.view.mapValues(_._1).toMap shouldBe expect
+    for ((id, (cl, k)) <- got) k shouldBe (if (cl == id) 1 else 0)
+  }
+
+  test("assignToSrpClusters: min-label adoption; novel vector founds its own") {
+    val (corpus, batch) = srpData.partition(_._1 < 100L)
+    val cDf = corpus.toDF("vec_id", "embedding")
+    val bDf = batch.toDF("vec_id", "embedding")
+    val cSig = Similarity.srpSignature(cDf, "embedding", "vec_id")
+    val labels = Similarity.srpClusters(cDf, "embedding", "vec_id", 14)
+    val got = Similarity.assignToSrpClusters(labels, cSig, bDf,
+      "embedding", "vec_id", 14)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // brute expectation across the split
+    val cSigs = corpus.map { case (id, v) => id -> refSrp(v) }
+    val cLabels = unionFind(cSigs.map(_._1),
+      for {
+        (a, sa) <- cSigs; (b, sb) <- cSigs
+        if a < b && java.lang.Long.bitCount(sa ^ sb) <= 14
+      } yield (a, b))
+    for ((bid, bv) <- batch) {
+      val matches = cSigs.filter { case (_, cs) =>
+        java.lang.Long.bitCount(refSrp(bv) ^ cs) <= 14 }.map(_._1)
+      val expect =
+        if (matches.isEmpty) bid else matches.map(cLabels).min
+      withClue(s"batch $bid:") { got(bid) shouldBe expect }
+    }
+    // the exact copy of corpus vec 0 adopts vec 0's cluster
+    got(100L) shouldBe cLabels(0L)
+  }
 }
