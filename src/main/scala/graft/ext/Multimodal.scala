@@ -141,6 +141,98 @@ object Multimodal {
     }
   }
 
+  case class FrameHash(media_id: Long, frame_idx: Int, ph: Long)
+
+  /** 64-bit AVERAGE-HASH (aHash) bits of an 8×8 grid: bit `i` is set iff
+    * `pixel_i · 64 > Σ pixels` — the strict integer form of "above the
+    * mean", so there is no float mean to drift across engines. Perceptual
+    * hashing's contract: near-identical images (re-encodes, small global
+    * intensity shifts, rescales) agree on most bits, and Hamming distance
+    * measures visual dissimilarity.
+    */
+  private def aHashBits(px64: Array[Int]): Long = {
+    var s = 0L
+    var i = 0
+    while (i < 64) { s += px64(i); i += 1 }
+    var h = 0L
+    i = 0
+    while (i < 64) {
+      if (px64(i) * 64L > s) h |= (1L << i)
+      i += 1
+    }
+    h
+  }
+
+  /** Per-payload perceptual hashes of the selected stub-video frames:
+    * decode once, nearest-neighbor resize the base frame to 8×8 ONCE, and
+    * derive each frame's 64-pixel grid by the stub's pointwise
+    * `(p + 7·f) mod 256` shift — exact because a pointwise map commutes
+    * with nearest-neighbor resize (resize only selects source pixels). A
+    * real codec decodes per frame here; the aHash and everything
+    * downstream are unchanged. One partition-batched pass, one output row
+    * per (payload, frame).
+    */
+  def frameHashes(media: Dataset[MediaRow], frames: Seq[Int]): Dataset[FrameHash] = {
+    import media.sparkSession.implicits._
+    val fr = frames.toArray
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        val base = resize(StubCodec.decode(m.payload), 8, 8)
+        fr.iterator.map { f =>
+          val px = if (f == 0) base.pixels
+            else base.pixels.map(p => (p + f * 7) % 256)
+          FrameHash(m.media_id, f, aHashBits(px))
+        }
+      }
+    }
+  }
+
+  /** IMAGE near-dup pairs via perceptual-hash band pigeonholing: aHash
+    * fingerprints of the selected frames of every payload, then the
+    * shared Hamming machinery ([[graft.ext.Dedup.hammingNearDupPairs]] —
+    * same banding as simhash/SRP: `maxDist + 1` bands, equi-join, only
+    * candidates pay the XOR-popcount, no false negatives). The image
+    * sibling of the token (simhash) and embedding (SRP) fingerprint
+    * families. Frame identity packs into the pair ids as
+    * `media_id · 16 + frame_idx` (hence frames < 16); output
+    * (doc_a, doc_b, dist) over packed ids, doc_a < doc_b.
+    */
+  def phashNearDupPairs(media: Dataset[MediaRow], frames: Seq[Int] = Seq(0),
+      maxDist: Int = 4): DataFrame = {
+    require(frames.nonEmpty && frames.forall(f => f >= 0 && f < 16),
+      "phashNearDupPairs: frame indices must be in [0, 16)")
+    // Checkpoint: the decode+hash pass feeds both self-join sides.
+    val sig = frameHashes(media, frames).toDF()
+      .select((col("media_id") * 16 + col("frame_idx")).as("__id"),
+        col("ph").as("sh"))
+      .localCheckpoint()
+    Dedup.hammingNearDupPairs(sig, 64, maxDist)
+  }
+
+  /** INCREMENTAL perceptual-hash probe: each arriving batch of payloads
+    * is hashed and probed against a FROZEN corpus signature table with
+    * the asymmetric band join ([[graft.ext.Dedup.hammingProbePairs]]) —
+    * the image member of the incremental ingest family (Jaccard /
+    * containment / cosine / simhash / edit-distance / SRP). O(batch):
+    * the corpus pays one decode+hash pass ever. Output (doc_a = batch
+    * media_id, doc_b = corpus media_id, dist).
+    *
+    * @param corpusSig (media_id, ph) — frame-0 [[frameHashes]] output.
+    * @param frame which stub frame of the batch payload to hash —
+    *   frame 0 is the plain "still image" arrival; a nonzero frame is
+    *   the stub's stand-in for a RE-ENCODED variant of the same image
+    *   (pointwise shift), which a perceptual probe must still catch.
+    */
+  def incrementalPhashPairs(corpusSig: DataFrame, batch: Dataset[MediaRow],
+      maxDist: Int = 4, frame: Int = 0): DataFrame = {
+    val bSig = frameHashes(batch, Seq(frame)).toDF()
+      .select(col("media_id").as("__id"), col("ph").as("sh"))
+      .localCheckpoint()
+    val cSig = corpusSig.select(col("media_id").as("__id"),
+      col("ph").as("sh"))
+    Dedup.hammingProbePairs(bSig, cSig, 64, maxDist)
+  }
+
   case class AudioChunk(media_id: Long, chunk_idx: Int, n_samples: Int,
       rms: Double)
 

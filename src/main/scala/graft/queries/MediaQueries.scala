@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.Multimodal
+
+/** Multimodal fingerprint queries: the perceptual-hash (aHash) image
+  * dedup family over documents-as-payloads — the IMAGE sibling of the
+  * token (simhash, q109/q111/q117), embedding (SRP, q148–q150), and
+  * string (edit distance, q143/q144) fingerprint families. The stub
+  * codec's deterministic decode makes every hash independently
+  * recomputable by the DuckDB twin ([[StubCodecSql.phashSql]], the
+  * q33/q34/q57 HUGEINT-mod-2^64 discipline), so the whole chain —
+  * decode, resize, hash, band join, Hamming verify — is hash-checked,
+  * not rows-only. Extension surface [X]; the reference has no media ops
+  * (cf. `/root/reference/README.md` scope).
+  */
+object MediaQueries {
+
+  /** Q158 [X]: per-image 64-bit aHash signature — decode → 8×8
+    * nearest-neighbor resize → strict `p·64 > Σp` bits. The twin
+    * recomputes every hash from the text payload alone, so a match
+    * certifies decode dimensions, resize index arithmetic, the integer
+    * bit rule, and two's-complement assembly all at once.
+    */
+  val q158 = OracleQuery(
+    "q158_phash_signature",
+    (s, d) => Multimodal.frameHashes(
+      Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text"),
+      Seq(0)).toDF().select(col("media_id"), col("ph")),
+    Some(s"""WITH sig AS (${StubCodecSql.phashSql(Seq(0))})
+         SELECT media_id, ph FROM sig"""),
+  )
+
+  /** Q159 [X]: VIDEO-FRAME near-dup pairs — frames 0 and 1 of every
+    * payload (the stub shifts pixels by +7 mod 256 per frame, so
+    * same-payload frames are genuine near-identical images: only pixels
+    * wrapping past 255 flip bits), all pairs within Hamming distance 4
+    * via the shared band pigeonhole. Same-video frame pairs dominate;
+    * unrelated images (independent hashes) stay apart. Pair ids pack as
+    * media_id·16 + frame_idx. The twin brute-forces the n²/2
+    * XOR-popcounts over independently recomputed hashes — all-integer,
+    * no parity surface.
+    */
+  val q159 = OracleQuery(
+    "q159_phash_near_dup",
+    (s, d) => Multimodal.phashNearDupPairs(
+      Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text"),
+      frames = Seq(0, 1), maxDist = 4),
+    Some(s"""WITH sig AS (${StubCodecSql.phashSql(Seq(0, 1))}),
+              ids AS (SELECT media_id * 16 + frame_idx AS id, ph FROM sig)
+         SELECT a.id AS doc_a, b.id AS doc_b,
+                CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS dist
+         FROM ids a JOIN ids b ON b.id > a.id
+         WHERE bit_count(xor(a.ph, b.ph)) <= 4"""),
+  )
+
+  /** Q160 [X]: INCREMENTAL perceptual-hash probe under RE-ENCODING — the
+    * arriving batch is every payload's frame-1 variant (the stub's
+    * stand-in for a re-encoded/brightness-shifted re-upload of a corpus
+    * image) probing the frozen frame-0 signature table at radius 4: the
+    * IMAGE member of the incremental ingest family
+    * (q112/q113/q114/q117/q144/q150), demonstrating the property exact
+    * hashing cannot give — the re-encode still matches its original
+    * (dist ≈ #pixels wrapping past 255, a few bits), while unrelated
+    * images stay far. O(batch); the corpus decode+hash pass is paid
+    * once. The twin brute-forces the cross-frame XOR-popcounts.
+    */
+  val q160 = OracleQuery(
+    "q160_incremental_phash",
+    (s, d) => {
+      val media = Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text")
+      val corpusSig = Multimodal.frameHashes(media, Seq(0)).toDF()
+      Multimodal.incrementalPhashPairs(corpusSig, media, maxDist = 4,
+        frame = 1)
+    },
+    Some(s"""WITH sig AS (${StubCodecSql.phashSql(Seq(0, 1))})
+         SELECT a.media_id AS doc_a, b.media_id AS doc_b,
+                CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS dist
+         FROM sig a JOIN sig b
+           ON a.frame_idx = 1 AND b.frame_idx = 0
+         WHERE bit_count(xor(a.ph, b.ph)) <= 4"""),
+  )
+
+  val all: Seq[OracleQuery] = Seq(q158, q159, q160)
+}

@@ -66,6 +66,52 @@ object StubCodecSql {
          px AS (SELECT media_id, (${mix("dim.su", "CAST(j.j AS HUGEINT)")}) % 256 AS p
                 FROM dim, unnest(generate_series(0, CAST(w*h - 1 AS BIGINT))) AS j(j))"""
 
+  /** Twin of `Multimodal.frameHashes`: per (document-as-payload, frame)
+    * the 64-bit aHash, both as the unsigned HUGEINT `u` (band-key
+    * extraction in callers) and the signed BIGINT `ph` Spark's long
+    * carries (xor/bit_count verification). Only the 64 RESIZED pixel
+    * indices are materialized — `j = (y·h div 8)·w + (x·w div 8)`, the
+    * nearest-neighbor selection — never the full w·h grid; the frame
+    * shift is the stub's pointwise `(p + 7f) mod 256`; the bit rule is
+    * the strict integer `p·64 > Σp`. Bits 0..62 assemble in BIGINT
+    * (`1::BIGINT << bit`), bit 63 joins in HUGEINT — the q111 discipline:
+    * assemble unsigned, convert to two's complement once.
+    */
+  def phashSql(frames: Seq[Int]): String =
+    s"""WITH d AS (SELECT doc_id AS media_id, text FROM documents),
+         sd AS (SELECT media_id, $seedFold AS su FROM d),
+         dim AS (SELECT media_id, su,
+                   CAST(8 + ((((CASE WHEN su >= 9223372036854775808
+                                     THEN su - $M ELSE su END) % 57) + 57) % 57)
+                        AS BIGINT) AS w,
+                   CAST(8 + ((su // 128) % 57) AS BIGINT) AS h
+                 FROM sd),
+         rs AS (SELECT media_id, su, y.y * 8 + x.x AS bit,
+                       ((y.y * h) // 8) * w + ((x.x * w) // 8) AS j
+                FROM dim, unnest(generate_series(0, 7)) AS y(y),
+                     unnest(generate_series(0, 7)) AS x(x)),
+         bp AS (SELECT media_id, bit,
+                       CAST((${mix("rs.su", "CAST(j AS HUGEINT)")}) % 256
+                            AS BIGINT) AS p
+                FROM rs),
+         fp AS (SELECT media_id, f.f AS frame_idx, bit, (p + f.f * 7) % 256 AS p
+                FROM bp, unnest([${frames.mkString(", ")}]) AS f(f)),
+         sm AS (SELECT media_id, frame_idx, bit, p,
+                       sum(p) OVER (PARTITION BY media_id, frame_idx) AS s
+                FROM fp),
+         hu AS (SELECT media_id, frame_idx,
+                       CAST(sum(CASE WHEN p * 64 > s AND bit < 63
+                                     THEN (CAST(1 AS BIGINT) << CAST(bit AS INTEGER))
+                                     ELSE 0 END) AS HUGEINT)
+                       + CAST(sum(CASE WHEN p * 64 > s AND bit = 63
+                                       THEN 1 ELSE 0 END) AS HUGEINT)
+                         * 9223372036854775808::HUGEINT AS u
+                FROM sm GROUP BY 1, 2)
+        SELECT media_id, frame_idx, u,
+               CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+                         THEN u - $M::HUGEINT ELSE u END AS BIGINT) AS ph
+        FROM hu"""
+
   val q33Oracle: String =
     s"""$pixelCtes
         SELECT dim.media_id, any_value(dim.w) AS w, any_value(dim.h) AS h,

@@ -74,6 +74,72 @@ class MultimodalSpec extends SparkSpec {
     up.pixels(63) shouldBe 15
   }
 
+  // Independent aHash reference: literal decode → literal nearest-neighbor
+  // index selection → strict integer bit rule. Reimplemented here (not
+  // calling resize/aHashBits) so the spec catches index-arithmetic drift.
+  private def refAHash(payload: Array[Byte], frame: Int): Long = {
+    val f = StubCodec.decode(payload)
+    val px = Array.tabulate(64) { i =>
+      val (y, x) = (i / 8, i % 8)
+      val base = f.pixels((y * f.height / 8) * f.width + x * f.width / 8)
+      (base + frame * 7) % 256
+    }
+    val s = px.map(_.toLong).sum
+    (0 until 64).foldLeft(0L)((h, i) =>
+      if (px(i) * 64L > s) h | (1L << i) else h)
+  }
+
+  private def dist(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  test("frameHashes ≡ reference aHash; identical payloads share hashes") {
+    val got = frameHashes(media, Seq(0, 1, 3)).collect()
+      .map(f => (f.media_id, f.frame_idx) -> f.ph).toMap
+    got.size shouldBe 9
+    media.collect().foreach { m =>
+      Seq(0, 1, 3).foreach { fr =>
+        got((m.media_id, fr)) shouldBe refAHash(m.payload, fr)
+      }
+    }
+    got((1L, 0)) shouldBe got((3L, 0)) // same bytes, same hash
+    // re-encode (frame shift) stays NEAR its original; unrelated payloads
+    // (independent 64-bit hashes) sit far — the perceptual contract
+    dist(got((1L, 0)), got((1L, 1))) should be <= 8
+    dist(got((1L, 0)), got((2L, 0))) should be > 8
+  }
+
+  test("phashNearDupPairs ≡ brute force over packed (media, frame) ids") {
+    val univ = (1L to 30L).map(i =>
+      MediaRow(i, s"synthetic payload number $i".getBytes("UTF-8"))).toDS()
+    val hashes = frameHashes(univ, Seq(0, 1)).collect()
+      .map(f => (f.media_id * 16 + f.frame_idx) -> f.ph).sortBy(_._1)
+    for (d <- Seq(0, 4, 8)) {
+      val brute = (for {
+        (ia, ha) <- hashes; (ib, hb) <- hashes
+        if ia < ib && dist(ha, hb) <= d
+      } yield (ia, ib, dist(ha, hb).toLong)).toSet
+      phashNearDupPairs(univ, Seq(0, 1), maxDist = d).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet shouldBe brute
+    }
+  }
+
+  test("incrementalPhashPairs: re-encodes match their originals, O(batch) probe ≡ brute") {
+    val univ = (1L to 25L).map(i =>
+      MediaRow(i, s"corpus image payload $i".getBytes("UTF-8"))).toDS()
+    val corpusSig = frameHashes(univ, Seq(0)).toDF()
+    val got = incrementalPhashPairs(corpusSig, univ, maxDist = 4, frame = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val h0 = frameHashes(univ, Seq(0)).collect().map(f => f.media_id -> f.ph)
+    val h1 = frameHashes(univ, Seq(1)).collect().map(f => f.media_id -> f.ph)
+    val brute = (for {
+      (ia, ha) <- h1; (ib, hb) <- h0; if dist(ha, hb) <= 4
+    } yield (ia, ib, dist(ha, hb).toLong)).toSet
+    got shouldBe brute
+    // most re-encodes land within radius 4 of their own original (the
+    // expected wrap rate is 64·7/256 ≈ 1.75 bits)
+    got.count { case (a, b, _) => a == b } should be >= 15
+  }
+
   test("asMedia adapts a text table into the binary schema") {
     val docs = graft.Tables.documents(spark, TestSpark.Sf0001)
     val ds = asMedia(docs, "doc_id", "text")

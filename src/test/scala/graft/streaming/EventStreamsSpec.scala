@@ -525,6 +525,38 @@ class EventStreamsSpec extends SparkSpec {
     batchIds shouldBe Set(101L, 102L)
   }
 
+  test("ST14 streaming image dedup-on-arrival: perceptual matches drop") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.Multimodal
+    val corpus = (0L until 20L).map(i => i -> s"corpus image number $i")
+      .toDF("doc_id", "text")
+    val corpusSig = Multimodal.frameHashes(
+      Multimodal.asMedia(corpus, "doc_id", "text"), Seq(0)).toDF()
+      .localCheckpoint()
+    val arriving = Seq(
+      ArrivingDoc(100L, "corpus image number 7"), // exact bytes: dist 0
+      ArrivingDoc(101L, "a genuinely novel image payload"),
+      ArrivingDoc(102L, "another unrelated arrival"))
+    val mem = MemoryStream[ArrivingDoc]
+    mem.addData(arriving)
+    val got = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = EventStreams.phashDedupOnArrival(
+      mem.toDF(), corpusSig, "doc_id", "text", maxDist = 4) { surv =>
+      got.synchronized { got ++= surv.collect().map(_.getLong(0)) }
+    }
+    q.processAllAvailable()
+    q.stop()
+    // stream ≡ batch kernel ≡ the q160 incremental probe's verdict
+    val batch = EventStreams.phashDedupBatch(
+      corpusSig, arriving.toDF("doc_id", "text"), "doc_id", "text", 4)
+    batch.columns.toSeq shouldBe Seq("doc_id", "text")
+    val batchIds = batch.collect().map(_.getLong(0)).toSet
+    got.toSet shouldBe batchIds
+    // the byte-identical copy hashes to dist 0 and drops; unrelated
+    // payloads have independent 64-bit hashes, tens of bits apart
+    batchIds shouldBe Set(101L, 102L)
+  }
+
   test("ST5: unreadable existing target fails the batch, never wipes it") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("st5bad").toString
