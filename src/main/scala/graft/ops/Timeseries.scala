@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series regularization: per-key resampling onto a fixed-step grid
+  * with last-observation-carried-forward (LOCF) gap fill, and the dual
+  * gap report. The missing operator between the event-log queries (q22
+  * windows, q51 funnels, q155 streaks) and model-ready series — ML
+  * feature pipelines want one row per (key, step), not ragged
+  * observation times. Extension surface [X]; the reference has no
+  * temporal ops (cf. `/root/reference/README.md` scope).
+  *
+  * Scale shape: everything is keyed by (key) or (key, bucket) — one
+  * shuffle; the grid explode is bounded per key by span/step (a config
+  * choice, not data volume); the LOCF window and the islands windows are
+  * partition-local scans; the in-bucket dedup's row_number ≤ 1 plans a
+  * partial WindowGroupLimit before its exchange (only one row per
+  * (key, bucket) group survives the map side).
+  */
+object Timeseries {
+
+  /** Resample to a regular `stepUs`-microsecond grid: one output row per
+    * (key, bucket) between each key's first and last observation. The
+    * bucket's representative observation is the LATEST event in the
+    * bucket (ties on ts broken by value, a total order — cross-engine
+    * rank discipline); empty buckets carry the previous value forward
+    * (`filled = true`). No arithmetic touches the value, so parity is
+    * exact. Output: (keyCol, bkt, grid_us, value, filled) — `grid_us` is
+    * the bucket's epoch-microsecond start (a timestamp column would drag
+    * session-TZ rendering into the hash compare for zero information).
+    */
+  def resampleLocf(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, stepUs: Long): DataFrame = {
+    require(stepUs > 0, s"resampleLocf: stepUs > 0, got $stepUs")
+    val obs0 = df.select(col(keyCol), unix_micros(col(tsCol)).as("tus"),
+        col(valueCol).as("v"))
+      .withColumn("bkt", expr(s"tus DIV ${stepUs}L"))
+    val wDedup = Window.partitionBy(keyCol, "bkt")
+      .orderBy(col("tus").desc, col("v").desc)
+    val obs = obs0.withColumn("rn", row_number().over(wDedup))
+      .filter(col("rn") === 1).select(col(keyCol), col("bkt"), col("v"))
+    val grid = obs0.groupBy(keyCol)
+      .agg(min("bkt").as("lo"), max("bkt").as("hi"))
+      .select(col(keyCol), explode(sequence(col("lo"), col("hi"))).as("bkt"))
+    val wFill = Window.partitionBy(keyCol).orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq(keyCol, "bkt"), "left")
+      .withColumn("filled", col("v").isNull)
+      .withColumn("value", last(col("v"), ignoreNulls = true).over(wFill))
+      .select(col(keyCol), col("bkt"), (col("bkt") * stepUs).as("grid_us"),
+        col("value"), col("filled"))
+  }
+
+  /** The dual observability report: per key, the GAPS in its bucket grid
+    * — total missing buckets, number of contiguous gap runs, and the
+    * longest run (q155's gaps-and-islands idiom on the COMPLEMENT set:
+    * island key = bucket − dense_rank over observed buckets; a gap's
+    * length is the bucket distance between consecutive observations − 1).
+    * All integer. Output: (keyCol, n_buckets, n_missing, n_gaps,
+    * longest_gap) — keys with a dense grid report zeros, not absence.
+    */
+  def gapReport(df: DataFrame, keyCol: String, tsCol: String,
+      stepUs: Long): DataFrame = {
+    require(stepUs > 0, s"gapReport: stepUs > 0, got $stepUs")
+    val obs = df.select(col(keyCol),
+        expr(s"unix_micros($tsCol) DIV ${stepUs}L").as("bkt"))
+      .distinct()
+    val w = Window.partitionBy(keyCol).orderBy("bkt")
+    val gaps = obs.withColumn("prev", lag(col("bkt"), 1).over(w))
+      .withColumn("gap", col("bkt") - col("prev") - 1)
+    gaps.groupBy(keyCol).agg(
+      (max("bkt") - min("bkt") + 1).as("n_buckets"),
+      coalesce(sum("gap"), lit(0L)).as("n_missing"),
+      coalesce(sum(when(col("gap") > 0, 1L)), lit(0L)).as("n_gaps"),
+      coalesce(max(when(col("gap") > 0, col("gap"))), lit(0L))
+        .as("longest_gap"))
+  }
+}

@@ -603,7 +603,73 @@ object RetrievalQueries {
          FROM st GROUP BY user_id"""),
   )
 
+  /** Q161 [X]: regular-grid resampling with LOCF gap fill — every
+    * user's event series onto a 6-hour grid (`Timeseries.resampleLocf`),
+    * empty buckets carrying the last observation forward with a `filled`
+    * flag: the ragged-log → model-ready-series operator. The in-bucket
+    * representative is the LATEST event (ts, then value — a total
+    * order); no arithmetic touches the value, so the only parity surface
+    * is integer bucketing. The twin mirrors the dedup window, the
+    * per-user generate_series grid, and DuckDB's `last_value IGNORE
+    * NULLS` frame.
+    */
+  val q161 = OracleQuery(
+    "q161_resample_locf",
+    (s, d) => graft.ops.Timeseries.resampleLocf(
+      Tables.events(s, d), "user_id", "ts", "value",
+      stepUs = 21600000000L),
+    Some("""WITH e AS (SELECT user_id,
+                     epoch_us(CAST(ts AS TIMESTAMP)) AS tus, value AS v
+                   FROM events),
+              b AS (SELECT user_id, tus // 21600000000 AS bkt, tus, v FROM e),
+              r AS (SELECT user_id, bkt, v,
+                     row_number() OVER (PARTITION BY user_id, bkt
+                       ORDER BY tus DESC, v DESC) AS rn
+                   FROM b),
+              obs AS (SELECT user_id, bkt, v FROM r WHERE rn = 1),
+              s AS (SELECT user_id, min(bkt) AS lo, max(bkt) AS hi
+                   FROM b GROUP BY 1),
+              grid AS (SELECT user_id, g.g AS bkt
+                   FROM s, unnest(generate_series(lo, hi)) AS g(g)),
+              j AS (SELECT grid.user_id, grid.bkt, obs.v
+                   FROM grid LEFT JOIN obs ON obs.user_id = grid.user_id
+                                          AND obs.bkt = grid.bkt)
+         SELECT user_id, bkt, bkt * 21600000000 AS grid_us,
+                last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+                  ORDER BY bkt ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) AS value,
+                v IS NULL AS filled
+         FROM j"""),
+  )
+
+  /** Q162 [X]: the gap report — per user, missing 6-hour buckets between
+    * its first and last observation as contiguous runs
+    * (`Timeseries.gapReport`): total missing, gap-run count, longest
+    * run. The sensor-offline / feed-outage dual of q155's activity
+    * streaks; all integer.
+    */
+  val q162 = OracleQuery(
+    "q162_gap_report",
+    (s, d) => graft.ops.Timeseries.gapReport(
+      Tables.events(s, d), "user_id", "ts", stepUs = 21600000000L),
+    Some("""WITH obs AS (SELECT DISTINCT user_id,
+                     epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000 AS bkt
+                   FROM events),
+              g AS (SELECT user_id, bkt,
+                     bkt - lag(bkt) OVER (PARTITION BY user_id
+                                          ORDER BY bkt) - 1 AS gap
+                   FROM obs)
+         SELECT user_id,
+                max(bkt) - min(bkt) + 1 AS n_buckets,
+                CAST(coalesce(sum(gap), 0) AS BIGINT) AS n_missing,
+                CAST(coalesce(sum(CASE WHEN gap > 0 THEN 1 END), 0)
+                     AS BIGINT) AS n_gaps,
+                coalesce(max(CASE WHEN gap > 0 THEN gap END), 0)
+                  AS longest_gap
+         FROM g GROUP BY user_id"""),
+  )
+
   val all: Seq[OracleQuery] =
     Seq(q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98,
-      q99, q100, q101, q102, q151, q152, q155)
+      q99, q100, q101, q102, q151, q152, q155, q161, q162)
 }

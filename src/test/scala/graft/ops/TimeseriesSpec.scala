@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Regular-grid resampling + LOCF gap fill and the dual gap report
+  * (q161/q162). Step = 10 µs so buckets are readable integers.
+  */
+class TimeseriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (key, ts-µs, value): key "a" observes buckets 0, 1, 4 (gap 2–3) with
+  // two events in bucket 1 (latest wins); key "b" observes only bucket 2.
+  private def events = Seq(
+    ("a", 3L, 1.0), ("a", 12L, 2.0), ("a", 17L, 3.0), ("a", 41L, 4.0),
+    ("b", 25L, 9.0)
+  ).toDF("k", "tus", "v").withColumn("ts", timestamp_micros(col("tus")))
+
+  test("resampleLocf: grid spans min..max, latest-in-bucket wins, gaps carry forward") {
+    val out = Timeseries.resampleLocf(events, "k", "ts", "v", stepUs = 10L)
+      .orderBy("k", "bkt").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4)))
+    out.toSeq shouldBe Seq(
+      ("a", 0L, 0L, 1.0, false),
+      ("a", 1L, 10L, 3.0, false), // 17 µs beats 12 µs inside bucket 1
+      ("a", 2L, 20L, 3.0, true),  // gap: carried forward
+      ("a", 3L, 30L, 3.0, true),
+      ("a", 4L, 40L, 4.0, false),
+      ("b", 2L, 20L, 9.0, false)) // single-bucket key: 1-cell grid
+  }
+
+  test("resampleLocf: tie on ts resolves by value — deterministic") {
+    val tied = Seq(("a", 5L, 1.0), ("a", 5L, 7.0))
+      .toDF("k", "tus", "v").withColumn("ts", timestamp_micros(col("tus")))
+    Timeseries.resampleLocf(tied, "k", "ts", "v", stepUs = 10L)
+      .collect().map(_.getDouble(3)).toSeq shouldBe Seq(7.0)
+  }
+
+  test("gapReport: run structure of the missing buckets") {
+    val out = Timeseries.gapReport(events, "k", "ts", stepUs = 10L)
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // a: buckets 0..4 = 5, missing {2,3} = one run of 2; b: dense single
+    out.toSeq shouldBe Seq(("a", 5L, 2L, 1L, 2L), ("b", 1L, 0L, 0L, 0L))
+  }
+
+  test("gapReport ≡ resampleLocf's filled flags") {
+    val rs = Timeseries.resampleLocf(events, "k", "ts", "v", stepUs = 10L)
+    val fromGrid = rs.groupBy("k").agg(
+      count(lit(1)).as("n_buckets"),
+      sum(when(col("filled"), 1L).otherwise(0L)).as("n_missing"))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val rep = Timeseries.gapReport(events, "k", "ts", stepUs = 10L)
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    fromGrid.toSeq shouldBe rep.toSeq
+  }
+}
