@@ -1068,9 +1068,50 @@ object TrainQueries {
             FROM s"""),
   )
 
+  /** Q163 [X]: triangle counts + local clustering coefficient over the
+    * LSH candidate-pair graph (`Graph.triangleStats`, degree-ordered
+    * compact-forward enumeration) — the cluster-density audit on top of
+    * q19b's edges: high-LCC components are genuine cliques of variants;
+    * a low-LCC hub is a chain of borderline matches q41's transitive
+    * closure is about to over-merge. The twin enumerates each triangle
+    * once in canonical a<b<c order over the same pair graph; the only
+    * float is the final 2·tri/deg(deg−1), rounded at 6 from exact
+    * integers on both engines.
+    */
+  val q163 = OracleQuery(
+    "q163_triangle_lcc",
+    (s, d) => {
+      val sig = graft.ext.Dedup.minHashSignature(Tables.documents(s, d), "doc_id", "text")
+      val edges = graft.ext.Dedup.lshCandidatePairs(sig, "doc_id",
+        Seq(Seq("mh0", "mh1"), Seq("mh2", "mh3")))
+        .select(col("doc_a"), col("doc_b"))
+      graft.ops.Graph.triangleStats(edges, "doc_a", "doc_b")
+    },
+    Some(s"""WITH sig AS (${ExtQueries.minhashSigSql}),
+              p AS (SELECT x.doc_id AS u, y.doc_id AS v FROM sig x JOIN sig y
+                      ON x.mh0 = y.mh0 AND x.mh1 = y.mh1 AND x.doc_id < y.doc_id
+                    UNION
+                    SELECT x.doc_id, y.doc_id FROM sig x JOIN sig y
+                      ON x.mh2 = y.mh2 AND x.mh3 = y.mh3 AND x.doc_id < y.doc_id),
+              dg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+                      (SELECT u AS node FROM p UNION ALL SELECT v FROM p)
+                     GROUP BY 1),
+              t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                    FROM p e1 JOIN p e2 ON e2.u = e1.v AND e2.v > e1.v
+                         JOIN p e3 ON e3.u = e1.u AND e3.v = e2.v),
+              tn AS (SELECT n.n AS node, CAST(count(*) AS BIGINT) AS n_tri
+                     FROM t, unnest([a, b, c]) AS n(n) GROUP BY 1)
+         SELECT dg.node, dg.deg,
+                coalesce(tn.n_tri, 0) AS n_tri,
+                round(CASE WHEN dg.deg >= 2
+                      THEN 2.0 * coalesce(tn.n_tri, 0) / (dg.deg * (dg.deg - 1))
+                      ELSE 0.0 END, 6) AS lcc
+         FROM dg LEFT JOIN tn ON tn.node = dg.node"""),
+  )
+
   val all: Seq[OracleQuery] =
     Seq(q41, q42, q42b, q43, q44, q45, q46, q47, q48, q49, q50,
       q53, q54, q55, q56, q57, q120, q121, q122, q123, q124, q125, q126,
       q127, q128, q129, q130, q131, q132, q134, q137, q138, q140, q141,
-      q142, q153, q154)
+      q142, q153, q154, q163)
 }

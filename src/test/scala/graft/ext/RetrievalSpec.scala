@@ -168,6 +168,49 @@ class RetrievalSpec extends SparkSpec {
     dist(2L) shouldBe 3L // via seed 5's chain, not seed 1's direct edge
   }
 
+  test("triangleStats: known shapes — clique saturates, star has none") {
+    // K4 on 1..4 plus a pendant 5–1: every clique node sits in 3 triangles
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val df = (k4 :+ (5L, 1L)).toDF("s", "t")
+    val got = Graph.triangleStats(df, "s", "t").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    got(1L) shouldBe ((4L, 3L, 0.5)) // deg 4 incl. pendant: 2·3/(4·3)
+    got(2L) shouldBe ((3L, 3L, 1.0))
+    got(5L) shouldBe ((1L, 0L, 0.0)) // pendant: deg < 2 → lcc 0
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("s", "t")
+    Graph.triangleStats(star, "s", "t").collect()
+      .map(_.getLong(2)).sum shouldBe 0L
+  }
+
+  test("triangleStats ≡ brute force; duplicates/self-loops/orientations tolerated") {
+    // deterministic pseudo-random graph on 24 nodes
+    val edges = for {
+      a <- 0L until 24L; b <- (a + 1) until 24L
+      if (a * 31 + b * 17) % 5 == 0
+    } yield (a, b)
+    // feed it messy: both orientations, duplicates, self-loops
+    val messy = (edges ++ edges.map(_.swap) ++ Seq((3L, 3L), (7L, 7L)))
+      .toDF("s", "t")
+    val got = Graph.triangleStats(messy, "s", "t").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val eset = edges.toSet
+    def adj(a: Long, b: Long) = eset((math.min(a, b), math.max(a, b)))
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    nodes.foreach { v =>
+      val nbrs = nodes.filter(u => u != v && adj(u, v))
+      val tri = (for {
+        i <- nbrs.indices; j <- (i + 1) until nbrs.size
+        if adj(nbrs(i), nbrs(j))
+      } yield 1).size.toLong
+      val lcc = if (nbrs.size < 2) 0.0
+        else BigDecimal(2.0 * tri / (nbrs.size.toLong * (nbrs.size - 1)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      got(v) shouldBe ((nbrs.size.toLong, tri, lcc))
+    }
+  }
+
   /** Driver-side reference of `Graph.pageRank`, mirroring its rounding
     * discipline exactly (HALF_UP at 12 for contributions, exact BigDecimal
     * sum, HALF_UP at 9 for the new rank, HALF_UP at 6 on output).
