@@ -47,4 +47,49 @@ object Repetition {
     tokStats.join(bigramStats, Seq(idCol), "left")
       .withColumn("top_bigram_frac", coalesce(col("top_bigram_frac"), lit(0.0)))
   }
+
+  /** The full Gopher duplicated-n-gram profile (Rae et al. 2021, Table A1):
+    * for each requested n, the fraction of the document's characters
+    * attributable to (a) its single most frequent n-gram
+    * (`top_frac` — the 2–4-gram rules) and (b) ALL n-grams occurring more
+    * than once (`dup_frac` — the 5–10-gram rules). Character mass of a
+    * gram occurrence is the gram's own length (token chars + joining
+    * spaces); overlapping occurrences each count, so `dup_frac` can
+    * exceed 1 on degenerate documents — the thresholds are calibrated on
+    * that convention, not a deduplicated cover.
+    *
+    * One token explode; ONE window pass builds all `max(ns)−1` lead
+    * columns (a single partition-local sort serves every n); grams for
+    * all n flow through one union → one (doc, n, gram) aggregate — no
+    * per-n re-shuffle of the token stream, no per-token lambdas. Output:
+    * (idCol, n, top_frac, dup_frac), one row per n the document has at
+    * least one n-gram for; fractions rounded at 6 from exact integers.
+    */
+  def dupNgramProfile(df: DataFrame, idCol: String, textCol: String,
+      ns: Seq[Int]): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 2), "dupNgramProfile: every n >= 2")
+    val maxN = ns.max
+    val tok = df.select(col(idCol), length(col(textCol)).as("doc_len"),
+      posexplode(Dedup.tokens(col(textCol))).as(Seq("pos", "w")))
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    val withLeads = (1 until maxN).foldLeft(tok) { (d, i) =>
+      d.withColumn(s"w$i", lead(col("w"), i).over(w))
+    }
+    val grams = ns.map { n =>
+      val parts = col("w") +: (1 until n).map(i => col(s"w$i"))
+      withLeads.filter(col(s"w${n - 1}").isNotNull)
+        .select(col(idCol), col("doc_len"), lit(n).as("n"),
+          concat_ws(" ", parts: _*).as("g"))
+    }.reduce(_ unionByName _)
+    grams
+      .groupBy(idCol, "doc_len", "n", "g")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("glen", length(col("g")))
+      .groupBy(idCol, "n")
+      .agg(
+        round(max(col("cnt") * col("glen")).cast("double") /
+          first(col("doc_len")), 6).as("top_frac"),
+        round(coalesce(sum(when(col("cnt") >= 2, col("cnt") * col("glen"))),
+          lit(0L)).cast("double") / first(col("doc_len")), 6).as("dup_frac"))
+  }
 }

@@ -170,6 +170,51 @@ object Graph {
     ranks.select(col("node"), round(col("pr"), 6).as("pr"))
   }
 
+  /** k-CORE of an undirected graph: the maximal subgraph in which every
+    * node keeps degree ≥ k — the standard "dense kernel" extraction
+    * (Seidman 1983). On a similarity graph the k-core separates genuine
+    * duplicate cliques from the chains and stars that band collisions
+    * string together; on an interaction graph it is the engagement
+    * kernel. Computed by the peel fixpoint: repeatedly delete nodes of
+    * degree < k (deleting a node can expose new under-degree nodes, so
+    * this must iterate; the fixpoint is order-independent and unique).
+    *
+    * Scale shape: each round is one degree aggregate keyed on node plus
+    * two anti-joins of the edge list against the (typically small)
+    * under-degree set — never a per-node loop; rounds are bounded by the
+    * graph's degeneracy ordering depth (single digits on clique-ish
+    * similarity graphs). The DedupCluster loop discipline applies: the
+    * canonical edge list is checkpointed before the loop and each
+    * surviving edge set is checkpointed, so plans stay constant-size and
+    * each round is one materializing job (the emptiness probe rides the
+    * checkpointed under-degree set).
+    *
+    * @return (node, core_deg) for every node of the k-core, with its
+    *         degree WITHIN the core (≥ k by construction)
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"kCore: k >= 1, got $k")
+    var e = edges.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("u"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
+    var converged = false
+    while (!converged) {
+      val deg = e.select(col("u").as("node"))
+        .unionAll(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val bad = deg.filter(col("deg") < k).select("node").localCheckpoint()
+      if (bad.isEmpty) converged = true
+      else e = e
+        .join(bad.select(col("node").as("u")), Seq("u"), "left_anti")
+        .join(bad.select(col("node").as("v")), Seq("v"), "left_anti")
+        .localCheckpoint()
+    }
+    e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("core_deg"))
+  }
+
   /** Per-node TRIANGLE COUNT and local clustering coefficient over an
     * undirected graph — the cluster-density metric for similarity graphs
     * (a near-dup component whose nodes have high LCC is a genuine clique

@@ -484,6 +484,44 @@ object CurationQueries {
           FROM e, q WHERE vec_id IN (${ids.mkString(", ")})"""),
   )
 
+  /** Q164 [X]: the FULL Gopher duplicated-n-gram profile
+    * (`Repetition.dupNgramProfile`, Rae et al. 2021 Table A1) — per
+    * (document, n ∈ {2,3,4,5,6}): the character fraction of the single
+    * most frequent n-gram (the 2–4-gram rules) and of all n-grams
+    * occurring twice or more (the 5–10-gram rules). Completes q59's
+    * teaching-size pair (uniq_frac, top bigram) into the production rule
+    * set. One token explode, one window pass for all lead columns, one
+    * gram aggregate across every n; fractions are exact-integer ratios
+    * rounded at 6 on both engines.
+    */
+  val q164 = OracleQuery(
+    "q164_dup_ngram_profile",
+    (s, d) => Repetition.dupNgramProfile(
+      Tables.documents(s, d), "doc_id", "text", ns = Seq(2, 3, 4, 5, 6)),
+    Some {
+      val perN = Seq(2, 3, 4, 5, 6).map { n =>
+        s"""SELECT doc_id, doc_len, $n AS n,
+               unnest([array_to_string(t[i:i+${n - 1}], ' ')
+                       FOR i IN generate_series(1, len(t) - ${n - 1})]) AS g
+            FROM tok"""
+      }.mkString("\n                UNION ALL\n                ")
+      s"""WITH tok AS (SELECT doc_id, len(text) AS doc_len,
+                     string_split(text, ' ') AS t FROM documents),
+              g AS ($perN),
+              c AS (SELECT doc_id, doc_len, n, g,
+                     CAST(count(*) AS BIGINT) AS cnt,
+                     len(g) AS glen
+                   FROM g GROUP BY 1, 2, 3, 4)
+         SELECT doc_id, n,
+                round(CAST(max(cnt * glen) AS DOUBLE) / doc_len, 6)
+                  AS top_frac,
+                round(CAST(coalesce(sum(CASE WHEN cnt >= 2
+                        THEN cnt * glen END), 0) AS DOUBLE) / doc_len, 6)
+                  AS dup_frac
+         FROM c GROUP BY doc_id, doc_len, n"""
+    },
+  )
+
   val all: Seq[OracleQuery] = Seq(q59, q60, q61, q62, q63, q64, q65, q66,
-    q67, q68, q69, q70, q71, q72, q73, q74)
+    q67, q68, q69, q70, q71, q72, q73, q74, q164)
 }

@@ -1109,9 +1109,67 @@ object TrainQueries {
          FROM dg LEFT JOIN tn ON tn.node = dg.node"""),
   )
 
+  /** Shared twin CTE: the q19b/q163 LSH candidate-pair graph in
+    * canonical u < v form.
+    */
+  private val lshPairsCte: String =
+    s"""sig AS (${ExtQueries.minhashSigSql}),
+        p AS (SELECT x.doc_id AS u, y.doc_id AS v FROM sig x JOIN sig y
+                ON x.mh0 = y.mh0 AND x.mh1 = y.mh1 AND x.doc_id < y.doc_id
+              UNION
+              SELECT x.doc_id, y.doc_id FROM sig x JOIN sig y
+                ON x.mh2 = y.mh2 AND x.mh3 = y.mh3 AND x.doc_id < y.doc_id)"""
+
+  /** DuckDB twin of `Graph.kCore`: the peel UNROLLS as `rounds` chained
+    * CTE rounds (degree → keep-set → filtered edges), each mirroring one
+    * Spark peel round. Rounds past the fixpoint are idempotent (the peel
+    * is monotone: once every node clears k, filtering changes nothing),
+    * so `rounds` only needs to be ≥ the true peel depth — the spec pins
+    * the depth on the oracle corpus far below this margin. Every round
+    * CTE is MATERIALIZED: each is referenced three times by its
+    * successor, and DuckDB 1.0 inlines by default — 3^rounds expansion
+    * re-opens the parquet scan until the process runs out of file
+    * handles.
+    */
+  private def kCoreSql(k: Int, rounds: Int): String = {
+    val rs = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+               (SELECT u AS node FROM r${i - 1} UNION ALL SELECT v FROM r${i - 1})
+             GROUP BY 1),
+          g$i AS MATERIALIZED (SELECT node FROM d$i WHERE deg >= $k),
+          r$i AS MATERIALIZED (SELECT e.u, e.v FROM r${i - 1} e
+                  JOIN g$i a ON a.node = e.u JOIN g$i b ON b.node = e.v)"""
+    }.mkString(",\n          ")
+    s"""WITH $lshPairsCte,
+          r0 AS MATERIALIZED (SELECT u, v FROM p),
+          $rs
+        SELECT node, CAST(count(*) AS BIGINT) AS core_deg FROM
+          (SELECT u AS node FROM r$rounds UNION ALL SELECT v FROM r$rounds)
+        GROUP BY 1"""
+  }
+
+  /** Q165 [X]: the 3-CORE of the LSH candidate-pair graph
+    * (`Graph.kCore` peel fixpoint) — the dense-kernel complement of
+    * q163's density METRIC: q163 scores every node, the k-core EXTRACTS
+    * the subgraph where duplication is structural (every surviving doc
+    * has ≥ 3 surviving near-dup partners). All integer.
+    */
+  val q165 = OracleQuery(
+    "q165_kcore",
+    (s, d) => {
+      val sig = graft.ext.Dedup.minHashSignature(
+        Tables.documents(s, d), "doc_id", "text")
+      val edges = graft.ext.Dedup.lshCandidatePairs(sig, "doc_id",
+        Seq(Seq("mh0", "mh1"), Seq("mh2", "mh3")))
+        .select(col("doc_a"), col("doc_b"))
+      graft.ops.Graph.kCore(edges, "doc_a", "doc_b", k = 3)
+    },
+    Some(kCoreSql(k = 3, rounds = 16)),
+  )
+
   val all: Seq[OracleQuery] =
     Seq(q41, q42, q42b, q43, q44, q45, q46, q47, q48, q49, q50,
       q53, q54, q55, q56, q57, q120, q121, q122, q123, q124, q125, q126,
       q127, q128, q129, q130, q131, q132, q134, q137, q138, q140, q141,
-      q142, q153, q154, q163)
+      q142, q153, q154, q163, q165)
 }

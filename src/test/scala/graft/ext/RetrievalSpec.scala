@@ -168,6 +168,43 @@ class RetrievalSpec extends SparkSpec {
     dist(2L) shouldBe 3L // via seed 5's chain, not seed 1's direct edge
   }
 
+  test("kCore: cascading peel — a path's 2-core is empty, a cycle survives") {
+    // path 1-2-3-4-5: every round exposes a new endpoint; the 2-core is
+    // empty only if the peel truly iterates to fixpoint
+    val path = (1L to 4L).map(i => (i, i + 1)).toDF("s", "t")
+    Graph.kCore(path, "s", "t", k = 2).count() shouldBe 0L
+    // cycle 1..5 with a tail 5-9-10: the 2-core is exactly the cycle
+    val cyc = ((1L to 4L).map(i => (i, i + 1)) ++
+      Seq((5L, 1L), (5L, 9L), (9L, 10L))).toDF("s", "t")
+    val core = Graph.kCore(cyc, "s", "t", k = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    core.keySet shouldBe (1L to 5L).toSet
+    core.values.toSet shouldBe Set(2L)
+  }
+
+  test("kCore ≡ driver-side peel reference across k") {
+    val edges = for {
+      a <- 0L until 22L; b <- (a + 1) until 22L
+      if (a * 13 + b * 7) % 4 == 0
+    } yield (a, b)
+    val df = edges.toDF("s", "t")
+    for (k <- Seq(2, 3, 4, 5)) {
+      var es = edges.toSet
+      var done = false
+      while (!done) {
+        val deg = es.toSeq.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).view.mapValues(_.size).toMap
+        val bad = deg.filter(_._2 < k).keySet
+        if (bad.isEmpty) done = true
+        else es = es.filter(e => !bad(e._1) && !bad(e._2))
+      }
+      val refDeg = es.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      Graph.kCore(df, "s", "t", k).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe refDeg
+    }
+  }
+
   test("triangleStats: known shapes — clique saturates, star has none") {
     // K4 on 1..4 plus a pendant 5–1: every clique node sits in 3 triangles
     val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
