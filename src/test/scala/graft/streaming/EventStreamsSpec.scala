@@ -557,6 +557,52 @@ class EventStreamsSpec extends SparkSpec {
     batchIds shouldBe Set(101L, 102L)
   }
 
+  test("ST15 streaming LOCF grid: cells emit once on close, ≡ batch minus open buckets") {
+    implicit val sqlCtx = spark.sqlContext
+    val step = 600000000L // 10-minute buckets
+    // two users; user 1 skips buckets 2–5 (gap), user 2 has an in-bucket
+    // revision (t(5) then t(7): later event wins before the bucket closes)
+    def bkt(min: Int): Long =
+      Math.floorDiv((1700000000000L + min * 60000L) * 1000L, step)
+    val batch1 = Seq(
+      Ev(1, 1, "a", t(0), 1.0, "{}"), Ev(2, 1, "a", t(10), 2.0, "{}"),
+      Ev(3, 2, "a", t(6), 9.0, "{}"), Ev(4, 2, "a", t(5), 8.0, "{}"))
+    require(bkt(5) == bkt(6), "revision case needs both events in one bucket")
+    val batch2 = Seq(
+      Ev(5, 1, "a", t(65), 3.0, "{}"),  // closes user 1's bucket 1, fills 2–5
+      Ev(6, 2, "a", t(25), 7.0, "{}"),  // closes user 2's bucket 0
+      Ev(7, 2, "a", t(3), 99.0, "{}"))  // late past the open bucket: drops
+    val mem = MemoryStream[Ev]
+    val name = s"locf_${System.nanoTime()}"
+    val q = EventStreams.locfGridOnArrival(mem.toDF(), step)
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .start()
+    mem.addData(batch1); q.processAllAvailable()
+    mem.addData(batch2); q.processAllAvailable()
+    q.stop()
+    val got = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4))).toSet
+    // batch reference over the SURVIVING events (the late event drops),
+    // minus each user's final (still-open) bucket
+    val surviving = (batch1 ++ batch2.take(2)).toDF()
+    val ref = graft.ops.Timeseries.resampleLocf(
+      surviving, "user_id", "ts", "value", step)
+    val openBkt = ref.groupBy("user_id").agg(max("bkt").as("bkt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val refSet = ref.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4)))
+      .filterNot(c => openBkt((c._1, c._2))).toSet
+    got shouldBe refSet
+    // the in-bucket revision took the later event's value
+    got.collect { case (2L, b, _, v, false) if b == bkt(5) => v }
+      .head shouldBe 9.0
+    // exactly-once: no duplicate (user, bucket) cells across batches
+    val cells = spark.table(name).collect().map(r => (r.getLong(0), r.getLong(1)))
+    cells.distinct.length shouldBe cells.length
+  }
+
   test("ST5: unreadable existing target fails the batch, never wipes it") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("st5bad").toString
