@@ -565,6 +565,84 @@ object Soak {
     })
     edStrings.unpersist()
 
+    // round-10b: the perceptual-hash image family — one stub decode +
+    // aHash pass over every payload, then the same Hamming band machinery
+    // as simhash64/SRP. The planted every-100th exact dups share payload
+    // bytes → identical hashes → guaranteed dist-0 pairs.
+    val media = ext.Multimodal.asMedia(docs, "doc_id", "text")
+    val phSig = time("phash signatures (decode+hash)")({
+      val s = ext.Multimodal.frameHashes(media, Seq(0)).toDF().cache()
+      s.count()
+      s
+    })
+    time("phash band pairs (radius 4)")({
+      val sigIn = phSig.select(col("media_id").as("__id"), col("ph").as("sh"))
+      val bb = Dedup.hammingBandKeys(sigIn, 64, 4)
+        .groupBy("band", "bk").count()
+      val maxBucket = bb.agg(max("count")).head().getLong(0)
+      // 5 bands of ~13 bits → ~8k buckets/band; identical planted-dup
+      // hashes stack one bucket with nDocs/100, the honest floor
+      assert(maxBucket <= math.max(nDocs / 50, 64L),
+        s"phash band bucket $maxBucket exceeds the planted-dup bound")
+      val n = ext.Multimodal.phashNearDupPairs(media, Seq(0), 4).count()
+      assert(n >= nDocs / 100 - nDocs / 10000,
+        s"phash pairs $n below the planted-dup floor ${nDocs / 100}")
+      n
+    })
+    time("incremental phash (1% batch)")({
+      val batch = ext.Multimodal.asMedia(
+        syntheticDocs(spark, nDocs / 100)
+          .withColumn("doc_id", col("doc_id") + 7 * nDocs), "doc_id", "text")
+      val n = ext.Multimodal.incrementalPhashPairs(phSig, batch, 4).count()
+      // every batch doc's seed twin (and its planted dup) sit in the
+      // corpus at dist 0; O(batch) probe, bounded fan-out
+      assert(n >= nDocs / 100 && n <= 8 * nDocs / 100,
+        s"incremental phash matches $n outside the planted band")
+      n
+    })
+    phSig.unpersist()
+
+    // round-10b: graph kernels over the signature-CONTRACTED LSH pair
+    // graph (q163/q165's discipline: exact-signature duplicate groups
+    // collapse to min-id representatives BEFORE any cubic-risk kernel —
+    // an uncontracted g-clique costs Θ(g³) triangles).
+    val lshEdges = {
+      val reps = sig.groupBy("mh0", "mh1", "mh2", "mh3")
+        .agg(min(col("doc_id")).as("doc_id"))
+      Dedup.lshCandidatePairs(reps, "doc_id",
+        Seq(Seq("mh0", "mh1"), Seq("mh2", "mh3")))
+        .select(col("doc_a"), col("doc_b")).cache()
+    }
+    time("triangle stats (lsh pair graph)")(
+      Graph.triangleStats(lshEdges, "doc_a", "doc_b").count())
+    time("3-core (lsh pair graph)")(
+      Graph.kCore(lshEdges, "doc_a", "doc_b", 3).count())
+    lshEdges.unpersist()
+
+    // round-10b: the full Gopher dup-ngram profile — 5 gram widths from
+    // ONE token explode and one window pass; gram volume is ~5× the
+    // token stream, linear in the corpus.
+    time("dup-ngram profile (n=2..6)")(
+      ext.Repetition.dupNgramProfile(docs, "doc_id", "text",
+        Seq(2, 3, 4, 5, 6)).count())
+
+    // round-10b: time-series regularization at scale — synthetic ragged
+    // observations (nDocs events, nDocs/100 keys, 30-day span) onto a
+    // 6-hour grid; grid volume is keys × span/step, a config bound, and
+    // the LOCF window is partition-local.
+    val sevents = spark.range(nDocs).select(
+      (col("id") % (nDocs / 100)).as("user_id"),
+      timestamp_micros(lit(1704067200000000L) +
+        pmod(xxhash64(col("id")), lit(2592000000000L))).as("ts"),
+      (pmod(xxhash64(col("id") + 1), lit(1000)).cast("double") / 100.0)
+        .as("value"))
+    time("locf resample (6h grid)")(
+      ops.Timeseries.resampleLocf(sevents, "user_id", "ts", "value",
+        21600000000L).count())
+    time("gap report (6h grid)")(
+      ops.Timeseries.gapReport(sevents, "user_id", "ts", 21600000000L)
+        .count())
+
     spark.stop()
   }
 }

@@ -1078,21 +1078,49 @@ object TrainQueries {
     * float is the final 2·tri/deg(deg−1), rounded at 6 from exact
     * integers on both engines.
     */
+  /** Shared twin CTE for q163/q165: the signature-CONTRACTED LSH band
+    * graph in canonical u < v form — one min-id representative per
+    * distinct 4-minhash signature, band edges between distinct classes
+    * (mirrors [[contractedLshEdges]]).
+    */
+  private val lshPairsCte: String =
+    s"""sig AS (${ExtQueries.minhashSigSql}),
+        rep AS (SELECT min(doc_id) AS doc_id, mh0, mh1, mh2, mh3
+                FROM sig GROUP BY 2, 3, 4, 5),
+        p AS (SELECT x.doc_id AS u, y.doc_id AS v FROM rep x JOIN rep y
+                ON x.mh0 = y.mh0 AND x.mh1 = y.mh1 AND x.doc_id < y.doc_id
+              UNION
+              SELECT x.doc_id, y.doc_id FROM rep x JOIN rep y
+                ON x.mh2 = y.mh2 AND x.mh3 = y.mh3 AND x.doc_id < y.doc_id)"""
+
+  /** Shared Spark edge source for q163/q165: the LSH band graph AFTER
+    * exact-signature contraction — every group of documents sharing all
+    * four minhashes (near-certain duplicates) collapses to its min-id
+    * representative, and band edges run between DISTINCT classes only.
+    * The contraction is the DedupCluster star-contraction discipline
+    * applied up front: this corpus carries duplicate groups of thousands
+    * of docs, and any pairwise kernel over an uncontracted clique of
+    * size g costs Θ(g³) — measured 2·10⁹ triangles at sf0.1 before the
+    * contraction, 4k edges with max degree 49 after. At 100 TB the same
+    * rule holds: collapse exact/near-exact mass FIRST, run cubic-risk
+    * structure kernels on the class graph.
+    */
+  private def contractedLshEdges(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val sig = graft.ext.Dedup.minHashSignature(
+      Tables.documents(s, d), "doc_id", "text")
+    val reps = sig.groupBy("mh0", "mh1", "mh2", "mh3")
+      .agg(min(col("doc_id")).as("doc_id"))
+    graft.ext.Dedup.lshCandidatePairs(reps, "doc_id",
+      Seq(Seq("mh0", "mh1"), Seq("mh2", "mh3")))
+      .select(col("doc_a"), col("doc_b"))
+  }
+
   val q163 = OracleQuery(
     "q163_triangle_lcc",
-    (s, d) => {
-      val sig = graft.ext.Dedup.minHashSignature(Tables.documents(s, d), "doc_id", "text")
-      val edges = graft.ext.Dedup.lshCandidatePairs(sig, "doc_id",
-        Seq(Seq("mh0", "mh1"), Seq("mh2", "mh3")))
-        .select(col("doc_a"), col("doc_b"))
-      graft.ops.Graph.triangleStats(edges, "doc_a", "doc_b")
-    },
-    Some(s"""WITH sig AS (${ExtQueries.minhashSigSql}),
-              p AS (SELECT x.doc_id AS u, y.doc_id AS v FROM sig x JOIN sig y
-                      ON x.mh0 = y.mh0 AND x.mh1 = y.mh1 AND x.doc_id < y.doc_id
-                    UNION
-                    SELECT x.doc_id, y.doc_id FROM sig x JOIN sig y
-                      ON x.mh2 = y.mh2 AND x.mh3 = y.mh3 AND x.doc_id < y.doc_id),
+    (s, d) => graft.ops.Graph.triangleStats(
+      contractedLshEdges(s, d), "doc_a", "doc_b"),
+    Some(s"""WITH $lshPairsCte,
               dg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
                       (SELECT u AS node FROM p UNION ALL SELECT v FROM p)
                      GROUP BY 1),
@@ -1108,17 +1136,6 @@ object TrainQueries {
                       ELSE 0.0 END, 6) AS lcc
          FROM dg LEFT JOIN tn ON tn.node = dg.node"""),
   )
-
-  /** Shared twin CTE: the q19b/q163 LSH candidate-pair graph in
-    * canonical u < v form.
-    */
-  private val lshPairsCte: String =
-    s"""sig AS (${ExtQueries.minhashSigSql}),
-        p AS (SELECT x.doc_id AS u, y.doc_id AS v FROM sig x JOIN sig y
-                ON x.mh0 = y.mh0 AND x.mh1 = y.mh1 AND x.doc_id < y.doc_id
-              UNION
-              SELECT x.doc_id, y.doc_id FROM sig x JOIN sig y
-                ON x.mh2 = y.mh2 AND x.mh3 = y.mh3 AND x.doc_id < y.doc_id)"""
 
   /** DuckDB twin of `Graph.kCore`: the peel UNROLLS as `rounds` chained
     * CTE rounds (degree → keep-set → filtered edges), each mirroring one
@@ -1148,22 +1165,17 @@ object TrainQueries {
         GROUP BY 1"""
   }
 
-  /** Q165 [X]: the 3-CORE of the LSH candidate-pair graph
-    * (`Graph.kCore` peel fixpoint) — the dense-kernel complement of
-    * q163's density METRIC: q163 scores every node, the k-core EXTRACTS
-    * the subgraph where duplication is structural (every surviving doc
-    * has ≥ 3 surviving near-dup partners). All integer.
+  /** Q165 [X]: the 3-CORE of the signature-contracted LSH pair graph
+    * ([[contractedLshEdges]] → `Graph.kCore` peel fixpoint) — the
+    * dense-kernel complement of q163's density METRIC: q163 scores every
+    * class, the k-core EXTRACTS the subgraph where near-duplication is
+    * structural (every surviving signature class has ≥ 3 surviving
+    * band-collision partners). All integer.
     */
   val q165 = OracleQuery(
     "q165_kcore",
-    (s, d) => {
-      val sig = graft.ext.Dedup.minHashSignature(
-        Tables.documents(s, d), "doc_id", "text")
-      val edges = graft.ext.Dedup.lshCandidatePairs(sig, "doc_id",
-        Seq(Seq("mh0", "mh1"), Seq("mh2", "mh3")))
-        .select(col("doc_a"), col("doc_b"))
-      graft.ops.Graph.kCore(edges, "doc_a", "doc_b", k = 3)
-    },
+    (s, d) => graft.ops.Graph.kCore(
+      contractedLshEdges(s, d), "doc_a", "doc_b", k = 3),
     Some(kCoreSql(k = 3, rounds = 16)),
   )
 
