@@ -170,6 +170,52 @@ object Graph {
     ranks.select(col("node"), round(col("pr"), 6).as("pr"))
   }
 
+  /** SYNCHRONOUS LABEL PROPAGATION (Raghavan et al. 2007) over an
+    * undirected graph, made fully deterministic: labels start as node
+    * ids; each round every node adopts the label carried by the MOST of
+    * its neighbors, ties broken by the smallest label; exactly `rounds`
+    * rounds run (synchronous LPA can oscillate between two colorings on
+    * bipartite-ish structure, so production runs bound rounds rather
+    * than wait on a fixpoint that may never come). Communities are
+    * DENSITY-driven — unlike connected components (q41's engine), a
+    * bridge edge between two cliques does not merge them, which is
+    * exactly the over-merge q163's low-LCC hubs warn about.
+    *
+    * Scale shape per round: one join of the (node, label) table against
+    * the edge list (keyed on node), one (node, label) count aggregate,
+    * one max-count/min-label reduction — all hash-partitioned on the
+    * node id; labels checkpoint each round (constant-size plans), edges
+    * checkpoint once.
+    *
+    * @return (node, label) after `rounds` rounds; singleton-free (only
+    *         nodes with ≥ 1 edge participate)
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"labelPropagation: rounds >= 1, got $rounds")
+    val e0 = edges.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("u"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val e = e0.select(col("u").as("a"), col("v").as("b"))
+      .unionAll(e0.select(col("v").as("a"), col("u").as("b")))
+      .localCheckpoint()
+    var labels = e.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val votes = e.join(labels.select(col("node").as("b"), col("label")),
+          Seq("b"))
+        .groupBy(col("a").as("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      labels = votes
+        .groupBy("node")
+        .agg(min(struct(negate(col("c")), col("label"))).as("best"))
+        .select(col("node"), col("best.label").as("label"))
+        .localCheckpoint(eager = false)
+    }
+    labels
+  }
+
   /** k-CORE of an undirected graph: the maximal subgraph in which every
     * node keeps degree ≥ k — the standard "dense kernel" extraction
     * (Seidman 1983). On a similarity graph the k-core separates genuine

@@ -1179,9 +1179,48 @@ object TrainQueries {
     Some(kCoreSql(k = 3, rounds = 16)),
   )
 
+  /** DuckDB twin of `Graph.labelPropagation`: `rounds` unrolled
+    * MATERIALIZED vote/adopt rounds (the kCoreSql inlining lesson), the
+    * max-count/min-label choice as a row_number over (c DESC, label) —
+    * NOT min(struct(...)), which DuckDB executes pathologically slowly
+    * at sf0.1 (the q08 lesson).
+    */
+  private def lpaSql(rounds: Int): String = {
+    val rs = (1 to rounds).map { i =>
+      s"""v$i AS MATERIALIZED (SELECT e.a AS node, l${i - 1}.label,
+               CAST(count(*) AS BIGINT) AS c
+             FROM e JOIN l${i - 1} ON l${i - 1}.node = e.b GROUP BY 1, 2),
+          l$i AS MATERIALIZED (SELECT node, label FROM
+             (SELECT node, label, row_number() OVER (PARTITION BY node
+                ORDER BY c DESC, label) AS rn FROM v$i)
+             WHERE rn = 1)"""
+    }.mkString(",\n          ")
+    s"""WITH $lshPairsCte,
+          e AS MATERIALIZED (SELECT u AS a, v AS b FROM p
+               UNION ALL SELECT v, u FROM p),
+          l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS label FROM e),
+          $rs
+        SELECT node, label FROM l$rounds"""
+  }
+
+  /** Q166 [X]: density-driven communities — 4 rounds of deterministic
+    * synchronous label propagation (`Graph.labelPropagation`) over the
+    * signature-contracted LSH graph: the community complement of q41's
+    * connectivity clusters (a bridge edge between two dense variant
+    * groups does NOT merge them here) and of q163/q165's density
+    * diagnostics. All integer; both engines break vote ties by smallest
+    * label.
+    */
+  val q166 = OracleQuery(
+    "q166_label_prop",
+    (s, d) => graft.ops.Graph.labelPropagation(
+      contractedLshEdges(s, d), "doc_a", "doc_b", rounds = 4),
+    Some(lpaSql(rounds = 4)),
+  )
+
   val all: Seq[OracleQuery] =
     Seq(q41, q42, q42b, q43, q44, q45, q46, q47, q48, q49, q50,
       q53, q54, q55, q56, q57, q120, q121, q122, q123, q124, q125, q126,
       q127, q128, q129, q130, q131, q132, q134, q137, q138, q140, q141,
-      q142, q153, q154, q163, q165)
+      q142, q153, q154, q163, q165, q166)
 }

@@ -168,6 +168,37 @@ class RetrievalSpec extends SparkSpec {
     dist(2L) shouldBe 3L // via seed 5's chain, not seed 1's direct edge
   }
 
+  test("labelPropagation: bridged cliques keep distinct communities") {
+    // two K4s (1–4, 11–14) joined by one bridge edge 4–11: connectivity
+    // would merge them; density-driven LPA must not
+    val k4a = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val k4b = for (a <- 11L to 14L; b <- (a + 1) to 14L) yield (a, b)
+    val df = (k4a ++ k4b :+ (4L, 11L)).toDF("s", "t")
+    val lab = Graph.labelPropagation(df, "s", "t", rounds = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 4L).map(lab).toSet.size shouldBe 1
+    (11L to 14L).map(lab).toSet.size shouldBe 1
+    lab(1L) should not be lab(11L)
+  }
+
+  test("labelPropagation ≡ driver-side synchronous reference") {
+    val edges = (for {
+      a <- 0L until 20L; b <- (a + 1) until 20L
+      if (a * 11 + b * 3) % 6 == 0
+    } yield (a, b)).toSeq
+    val nbrs = edges.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var ref = nbrs.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 4) {
+      ref = nbrs.map { case (n, ns) =>
+        val counts = ns.map(ref).groupBy(identity).view.mapValues(_.size)
+        n -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    Graph.labelPropagation(edges.toDF("s", "t"), "s", "t", rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe ref
+  }
+
   test("kCore: cascading peel — a path's 2-core is empty, a cycle survives") {
     // path 1-2-3-4-5: every round exposes a new endpoint; the 2-core is
     // empty only if the peel truly iterates to fixpoint
