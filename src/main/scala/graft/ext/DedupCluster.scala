@@ -358,6 +358,38 @@ object DedupCluster {
     * is one per-cluster count (|clusters| rows — AQE broadcasts it), one
     * join back, one groupBy on `groupCol`.
     */
+  /** CROSS-SOURCE duplicate-FLOW matrix: for every (source_a ≤ source_b)
+    * pair, how many exact-duplicate document pairs span them — the "who
+    * copies whom" complement of [[dupRateByGroup]]'s per-source rate
+    * (mirror feeds, syndication, and re-crawls show up as heavy
+    * off-diagonal cells; the diagonal is within-source redundancy).
+    *
+    * Counted COMBINATORIALLY (the q134 leakage-audit lesson): aggregate
+    * to per-(text, source) multiplicities first, then pair counts are
+    * c_a·c_b (cross) and C(c,2) (diagonal) — a duplicate group of g docs
+    * contributes g·(g−1)/2 pairs as arithmetic on ≤|sources| rows, never
+    * as materialized pairs (the corpus carries groups of thousands;
+    * their pair sets are Θ(g²)).
+    */
+  def crossSourceDupMatrix(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String): DataFrame = {
+    val cnt = docs.groupBy(col(textCol).as("__t"), col(groupCol))
+      .agg(count(lit(1)).as("__c"))
+    val a = cnt.select(col("__t"), col(groupCol).as("source_a"),
+      col("__c").as("__ca"))
+    val b = cnt.select(col("__t"), col(groupCol).as("source_b"),
+      col("__c").as("__cb"))
+    a.join(b, Seq("__t"))
+      .filter(col("source_a") <= col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        when(col("source_a") === col("source_b"),
+          shiftright(col("__ca") * (col("__ca") - lit(1L)), 1))
+          .otherwise(col("__ca") * col("__cb")).as("__n"))
+      .groupBy("source_a", "source_b")
+      .agg(sum(col("__n")).as("n_pairs"))
+      .filter(col("n_pairs") > 0)
+  }
+
   def dupRateByGroup(docs: DataFrame, idCol: String, textCol: String,
       groupCol: String): DataFrame = {
     val cl = dedupClusters(docs, idCol, textCol)

@@ -53,6 +53,51 @@ object Timeseries {
         col("value"), col("filled"))
   }
 
+  /** ROLLING MEDIAN smoothing over an ordered per-key series (typically
+    * [[resampleLocf]]'s regular grid): the robust alternative to a
+    * moving average — one outlier bucket cannot drag the smoothed level
+    * (the q153 median-vs-mean argument applied along time). Frame is
+    * ±`halfWindow` ROWS around each cell, partition-local (no shuffle
+    * beyond the key partitioning); exact percentile, interpolated as the
+    * mean of the two middle values on even frames — the same rule both
+    * engines use, and (a+b)/2 on doubles is engine-independent. Output:
+    * the input plus `smoothed` (round 6).
+    */
+  def rollingMedian(df: DataFrame, keyCol: String, ordCol: String,
+      valueCol: String, halfWindow: Int): DataFrame = {
+    require(halfWindow >= 1, s"rollingMedian: halfWindow >= 1")
+    val w = Window.partitionBy(keyCol).orderBy(ordCol)
+      .rowsBetween(-halfWindow, halfWindow)
+    df.withColumn("smoothed",
+      round(percentile(col(valueCol), lit(0.5)).over(w), 6))
+  }
+
+  /** Per-key EWMA level: the left fold `s ← s + (x − s)/alphaDen` over
+    * the series in `ordCol` order, seeded with the first value — the
+    * smoothed "current level" a monitoring pipeline tracks per key.
+    * A recursion cannot be a window function; per key it is a
+    * `aggregate` fold over the collected, sorted series — bounded by the
+    * grid length (a config choice: span/step), NOT by event volume, so
+    * the interpreted-HOF rule for unbounded arrays does not bite. Both
+    * engines execute the identical double-op sequence (left fold in
+    * bucket order), so the result is bit-equal before the final round.
+    * Output: (keyCol, n, ewma).
+    */
+  def ewmaLevel(df: DataFrame, keyCol: String, ordCol: String,
+      valueCol: String, alphaDen: Int): DataFrame = {
+    require(alphaDen >= 2, s"ewmaLevel: alphaDen >= 2, got $alphaDen")
+    val arr = array_sort(collect_list(struct(col(ordCol).as("o"),
+      col(valueCol).as("v"))))
+    df.groupBy(keyCol)
+      .agg(count(lit(1)).as("n"), arr.as("__a"))
+      .select(col(keyCol), col("n"),
+        round(aggregate(
+          slice(col("__a"), lit(2), size(col("__a")) - 1),
+          element_at(col("__a"), 1).getField("v"),
+          (s, e) => s + (e.getField("v") - s) / lit(alphaDen.toDouble)),
+          6).as("ewma"))
+  }
+
   /** The dual observability report: per key, the GAPS in its bucket grid
     * — total missing buckets, number of contiguous gap runs, and the
     * longest run (q155's gaps-and-islands idiom on the COMPLEMENT set:

@@ -613,12 +613,10 @@ object RetrievalQueries {
     * per-user generate_series grid, and DuckDB's `last_value IGNORE
     * NULLS` frame.
     */
-  val q161 = OracleQuery(
-    "q161_resample_locf",
-    (s, d) => graft.ops.Timeseries.resampleLocf(
-      Tables.events(s, d), "user_id", "ts", "value",
-      stepUs = 21600000000L),
-    Some("""WITH e AS (SELECT user_id,
+  /** q161's twin, shared with the q168/q169 smoothers that stack on the
+    * same grid.
+    */
+  private val locfSql: String = """WITH e AS (SELECT user_id,
                      epoch_us(CAST(ts AS TIMESTAMP)) AS tus, value AS v
                    FROM events),
               b AS (SELECT user_id, tus // 21600000000 AS bkt, tus, v FROM e),
@@ -639,7 +637,14 @@ object RetrievalQueries {
                   ORDER BY bkt ROWS BETWEEN UNBOUNDED PRECEDING
                   AND CURRENT ROW) AS value,
                 v IS NULL AS filled
-         FROM j"""),
+         FROM j"""
+
+  val q161 = OracleQuery(
+    "q161_resample_locf",
+    (s, d) => graft.ops.Timeseries.resampleLocf(
+      Tables.events(s, d), "user_id", "ts", "value",
+      stepUs = 21600000000L),
+    Some(locfSql),
   )
 
   /** Q162 [X]: the gap report — per user, missing 6-hour buckets between
@@ -669,7 +674,50 @@ object RetrievalQueries {
          FROM g GROUP BY user_id"""),
   )
 
+  /** Q168 [X]: ±2-bucket ROLLING MEDIAN over the q161 grid
+    * (`Timeseries.rollingMedian`) — robust smoothing along time, the
+    * q153 median-vs-mean argument applied per key: one outlier bucket
+    * cannot drag the level. Exact windowed percentile, partition-local
+    * frame; the even-frame interpolation (mean of the two middle
+    * doubles) is the identical rule and identical float op on both
+    * engines.
+    */
+  val q168 = OracleQuery(
+    "q168_rolling_median",
+    (s, d) => graft.ops.Timeseries.rollingMedian(
+      graft.ops.Timeseries.resampleLocf(
+        Tables.events(s, d), "user_id", "ts", "value", 21600000000L),
+      "user_id", "bkt", "value", halfWindow = 2),
+    Some(s"""WITH g AS ($locfSql)
+         SELECT user_id, bkt, grid_us, value, filled,
+                round(median(value) OVER (PARTITION BY user_id ORDER BY bkt
+                  ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 6) AS smoothed
+         FROM g"""),
+  )
+
+  /** Q169 [X]: per-user EWMA level (α = 1/8) over the q161 grid
+    * (`Timeseries.ewmaLevel`) — the smoothed "current level" a
+    * monitoring pipeline tracks. A recursion can't be a window function;
+    * per key it is a LEFT FOLD over the collected grid series (bounded
+    * by span/step, a config choice — the interpreted-HOF rule for
+    * unbounded arrays doesn't bite), and because both engines execute
+    * the identical double-op sequence in bucket order, the level is
+    * bit-equal before the final round.
+    */
+  val q169 = OracleQuery(
+    "q169_ewma_level",
+    (s, d) => graft.ops.Timeseries.ewmaLevel(
+      graft.ops.Timeseries.resampleLocf(
+        Tables.events(s, d), "user_id", "ts", "value", 21600000000L),
+      "user_id", "bkt", "value", alphaDen = 8),
+    Some(s"""WITH g AS ($locfSql)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                round(list_reduce(list(value ORDER BY bkt),
+                  (s, v) -> s + (v - s) / 8.0), 6) AS ewma
+         FROM g GROUP BY user_id"""),
+  )
+
   val all: Seq[OracleQuery] =
     Seq(q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98,
-      q99, q100, q101, q102, q151, q152, q155, q161, q162)
+      q99, q100, q101, q102, q151, q152, q155, q161, q162, q168, q169)
 }

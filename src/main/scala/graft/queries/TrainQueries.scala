@@ -1218,9 +1218,32 @@ object TrainQueries {
     Some(lpaSql(rounds = 4)),
   )
 
+  /** Q167 [X]: cross-source duplicate-FLOW matrix
+    * (`DedupCluster.crossSourceDupMatrix`) — for every source pair, the
+    * number of exact-duplicate document pairs spanning them: q128 says
+    * WHICH feed floods us with copies, this says FROM WHERE. Counted
+    * combinatorially on per-(text, source) multiplicities (the q134
+    * discipline) — the corpus carries duplicate groups of thousands,
+    * whose Θ(g²) pair sets are never materialized. All integer.
+    */
+  val q167 = OracleQuery(
+    "q167_cross_source_dups",
+    (s, d) => DedupCluster.crossSourceDupMatrix(
+      Tables.documents(s, d), "doc_id", "text", "source"),
+    Some("""WITH c AS (SELECT text, source, CAST(count(*) AS BIGINT) AS c
+                   FROM documents GROUP BY 1, 2),
+              p AS (SELECT a.source AS source_a, b.source AS source_b,
+                     CASE WHEN a.source = b.source THEN a.c * (a.c - 1) // 2
+                          ELSE a.c * b.c END AS n
+                   FROM c a JOIN c b
+                     ON a.text = b.text AND a.source <= b.source)
+         SELECT source_a, source_b, CAST(sum(n) AS BIGINT) AS n_pairs
+         FROM p GROUP BY 1, 2 HAVING sum(n) > 0"""),
+  )
+
   val all: Seq[OracleQuery] =
     Seq(q41, q42, q42b, q43, q44, q45, q46, q47, q48, q49, q50,
       q53, q54, q55, q56, q57, q120, q121, q122, q123, q124, q125, q126,
       q127, q128, q129, q130, q131, q132, q134, q137, q138, q140, q141,
-      q142, q153, q154, q163, q165, q166)
+      q142, q153, q154, q163, q165, q166, q167)
 }

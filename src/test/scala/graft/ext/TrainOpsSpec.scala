@@ -528,6 +528,29 @@ class TrainOpsSpec extends SparkSpec {
     out("sB") shouldBe ((2L, 1L, 0.5))
   }
 
+  test("crossSourceDupMatrix ≡ brute pair enumeration, diagonal C(c,2)") {
+    // text "p": sA×2, sB×1; text "q": sB×3; text "r": unique
+    val df = Seq(
+      (1L, "p", "sA"), (2L, "p", "sA"), (3L, "p", "sB"),
+      (4L, "q", "sB"), (5L, "q", "sB"), (6L, "q", "sB"),
+      (7L, "r", "sA")
+    ).toDF("doc_id", "text", "source")
+    val got = DedupCluster.crossSourceDupMatrix(df, "doc_id", "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // brute: all doc pairs with equal text, keyed by sorted source pair
+    val rows = df.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val brute = (for {
+      a <- rows; b <- rows
+      if a._1 < b._1 && a._2 == b._2
+      s = if (a._3 <= b._3) (a._3, b._3) else (b._3, a._3)
+    } yield s).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    got shouldBe brute
+    got(("sA", "sA")) shouldBe 1L  // C(2,2 within sA for "p")
+    got(("sA", "sB")) shouldBe 2L  // 2×1 cross for "p"
+    got(("sB", "sB")) shouldBe 3L  // C(3,2) for "q"
+  }
+
   test("curatedReport: quality losers and exact dups excluded, tokens summed") {
     val good = (1 to 40).map(i => s"t$i").mkString(" ") // 40 distinct tokens
     val df = Seq(

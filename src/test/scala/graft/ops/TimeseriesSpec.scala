@@ -47,6 +47,29 @@ class TimeseriesSpec extends SparkSpec {
     out.toSeq shouldBe Seq(("a", 5L, 2L, 1L, 2L), ("b", 1L, 0L, 0L, 0L))
   }
 
+  test("rollingMedian: exact frame medians, odd and even window sizes") {
+    val series = Seq(("a", 0L, 1.0), ("a", 1L, 100.0), ("a", 2L, 2.0),
+      ("a", 3L, 3.0), ("a", 4L, 4.0)).toDF("k", "bkt", "v")
+    val got = Timeseries.rollingMedian(series, "k", "bkt", "v", 1)
+      .orderBy("bkt").collect().map(_.getDouble(3))
+    // frames: [1,100]→50.5, [1,100,2]→2, [100,2,3]→3, [2,3,4]→3, [3,4]→3.5
+    got.toSeq shouldBe Seq(50.5, 2.0, 3.0, 3.0, 3.5)
+    // the outlier bucket (100) never drags its neighbors' medians
+    got.count(_ > 10.0) shouldBe 0 +- 1
+  }
+
+  test("ewmaLevel ≡ driver-side left fold, order-insensitive input") {
+    val vals = Seq(3.0, 7.5, 1.25, 9.0, 4.5, 2.0)
+    // feed shuffled: the collected array sorts by bkt before folding
+    val rows = vals.zipWithIndex.map { case (v, i) => ("a", i.toLong, v) }
+    val df = scala.util.Random.shuffle(rows).toDF("k", "bkt", "v")
+    val got = Timeseries.ewmaLevel(df, "k", "bkt", "v", alphaDen = 8)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).head
+    val ref = vals.tail.foldLeft(vals.head)((s, x) => s + (x - s) / 8.0)
+    got shouldBe ((6L,
+      BigDecimal(ref).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+  }
+
   test("gapReport ≡ resampleLocf's filled flags") {
     val rs = Timeseries.resampleLocf(events, "k", "ts", "v", stepUs = 10L)
     val fromGrid = rs.groupBy("k").agg(
