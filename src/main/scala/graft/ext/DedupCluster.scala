@@ -379,15 +379,24 @@ object DedupCluster {
       col("__c").as("__ca"))
     val b = cnt.select(col("__t"), col(groupCol).as("source_b"),
       col("__c").as("__cb"))
-    a.join(b, Seq("__t"))
+    val agg = a.join(b, Seq("__t"))
       .filter(col("source_a") <= col("source_b"))
       .select(col("source_a"), col("source_b"),
         when(col("source_a") === col("source_b"),
           shiftright(col("__ca") * (col("__ca") - lit(1L)), 1))
           .otherwise(col("__ca") * col("__cb")).as("__n"))
       .groupBy("source_a", "source_b")
-      .agg(sum(col("__n")).as("n_pairs"))
-      .filter(col("n_pairs") > 0)
+      .agg(sum(col("__n")).as("__p"))
+    // the COMPLETE (|sources|²+|sources|)/2 matrix, zero cells explicit —
+    // a dashboard reads "no flow" from a 0, not from absence; |sources|
+    // is tiny, the triangle join is driver-negligible
+    val srcs = docs.select(col(groupCol)).distinct()
+    srcs.select(col(groupCol).as("source_a"))
+      .join(srcs.select(col(groupCol).as("source_b")),
+        col("source_a") <= col("source_b"))
+      .join(agg, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        coalesce(col("__p"), lit(0L)).as("n_pairs"))
   }
 
   def dupRateByGroup(docs: DataFrame, idCol: String, textCol: String,

@@ -1236,9 +1236,15 @@ object TrainQueries {
                      CASE WHEN a.source = b.source THEN a.c * (a.c - 1) // 2
                           ELSE a.c * b.c END AS n
                    FROM c a JOIN c b
-                     ON a.text = b.text AND a.source <= b.source)
-         SELECT source_a, source_b, CAST(sum(n) AS BIGINT) AS n_pairs
-         FROM p GROUP BY 1, 2 HAVING sum(n) > 0"""),
+                     ON a.text = b.text AND a.source <= b.source),
+              agg AS (SELECT source_a, source_b, CAST(sum(n) AS BIGINT) AS n
+                   FROM p GROUP BY 1, 2),
+              s AS (SELECT DISTINCT source FROM documents),
+              sp AS (SELECT a.source AS source_a, b.source AS source_b
+                   FROM s a JOIN s b ON a.source <= b.source)
+         SELECT sp.source_a, sp.source_b,
+                coalesce(agg.n, 0) AS n_pairs
+         FROM sp LEFT JOIN agg USING (source_a, source_b)"""),
   )
 
   val all: Seq[OracleQuery] =

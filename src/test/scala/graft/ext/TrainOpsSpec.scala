@@ -545,10 +545,12 @@ class TrainOpsSpec extends SparkSpec {
       if a._1 < b._1 && a._2 == b._2
       s = if (a._3 <= b._3) (a._3, b._3) else (b._3, a._3)
     } yield s).groupBy(identity).view.mapValues(_.length.toLong).toMap
-    got shouldBe brute
+    got.filter(_._2 > 0L) shouldBe brute
     got(("sA", "sA")) shouldBe 1L  // C(2,2 within sA for "p")
     got(("sA", "sB")) shouldBe 2L  // 2×1 cross for "p"
     got(("sB", "sB")) shouldBe 3L  // C(3,2) for "q"
+    // the matrix is COMPLETE: every source pair present, zeros explicit
+    got.keySet shouldBe Set(("sA", "sA"), ("sA", "sB"), ("sB", "sB"))
   }
 
   test("curatedReport: quality losers and exact dups excluded, tokens summed") {
