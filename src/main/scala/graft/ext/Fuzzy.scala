@@ -254,4 +254,57 @@ object Fuzzy {
       .filter(col("dist") <= k)
       .select(col("pid").as("id_a"), col("cid").as("id_b"), col("dist"))
   }
+
+  /** SORTED-NEIGHBORHOOD record linkage (Hernández & Stolfo 1995): rank
+    * all records by the blocking key, slide a `window`-row neighborhood
+    * down the sorted order, and verify `levenshtein ≤ k` on the
+    * candidates — the classic cheap blocker beside the PassJoin segment
+    * pigeonhole (a DELIBERATE heuristic: a pair whose keys sort ≥
+    * `window` apart is missed by contract; PassJoin is the exact path).
+    * Output (id_a, id_b, dist): verified pairs with rank(a) < rank(b).
+    *
+    * Scale shape: the global rank is TWO-PHASE, never a one-partition
+    * window over the data — records bucket by a `prefixLen`-char key
+    * prefix (prefix blocks are contiguous in key order, so bucket-major
+    * + within-bucket order IS the global order); phase 1's window sees
+    * |alphabet|^prefixLen bucket rows, phase 2 ranks within buckets in
+    * parallel against broadcast base offsets (the Packing.packSequences
+    * cumsum discipline). The neighborhood self-join is a banded
+    * rank-cell equi-join (cells of `window` ranks, probe side exploded
+    * to ±1 — the RangeJoin.banded shape), so candidate volume is exactly
+    * n·(window−1) and no sort-merge ever sees the full cross product.
+    */
+  def sortedNeighborhoodJoin(df: DataFrame, idCol: String, keyCol: String,
+      window: Int, k: Int, prefixLen: Int = 2): DataFrame = {
+    require(window >= 2, s"sortedNeighborhoodJoin: window >= 2")
+    require(k >= 0 && prefixLen >= 1, "sortedNeighborhoodJoin: k >= 0, prefixLen >= 1")
+    import org.apache.spark.sql.expressions.{Window => W}
+    val base = df.select(col(idCol).as("__id"), col(keyCol).as("__k"))
+      .withColumn("__b", substring(col("__k"), 1, prefixLen))
+    val bases = base.groupBy("__b").agg(count(lit(1)).as("__bc"))
+      .withColumn("__base", coalesce(sum(col("__bc")).over(
+        W.orderBy("__b").rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__b"), col("__base"))
+    val wLoc = W.partitionBy("__b").orderBy(col("__k"), col("__id"))
+    val ranked = base.join(broadcast(bases), Seq("__b"))
+      .withColumn("__r", col("__base") + row_number().over(wLoc))
+      .select(col("__id"), col("__k"), col("__r"))
+      .localCheckpoint() // feeds both neighborhood-join sides
+    val a = ranked.select(col("__id").as("id_a"), col("__k").as("__ka"),
+        col("__r").as("__ra"))
+      .withColumn("__cell", expr(s"__ra div ${window}L"))
+    val b = ranked.select(col("__id").as("id_b"), col("__k").as("__kb"),
+        col("__r").as("__rb"))
+      .withColumn("__c0", expr(s"__rb div ${window}L"))
+      .withColumn("__cell",
+        explode(array(col("__c0") - 1, col("__c0"), col("__c0") + 1)))
+      .drop("__c0")
+    // a pair meets in exactly one of the probe's three cells — no dedup
+    a.join(b, Seq("__cell"))
+      .filter(col("__rb") > col("__ra") &&
+        col("__rb") - col("__ra") <= window - 1)
+      .withColumn("dist", levenshtein(col("__ka"), col("__kb")))
+      .filter(col("dist") <= k)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+  }
 }

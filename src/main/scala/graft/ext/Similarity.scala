@@ -510,4 +510,46 @@ object Similarity {
       .select(col(idCol), coalesce(col("__cl"), col(idCol)).as("cluster_id"))
       .withColumn("is_keeper", (col("cluster_id") === col(idCol)).cast("int"))
   }
+
+  /** Upper-triangle COVARIANCE MATRIX of an embedding column — the
+    * whitening/PCA-prep statistic every vector pipeline computes before
+    * decorrelating or reducing dimensions (the k×k input a driver-side
+    * eigensolver then factors; cf. the JL/PQ/IVF reducers that consume
+    * it). cov(i,j) = E[x_i·x_j] − E[x_i]·E[x_j].
+    *
+    * Cross-engine float discipline (the q104 rule): every float product
+    * x_i·x_j is EXACT in double (24-bit mantissas), and each term enters
+    * the sums as `trunc(t · 2^40)` — a power-of-two scale (exact) then
+    * truncation — so all three sums are integer arithmetic in any order
+    * on any engine; doubles reappear only in the final fixed-shape
+    * expression, rounded at 6.
+    *
+    * Scale shape: one posexplode to (vec, dim, x) and one same-vector
+    * self-join emitting the d(d+1)/2 upper-triangle terms per vector —
+    * d²-bounded fan-out (a config constant, not data), aggregated with
+    * map-side combine on (i, j) keys; the mean sums ride the same
+    * exploded relation. Output: (i, j, cov), j ≥ i.
+    */
+  def covarianceMatrix(df: DataFrame, vecCol: String, idCol: String): DataFrame = {
+    val S = 1099511627776.0 // 2^40
+    val x = df.select(col(idCol).as("__vid"),
+      posexplode(asDouble(col(vecCol))).as(Seq("i", "x")))
+      .localCheckpoint() // feeds the mean sums AND both product sides
+    val n = x.select(col("__vid")).distinct().count()
+    val sums = x.groupBy("i")
+      .agg(sum((col("x") * S).cast("long")).as("sx"))
+    val prods = x.select(col("__vid"), col("i"), col("x"))
+      .join(x.select(col("__vid"), col("i").as("j"), col("x").as("y")),
+        Seq("__vid"))
+      .filter(col("j") >= col("i"))
+      .groupBy("i", "j")
+      .agg(sum((col("x") * col("y") * S).cast("long")).as("sxy"))
+    prods
+      .join(sums.select(col("i"), col("sx").as("sa")), Seq("i"))
+      .join(sums.select(col("i").as("j"), col("sx").as("sb")), Seq("j"))
+      .select(col("i"), col("j"),
+        round(col("sxy").cast("double") / S / n -
+          (col("sa").cast("double") / S / n) *
+          (col("sb").cast("double") / S / n), 6).as("cov"))
+  }
 }

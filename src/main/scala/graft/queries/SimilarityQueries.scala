@@ -1030,7 +1030,69 @@ object SimilarityQueries {
             FROM bs b LEFT JOIN ad ON ad.vec_id = b.vec_id"""),
   )
 
+  /** Q170 [X]: sorted-neighborhood record linkage
+    * (`Fuzzy.sortedNeighborhoodJoin`) — rank by a 16-char key prefix,
+    * verify `levenshtein ≤ 2` inside an 8-row sliding neighborhood: the
+    * classic cheap blocker beside q143's exact PassJoin (the missed-pair
+    * tradeoff is the CONTRACT — the twin builds the identical
+    * neighborhood, so the oracle pins the blocker's exact semantics,
+    * two-phase rank included). The twin's one global row_number is the
+    * semantic spec; the Spark side computes the same rank in two phases.
+    */
+  val q170 = OracleQuery(
+    "q170_sorted_neighborhood",
+    (s, d) => graft.ext.Fuzzy.sortedNeighborhoodJoin(
+      Tables.documents(s, d).select(col("doc_id"),
+        substring(col("text"), 1, 16).as("k16")),
+      "doc_id", "k16", window = 8, k = 2),
+    Some("""WITH b AS (SELECT doc_id, substring(text, 1, 16) AS k
+                   FROM documents),
+              r AS (SELECT doc_id, k,
+                     row_number() OVER (ORDER BY k, doc_id) AS rnk FROM b),
+              c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     a.k AS ka, b.k AS kb
+                   FROM r a JOIN r b
+                     ON b.rnk > a.rnk AND b.rnk <= a.rnk + 7)
+         SELECT id_a, id_b, CAST(levenshtein(ka, kb) AS BIGINT) AS dist
+         FROM c WHERE levenshtein(ka, kb) <= 2"""),
+  )
+
+  /** Q171 [X]: embedding covariance matrix
+    * (`Similarity.covarianceMatrix`) — the d(d+1)/2 upper-triangle
+    * whitening/PCA-prep statistic, every sum integer-exact via the q104
+    * 2^-40 truncation (float products are exact doubles; power-of-two
+    * scaling is exact; truncation + integer sums are order-free), doubles
+    * only in the final fixed-shape expression on both engines. The twin
+    * mirrors Spark's truncating double→long cast as
+    * `CAST(trunc(·) AS BIGINT)`.
+    */
+  val q171 = OracleQuery(
+    "q171_embedding_covariance",
+    (s, d) => Similarity.covarianceMatrix(
+      Tables.embeddings(s, d), "embedding", "vec_id"),
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+              x AS (SELECT vec_id, generate_subscripts(v, 1) - 1 AS i,
+                     unnest(v) AS x FROM e),
+              n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+              s AS (SELECT i, sum(CAST(trunc(x * 1099511627776.0) AS BIGINT))
+                     AS sx FROM x GROUP BY 1),
+              p AS (SELECT a.i AS i, b.i AS j,
+                     sum(CAST(trunc(a.x * b.x * 1099511627776.0) AS BIGINT))
+                       AS sxy
+                   FROM x a JOIN x b
+                     ON b.vec_id = a.vec_id AND b.i >= a.i
+                   GROUP BY 1, 2)
+         SELECT p.i, p.j,
+                round(CAST(p.sxy AS DOUBLE) / 1099511627776.0 / n.n -
+                      (CAST(sa.sx AS DOUBLE) / 1099511627776.0 / n.n) *
+                      (CAST(sb.sx AS DOUBLE) / 1099511627776.0 / n.n), 6)
+                  AS cov
+         FROM p JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j, n"""),
+  )
+
   val all: Seq[OracleQuery] = Seq(q103, q104, q105, q106, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q135, q139,
-    q143, q144, q145, q146, q147, q148, q149, q150, q156, q157)
+    q143, q144, q145, q146, q147, q148, q149, q150, q156, q157,
+    q170, q171)
 }

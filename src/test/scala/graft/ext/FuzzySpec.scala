@@ -189,4 +189,43 @@ class FuzzySpec extends SparkSpec {
     got shouldBe direct
     direct should not be empty
   }
+
+  test("sortedNeighborhoodJoin ≡ naive sorted-window reference; window bound is the contract") {
+    // keys engineered so near keys cluster lexically and prefix buckets
+    // ("aa".."ac") split mid-neighborhood — exercising the two-phase rank
+    val rows = Seq(
+      (1L, "aaron smith"), (2L, "aaron smyth"), (3L, "aarons mith"),
+      (4L, "abby jones"), (5L, "abbyjones"), (6L, "acme corp"),
+      (7L, "acme c0rp"), (8L, "zz distant"), (9L, "aaron smith"),
+      (10L, "abyy jones")
+    )
+    val df = rows.toDF("id", "k")
+    for (w <- Seq(3, 8); k <- Seq(1, 2)) {
+      val ranked = rows.sortBy { case (id, key) => (key, id) }.zipWithIndex
+      val naive = (for {
+        (a, ra) <- ranked; (b, rb) <- ranked
+        if rb > ra && rb - ra <= w - 1
+        d = {
+          // driver-side Levenshtein
+          val (s, t) = (a._2, b._2)
+          val dp = Array.tabulate(s.length + 1)(i => Array.tabulate(t.length + 1) {
+            j => if (i == 0) j else if (j == 0) i else 0 })
+          for (i <- 1 to s.length; j <- 1 to t.length)
+            dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+              dp(i - 1)(j - 1) + (if (s(i - 1) == t(j - 1)) 0 else 1))
+          dp(s.length)(t.length)
+        }
+        if d <= k
+      } yield (a._1, b._1, d.toLong)).toSet
+      val got = Fuzzy.sortedNeighborhoodJoin(df, "id", "k", w, k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      withClue(s"window $w k $k:") { got shouldBe naive }
+    }
+    // the heuristic contract: with a tiny window, the exact-dup pair
+    // (1, 9) is present (adjacent ranks) but far-sorted pairs never are
+    val tight = Fuzzy.sortedNeighborhoodJoin(df, "id", "k", 3, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    tight should contain((1L, 9L))
+    tight.exists { case (a, b) => a == 8L || b == 8L } shouldBe false
+  }
 }

@@ -361,4 +361,28 @@ class SimilaritySpec extends SparkSpec {
     // the exact copy of corpus vec 0 adopts vec 0's cluster
     got(100L) shouldBe cLabels(0L)
   }
+
+  test("covarianceMatrix ≡ driver reference with the same truncation discipline") {
+    val rnd = new scala.util.Random(41)
+    val vecs = (0L until 40L).map(i =>
+      i -> Array.fill(6)((rnd.nextDouble() * 2 - 1).toFloat))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.covarianceMatrix(df, "embedding", "vec_id")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    got.size shouldBe 21 // 6·7/2 upper triangle
+    val S = 1099511627776.0
+    val n = vecs.size
+    val xs = vecs.map(_._2.map(_.toDouble))
+    for (i <- 0 until 6; j <- i until 6) {
+      val sxy = xs.map(v => (v(i) * v(j) * S).toLong).sum
+      val sa = xs.map(v => (v(i) * S).toLong).sum
+      val sb = xs.map(v => (v(j) * S).toLong).sum
+      val ref = BigDecimal(sxy.toDouble / S / n -
+        (sa.toDouble / S / n) * (sb.toDouble / S / n))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      withClue(s"cov($i,$j):") { got((i, j)) shouldBe ref }
+    }
+    // sanity: the diagonal is a variance — nonnegative
+    (0 until 6).foreach(i => got((i, i)) should be >= -1e-6)
+  }
 }
