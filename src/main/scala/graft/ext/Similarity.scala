@@ -530,6 +530,61 @@ object Similarity {
     * map-side combine on (i, j) keys; the mean sums ride the same
     * exploded relation. Output: (i, j, cov), j ≥ i.
     */
+  /** Top-`kComp` PRINCIPAL COMPONENTS via the classic split: the d×d
+    * covariance is computed DISTRIBUTED ([[covarianceMatrix]] — the only
+    * data-sized pass), then eigensolved ON THE DRIVER (power iteration
+    * with deflation over a d×d array — d is a config constant, the
+    * matrix is kilobytes; exactly where a 1000-executor job does it
+    * too). Deterministic end-to-end: fixed uniform init, fixed iteration
+    * count, canonical sign (largest-|coordinate| positive). Returns the
+    * k×d row-major component matrix.
+    */
+  def pcaComponents(df: DataFrame, vecCol: String, idCol: String,
+      kComp: Int, iters: Int = 100): Array[Array[Double]] = {
+    require(kComp >= 1 && iters >= 1, "pcaComponents: kComp, iters >= 1")
+    val cells = covarianceMatrix(df, vecCol, idCol).collect()
+    val d = cells.iterator.map(_.getInt(1)).max + 1
+    require(kComp <= d, s"pcaComponents: kComp $kComp > dims $d")
+    val a = Array.ofDim[Double](d, d)
+    cells.foreach { r =>
+      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      a(i)(j) = c; a(j)(i) = c
+    }
+    def matVec(v: Array[Double]): Array[Double] =
+      Array.tabulate(d)(i => (0 until d).foldLeft(0.0)((s, j) => s + a(i)(j) * v(j)))
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.foldLeft(0.0)((s, x) => s + x * x))
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    (0 until kComp).map { _ =>
+      var v = normalize(Array.fill(d)(1.0))
+      var it = 0
+      while (it < iters) { v = normalize(matVec(v)); it += 1 }
+      // canonical sign: the largest-|w| coordinate (first on ties) positive
+      val pivot = v.indices.maxBy(i => (math.abs(v(i)), -i))
+      if (v(pivot) < 0) v = v.map(-_)
+      val av = matVec(v)
+      val lambda = v.indices.foldLeft(0.0)((s, i) => s + v(i) * av(i))
+      // deflate: A ← A − λ v vᵀ
+      for (i <- 0 until d; j <- 0 until d) a(i)(j) -= lambda * v(i) * v(j)
+      v
+    }.toArray
+  }
+
+  /** Distributed PROJECTION onto precomputed components: one broadcast
+    * k×d literal matrix, one codegen'd sequential dot per (vector,
+    * component) — the reduce step every PCA/whitening pipeline runs at
+    * corpus scale. Output (idCol, c, proj), proj rounded at 6 (the dot's
+    * left-to-right fold order is the same on both engines — the q20
+    * parity base).
+    */
+  def pcaProject(df: DataFrame, vecCol: String, idCol: String,
+      comps: Array[Array[Double]]): DataFrame =
+    comps.zipWithIndex.map { case (w, c) =>
+      df.select(col(idCol), lit(c).as("c"),
+        round(dot(asDouble(col(vecCol)), lit(w)), 6).as("proj"))
+    }.reduce(_ unionByName _)
+
   def covarianceMatrix(df: DataFrame, vecCol: String, idCol: String): DataFrame = {
     val S = 1099511627776.0 // 2^40
     val x = df.select(col(idCol).as("__vid"),

@@ -115,4 +115,33 @@ object Profile {
       when(denx > 0 && deny > 0,
         round(num * num / (denx * deny), 6)).as("r2"))
   }
+
+  /** 2-D PARETO FRONT (skyline): every row not dominated under
+    * (maximize `maxCol`, minimize `minCol`) — dominance = ≥ on the max
+    * axis, ≤ on the min axis, strict somewhere. The multi-criteria
+    * selection query (e.g. highest-quality-per-length documents) that a
+    * naive formulation writes as an O(n²) NOT EXISTS self-join.
+    *
+    * Scale shape: a front row must attain the minimum `minCol` within
+    * its `maxCol` value, so the skyline structure lives entirely on the
+    * per-value aggregate — groupBy(maxCol).min (parallel, map-side
+    * combinable), then the strict-prefix running min over the
+    * VALUE-DISTINCT table (the q65 vocab-window discipline: the ordered
+    * window sees |distinct maxCol| rows — a value-domain bound, never
+    * the corpus), then one semi-join back. Ties on both axes are
+    * mutually non-dominating and all kept.
+    *
+    * @return the input rows on the front
+    */
+  def paretoFront2D(df: DataFrame, maxCol: String, minCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val agg = df.groupBy(maxCol).agg(min(col(minCol)).as("__m"))
+    val w = Window.orderBy(col(maxCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val front = agg
+      .withColumn("__hmin", min(col("__m")).over(w))
+      .filter(col("__hmin").isNull || col("__m") < col("__hmin"))
+      .select(col(maxCol), col("__m").as(minCol))
+    df.join(front, Seq(maxCol, minCol), "left_semi")
+  }
 }

@@ -522,6 +522,34 @@ object CurationQueries {
     },
   )
 
+  /** Q173 [X]: Pareto-front document selection
+    * (`ops/Profile.paretoFront2D`) — the documents not dominated under
+    * (maximize distinct-token count, minimize characters): the
+    * multi-criteria "best value per length" skyline a naive formulation
+    * writes as an O(n²) NOT EXISTS. The front structure lives on the
+    * per-dt aggregate (value-domain-bounded window — the q65 vocab
+    * discipline), ties kept on both axes. All integer.
+    */
+  val q173 = OracleQuery(
+    "q173_pareto_front",
+    (s, d) => graft.ops.Profile.paretoFront2D(
+      Tables.documents(s, d).select(col("doc_id"), col("n_chars"),
+        size(array_distinct(graft.ext.Dedup.tokens(col("text")))).as("dt")),
+      "dt", "n_chars"),
+    Some("""WITH s AS (SELECT doc_id, n_chars,
+                     CAST(len(list_distinct(string_split(text, ' ')))
+                          AS INTEGER) AS dt
+                   FROM documents),
+              a AS (SELECT dt, min(n_chars) AS m FROM s GROUP BY 1),
+              f AS (SELECT dt, m FROM
+                     (SELECT dt, m, min(m) OVER (ORDER BY dt DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        AS hmin FROM a)
+                    WHERE hmin IS NULL OR m < hmin)
+         SELECT s.doc_id, s.dt, s.n_chars
+         FROM s JOIN f ON f.dt = s.dt AND f.m = s.n_chars"""),
+  )
+
   val all: Seq[OracleQuery] = Seq(q59, q60, q61, q62, q63, q64, q65, q66,
-    q67, q68, q69, q70, q71, q72, q73, q74, q164)
+    q67, q68, q69, q70, q71, q72, q73, q74, q164, q173)
 }

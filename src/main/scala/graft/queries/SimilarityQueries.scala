@@ -1091,8 +1091,44 @@ object SimilarityQueries {
          FROM p JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j, n"""),
   )
 
+  /** Q172 [X]: PCA projection — top-4 principal components from the
+    * distributed q171 covariance, eigensolved on the driver (power
+    * iteration + deflation over the kilobyte d×d matrix — the classic
+    * split: data-sized passes distributed, d×d algebra local), then the
+    * corpus projected through one broadcast literal matrix and the
+    * codegen'd sequential dot. CERTIFICATE oracle (the q74/q108
+    * discipline): the run records the component vectors; the twin
+    * recomputes every projection from the raw embeddings and the
+    * recorded components with `list_dot_product` (the same left-to-right
+    * fold — the q20 parity base; Double.toString round-trips exactly
+    * through DuckDB's literal parser). Component OPTIMALITY (Av ≈ λv,
+    * orthogonality, variance ordering) is pinned by the spec.
+    */
+  private object PcaCert {
+    @volatile var w: Option[Array[Array[Double]]] = None
+  }
+  val q172 = OracleQuery(
+    "q172_pca_project",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val comps = Similarity.pcaComponents(emb, "embedding", "vec_id",
+        kComp = 4, iters = 100)
+      PcaCert.w = Some(comps)
+      Similarity.pcaProject(emb, "embedding", "vec_id", comps)
+    },
+    None,
+    dynOracle = () => PcaCert.w.map { w =>
+      w.zipWithIndex.map { case (vec, c) =>
+        s"""SELECT vec_id, $c AS c,
+                round(list_dot_product(CAST(embedding AS DOUBLE[]),
+                  [${vec.mkString(", ")}]), 6) AS proj
+            FROM embeddings"""
+      }.mkString("\nUNION ALL\n")
+    },
+  )
+
   val all: Seq[OracleQuery] = Seq(q103, q104, q105, q106, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q135, q139,
     q143, q144, q145, q146, q147, q148, q149, q150, q156, q157,
-    q170, q171)
+    q170, q171, q172)
 }

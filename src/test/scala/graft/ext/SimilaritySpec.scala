@@ -385,4 +385,47 @@ class SimilaritySpec extends SparkSpec {
     // sanity: the diagonal is a variance — nonnegative
     (0 until 6).foreach(i => got((i, i)) should be >= -1e-6)
   }
+
+  test("pcaComponents: orthonormal eigenpairs in decreasing-variance order; projection ≡ driver dot") {
+    val rnd = new scala.util.Random(47)
+    // anisotropic cloud: dim 0 dominates, dim 1 second, rest noise
+    val scale = Array(5.0, 2.0, 0.3, 0.2, 0.15, 0.1)
+    val vecs = (0L until 200L).map(i =>
+      i -> Array.tabulate(6)(d => (rnd.nextGaussian() * scale(d)).toFloat))
+    val df = vecs.toDF("vec_id", "embedding")
+    val w = Similarity.pcaComponents(df, "embedding", "vec_id", kComp = 3)
+    w.length shouldBe 3
+    // orthonormal
+    for (a <- 0 until 3; b <- a until 3) {
+      val dot = (0 until 6).map(i => w(a)(i) * w(b)(i)).sum
+      dot shouldBe ((if (a == b) 1.0 else 0.0) +- 1e-6)
+    }
+    // the top component points down the dominant axis
+    math.abs(w(0)(0)) should be > 0.99
+    math.abs(w(1)(1)) should be > 0.95
+    // eigenpair residual against the (rounded) covariance actually used
+    val cells = Similarity.covarianceMatrix(df, "embedding", "vec_id")
+      .collect()
+    val a6 = Array.ofDim[Double](6, 6)
+    cells.foreach { r =>
+      a6(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      a6(r.getInt(1))(r.getInt(0)) = r.getDouble(2)
+    }
+    val v0 = w(0)
+    val av = Array.tabulate(6)(i => (0 until 6).map(j => a6(i)(j) * v0(j)).sum)
+    val lam = (0 until 6).map(i => v0(i) * av(i)).sum
+    val resid = math.sqrt((0 until 6).map(i =>
+      math.pow(av(i) - lam * v0(i), 2)).sum)
+    resid should be < 1e-6
+    // distributed projection ≡ driver dot (same fold order)
+    val proj = Similarity.pcaProject(df, "embedding", "vec_id", w)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    vecs.take(20).foreach { case (id, v) =>
+      for (c <- 0 until 3) {
+        val ref = (0 until 6).foldLeft(0.0)((s, i) => s + v(i).toDouble * w(c)(i))
+        proj((id, c)) shouldBe (BigDecimal(ref)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
+  }
 }

@@ -81,4 +81,19 @@ class ProfileSpec extends SparkSpec {
     out("cy").getDouble(2) shouldBe 0.0 +- 1e-9
     out("cy").isNullAt(4) shouldBe true
   }
+
+  test("paretoFront2D ≡ brute dominance filter; ties on both axes kept") {
+    // (id, maximize q, minimize c) — includes an exact tie pair (5, 6)
+    val rows = Seq((1L, 10L, 100L), (2L, 10L, 90L), (3L, 8L, 80L),
+      (4L, 8L, 95L), (5L, 6L, 80L), (6L, 6L, 80L), (7L, 12L, 200L),
+      (8L, 5L, 70L), (9L, 4L, 70L))
+    val got = Profile.paretoFront2D(rows.toDF("id", "q", "c"), "q", "c")
+      .collect().map(_.getAs[Long]("id")).toSet
+    val brute = rows.filterNot { p =>
+      rows.exists(o => o != p && o._2 >= p._2 && o._3 <= p._3 &&
+        (o._2 > p._2 || o._3 < p._3))
+    }.map(_._1).toSet
+    got shouldBe brute
+    got shouldBe Set(2L, 3L, 7L, 8L) // 5/6 tie dominated by 3 (8 > 6, 80 ≤ 80)
+  }
 }
