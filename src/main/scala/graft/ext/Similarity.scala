@@ -585,25 +585,60 @@ object Similarity {
         round(dot(asDouble(col(vecCol)), lit(w)), 6).as("proj"))
     }.reduce(_ unionByName _)
 
-  def covarianceMatrix(df: DataFrame, vecCol: String, idCol: String): DataFrame = {
+  def covarianceMatrix(df: DataFrame, vecCol: String, idCol: String): DataFrame =
+    finalizeCovariance(covarianceSums(df, vecCol, idCol))
+
+  /** The covariance SKETCH behind [[covarianceMatrix]]: all three
+    * integer-exact sums in ONE tagged table — (i, j, s) with j ≥ 0 the
+    * scaled product sums, j = −1 the per-dimension mean sums, and
+    * (−1, −1) the vector count. Because every entry is an order-free
+    * integer SUM, the sketch is MERGEABLE by plain addition
+    * ([[mergeCovarianceSums]]): a frozen corpus sketch absorbs each
+    * arriving batch at O(batch) cost and [[finalizeCovariance]] yields
+    * the bit-identical matrix a full recompute would — the
+    * covariance/PCA member of the incremental-ingest family.
+    */
+  def covarianceSums(df: DataFrame, vecCol: String, idCol: String): DataFrame = {
     val S = 1099511627776.0 // 2^40
     val x = df.select(col(idCol).as("__vid"),
       posexplode(asDouble(col(vecCol))).as(Seq("i", "x")))
       .localCheckpoint() // feeds the mean sums AND both product sides
-    val n = x.select(col("__vid")).distinct().count()
-    val sums = x.groupBy("i")
-      .agg(sum((col("x") * S).cast("long")).as("sx"))
     val prods = x.select(col("__vid"), col("i"), col("x"))
       .join(x.select(col("__vid"), col("i").as("j"), col("x").as("y")),
         Seq("__vid"))
       .filter(col("j") >= col("i"))
       .groupBy("i", "j")
-      .agg(sum((col("x") * col("y") * S).cast("long")).as("sxy"))
-    prods
-      .join(sums.select(col("i"), col("sx").as("sa")), Seq("i"))
-      .join(sums.select(col("i").as("j"), col("sx").as("sb")), Seq("j"))
+      .agg(sum((col("x") * col("y") * S).cast("long")).as("s"))
+    val means = x.groupBy("i")
+      .agg(sum((col("x") * S).cast("long")).as("s"))
+      .select(col("i"), lit(-1).as("j"), col("s"))
+    val cnt = x.agg(countDistinct(col("__vid")).as("s"))
+      .select(lit(-1).as("i"), lit(-1).as("j"), col("s"))
+    prods.select(col("i"), col("j"), col("s"))
+      .unionByName(means).unionByName(cnt)
+  }
+
+  /** Sketch merge: plain addition per cell — sums(A ∪ B) = sums(A) +
+    * sums(B) for disjoint inputs. One |sketch|-sized aggregate (d²
+    * rows), no corpus pass.
+    */
+  def mergeCovarianceSums(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("i", "j").agg(sum(col("s")).as("s"))
+
+  /** Finalize a covariance sketch into the (i, j, cov) matrix — doubles
+    * enter only here, in the fixed-shape expression both engines share.
+    */
+  def finalizeCovariance(sums: DataFrame): DataFrame = {
+    val S = 1099511627776.0 // 2^40
+    val n = sums.filter(col("i") === -1 && col("j") === -1)
+      .head().getLong(2)
+    val means = sums.filter(col("j") === -1 && col("i") =!= -1)
+      .select(col("i"), col("s").as("sx"))
+    sums.filter(col("j") >= 0)
+      .join(means.select(col("i"), col("sx").as("sa")), Seq("i"))
+      .join(means.select(col("i").as("j"), col("sx").as("sb")), Seq("j"))
       .select(col("i"), col("j"),
-        round(col("sxy").cast("double") / S / n -
+        round(col("s").cast("double") / S / n -
           (col("sa").cast("double") / S / n) *
           (col("sb").cast("double") / S / n), 6).as("cov"))
   }

@@ -432,7 +432,72 @@ object ScaleQueries {
             FROM p WHERE cos_r >= 0.2 GROUP BY dropped"""),
   )
 
+  /** Q175 [X]: LSH RECALL AUDIT — the blocking pipeline measured against
+    * its own ground truth: exact all-pairs Jaccard at τ = 3/5 (q86's
+    * PPJoin machinery, no false negatives) left-joined with the q19b
+    * band-candidate set, recall per similarity decile. The "know your
+    * blocker" number every dedup deployment needs before trusting band
+    * parameters — and the S-curve made empirical: recall should rise
+    * with similarity, and the oracle pins the whole table. Buckets come
+    * from floor(jac·10) on the SAME rounded-6 doubles both engines
+    * already hash-match (q86), so bucketing introduces no new parity
+    * surface.
+    */
+  val q175 = OracleQuery(
+    "q175_lsh_recall_audit",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val exact = Dedup.jaccardSimilarityJoin(docs, "doc_id", "text",
+        n = 2, tauNum = 3, tauDen = 5)
+      val sig = Dedup.minHashSignature(docs, "doc_id", "text")
+      val cand = Dedup.lshCandidatePairs(sig, "doc_id",
+        Seq(Seq("mh0", "mh1"), Seq("mh2", "mh3")))
+        .select(col("doc_a"), col("doc_b")).distinct()
+        .withColumn("hit", lit(1L))
+      exact.join(cand, Seq("doc_a", "doc_b"), "left")
+        .groupBy(floor(col("jac") * 10).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_caught"))
+        .withColumn("recall",
+          round(col("n_caught").cast("double") / col("n_true"), 6))
+    },
+    Some(s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+              bg AS (SELECT DISTINCT doc_id, g FROM
+                      (SELECT doc_id, unnest([t[i] || ' ' || t[i+1]
+                              FOR i IN generate_series(1, len(t) - 1)]) AS g FROM tok)),
+              nn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nn
+                     FROM bg GROUP BY doc_id),
+              iv AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       CAST(count(*) AS BIGINT) AS n_common
+                     FROM bg a JOIN bg b ON b.g = a.g AND b.doc_id > a.doc_id
+                     GROUP BY 1, 2),
+              ex AS (SELECT doc_a, doc_b,
+                       round(CAST(n_common AS DOUBLE) /
+                             CAST(x.nn + y.nn - n_common AS DOUBLE), 6) AS jac
+                     FROM iv JOIN nn x ON x.doc_id = doc_a
+                          JOIN nn y ON y.doc_id = doc_b
+                     WHERE 5 * n_common >= 3 * (x.nn + y.nn - n_common)),
+              sig AS (${ExtQueries.minhashSigSql}),
+              cand AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+                       FROM sig x JOIN sig y
+                         ON x.mh0 = y.mh0 AND x.mh1 = y.mh1
+                            AND x.doc_id < y.doc_id
+                       UNION
+                       SELECT x.doc_id, y.doc_id FROM sig x JOIN sig y
+                         ON x.mh2 = y.mh2 AND x.mh3 = y.mh3
+                            AND x.doc_id < y.doc_id),
+              j AS (SELECT ex.jac,
+                      CASE WHEN cand.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+                    FROM ex LEFT JOIN cand
+                      ON cand.doc_a = ex.doc_a AND cand.doc_b = ex.doc_b)
+         SELECT CAST(floor(jac * 10) AS BIGINT) AS bucket,
+                CAST(count(*) AS BIGINT) AS n_true,
+                CAST(sum(hit) AS BIGINT) AS n_caught,
+                round(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS recall
+         FROM j GROUP BY 1"""),
+  )
+
   val all: Seq[OracleQuery] =
     Seq(q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q133,
-      q136)
+      q136, q175)
 }

@@ -1066,11 +1066,11 @@ object SimilarityQueries {
     * mirrors Spark's truncating double→long cast as
     * `CAST(trunc(·) AS BIGINT)`.
     */
-  val q171 = OracleQuery(
-    "q171_embedding_covariance",
-    (s, d) => Similarity.covarianceMatrix(
-      Tables.embeddings(s, d), "embedding", "vec_id"),
-    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  /** q171's twin, shared with q174 (the incremental sketch finalizes to
+    * the bit-identical full-corpus matrix, so the SAME full recompute is
+    * its oracle — equality with it IS the mergeability certificate).
+    */
+  private val covarianceSql: String = """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                    FROM embeddings),
               x AS (SELECT vec_id, generate_subscripts(v, 1) - 1 AS i,
                      unnest(v) AS x FROM e),
@@ -1088,7 +1088,37 @@ object SimilarityQueries {
                       (CAST(sa.sx AS DOUBLE) / 1099511627776.0 / n.n) *
                       (CAST(sb.sx AS DOUBLE) / 1099511627776.0 / n.n), 6)
                   AS cov
-         FROM p JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j, n"""),
+         FROM p JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j, n"""
+
+  val q171 = OracleQuery(
+    "q171_embedding_covariance",
+    (s, d) => Similarity.covarianceMatrix(
+      Tables.embeddings(s, d), "embedding", "vec_id"),
+    Some(covarianceSql),
+  )
+
+  /** Q174 [X]: INCREMENTAL covariance — the 10%-of-ids batch's sketch
+    * merged into the frozen 90% corpus sketch by plain per-cell addition
+    * (`Similarity.covarianceSums` / `mergeCovarianceSums` /
+    * `finalizeCovariance`): every entry is an order-free integer sum, so
+    * the merged sketch finalizes to the BIT-IDENTICAL matrix a full
+    * recompute yields — and the full-corpus q171 twin is therefore its
+    * oracle, making hash-equality itself the mergeability certificate.
+    * The covariance/PCA member of the incremental-ingest family: the
+    * corpus pays one pass ever, each batch pays O(batch).
+    */
+  val q174 = OracleQuery(
+    "q174_incremental_covariance",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val corpus = Similarity.covarianceSums(
+        emb.filter(col("vec_id") % 10 =!= 0), "embedding", "vec_id")
+      val batch = Similarity.covarianceSums(
+        emb.filter(col("vec_id") % 10 === 0), "embedding", "vec_id")
+      Similarity.finalizeCovariance(
+        Similarity.mergeCovarianceSums(corpus, batch))
+    },
+    Some(covarianceSql),
   )
 
   /** Q172 [X]: PCA projection — top-4 principal components from the
@@ -1130,5 +1160,5 @@ object SimilarityQueries {
   val all: Seq[OracleQuery] = Seq(q103, q104, q105, q106, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q135, q139,
     q143, q144, q145, q146, q147, q148, q149, q150, q156, q157,
-    q170, q171, q172)
+    q170, q171, q172, q174)
 }

@@ -386,6 +386,27 @@ class SimilaritySpec extends SparkSpec {
     (0 until 6).foreach(i => got((i, i)) should be >= -1e-6)
   }
 
+  test("covariance sketch merges exactly: merge(sums(A), sums(B)) ≡ sums(A ∪ B)") {
+    val rnd = new scala.util.Random(43)
+    val vecs = (0L until 60L).map(i =>
+      i -> Array.fill(5)((rnd.nextDouble() * 2 - 1).toFloat))
+    val all = vecs.toDF("vec_id", "embedding")
+    val aPart = vecs.filter(_._1 % 3 == 0).toDF("vec_id", "embedding")
+    val bPart = vecs.filter(_._1 % 3 != 0).toDF("vec_id", "embedding")
+    def cells(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val merged = Similarity.mergeCovarianceSums(
+      Similarity.covarianceSums(aPart, "embedding", "vec_id"),
+      Similarity.covarianceSums(bPart, "embedding", "vec_id"))
+    cells(merged) shouldBe
+      cells(Similarity.covarianceSums(all, "embedding", "vec_id"))
+    // and the finalized matrix is bit-identical to the full recompute
+    Similarity.finalizeCovariance(merged).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap shouldBe
+      Similarity.covarianceMatrix(all, "embedding", "vec_id").collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+  }
+
   test("pcaComponents: orthonormal eigenpairs in decreasing-variance order; projection ≡ driver dot") {
     val rnd = new scala.util.Random(47)
     // anisotropic cloud: dim 0 dominates, dim 1 second, rest noise
