@@ -256,6 +256,32 @@ object Multimodal {
     }
   }
 
+  /** VOICE-ACTIVITY runs over the chunked audio stream: contiguous runs
+    * of chunks whose RMS energy clears `tau` (gaps-and-islands on the
+    * chunk index — the q155/q142 idiom on the audio axis), the
+    * waveform → speech-segments step of an audio training pipeline. The
+    * RMS under the comparison is a sqrt over an exact integer sum — the
+    * identical double on any engine — so the threshold introduces no
+    * parity surface. Output: (media_id, run_idx, start_chunk, end_chunk,
+    * n_chunks), runs numbered in time order per payload.
+    */
+  def voiceActivity(media: Dataset[MediaRow], window: Int,
+      tau: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val ch = audioChunks(media, window).toDF()
+    val w = W.partitionBy("media_id").orderBy("chunk_idx")
+    ch.filter(col("rms") >= tau)
+      .withColumn("grp", col("chunk_idx") - row_number().over(w))
+      .groupBy("media_id", "grp")
+      .agg(min(col("chunk_idx")).as("start_chunk"),
+        max(col("chunk_idx")).as("end_chunk"),
+        count(lit(1)).as("n_chunks"))
+      .withColumn("run_idx",
+        row_number().over(W.partitionBy("media_id").orderBy("start_chunk")))
+      .select(col("media_id"), col("run_idx"), col("start_chunk"),
+        col("end_chunk"), col("n_chunks"))
+  }
+
   /** Attach a binary payload column derived from text (harness adapter: the
     * testdata has no binary tables, so documents.text doubles as payload).
     */

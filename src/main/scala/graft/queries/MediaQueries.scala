@@ -83,5 +83,37 @@ object MediaQueries {
          WHERE bit_count(xor(a.ph, b.ph)) <= 4"""),
   )
 
-  val all: Seq[OracleQuery] = Seq(q158, q159, q160)
+  /** Q176 [X]: audio VOICE-ACTIVITY segmentation
+    * (`Multimodal.voiceActivity`) — contiguous runs of 1024-sample
+    * chunks with RMS ≥ 18900 (the stub stream's RMS concentrates near
+    * 32768/√3 ≈ 18918, so the threshold genuinely splits chunks):
+    * gaps-and-islands on the audio axis, the waveform →
+    * speech-segments step. The RMS under the comparison is sqrt of an
+    * exact integer sum — the identical double on both engines — so the
+    * threshold adds no parity surface; everything else is integer.
+    */
+  val q176 = OracleQuery(
+    "q176_voice_activity",
+    (s, d) => Multimodal.voiceActivity(
+      Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text"),
+      window = 1024, tau = 18900.0),
+    Some(s"""WITH ${StubCodecSql.audioChunksCte},
+              v AS (SELECT media_id, CAST(chunk AS INTEGER) AS chunk
+                    FROM ch WHERE rms >= 18900.0),
+              g AS (SELECT media_id, chunk,
+                     chunk - row_number() OVER (PARTITION BY media_id
+                                                ORDER BY chunk) AS grp
+                    FROM v),
+              r AS (SELECT media_id, grp,
+                     min(chunk) AS start_chunk, max(chunk) AS end_chunk,
+                     CAST(count(*) AS BIGINT) AS n_chunks
+                    FROM g GROUP BY 1, 2)
+         SELECT media_id,
+                CAST(row_number() OVER (PARTITION BY media_id
+                  ORDER BY start_chunk) AS INTEGER) AS run_idx,
+                start_chunk, end_chunk, n_chunks
+         FROM r"""),
+  )
+
+  val all: Seq[OracleQuery] = Seq(q158, q159, q160, q176)
 }

@@ -144,13 +144,17 @@ object StubCodecSql {
     * into 1024-sample chunks; per-chunk RMS is sqrt of an exact integer
     * sum (≤2^40, inside double precision) over the chunk length.
     */
-  val q57Oracle: String = {
+  /** Shared audio-chunk CTE body (q57, q176): per (payload, 1024-sample
+    * chunk) the RMS energy — exact integer sum under the sqrt, so the
+    * unrounded double is identical on both engines.
+    */
+  val audioChunksCte: String = {
     val audioFold =
       s"""list_reduce(
            list_prepend(CAST($C1 AS HUGEINT),
              list_transform(string_split(text, ''), c -> CAST(ord(c) AS HUGEINT))),
            (s, v) -> ${mix("s", "v")})"""
-    s"""WITH d AS (SELECT doc_id AS media_id, text FROM documents),
+    s"""d AS (SELECT doc_id AS media_id, text FROM documents),
          sd AS (SELECT media_id,
                        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                        $audioFold AS su
@@ -161,9 +165,12 @@ object StubCodecSql {
                  FROM sd, unnest(generate_series(0, CAST(n_bytes * 4 - 1 AS BIGINT))) AS j(j)),
          ch AS (SELECT media_id, chunk,
                        sqrt(CAST(sum(s * s) AS DOUBLE) / count(*)) AS rms
-                FROM smp GROUP BY 1, 2)
+                FROM smp GROUP BY 1, 2)"""
+  }
+
+  val q57Oracle: String =
+    s"""WITH $audioChunksCte
         SELECT media_id, CAST(count(*) AS BIGINT) AS n_chunks,
                round(avg(rms), 6) AS avg_rms
         FROM ch GROUP BY media_id"""
-  }
 }

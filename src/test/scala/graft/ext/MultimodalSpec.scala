@@ -140,6 +140,35 @@ class MultimodalSpec extends SparkSpec {
     got.count { case (a, b, _) => a == b } should be >= 15
   }
 
+  test("voiceActivity ≡ driver islands over audioChunks; runs ordered and disjoint") {
+    val univ = (1L to 15L).map(i =>
+      MediaRow(i, (s"audio payload $i " * (i.toInt % 5 + 2)).getBytes("UTF-8"))).toDS()
+    val tau = 18900.0
+    val got = voiceActivity(univ, window = 64, tau = tau).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+    val chunks = audioChunks(univ, 64).collect()
+      .groupBy(_.media_id).view.mapValues(_.sortBy(_.chunk_idx)).toMap
+    val ref = chunks.toSeq.flatMap { case (mid, cs) =>
+      val voiced = cs.filter(_.rms >= tau).map(_.chunk_idx)
+      val runs = voiced.foldLeft(List.empty[List[Int]]) {
+        case (acc, c) if acc.nonEmpty && acc.head.head == c - 1 =>
+          (c :: acc.head) :: acc.tail
+        case (acc, c) => List(c) :: acc
+      }.reverse.map(_.reverse)
+      runs.zipWithIndex.map { case (r, i) =>
+        (mid, i + 1, r.head, r.last, r.size.toLong) }
+    }
+    got.toSet shouldBe ref.toSet
+    got should not be empty
+    // runs within a payload never touch or overlap
+    got.groupBy(_._1).values.foreach { rs =>
+      rs.sortBy(_._3).sliding(2).foreach {
+        case Array(a, b) => b._3 should be > (a._4 + 1)
+        case _ =>
+      }
+    }
+  }
+
   test("asMedia adapts a text table into the binary schema") {
     val docs = graft.Tables.documents(spark, TestSpark.Sf0001)
     val ds = asMedia(docs, "doc_id", "text")
