@@ -53,6 +53,42 @@ object IndexStore {
       .drop("term_bucket")
   }
 
+  /** Persist a Hamming fingerprint table ((idCol, sh/ph) — simhash, SRP,
+    * or perceptual hash) hive-partitioned by `nBuckets` low-bits buckets
+    * of the fingerprint. A Hamming-radius probe must read every bucket
+    * (any bit can differ), so the bucketing is NOT for radius pruning —
+    * it keeps files bounded and parallel, and gives the dist-0 path
+    * (exact-fingerprint lookup, the common ingest fast path) true
+    * partition pruning via [[readSignaturesExact]].
+    */
+  def writeSignatures(sig: DataFrame, path: String,
+      hashCol: String = "ph", nBuckets: Int = 64): Unit =
+    sig
+      .withColumn("sig_bucket",
+        pmod(col(hashCol), lit(nBuckets.toLong)))
+      .write.partitionBy("sig_bucket").mode("overwrite").parquet(path)
+
+  /** Load the full persisted fingerprint table (Hamming-radius probes
+    * touch every bucket by nature).
+    */
+  def loadSignatures(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).drop("sig_bucket")
+
+  /** Exact-fingerprint (dist-0) lookup against the store: the probe's
+    * bucket predicate prunes to the queried fingerprints' partitions.
+    * `nBuckets` must match the write.
+    */
+  def readSignaturesExact(spark: SparkSession, path: String,
+      hashes: Seq[Long], hashCol: String = "ph",
+      nBuckets: Int = 64): DataFrame = {
+    val buckets = hashes.map(h => java.lang.Math.floorMod(h, nBuckets.toLong))
+      .distinct
+    spark.read.parquet(path)
+      .filter(col("sig_bucket").isin(buckets: _*) &&
+        col(hashCol).isin(hashes: _*))
+      .drop("sig_bucket")
+  }
+
   /** Persist IVF-PQ codes partitioned by coarse cell. */
   def writeIvfPqCodes(model: IvfPq.Model, path: String,
       idCol: String = "vec_id"): Unit =

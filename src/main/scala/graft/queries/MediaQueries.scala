@@ -56,6 +56,17 @@ object MediaQueries {
          WHERE bit_count(xor(a.ph, b.ph)) <= 4"""),
   )
 
+  /** Shared twin for q160/q177: re-encoded (frame-1) arrivals against
+    * the frame-0 corpus fingerprints at radius 4.
+    */
+  private val phashProbeSql: String =
+    s"""WITH sig AS (${StubCodecSql.phashSql(Seq(0, 1))})
+         SELECT a.media_id AS doc_a, b.media_id AS doc_b,
+                CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS dist
+         FROM sig a JOIN sig b
+           ON a.frame_idx = 1 AND b.frame_idx = 0
+         WHERE bit_count(xor(a.ph, b.ph)) <= 4"""
+
   /** Q160 [X]: INCREMENTAL perceptual-hash probe under RE-ENCODING — the
     * arriving batch is every payload's frame-1 variant (the stub's
     * stand-in for a re-encoded/brightness-shifted re-upload of a corpus
@@ -75,12 +86,39 @@ object MediaQueries {
       Multimodal.incrementalPhashPairs(corpusSig, media, maxDist = 4,
         frame = 1)
     },
-    Some(s"""WITH sig AS (${StubCodecSql.phashSql(Seq(0, 1))})
-         SELECT a.media_id AS doc_a, b.media_id AS doc_b,
-                CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS dist
-         FROM sig a JOIN sig b
-           ON a.frame_idx = 1 AND b.frame_idx = 0
-         WHERE bit_count(xor(a.ph, b.ph)) <= 4"""),
+    Some(phashProbeSql),
+  )
+
+  /** Q177 [X]: the perceptual-hash index AT REST
+    * (`IndexStore.writeSignatures` / `loadSignatures` — fingerprint
+    * tables hive-bucketed by low hash bits: bounded files, and the
+    * dist-0 ingest fast path gets true partition pruning) — write the
+    * frame-0 corpus fingerprints, load them back, and run q160's
+    * re-encode probe from the LOADED store: hash-equality with q160's
+    * twin certifies the store round-trips losslessly (the q115/q116
+    * persisted-index discipline, image member).
+    */
+  val q177 = OracleQuery(
+    "q177_phash_index_store",
+    (s, d) => {
+      val media = Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text")
+      val outPath = java.nio.file.Files.createTempDirectory("graft_phsig_")
+      val out = outPath.toString
+      graft.ext.IndexStore.writeSignatures(
+        Multimodal.frameHashes(media, Seq(0)).toDF(), out)
+      val probed = Multimodal.incrementalPhashPairs(
+        graft.ext.IndexStore.loadSignatures(s, out), media,
+        maxDist = 4, frame = 1)
+      val rows = probed.collect().toSeq
+      val cleaned = s.createDataFrame(
+        s.sparkContext.parallelize(rows, 1), probed.schema)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(outPath).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      cleaned
+    },
+    Some(phashProbeSql),
   )
 
   /** Q176 [X]: audio VOICE-ACTIVITY segmentation
@@ -115,5 +153,5 @@ object MediaQueries {
          FROM r"""),
   )
 
-  val all: Seq[OracleQuery] = Seq(q158, q159, q160, q176)
+  val all: Seq[OracleQuery] = Seq(q158, q159, q160, q176, q177)
 }

@@ -40,6 +40,24 @@ class IndexStoreSpec extends SparkSpec {
       .count() shouldBe 0L
   }
 
+  test("signature store: lossless round-trip; dist-0 lookup prunes partitions") {
+    val sig = Seq((1L, 42L), (2L, -7L), (3L, 42L), (4L, Long.MinValue),
+      (5L, Long.MaxValue)).toDF("media_id", "ph")
+    val dir = java.nio.file.Files.createTempDirectory("idx_sig_").toString
+    IndexStore.writeSignatures(sig, dir, nBuckets = 8)
+    // full load round-trips every (id, hash) exactly — negative hashes
+    // and the extremes included
+    IndexStore.loadSignatures(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe
+      sig.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the exact-fingerprint fast path reads only the queried buckets
+    val probe = IndexStore.readSignaturesExact(spark, dir, Seq(42L, -7L),
+      nBuckets = 8)
+    probe.collect().map(_.getLong(0)).toSet shouldBe Set(1L, 2L, 3L)
+    val scan = scanString(probe)
+    scan should include regex "PartitionFilters: \\[.*sig_bucket.*\\]"
+  }
+
   test("IVF-PQ code store: nprobe search is partition pruning") {
     val emb = Tables.embeddings(spark, TestSpark.Sf0001)
     val model = IvfPq.build(emb, "embedding", "vec_id",
