@@ -53,4 +53,46 @@ object Drift {
       .select(col("bucket"), col("n_a"), col("n_b"),
         round((pa - pb) * log(pa / pb), 6).as("psi_term"))
   }
+
+  /** PEARSON CHI-SQUARE test of independence between two categorical
+    * columns, with Cramér's V — the statistical complement of the PSI
+    * drift terms: PSI watches one dimension move over time, chi-square
+    * asks whether two dimensions are associated at all (is quality
+    * independent of source? did language mix shift by crawl?).
+    *
+    * All counts are integer; expected counts and the per-cell
+    * (o−e)²/e terms are doubles, so each term is ROUNDED at 9 and summed
+    * as DECIMAL(38,12) — the q152 multi-term float discipline: the sum
+    * is order-free exact, and both engines add identical decimals.
+    * Shape: one (a, b) count aggregate, two marginal re-aggregates
+    * broadcast back — cells are bounded by the category-domain product,
+    * never data volume. Output (one row): n, n_rows, n_cols, dof, chi2,
+    * cramers_v.
+    */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__o"))
+    val rowT = cells.groupBy("__a").agg(sum("__o").as("__ra"))
+    val colT = cells.groupBy("__b").agg(sum("__o").as("__cb"))
+    val tot = cells.agg(sum("__o").as("__n"),
+      countDistinct(col("__a")).as("__nr"),
+      countDistinct(col("__b")).as("__nc"))
+    val e = col("__ra").cast("double") * col("__cb").cast("double") /
+      col("__n").cast("double")
+    val term = (col("__o").cast("double") - e) * (col("__o").cast("double") - e) / e
+    cells
+      .join(rowT, Seq("__a")).join(colT, Seq("__b")).crossJoin(broadcast(tot))
+      .select(col("__n"), col("__nr"), col("__nc"),
+        round(term, 9).cast("decimal(38,12)").as("__t"))
+      .groupBy("__n", "__nr", "__nc")
+      .agg(sum(col("__t")).as("__chi"))
+      .select(col("__n").as("n"), col("__nr").as("n_rows"),
+        col("__nc").as("n_cols"),
+        ((col("__nr") - 1) * (col("__nc") - 1)).as("dof"),
+        round(col("__chi").cast("double"), 6).as("chi2"),
+        round(sqrt(col("__chi").cast("double") /
+          (col("__n").cast("double") *
+            least(col("__nr") - 1, col("__nc") - 1).cast("double"))), 6)
+          .as("cramers_v"))
+  }
 }

@@ -497,7 +497,50 @@ object ScaleQueries {
          FROM j GROUP BY 1"""),
   )
 
+  /** Q178 [X]: chi-square independence of source × language
+    * (`ops/Drift.chiSquare`) with Cramér's V — the categorical
+    * association test beside q78's PSI drift: is the language mix the
+    * same in every feed, and how strong is the coupling? Cell terms
+    * round at 9 and sum as DECIMAL(38,12) (order-free — the q152
+    * discipline); cells are category-domain-bounded.
+    */
+  val q178 = OracleQuery(
+    "q178_chi_square",
+    (s, d) => graft.ops.Drift.chiSquare(
+      Tables.documents(s, d), "source", "lang"),
+    Some("""WITH cells AS (SELECT source AS a, lang AS b,
+                     CAST(count(*) AS BIGINT) AS o
+                   FROM documents GROUP BY 1, 2),
+              rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra
+                   FROM cells GROUP BY 1),
+              ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb
+                   FROM cells GROUP BY 1),
+              tt AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                     CAST(count(DISTINCT a) AS BIGINT) AS nr,
+                     CAST(count(DISTINCT b) AS BIGINT) AS nc
+                   FROM cells),
+              tm AS (SELECT tt.n, tt.nr, tt.nc,
+                     CAST(round(
+                       (CAST(o AS DOUBLE) -
+                        CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE)) *
+                       (CAST(o AS DOUBLE) -
+                        CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE)) /
+                       (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+                       AS DECIMAL(38,12)) AS t
+                   FROM cells JOIN rt USING (a) JOIN ct USING (b), tt),
+              ag AS (SELECT n, nr, nc, sum(t) AS chi
+                   FROM tm GROUP BY 1, 2, 3)
+         SELECT n, nr AS n_rows, nc AS n_cols,
+                (nr - 1) * (nc - 1) AS dof,
+                round(CAST(chi AS DOUBLE), 6) AS chi2,
+                round(sqrt(CAST(chi AS DOUBLE) /
+                      (CAST(n AS DOUBLE) *
+                       CAST(least(nr - 1, nc - 1) AS DOUBLE))), 6)
+                  AS cramers_v
+         FROM ag"""),
+  )
+
   val all: Seq[OracleQuery] =
     Seq(q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q133,
-      q136, q175)
+      q136, q175, q178)
 }

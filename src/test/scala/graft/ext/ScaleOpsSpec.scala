@@ -118,6 +118,24 @@ class ScaleOpsSpec extends SparkSpec {
     out.head.getLong(0) shouldBe 0L
   }
 
+  test("chiSquare: independence gives 0; hand-computed 2×2 association; V in [0,1]") {
+    // perfectly independent 2×2: every cell 25 of 100
+    val indep = (for (a <- Seq("x", "y"); b <- Seq("p", "q");
+      _ <- 0 until 25) yield (a, b)).toDF("a", "b")
+    val z = Drift.chiSquare(indep, "a", "b").head()
+    z.getAs[Double]("chi2") shouldBe 0.0
+    z.getAs[Double]("cramers_v") shouldBe 0.0
+    z.getAs[Long]("dof") shouldBe 1L
+    // 2×2 with association: cells x/p=30 x/q=10 y/p=10 y/q=30 → N=80,
+    // all expected 20, chi2 = 4·(10²/20) = 20, V = sqrt(20/80) = 0.5
+    val assoc = (Seq.fill(30)(("x", "p")) ++ Seq.fill(10)(("x", "q")) ++
+      Seq.fill(10)(("y", "p")) ++ Seq.fill(30)(("y", "q"))).toDF("a", "b")
+    val r = Drift.chiSquare(assoc, "a", "b").head()
+    r.getAs[Long]("n") shouldBe 80L
+    r.getAs[Double]("chi2") shouldBe 20.0
+    r.getAs[Double]("cramers_v") shouldBe 0.5
+  }
+
   test("psiTerms detects a shifted distribution with positive PSI") {
     // Cohort A concentrated low, cohort B high: both buckets drift.
     val df = ((0 until 90).map(i => (10L, true)) ++

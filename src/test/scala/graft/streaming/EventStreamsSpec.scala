@@ -525,6 +525,37 @@ class EventStreamsSpec extends SparkSpec {
     batchIds shouldBe Set(101L, 102L)
   }
 
+  test("ST16 streaming covariance: persisted sketch after two batches ≡ batch sums, finalize exact") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.Similarity
+    val rnd = new scala.util.Random(53)
+    def vec() = Array.fill(4)((rnd.nextDouble() * 2 - 1).toFloat)
+    val b1 = (0L until 20L).map(i => ArrivingVec(i, vec()))
+    val b2 = (20L until 35L).map(i => ArrivingVec(i, vec()))
+    val dir = java.nio.file.Files.createTempDirectory("st16_").toString
+    val mem = MemoryStream[ArrivingVec]
+    mem.addData(b1)
+    val q1 = EventStreams.covarianceOnArrival(mem.toDF(), "embedding",
+      "vec_id", s"$dir/t", s"$dir/cp")
+    q1.awaitTermination()
+    mem.addData(b2)
+    val q2 = EventStreams.covarianceOnArrival(mem.toDF(), "embedding",
+      "vec_id", s"$dir/t", s"$dir/cp")
+    q2.awaitTermination()
+    def cells(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val stored = spark.read.parquet(s"$dir/t")
+      .select("i", "j", "s")
+    cells(stored) shouldBe cells(Similarity.covarianceSums(
+      (b1 ++ b2).toDF("vec_id", "embedding"), "embedding", "vec_id"))
+    // and the finalized matrix equals a full batch recompute exactly
+    Similarity.finalizeCovariance(stored).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap shouldBe
+      Similarity.covarianceMatrix((b1 ++ b2).toDF("vec_id", "embedding"),
+        "embedding", "vec_id").collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+  }
+
   test("ST14 streaming image dedup-on-arrival: perceptual matches drop") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ext.Multimodal
