@@ -550,6 +550,66 @@ object CurationQueries {
          FROM s JOIN f ON f.dt = s.dt AND f.m = s.n_chars"""),
   )
 
+  /** Q179 [X]: k-ANONYMITY audit over quasi-identifiers — group the
+    * corpus by (lang, source, length decile) and report every
+    * equivalence class with its size and an `at_risk` flag (size < 5):
+    * the compliance complement of the PII redaction ops (q45/q60) —
+    * redaction hides direct identifiers, k-anonymity measures whether
+    * the REMAINING attributes still single people out. Length decile by
+    * integer division — no float boundary. One aggregate, class count
+    * bounded by the attribute-domain product.
+    */
+  val q179 = OracleQuery(
+    "q179_k_anonymity",
+    (s, d) => Tables.documents(s, d)
+      .groupBy(col("lang"), col("source"),
+        expr("n_chars DIV 100").as("len_bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("at_risk", (col("n") < 5).cast("int")),
+    Some("""SELECT lang, source, n_chars // 100 AS len_bucket,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(*) < 5 AS INTEGER) AS at_risk
+            FROM documents GROUP BY 1, 2, 3"""),
+  )
+
+  /** Q180 [X]: TIME-RANGE trailing window — per event, the count and sum
+    * of the same user's events in the preceding hour (inclusive), via a
+    * RANGE frame on epoch-µs (the event-TIME sibling of the ROWS frames
+    * q22/q63 exercise — a rows frame cannot express "the last hour").
+    * The sum is order-free exact: DuckDB executes sliding frames with a
+    * segment tree (a different float addition order than Spark's
+    * running evaluation), so each value enters as the q104 2^-40
+    * truncated long and doubles reappear only after the frame sum.
+    * Ties on tus are fine — RANGE frames are value-based, so both
+    * engines include all tied rows.
+    */
+  val q180 = OracleQuery(
+    "q180_trailing_window",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("tus"),
+        (col("value") * 1099511627776.0).cast("long").as("sv"))
+      val w = Window.partitionBy("user_id").orderBy("tus")
+        .rangeBetween(-3600000000L, 0L)
+      e.select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_hour"),
+        round(sum(col("sv")).over(w).cast("double") / 1099511627776.0, 6)
+          .as("sum_hour"))
+    },
+    Some("""WITH e AS (SELECT event_id, user_id,
+                     epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+                     CAST(trunc(value * 1099511627776.0) AS BIGINT) AS sv
+                   FROM events)
+         SELECT event_id, user_id,
+                CAST(count(*) OVER w AS BIGINT) AS n_hour,
+                round(CAST(sum(sv) OVER w AS DOUBLE) / 1099511627776.0, 6)
+                  AS sum_hour
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY tus
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"""),
+  )
+
   val all: Seq[OracleQuery] = Seq(q59, q60, q61, q62, q63, q64, q65, q66,
-    q67, q68, q69, q70, q71, q72, q73, q74, q164, q173)
+    q67, q68, q69, q70, q71, q72, q73, q74, q164, q173, q179, q180)
 }
