@@ -643,6 +643,40 @@ object Soak {
       ops.Timeseries.gapReport(sevents, "user_id", "ts", 21600000000L)
         .count())
 
+    // round-10c: sorted-neighborhood linkage at 1M strings — the
+    // two-phase rank (never a one-partition window) + the banded
+    // rank-cell join give exactly n·(w−1) candidates; the planted
+    // every-100th dups guarantee dist-0 pairs (duplicate keys rank
+    // adjacently by construction).
+    time("sorted-neighborhood join (w=8, k=2)")({
+      val sn = ext.Fuzzy.sortedNeighborhoodJoin(
+        docs.select(col("doc_id"), substring(col("text"), 1, 24).as("s")),
+        "doc_id", "s", window = 8, k = 2)
+      val n = sn.count()
+      assert(n >= nDocs / 100,
+        s"SN join found $n pairs; adjacent planted dups alone are ${nDocs / 100}")
+      n
+    })
+
+    // round-10c: covariance sketch over the vector corpus — the d²·n/2
+    // product fan-out is the documented cost shape; the merge path then
+    // prices a 1% ingest at O(batch) against the frozen sketch.
+    val covSums = time("covariance sums (64 dims)")({
+      val sdf = ext.Similarity.covarianceSums(vecs, "embedding", "vec_id")
+        .cache()
+      sdf.count()
+      sdf
+    })
+    time("incremental covariance (1% batch)")({
+      val batch = syntheticVecs(spark, nVecs / 100)
+        .withColumn("vec_id", col("vec_id") + 8 * nVecs)
+      ext.Similarity.finalizeCovariance(
+        ext.Similarity.mergeCovarianceSums(covSums,
+          ext.Similarity.covarianceSums(batch, "embedding", "vec_id")))
+        .count()
+    })
+    covSums.unpersist()
+
     spark.stop()
   }
 }
