@@ -282,6 +282,75 @@ object Multimodal {
         col("end_chunk"), col("n_chunks"))
   }
 
+  case class CdcChunk(media_id: Long, chunk_idx: Int, start: Int, len: Int,
+      chash: Long)
+
+  /** CONTENT-DEFINED CHUNKING (Rabin rolling hash) over binary payloads —
+    * the binary-dedup backbone (LBFS/FastCDC lineage): a chunk boundary
+    * falls wherever the rolling hash of the trailing `window` bytes has
+    * `maskBits` low zero bits, so boundaries are a function of CONTENT,
+    * not offsets — an insertion shifts at most one chunk's boundaries and
+    * every later chunk re-aligns, which fixed-size chunking cannot do
+    * (the property that makes cross-version/cross-payload chunk dedup
+    * work). Expected chunk length 2^maskBits; no FastCDC min/max
+    * normalization (the mask rule stays stateless per position, which is
+    * what the independent SQL twin re-derives). Each chunk carries a
+    * polynomial content hash (base 257, wrapping mod 2^64 — Java long
+    * arithmetic IS the modulus) for equality grouping downstream.
+    * One partition-batched pass; chunk structure is payload-local.
+    */
+  def cdcChunks(media: Dataset[MediaRow], window: Int = 8,
+      maskBits: Int = 6): Dataset[CdcChunk] = {
+    require(window >= 2 && maskBits >= 1, "cdcChunks: window >= 2, maskBits >= 1")
+    import media.sparkSession.implicits._
+    val B = 257L
+    val mask = (1L << maskBits) - 1
+    val bw = (1 until window).foldLeft(1L)((a, _) => a * B) // B^(window-1)
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        val bs = m.payload
+        val n = bs.length
+        val bounds = scala.collection.mutable.ArrayBuffer[Int]()
+        var h = 0L
+        var p = 0
+        while (p < n) {
+          // h = Σ_{k=0..window-1} b[p−k]·B^k (trailing-window hash)
+          h = h * B + (bs(p) & 0xff)
+          if (p >= window) h -= bw * B * (bs(p - window) & 0xff)
+          if (p >= window - 1 && (h & mask) == 0L) bounds += p
+          p += 1
+        }
+        if (n > 0 && (bounds.isEmpty || bounds.last != n - 1)) bounds += n - 1
+        var start = 0
+        bounds.iterator.zipWithIndex.map { case (end, ci) =>
+          var ch = 0L
+          var i = start
+          while (i <= end) { ch = ch * B + (bs(i) & 0xff); i += 1 }
+          val out = CdcChunk(m.media_id, ci, start, end - start + 1, ch)
+          start = end + 1
+          out
+        }
+      }
+    }
+  }
+
+  /** Cross-payload CHUNK DEDUP summary on [[cdcChunks]]'s content
+    * hashes: per corpus — total chunks/bytes, distinct chunks/bytes, and
+    * the byte dedup ratio a chunk store would realize. One aggregate
+    * over (chash, len) groups. Output: 1 row (n_chunks, n_bytes,
+    * uniq_chunks, uniq_bytes, dedup_ratio round 6).
+    */
+  def cdcDedupStats(chunks: DataFrame): DataFrame =
+    chunks.groupBy("chash", "len")
+      .agg(count(lit(1)).as("__c"))
+      .agg(sum(col("__c")).as("n_chunks"),
+        sum(col("__c") * col("len")).as("n_bytes"),
+        count(lit(1)).as("uniq_chunks"),
+        sum(col("len")).as("uniq_bytes"))
+      .withColumn("dedup_ratio",
+        round(lit(1.0) - col("uniq_bytes").cast("double") /
+          col("n_bytes").cast("double"), 6))
+
   /** Attach a binary payload column derived from text (harness adapter: the
     * testdata has no binary tables, so documents.text doubles as payload).
     */

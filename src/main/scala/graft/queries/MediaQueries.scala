@@ -153,5 +153,98 @@ object MediaQueries {
          FROM r"""),
   )
 
-  val all: Seq[OracleQuery] = Seq(q158, q159, q160, q176, q177)
+  /** Twin of `Multimodal.cdcChunks` — per (payload, chunk): boundary
+    * detection from the 8-byte trailing-window Rabin hash (the window
+    * powers 257^k for k < 8 stay under 2^63, so only the final sum wraps
+    * mod 2^64), forced last-byte boundary, chunk ids by prefix-counting
+    * boundaries, and the per-chunk polynomial content hash via a
+    * recursive powers-of-257 table (exponent = chunk-end − position;
+    * per-term mod keeps everything under HUGEINT). Negative/overflowing
+    * list indexes inside the window expression are guarded by the
+    * `p ≥ window` conjunct (FALSE AND garbage = FALSE — never an error).
+    * Signed conversion once at the end, the q111 discipline.
+    */
+  private def cdcSql(window: Int, maskBits: Int): String = {
+    val B = 257L
+    val M = "18446744073709551616"
+    val pows = (0 until window).map(k => BigInt(B).pow(k))
+    val terms = (0 until window)
+      .map(k => s"bs[p.p - $k] * ${pows(k)}::HUGEINT").mkString(" + ")
+    s"""WITH RECURSIVE
+         pw(k, v) AS (SELECT 0, 1::HUGEINT UNION ALL
+                      SELECT k + 1, (v * $B) % $M::HUGEINT
+                      FROM pw WHERE k < 1024),
+         lb AS (SELECT doc_id AS media_id,
+                  list_transform(string_split(text, ''),
+                    c -> CAST(ord(c) AS HUGEINT)) AS bs,
+                  len(text) AS n
+                FROM documents),
+         pos AS (SELECT media_id, n, p.p AS p,
+                  CASE WHEN p.p = n THEN 1
+                       WHEN p.p >= $window AND
+                            ((($terms) % $M::HUGEINT) % ${1L << maskBits}) = 0
+                       THEN 1 ELSE 0 END AS bnd
+                 FROM lb, unnest(generate_series(1, n)) AS p(p)),
+         cid AS (SELECT media_id, p, bnd,
+                  coalesce(sum(bnd) OVER (PARTITION BY media_id ORDER BY p
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS chunk_idx
+                 FROM pos),
+         chs AS (SELECT media_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+                  CAST(min(p) - 1 AS INTEGER) AS start,
+                  CAST(count(*) AS INTEGER) AS len
+                 FROM cid GROUP BY 1, 2),
+         cb AS (SELECT cid.media_id, cid.chunk_idx, cid.p,
+                  lb.bs[cid.p] AS bv,
+                  max(cid.p) OVER (PARTITION BY cid.media_id, cid.chunk_idx)
+                    - cid.p AS e
+                FROM cid JOIN lb USING (media_id)),
+         ch AS (SELECT media_id, chunk_idx,
+                  (sum((bv * pw.v) % $M::HUGEINT) % $M::HUGEINT) AS u
+                FROM cb JOIN pw ON pw.k = cb.e GROUP BY 1, 2)
+        SELECT chs.media_id, chs.chunk_idx, chs.start, chs.len,
+               CAST(CASE WHEN ch.u >= 9223372036854775808::HUGEINT
+                         THEN ch.u - $M::HUGEINT ELSE ch.u END AS BIGINT)
+                 AS chash
+        FROM chs JOIN ch USING (media_id, chunk_idx)"""
+  }
+
+  /** Q181 [X]: content-defined chunking (`Multimodal.cdcChunks`) — Rabin
+    * rolling-hash boundaries (8-byte window, 6 mask bits → E[len] 64)
+    * over every payload: the binary-dedup backbone whose boundaries
+    * re-align after insertions, which fixed-size chunking cannot do.
+    * The twin independently re-derives boundaries, chunk extents, and
+    * the wrapping polynomial content hash of every chunk.
+    */
+  val q181 = OracleQuery(
+    "q181_cdc_chunks",
+    (s, d) => Multimodal.cdcChunks(
+      Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text"),
+      window = 8, maskBits = 6).toDF(),
+    Some(cdcSql(window = 8, maskBits = 6)),
+  )
+
+  /** Q182 [X]: cross-payload CDC chunk dedup summary
+    * (`Multimodal.cdcDedupStats`) — the byte dedup ratio a
+    * content-addressed chunk store realizes over this corpus: total vs
+    * distinct (chash, len) chunk bytes. All integer but the final ratio.
+    */
+  val q182 = OracleQuery(
+    "q182_cdc_dedup_stats",
+    (s, d) => Multimodal.cdcDedupStats(Multimodal.cdcChunks(
+      Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text"),
+      window = 8, maskBits = 6).toDF()),
+    Some(s"""WITH ck AS (${cdcSql(window = 8, maskBits = 6)}),
+              g AS (SELECT chash, len, CAST(count(*) AS BIGINT) AS c
+                    FROM ck GROUP BY 1, 2)
+         SELECT CAST(sum(c) AS BIGINT) AS n_chunks,
+                CAST(sum(c * len) AS BIGINT) AS n_bytes,
+                CAST(count(*) AS BIGINT) AS uniq_chunks,
+                CAST(sum(len) AS BIGINT) AS uniq_bytes,
+                round(1.0 - CAST(sum(len) AS DOUBLE) /
+                      CAST(sum(c * len) AS DOUBLE), 6) AS dedup_ratio
+         FROM g"""),
+  )
+
+  val all: Seq[OracleQuery] = Seq(q158, q159, q160, q176, q177, q181, q182)
 }

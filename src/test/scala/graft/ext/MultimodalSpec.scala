@@ -169,6 +169,45 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("cdcChunks: exact tiling, reference parity, boundaries survive insertion") {
+    val base = (0 until 400).map(i => (i * 37 % 251).toByte).toArray
+    val media = Seq(MediaRow(1L, base)).toDS()
+    val chunks = cdcChunks(media, window = 8, maskBits = 5).collect()
+      .sortBy(_.chunk_idx)
+    // chunks tile the payload exactly
+    chunks.head.start shouldBe 0
+    chunks.map(_.len).sum shouldBe base.length
+    chunks.sliding(2).foreach {
+      case Array(a, b) => b.start shouldBe a.start + a.len
+      case _ =>
+    }
+    // reference: recompute each chunk's polynomial hash directly
+    chunks.foreach { c =>
+      val ref = base.slice(c.start, c.start + c.len)
+        .foldLeft(0L)((h, b) => h * 257L + (b & 0xff))
+      c.chash shouldBe ref
+    }
+    // THE content-defined property: prepend 3 bytes — boundaries
+    // re-align, so all but the first chunk(s) keep their hashes (a
+    // fixed-size chunker would shift every chunk)
+    val shifted = Array[Byte](9, 8, 7) ++ base
+    val chunks2 = cdcChunks(Seq(MediaRow(2L, shifted)).toDS(),
+      window = 8, maskBits = 5).collect()
+    val h1 = chunks.map(_.chash).toSet
+    val h2 = chunks2.map(_.chash).toSet
+    (h1 intersect h2).size should be >= h1.size - 2
+    chunks.length should be >= 5 // maskBits 5 → E[len] 32 over 400 bytes
+  }
+
+  test("cdcDedupStats: duplicate payloads dedup to near-half the bytes") {
+    val payloads = (1L to 10L).map(i =>
+      MediaRow(i, s"shared content block number ${i % 5} repeated padding padding padding".getBytes("UTF-8")))
+    val stats = cdcDedupStats(cdcChunks(payloads.toDS()).toDF()).head()
+    stats.getAs[Long]("n_bytes") shouldBe payloads.map(_.payload.length.toLong).sum
+    // ids 1-5 and 6-10 share payload content pairwise (i % 5) → half dedups
+    stats.getAs[Double]("dedup_ratio") should be > 0.4
+  }
+
   test("asMedia adapts a text table into the binary schema") {
     val docs = graft.Tables.documents(spark, TestSpark.Sf0001)
     val ds = asMedia(docs, "doc_id", "text")
