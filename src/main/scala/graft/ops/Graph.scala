@@ -170,6 +170,64 @@ object Graph {
     ranks.select(col("node"), round(col("pr"), 6).as("pr"))
   }
 
+  /** HITS hubs-and-authorities (Kleinberg 1999) over a directed graph,
+    * `iters` synchronous rounds: each round authorities collect their
+    * in-neighbors' hub scores, then hubs collect their out-neighbors'
+    * fresh authority scores; both sides L1-normalize (sum = 1 — the L2
+    * norm would put a sqrt inside every round's parity surface for no
+    * analytic gain at fixed rounds). The second link-analysis operator
+    * beside [[pageRank]] — on a bipartite supplier→part graph, hub
+    * score reads "breadth of a supplier's catalog reach", authority
+    * "how contested a part is".
+    *
+    * The pageRank float discipline, exactly: per-edge contributions
+    * round at 12 and sum as DECIMAL(38,12) (order-free), normalized
+    * scores round at 9 per round, output rounds at 6 — a multi-round
+    * float fixpoint that hash-compares across engines. Per round: two
+    * keyed joins + two map-side-combinable sums + two 1-row totals;
+    * edges checkpoint once, scores lazily per round.
+    *
+    * @return (node, score, kind) — kind "hub" for source-side nodes,
+    *         "auth" for destination-side
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 1, s"hits: iters >= 1, got $iters")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct().localCheckpoint()
+    val hubs0 = e.select(col("src").as("node")).distinct().localCheckpoint()
+    val auths0 = e.select(col("dst").as("node")).distinct().localCheckpoint()
+    val nh = hubs0.count()
+    var h = hubs0.select(col("node"), lit(1.0 / nh).as("score"))
+    var a: DataFrame = null
+    for (_ <- 0 until iters) {
+      val aRaw = e.join(h.select(col("node").as("src"), col("score")), Seq("src"))
+        .select(col("dst").as("node"),
+          round(col("score"), 12).cast("decimal(38,12)").as("c"))
+        .groupBy("node").agg(sum("c").as("s"))
+      val aTot = aRaw.agg(sum("s").as("t"))
+      a = aRaw.crossJoin(broadcast(aTot))
+        .select(col("node"),
+          round(col("s").cast("double") / col("t").cast("double"), 9)
+            .as("score"))
+        .localCheckpoint(eager = false)
+      val hRaw = e.join(a.select(col("node").as("dst"), col("score")), Seq("dst"))
+        .select(col("src").as("node"),
+          round(col("score"), 12).cast("decimal(38,12)").as("c"))
+        .groupBy("node").agg(sum("c").as("s"))
+      val hTot = hRaw.agg(sum("s").as("t"))
+      h = hRaw.crossJoin(broadcast(hTot))
+        .select(col("node"),
+          round(col("s").cast("double") / col("t").cast("double"), 9)
+            .as("score"))
+        .localCheckpoint(eager = false)
+    }
+    h.select(col("node"), round(col("score"), 6).as("score"),
+        lit("hub").as("kind"))
+      .unionByName(a.select(col("node"), round(col("score"), 6).as("score"),
+        lit("auth").as("kind")))
+  }
+
   /** SYNCHRONOUS LABEL PROPAGATION (Raghavan et al. 2007) over an
     * undirected graph, made fully deterministic: labels start as node
     * ids; each round every node adopts the label carried by the MOST of

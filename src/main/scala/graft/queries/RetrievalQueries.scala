@@ -717,7 +717,61 @@ object RetrievalQueries {
          FROM g GROUP BY user_id"""),
   )
 
+  /** DuckDB twin of `Graph.hits` — the q152 unroll pattern (chained
+    * builder-generated CTE rounds, every multiply-referenced round
+    * MATERIALIZED per the kCore inlining lesson), with the identical
+    * per-round discipline: round 12 → DECIMAL(38,12) order-free
+    * contribution sums, round 9 after each L1 normalize, round 6 out.
+    */
+  private def hitsSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""ar$i AS MATERIALIZED (SELECT e.dst AS node,
+             SUM(CAST(round(h${i - 1}.score, 12) AS DECIMAL(38,12))) AS s
+           FROM e JOIN h${i - 1} ON h${i - 1}.node = e.src GROUP BY 1),
+          at$i AS (SELECT sum(s) AS t FROM ar$i),
+          a$i AS MATERIALIZED (SELECT node,
+             round(CAST(s AS DOUBLE) / CAST(t AS DOUBLE), 9) AS score
+           FROM ar$i, at$i),
+          hr$i AS MATERIALIZED (SELECT e.src AS node,
+             SUM(CAST(round(a$i.score, 12) AS DECIMAL(38,12))) AS s
+           FROM e JOIN a$i ON a$i.node = e.dst GROUP BY 1),
+          ht$i AS (SELECT sum(s) AS t FROM hr$i),
+          h$i AS MATERIALIZED (SELECT node,
+             round(CAST(s AS DOUBLE) / CAST(t AS DOUBLE), 9) AS score
+           FROM hr$i, ht$i)"""
+    }.mkString(",\n          ")
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+              CAST(l_partkey AS BIGINT) + 1000000 AS dst
+            FROM lineitem WHERE l_quantity < 2),
+          hn AS (SELECT CAST(count(DISTINCT src) AS BIGINT) AS n FROM e),
+          h0 AS MATERIALIZED (SELECT DISTINCT src AS node,
+              CAST(1.0 AS DOUBLE) / hn.n AS score FROM e, hn),
+          $rounds
+        SELECT node, round(score, 6) AS score, 'hub' AS kind FROM h$iters
+        UNION ALL
+        SELECT node, round(score, 6) AS score, 'auth' AS kind FROM a$iters"""
+  }
+
+  /** Q183 [X]: HITS hubs and authorities over the q152 supplier→part
+    * graph, 3 synchronous rounds (`Graph.hits`) — the second
+    * link-analysis operator beside PageRank, separating "broad-reach
+    * suppliers" (hubs) from "contested parts" (authorities), which a
+    * single PageRank conflates. Same multi-round float-fixpoint
+    * discipline as q152; the twin unrolls the identical rounds.
+    */
+  val q183 = OracleQuery(
+    "q183_hits",
+    (s, d) => {
+      val edges = Tables.lineitem(s, d).filter(col("l_quantity") < 2)
+        .select(col("l_suppkey").cast("long").as("src"),
+          (col("l_partkey").cast("long") + 1000000L).as("dst"))
+      graft.ops.Graph.hits(edges, "src", "dst", iters = 3)
+    },
+    Some(hitsSql(3)),
+  )
+
   val all: Seq[OracleQuery] =
     Seq(q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98,
-      q99, q100, q101, q102, q151, q152, q155, q161, q162, q168, q169)
+      q99, q100, q101, q102, q151, q152, q155, q161, q162, q168, q169,
+      q183)
 }

@@ -168,6 +168,39 @@ class RetrievalSpec extends SparkSpec {
     dist(2L) shouldBe 3L // via seed 5's chain, not seed 1's direct edge
   }
 
+  test("hits ≡ driver reference with the same rounding; star authority dominates") {
+    def r(x: Double, s: Int) = BigDecimal(x)
+      .setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // hubs 1..4 all point to part 10; hubs 1,2 also to 11; hub 1 to 12
+    val edges = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 10L),
+      (1L, 11L), (2L, 11L), (1L, 12L))
+    val got = Graph.hits(edges.toDF("s", "t"), "s", "t", iters = 3)
+      .collect().map(x => (x.getLong(0), x.getString(2)) -> x.getDouble(1))
+      .toMap
+    // driver reference: identical round-12/DECIMAL-sum/round-9 pipeline
+    val hubs = edges.map(_._1).distinct.sorted
+    val auths = edges.map(_._2).distinct.sorted
+    var h = hubs.map(_ -> 1.0 / hubs.size).toMap
+    var a = Map.empty[Long, Double]
+    for (_ <- 1 to 3) {
+      val aRaw = auths.map(p => p -> edges.filter(_._2 == p)
+        .map(e => BigDecimal(r(h(e._1), 12))).sum).toMap
+      val aT = aRaw.values.sum
+      a = aRaw.map { case (k, v) => k -> r(v.toDouble / aT.toDouble, 9) }
+      val hRaw = hubs.map(s => s -> edges.filter(_._1 == s)
+        .map(e => BigDecimal(r(a(e._2), 12))).sum).toMap
+      val hT = hRaw.values.sum
+      h = hRaw.map { case (k, v) => k -> r(v.toDouble / hT.toDouble, 9) }
+    }
+    hubs.foreach(s => got((s, "hub")) shouldBe r(h(s), 6))
+    auths.foreach(p => got((p, "auth")) shouldBe r(a(p), 6))
+    // structure: the all-in-degree part is the top authority, the
+    // broadest supplier the top hub
+    got((10L, "auth")) should be > got((11L, "auth"))
+    got((11L, "auth")) should be > got((12L, "auth"))
+    got((1L, "hub")) should be > got((4L, "hub"))
+  }
+
   test("labelPropagation: bridged cliques keep distinct communities") {
     // two K4s (1–4, 11–14) joined by one bridge edge 4–11: connectivity
     // would merge them; density-driven LPA must not
