@@ -351,6 +351,35 @@ object Multimodal {
         round(lit(1.0) - col("uniq_bytes").cast("double") /
           col("n_bytes").cast("double"), 6))
 
+  /** INCREMENTAL CDC byte-delta probe: each arriving payload is chunked
+    * ([[cdcChunks]]) and its chunks looked up in a FROZEN corpus
+    * chunk-hash table — the BINARY member of the incremental ingest
+    * family, and the number a dedup store quotes before accepting an
+    * upload: how many of these bytes are genuinely new? O(batch): the
+    * corpus is chunked once; the batch pays its own chunking plus one
+    * (chash, len) equi-join. Output per payload: (media_id, n_chunks,
+    * n_bytes, new_bytes, new_frac round 6).
+    *
+    * @param corpusChunks (chash, len) pairs — [[cdcChunks]] output
+    *                     (deduplication applied here)
+    */
+  def incrementalCdcBytes(corpusChunks: DataFrame,
+      batch: Dataset[MediaRow], window: Int = 8,
+      maskBits: Int = 6): DataFrame = {
+    val seen = corpusChunks.select(col("chash"), col("len")).distinct()
+      .withColumn("__seen", lit(1))
+    cdcChunks(batch, window, maskBits).toDF()
+      .join(seen, Seq("chash", "len"), "left")
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("len")).as("n_bytes"),
+        coalesce(sum(when(col("__seen").isNull, col("len"))), lit(0L))
+          .as("new_bytes"))
+      .withColumn("new_frac",
+        round(col("new_bytes").cast("double") /
+          col("n_bytes").cast("double"), 6))
+  }
+
   /** Attach a binary payload column derived from text (harness adapter: the
     * testdata has no binary tables, so documents.text doubles as payload).
     */

@@ -246,5 +246,41 @@ object MediaQueries {
          FROM g"""),
   )
 
-  val all: Seq[OracleQuery] = Seq(q158, q159, q160, q176, q177, q181, q182)
+  /** Q184 [X]: incremental CDC byte delta — the 10%-of-ids batch of
+    * payloads chunked and probed against the frozen chunk-hash table of
+    * the other 90% (`Multimodal.incrementalCdcBytes`): per arriving
+    * payload, how many bytes a content-addressed store would actually
+    * ingest. The BINARY member of the incremental ingest family;
+    * O(batch). The twin re-derives both sides' chunks and the byte
+    * arithmetic.
+    */
+  val q184 = OracleQuery(
+    "q184_incremental_cdc",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = Multimodal.cdcChunks(Multimodal.asMedia(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")).toDF()
+      Multimodal.incrementalCdcBytes(corpus,
+        Multimodal.asMedia(docs.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text"))
+    },
+    Some(s"""WITH ck AS (${cdcSql(window = 8, maskBits = 6)}),
+              c AS (SELECT DISTINCT chash, len FROM ck
+                    WHERE media_id % 10 != 0),
+              b AS (SELECT * FROM ck WHERE media_id % 10 = 0),
+              j AS (SELECT b.media_id, b.len,
+                     CASE WHEN c.chash IS NOT NULL THEN 1 ELSE 0 END AS seen
+                    FROM b LEFT JOIN c
+                      ON c.chash = b.chash AND c.len = b.len)
+         SELECT media_id, CAST(count(*) AS BIGINT) AS n_chunks,
+                CAST(sum(len) AS BIGINT) AS n_bytes,
+                CAST(sum(CASE WHEN seen = 0 THEN len ELSE 0 END) AS BIGINT)
+                  AS new_bytes,
+                round(CAST(sum(CASE WHEN seen = 0 THEN len ELSE 0 END)
+                        AS DOUBLE) / sum(len), 6) AS new_frac
+         FROM j GROUP BY 1"""),
+  )
+
+  val all: Seq[OracleQuery] = Seq(q158, q159, q160, q176, q177, q181, q182,
+    q184)
 }

@@ -556,6 +556,40 @@ class EventStreamsSpec extends SparkSpec {
         .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
   }
 
+  test("ST17 streaming CDC byte-delta: exact copy reports zero new bytes") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.Multimodal
+    val corpus = (0L until 12L).map(i =>
+      i -> s"stored payload content block $i with enough bytes to chunk")
+      .toDF("doc_id", "text")
+    val corpusChunks = Multimodal.cdcChunks(
+      Multimodal.asMedia(corpus, "doc_id", "text")).toDF()
+      .localCheckpoint()
+    val arriving = Seq(
+      ArrivingDoc(100L, "stored payload content block 7 with enough bytes to chunk"),
+      ArrivingDoc(101L, "a totally novel upload nothing in the store has seen"))
+    val mem = MemoryStream[ArrivingDoc]
+    mem.addData(arriving)
+    val got = scala.collection.mutable.Map[Long, (Long, Double)]()
+    val q = EventStreams.cdcBytesOnArrival(
+      mem.toDF(), corpusChunks, "doc_id", "text") { rep =>
+      got.synchronized {
+        rep.collect().foreach(r =>
+          got(r.getLong(0)) = (r.getLong(3), r.getDouble(4)))
+      }
+    }
+    q.processAllAvailable()
+    q.stop()
+    // stream ≡ batch kernel
+    val batch = Multimodal.incrementalCdcBytes(corpusChunks,
+      Multimodal.asMedia(arriving.toDF("doc_id", "text"), "doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getDouble(4))))
+      .toMap
+    got.toMap shouldBe batch
+    got(100L) shouldBe ((0L, 0.0)) // byte-identical upload: nothing new
+    got(101L)._2 should be > 0.5   // novel upload: mostly new bytes
+  }
+
   test("ST14 streaming image dedup-on-arrival: perceptual matches drop") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ext.Multimodal
