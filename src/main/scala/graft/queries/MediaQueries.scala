@@ -281,6 +281,68 @@ object MediaQueries {
          FROM j GROUP BY 1"""),
   )
 
+  /** Q185 [X]: the MEDIA curation capstone — one corpus report composing
+    * the three modality families (the q129 text-capstone pattern): how
+    * many payloads are perceptual-duplicate images (non-singleton
+    * frame-0 aHash groups), what fraction of audio chunks clear the
+    * voice-activity gate (and how many runs they form), and what byte
+    * dedup ratio the CDC chunk store realizes. Every ingredient is an
+    * already-hash-verified kernel (q158/q176/q182); the capstone proves
+    * they compose in ONE plan. Output: 1 row.
+    */
+  val q185 = OracleQuery(
+    "q185_media_report",
+    (s, d) => {
+      val media = Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text")
+      val dupImg = Multimodal.frameHashes(media, Seq(0)).toDF()
+        .groupBy("ph").agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("__g"),
+          coalesce(sum(when(col("c") > 1, col("c"))), lit(0L))
+            .as("n_dup_images"),
+          sum(col("c")).as("n_media"))
+        .select(col("n_media"), col("n_dup_images"))
+      val ch = Multimodal.audioChunks(media, 1024).toDF()
+        .withColumn("voiced", (col("rms") >= 18900.0).cast("long"))
+      val va = ch.agg(count(lit(1)).as("__n"), sum(col("voiced")).as("__v"))
+        .select(round(col("__v").cast("double") / col("__n"), 6)
+          .as("voiced_frac"))
+      val runs = Multimodal.voiceActivity(media, 1024, 18900.0)
+        .agg(count(lit(1)).as("n_voice_runs"))
+      val cdc = Multimodal.cdcDedupStats(Multimodal.cdcChunks(media).toDF())
+        .select(col("dedup_ratio").as("cdc_dedup_ratio"))
+      dupImg.crossJoin(va).crossJoin(runs).crossJoin(cdc)
+    },
+    Some(s"""WITH sig AS (${StubCodecSql.phashSql(Seq(0))}),
+              hg AS (SELECT ph, CAST(count(*) AS BIGINT) AS c
+                     FROM sig GROUP BY 1),
+              di AS (SELECT CAST(sum(c) AS BIGINT) AS n_media,
+                      CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0)
+                           AS BIGINT) AS n_dup_images
+                     FROM hg),
+              ${StubCodecSql.audioChunksCte},
+              va AS (SELECT round(CAST(sum(CASE WHEN rms >= 18900.0
+                        THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+                        AS voiced_frac
+                     FROM ch),
+              vv AS (SELECT media_id, CAST(chunk AS INTEGER) AS chunk
+                     FROM ch WHERE rms >= 18900.0),
+              vg AS (SELECT media_id, chunk,
+                      chunk - row_number() OVER (PARTITION BY media_id
+                                                 ORDER BY chunk) AS grp
+                     FROM vv),
+              vr AS (SELECT CAST(count(*) AS BIGINT) AS n_voice_runs
+                     FROM (SELECT DISTINCT media_id, grp FROM vg)),
+              ck AS (${cdcSql(window = 8, maskBits = 6)}),
+              cg AS (SELECT chash, len, CAST(count(*) AS BIGINT) AS c
+                     FROM ck GROUP BY 1, 2),
+              cd AS (SELECT round(1.0 - CAST(sum(len) AS DOUBLE) /
+                        CAST(sum(c * len) AS DOUBLE), 6) AS cdc_dedup_ratio
+                     FROM cg)
+         SELECT di.n_media, di.n_dup_images, va.voiced_frac,
+                vr.n_voice_runs, cd.cdc_dedup_ratio
+         FROM di, va, vr, cd"""),
+  )
+
   val all: Seq[OracleQuery] = Seq(q158, q159, q160, q176, q177, q181, q182,
-    q184)
+    q184, q185)
 }
