@@ -209,6 +209,27 @@ object Multimodal {
     Dedup.hammingNearDupPairs(sig, 64, maxDist)
   }
 
+  /** IMAGE near-dup CLUSTERS: the frame-0 perceptual-hash pair graph
+    * closed into components with min-id labels and keeper flags via the
+    * shared [[DedupCluster.clustersFromEdges]] engine — the image member
+    * of the clustering family beside q41 (LSH/tokens), q146 (edit
+    * distance), and q156 (SRP/embeddings): visually-duplicate uploads
+    * collapse to one keeper each. Output: (media_id, cluster_id,
+    * is_keeper).
+    */
+  def phashClusters(media: Dataset[MediaRow], maxDist: Int = 4,
+      localThreshold: Long = 100000L): DataFrame = {
+    val ids = media.toDF().select(col("media_id"))
+    // unpacked frame-0 signatures (media_id itself is the node id)
+    val sig = frameHashes(media, Seq(0)).toDF()
+      .select(col("media_id").as("__id"), col("ph").as("sh"))
+      .localCheckpoint()
+    val edges = Dedup.hammingNearDupPairs(sig, 64, maxDist)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .localCheckpoint() // the checkpoint-the-loop-INPUT rule
+    DedupCluster.clustersFromEdges(ids, "media_id", edges, localThreshold)
+  }
+
   /** INCREMENTAL perceptual-hash probe: each arriving batch of payloads
     * is hashed and probed against a FROZEN corpus signature table with
     * the asymmetric band join ([[graft.ext.Dedup.hammingProbePairs]]) —

@@ -343,6 +343,34 @@ object MediaQueries {
          FROM di, va, vr, cd"""),
   )
 
+  /** Q186 [X]: image near-dup CLUSTERS (`Multimodal.phashClusters`) —
+    * the frame-0 perceptual-hash graph at radius 4 closed into min-id
+    * components with keeper flags through the shared clustering engine:
+    * the image member completing the clustering family
+    * (q41/q146/q156). The twin closes the brute fingerprint edge set
+    * with a recursive CTE, labeling identically by minimum reachable id.
+    */
+  val q186 = OracleQuery(
+    "q186_phash_clusters",
+    (s, d) => Multimodal.phashClusters(
+      Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text"),
+      maxDist = 4),
+    Some(s"""WITH RECURSIVE sig AS (${StubCodecSql.phashSql(Seq(0))}),
+              e0 AS (SELECT a.media_id AS a, b.media_id AS b
+                     FROM sig a JOIN sig b ON b.media_id > a.media_id
+                     AND bit_count(xor(a.ph, b.ph)) <= 4),
+              u AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+              lab AS (SELECT media_id AS node, media_id AS label FROM sig
+                      UNION
+                      SELECT u.a AS node, lab.label FROM lab
+                      JOIN u ON u.b = lab.node),
+              cl AS (SELECT node AS media_id, min(label) AS cluster_id,
+                            CAST(CASE WHEN min(label) = node
+                                 THEN 1 ELSE 0 END AS INTEGER) AS is_keeper
+                     FROM lab GROUP BY node)
+         SELECT media_id, cluster_id, is_keeper FROM cl"""),
+  )
+
   val all: Seq[OracleQuery] = Seq(q158, q159, q160, q176, q177, q181, q182,
-    q184, q185)
+    q184, q185, q186)
 }

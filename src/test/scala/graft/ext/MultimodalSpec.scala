@@ -199,6 +199,29 @@ class MultimodalSpec extends SparkSpec {
     chunks.length should be >= 5 // maskBits 5 → E[len] 32 over 400 bytes
   }
 
+  test("phashClusters ≡ driver union-find over brute Hamming edges") {
+    val univ = (1L to 30L).map(i =>
+      MediaRow(i, s"cluster payload ${i % 10}".getBytes("UTF-8"))).toDS()
+    val got = phashClusters(univ, maxDist = 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    val hs = frameHashes(univ, Seq(0)).collect().map(f => f.media_id -> f.ph)
+    val parent = scala.collection.mutable.Map(hs.map(h => h._1 -> h._1): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    for ((ia, ha) <- hs; (ib, hb) <- hs
+         if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= 4) {
+      val (ra, rb) = (find(ia), find(ib))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    hs.foreach { case (id, _) =>
+      val root = find(id)
+      got(id) shouldBe ((root, if (root == id) 1 else 0))
+    }
+    // payloads i and i+10 share bytes → same cluster, one keeper
+    got(1L)._1 shouldBe got(11L)._1
+    got.values.count(_._2 == 1) should be <= 12
+  }
+
   test("cdcDedupStats: duplicate payloads dedup to near-half the bytes") {
     val payloads = (1L to 10L).map(i =>
       MediaRow(i, s"shared content block number ${i % 5} repeated padding padding padding".getBytes("UTF-8")))
