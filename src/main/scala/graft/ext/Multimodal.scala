@@ -230,6 +230,33 @@ object Multimodal {
     DedupCluster.clustersFromEdges(ids, "media_id", edges, localThreshold)
   }
 
+  /** Incremental IMAGE-cluster ASSIGNMENT — the image member of the
+    * online clustering family (`DedupCluster.assignToClusters` / LSH,
+    * `Fuzzy.assignToEditClusters` / strings,
+    * `Similarity.assignToSrpClusters` / embeddings): each arriving
+    * payload adopts the MINIMUM cluster id among its perceptual-hash
+    * matches within `maxDist` bits ([[incrementalPhashPairs]] against
+    * the frozen corpus signature table), does NOT merge bridged clusters
+    * (the periodic full [[phashClusters]] reconciles), and founds its
+    * own cluster when nothing matches. `corpusLabels` is a prior
+    * [[phashClusters]] run over the SAME corpus. Output matches it:
+    * (media_id, cluster_id, is_keeper).
+    */
+  def assignToPhashClusters(corpusLabels: DataFrame, corpusSig: DataFrame,
+      batch: Dataset[MediaRow], maxDist: Int = 4): DataFrame = {
+    val adopted = incrementalPhashPairs(corpusSig, batch, maxDist)
+      .join(corpusLabels.select(col("media_id").as("doc_b"),
+        col("cluster_id").as("__cl")), "doc_b")
+      .groupBy(col("doc_a")).agg(min(col("__cl")).as("__cl"))
+    batch.toDF().select(col("media_id"))
+      .join(adopted.select(col("doc_a").as("media_id"), col("__cl")),
+        Seq("media_id"), "left")
+      .select(col("media_id"),
+        coalesce(col("__cl"), col("media_id")).as("cluster_id"))
+      .withColumn("is_keeper",
+        (col("cluster_id") === col("media_id")).cast("int"))
+  }
+
   /** INCREMENTAL perceptual-hash probe: each arriving batch of payloads
     * is hashed and probed against a FROZEN corpus signature table with
     * the asymmetric band join ([[graft.ext.Dedup.hammingProbePairs]]) —

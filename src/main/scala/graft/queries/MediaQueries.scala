@@ -371,6 +371,53 @@ object MediaQueries {
          SELECT media_id, cluster_id, is_keeper FROM cl"""),
   )
 
+  /** Q187 [X]: incremental IMAGE-cluster assignment — the 10%-of-ids
+    * batch of payloads adopts q186-style corpus cluster labels through
+    * the frozen frame-0 signature table
+    * (`Multimodal.assignToPhashClusters`): min-label adoption, no bridge
+    * merging, novel images found their own cluster — the image sibling
+    * of q119 (LSH), q147 (edit), and q157 (SRP), completing the online
+    * clustering family across all four modalities. The twin closes the
+    * corpus edges with a recursive CTE and brute-forces the cross-split
+    * adoption join.
+    */
+  val q187 = OracleQuery(
+    "q187_assign_phash_clusters",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = Multimodal.asMedia(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+      val batch = Multimodal.asMedia(
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+      val corpusSig = Multimodal.frameHashes(corpus, Seq(0)).toDF()
+      Multimodal.assignToPhashClusters(
+        Multimodal.phashClusters(corpus, maxDist = 4),
+        corpusSig, batch, maxDist = 4)
+    },
+    Some(s"""WITH RECURSIVE sig AS (${StubCodecSql.phashSql(Seq(0))}),
+              cs AS (SELECT * FROM sig WHERE media_id % 10 != 0),
+              bs AS (SELECT * FROM sig WHERE media_id % 10 = 0),
+              e0 AS (SELECT a.media_id AS a, b.media_id AS b
+                     FROM cs a JOIN cs b ON b.media_id > a.media_id
+                     AND bit_count(xor(a.ph, b.ph)) <= 4),
+              u AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+              lab AS (SELECT media_id AS node, media_id AS label FROM cs
+                      UNION
+                      SELECT u.a AS node, lab.label FROM lab
+                      JOIN u ON u.b = lab.node),
+              clab AS (SELECT node AS media_id, min(label) AS cluster_id
+                       FROM lab GROUP BY node),
+              m AS (SELECT b.media_id AS bid, c.media_id AS cid
+                    FROM bs b JOIN cs c
+                    ON bit_count(xor(b.ph, c.ph)) <= 4),
+              ad AS (SELECT m.bid AS media_id, min(clab.cluster_id) AS cl
+                     FROM m JOIN clab ON clab.media_id = m.cid GROUP BY 1)
+         SELECT b.media_id, coalesce(ad.cl, b.media_id) AS cluster_id,
+                CAST(CASE WHEN coalesce(ad.cl, b.media_id) = b.media_id
+                     THEN 1 ELSE 0 END AS INTEGER) AS is_keeper
+         FROM bs b LEFT JOIN ad ON ad.media_id = b.media_id"""),
+  )
+
   val all: Seq[OracleQuery] = Seq(q158, q159, q160, q176, q177, q181, q182,
-    q184, q185, q186)
+    q184, q185, q186, q187)
 }
