@@ -556,6 +556,40 @@ class EventStreamsSpec extends SparkSpec {
         .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
   }
 
+  test("ST18 streaming cluster assignment: copies adopt, novel payloads found clusters") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.Multimodal
+    val corpus = (0L until 15L).map(i =>
+      i -> s"gallery image number ${i % 5}") // 5 clusters of 3 copies
+      .toDF("doc_id", "text")
+    val cMedia = Multimodal.asMedia(corpus, "doc_id", "text")
+    val labels = Multimodal.phashClusters(cMedia, maxDist = 4)
+      .localCheckpoint()
+    val sig = Multimodal.frameHashes(cMedia, Seq(0)).toDF().localCheckpoint()
+    val arriving = Seq(
+      ArrivingDoc(100L, "gallery image number 3"), // copy → adopts cluster 3
+      ArrivingDoc(101L, "an entirely new photograph"))
+    val mem = MemoryStream[ArrivingDoc]
+    mem.addData(arriving)
+    val got = scala.collection.mutable.Map[Long, (Long, Int)]()
+    val q = EventStreams.assignClustersOnArrival(
+      mem.toDF(), labels, sig, "doc_id", "text") { rep =>
+      got.synchronized {
+        rep.collect().foreach(r =>
+          got(r.getLong(0)) = (r.getLong(1), r.getInt(2)))
+      }
+    }
+    q.processAllAvailable()
+    q.stop()
+    // stream ≡ batch kernel
+    val batch = Multimodal.assignToPhashClusters(labels, sig,
+      Multimodal.asMedia(arriving.toDF("doc_id", "text"), "doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    got.toMap shouldBe batch
+    got(100L) shouldBe ((3L, 0)) // adopted doc 3's cluster, not a keeper
+    got(101L) shouldBe ((101L, 1)) // novel: founds its own cluster
+  }
+
   test("ST17 streaming CDC byte-delta: exact copy reports zero new bytes") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ext.Multimodal
