@@ -371,7 +371,7 @@ object DedupCluster {
     * as materialized pairs (the corpus carries groups of thousands;
     * their pair sets are Θ(g²)).
     */
-  def crossSourceDupMatrix(docs: DataFrame, idCol: String, textCol: String,
+  def crossSourceDupMatrix(docs: DataFrame, textCol: String,
       groupCol: String): DataFrame = {
     val cnt = docs.groupBy(col(textCol).as("__t"), col(groupCol))
       .agg(count(lit(1)).as("__c"))

@@ -173,6 +173,10 @@ object Multimodal {
     * per (payload, frame).
     */
   def frameHashes(media: Dataset[MediaRow], frames: Seq[Int]): Dataset[FrameHash] = {
+    // A negative index would make (p + 7·f) % 256 negative under Java %
+    // semantics — out-of-range pixels, silently-garbage hashes. Fail loud.
+    require(frames.nonEmpty && frames.forall(_ >= 0),
+      "frameHashes: frame indices must be >= 0")
     import media.sparkSession.implicits._
     val fr = frames.toArray
     media.mapPartitions { it =>
@@ -273,6 +277,7 @@ object Multimodal {
     */
   def incrementalPhashPairs(corpusSig: DataFrame, batch: Dataset[MediaRow],
       maxDist: Int = 4, frame: Int = 0): DataFrame = {
+    require(frame >= 0, "incrementalPhashPairs: frame index must be >= 0")
     val bSig = frameHashes(batch, Seq(frame)).toDF()
       .select(col("media_id").as("__id"), col("ph").as("sh"))
       .localCheckpoint()

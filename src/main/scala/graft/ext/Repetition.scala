@@ -50,8 +50,11 @@ object Repetition {
 
   /** The full Gopher duplicated-n-gram profile (Rae et al. 2021, Table A1):
     * for each requested n, the fraction of the document's characters
-    * attributable to (a) its single most frequent n-gram
-    * (`top_frac` — the 2–4-gram rules) and (b) ALL n-grams occurring more
+    * attributable to (a) its single MOST FREQUENT n-gram
+    * (`top_frac` — the 2–4-gram rules; count-argmax with a longer-gram
+    * tiebreak, selected via a packed-long `max(cnt·2²¹ + glen)` so both
+    * engines pick the identical gram without struct aggregates — glen is
+    * bounded by doc length ≪ 2²¹) and (b) ALL n-grams occurring more
     * than once (`dup_frac` — the 5–10-gram rules). Character mass of a
     * gram occurrence is the gram's own length (token chars + joining
     * spaces); overlapping occurrences each count, so `dup_frac` can
@@ -84,12 +87,17 @@ object Repetition {
     grams
       .groupBy(idCol, "doc_len", "n", "g")
       .agg(count(lit(1)).as("cnt"))
-      .withColumn("glen", length(col("g")))
+      .withColumn("glen", length(col("g")).cast("long"))
       .groupBy(idCol, "n")
       .agg(
-        round(max(col("cnt") * col("glen")).cast("double") /
-          first(col("doc_len")), 6).as("top_frac"),
-        round(coalesce(sum(when(col("cnt") >= 2, col("cnt") * col("glen"))),
-          lit(0L)).cast("double") / first(col("doc_len")), 6).as("dup_frac"))
+        max(col("cnt") * lit(1L << 21) + col("glen")).as("__p"),
+        first(col("doc_len")).as("__dl"),
+        coalesce(sum(when(col("cnt") >= 2, col("cnt") * col("glen"))),
+          lit(0L)).as("__dup"))
+      .select(col(idCol), col("n"),
+        round((shiftright(col("__p"), 21) *
+          col("__p").bitwiseAND(lit((1L << 21) - 1))).cast("double") /
+          col("__dl"), 6).as("top_frac"),
+        round(col("__dup").cast("double") / col("__dl"), 6).as("dup_frac"))
   }
 }

@@ -627,6 +627,11 @@ object Similarity {
 
   /** Finalize a covariance sketch into the (i, j, cov) matrix — doubles
     * enter only here, in the fixed-shape expression both engines share.
+    * The rounded cell goes through [[graft.syntax.round6z]] (`+ 0.0`):
+    * a cell whose exact value sits in (-5e-7, 0) rounds to `-0.0` in one
+    * engine and `+0.0` in the other (last-ulp drift upstream of the
+    * round), and the driver's hash is bit-strict about zero's sign —
+    * the round-10 q171/q174 failure. The twin appends the same `+ 0.0`.
     */
   def finalizeCovariance(sums: DataFrame): DataFrame = {
     val S = 1099511627776.0 // 2^40
@@ -638,8 +643,8 @@ object Similarity {
       .join(means.select(col("i"), col("sx").as("sa")), Seq("i"))
       .join(means.select(col("i").as("j"), col("sx").as("sb")), Seq("j"))
       .select(col("i"), col("j"),
-        round(col("s").cast("double") / S / n -
+        graft.syntax.round6z(col("s").cast("double") / S / n -
           (col("sa").cast("double") / S / n) *
-          (col("sb").cast("double") / S / n), 6).as("cov"))
+          (col("sb").cast("double") / S / n)).as("cov"))
   }
 }

@@ -70,8 +70,12 @@ object Drift {
     * cramers_v.
     */
   def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // `cells` feeds FOUR consumers in one plan (rowT, colT, tot, and the
+    // join base) — without a cut the input groupBy recomputes 4×. The
+    // checkpoint is category-domain-bounded rows, i.e. tiny.
     val cells = df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
       .agg(count(lit(1)).as("__o"))
+      .localCheckpoint()
     val rowT = cells.groupBy("__a").agg(sum("__o").as("__ra"))
     val colT = cells.groupBy("__b").agg(sum("__o").as("__cb"))
     val tot = cells.agg(sum("__o").as("__n"),

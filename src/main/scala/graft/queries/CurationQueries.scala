@@ -510,15 +510,18 @@ object CurationQueries {
               g AS ($perN),
               c AS (SELECT doc_id, doc_len, n, g,
                      CAST(count(*) AS BIGINT) AS cnt,
-                     len(g) AS glen
-                   FROM g GROUP BY 1, 2, 3, 4)
+                     CAST(len(g) AS BIGINT) AS glen
+                   FROM g GROUP BY 1, 2, 3, 4),
+              m AS (SELECT doc_id, doc_len, n,
+                     max(cnt * 2097152 + glen) AS p,
+                     coalesce(sum(CASE WHEN cnt >= 2
+                       THEN cnt * glen END), 0) AS dup
+                   FROM c GROUP BY 1, 2, 3)
          SELECT doc_id, n,
-                round(CAST(max(cnt * glen) AS DOUBLE) / doc_len, 6)
-                  AS top_frac,
-                round(CAST(coalesce(sum(CASE WHEN cnt >= 2
-                        THEN cnt * glen END), 0) AS DOUBLE) / doc_len, 6)
-                  AS dup_frac
-         FROM c GROUP BY doc_id, doc_len, n"""
+                round(CAST((p // 2097152) * (p % 2097152) AS DOUBLE)
+                      / doc_len, 6) AS top_frac,
+                round(CAST(dup AS DOUBLE) / doc_len, 6) AS dup_frac
+         FROM m"""
     },
   )
 

@@ -1087,7 +1087,7 @@ object SimilarityQueries {
                 round(CAST(p.sxy AS DOUBLE) / 1099511627776.0 / n.n -
                       (CAST(sa.sx AS DOUBLE) / 1099511627776.0 / n.n) *
                       (CAST(sb.sx AS DOUBLE) / 1099511627776.0 / n.n), 6)
-                  AS cov
+                  + 0.0 AS cov
          FROM p JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j, n"""
 
   val q171 = OracleQuery(

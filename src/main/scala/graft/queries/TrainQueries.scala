@@ -1229,7 +1229,7 @@ object TrainQueries {
   val q167 = OracleQuery(
     "q167_cross_source_dups",
     (s, d) => DedupCluster.crossSourceDupMatrix(
-      Tables.documents(s, d), "doc_id", "text", "source"),
+      Tables.documents(s, d), "text", "source"),
     Some("""WITH c AS (SELECT text, source, CAST(count(*) AS BIGINT) AS c
                    FROM documents GROUP BY 1, 2),
               p AS (SELECT a.source AS source_a, b.source AS source_b,

@@ -13,6 +13,21 @@ import graft.ops.{AsOfJoin, Cdc, Graph, RangeJoin, Salting, StorageLayout, Upser
   */
 object syntax {
 
+  /** Signed-zero-safe 6-dp rounding for cross-engine double outputs.
+    *
+    * `round(x, 6)` can yield `-0.0` (any x in (-5e-7, 0)), and Spark and
+    * DuckDB disagree on the SIGN of a zero that close to the boundary
+    * (different last-ulp arithmetic upstream) — the driver's hasher is
+    * bit-strict, so `+0.0` vs `-0.0` is a hash mismatch (the round-10
+    * q171/q174 failure). Appending `+ 0.0` normalizes: under IEEE-754
+    * round-to-nearest, `-0.0 + 0.0 = +0.0` and every non-zero value is
+    * unchanged. The DuckDB twin must mirror with a literal `+ 0.0` after
+    * its final `round(…, 6)`.
+    */
+  def round6z(c: Column): Column =
+    org.apache.spark.sql.functions.round(c, 6) +
+      org.apache.spark.sql.functions.lit(0.0)
+
   implicit class GraftOps(private val df: DataFrame) extends AnyVal {
 
     // --- dedup -----------------------------------------------------------

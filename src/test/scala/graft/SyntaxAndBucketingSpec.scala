@@ -86,4 +86,24 @@ class SyntaxAndBucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_dims")
     }
   }
+
+  test("round6z: -0.0-shaped inputs normalize to +0.0, non-zeros unchanged") {
+    // The round-10 q171/q174 failure: round(x, 6) of any x in (-5e-7, 0)
+    // yields -0.0, and the driver's hash is bit-strict about zero's sign.
+    // round6z appends + 0.0 (IEEE: -0.0 + 0.0 = +0.0 under round-to-nearest).
+    val vals = Seq(-1e-12, -4.9e-7, -0.0, 0.0, 1e-12, -1.5, 2.25, -4.999999e-7)
+    val out = vals.toDF("x").select(graft.syntax.round6z($"x").as("z"))
+      .collect().map(_.getDouble(0))
+    out.foreach { z =>
+      // no negative zero survives: the raw bits must equal +0.0's when zero
+      if (z == 0.0)
+        java.lang.Double.doubleToRawLongBits(z) shouldBe
+          java.lang.Double.doubleToRawLongBits(0.0)
+    }
+    out.toSeq shouldBe Seq(0.0, 0.0, 0.0, 0.0, 0.0, -1.5, 2.25, 0.0)
+    // the DuckDB-side idiom is the literal `+ 0.0` after round(…, 6):
+    // both engines agree because the normalization is pure IEEE arithmetic
+    Seq(-4.9e-7).toDF("x").select((round($"x", 6) + lit(0.0)).as("z"))
+      .head().getDouble(0).compareTo(0.0) shouldBe 0
+  }
 }

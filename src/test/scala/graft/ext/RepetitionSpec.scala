@@ -62,7 +62,11 @@ class RepetitionSpec extends SparkSpec {
       ns.filter(_ <= t.length).map { n =>
         val grams = t.sliding(n).map(_.mkString(" ")).toSeq
         val byG = grams.groupBy(identity).view.mapValues(_.size).toMap
-        val top = byG.map { case (g, c) => c.toLong * g.length }.max
+        // count-argmax, longer-gram tiebreak — the packed-long convention
+        val top = {
+          val (c, gl) = byG.iterator.map { case (g, cc) => (cc.toLong, g.length.toLong) }.max
+          c * gl
+        }
         val dup = byG.collect { case (g, c) if c >= 2 => c.toLong * g.length }.sum
         (id, n) -> ((r6(top.toDouble / text.length),
           r6(dup.toDouble / text.length)))

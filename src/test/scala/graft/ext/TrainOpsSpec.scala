@@ -535,7 +535,7 @@ class TrainOpsSpec extends SparkSpec {
       (4L, "q", "sB"), (5L, "q", "sB"), (6L, "q", "sB"),
       (7L, "r", "sA")
     ).toDF("doc_id", "text", "source")
-    val got = DedupCluster.crossSourceDupMatrix(df, "doc_id", "text", "source")
+    val got = DedupCluster.crossSourceDupMatrix(df, "text", "source")
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
       .toMap
     // brute: all doc pairs with equal text, keyed by sorted source pair

@@ -545,8 +545,19 @@ class EventStreamsSpec extends SparkSpec {
     def cells(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
     val stored = spark.read.parquet(s"$dir/t")
+      .filter(!(col("i") === -2 && col("j") === -2)) // batchId marker row
       .select("i", "j", "s")
     cells(stored) shouldBe cells(Similarity.covarianceSums(
+      (b1 ++ b2).toDF("vec_id", "embedding"), "embedding", "vec_id"))
+    // at-least-once replay guard: re-merging an already-applied batchId
+    // is a no-op (foreachBatch can redeliver after a crash between the
+    // atomic swap and the checkpoint commit — an additive merge would
+    // silently double-count without the marker)
+    EventStreams.covarianceMergeBatch(b2.toDF("vec_id", "embedding"),
+      "embedding", "vec_id", s"$dir/t", 1L) shouldBe false
+    cells(spark.read.parquet(s"$dir/t")
+      .filter(!(col("i") === -2 && col("j") === -2))
+      .select("i", "j", "s")) shouldBe cells(Similarity.covarianceSums(
       (b1 ++ b2).toDF("vec_id", "embedding"), "embedding", "vec_id"))
     // and the finalized matrix equals a full batch recompute exactly
     Similarity.finalizeCovariance(stored).collect()

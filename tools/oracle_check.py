@@ -18,9 +18,11 @@ def canon(rows, cols):
         for i in order:
             v = r[i]
             if isinstance(v, float):
-                v = round(v, 9)
-                if v == 0:
-                    v = 0.0
+                # Compare by repr AFTER rounding so the gate is bit-strict
+                # about zero's sign, like the driver's hasher: Python's
+                # float equality says -0.0 == 0.0, which masked the
+                # round-10 q171/q174 driver failure. repr('-0.0') != '0.0'.
+                v = repr(round(v, 9))
             vals.append(v)
         out.append(tuple(vals))
     out.sort(key=lambda t: tuple((x is None, str(type(x)), str(x)) for x in t))
