@@ -667,13 +667,31 @@ object Soak {
       sdf.count()
       sdf
     })
-    time("incremental covariance (1% batch)")({
+    time("incremental covariance (1% batch, merge ≡ recompute)")({
       val batch = syntheticVecs(spark, nVecs / 100)
         .withColumn("vec_id", col("vec_id") + 8 * nVecs)
-      ext.Similarity.finalizeCovariance(
+        .localCheckpoint() // feeds the batch sketch AND the union recompute
+      val merged = ext.Similarity.finalizeCovariance(
         ext.Similarity.mergeCovarianceSums(covSums,
           ext.Similarity.covarianceSums(batch, "embedding", "vec_id")))
-        .count()
+      // mergeability asserted WHERE n is large enough to stress the
+      // integer sums' 2^63 headroom: the merged sketch must finalize to
+      // the BIT-identical matrix a full corpus+batch recompute yields
+      // (integer sums are order-free; the finalize expression is
+      // fixed-shape — any divergence is overflow or a broken merge).
+      val full = ext.Similarity.finalizeCovariance(
+        ext.Similarity.covarianceSums(
+          vecs.unionByName(batch), "embedding", "vec_id"))
+      def cells(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => ((r.getInt(0), r.getInt(1)),
+          java.lang.Double.doubleToRawLongBits(r.getDouble(2)))).toMap
+      val m = cells(merged)
+      val f = cells(full)
+      assert(m == f,
+        s"incremental covariance: merged finalize != full recompute " +
+          s"(${m.size} vs ${f.size} cells, " +
+          s"${m.count { case (k, v) => f.get(k).contains(v) }} equal)")
+      m.size
     })
     covSums.unpersist()
 

@@ -172,7 +172,8 @@ object Multimodal {
     * downstream are unchanged. One partition-batched pass, one output row
     * per (payload, frame).
     */
-  def frameHashes(media: Dataset[MediaRow], frames: Seq[Int]): Dataset[FrameHash] = {
+  def frameHashes(media: Dataset[MediaRow], frames: Seq[Int],
+      decode: Array[Byte] => Frame = StubCodec.decode): Dataset[FrameHash] = {
     // A negative index would make (p + 7·f) % 256 negative under Java %
     // semantics — out-of-range pixels, silently-garbage hashes. Fail loud.
     require(frames.nonEmpty && frames.forall(_ >= 0),
@@ -181,7 +182,7 @@ object Multimodal {
     val fr = frames.toArray
     media.mapPartitions { it =>
       it.flatMap { m =>
-        val base = resize(StubCodec.decode(m.payload), 8, 8)
+        val base = resize(decode(m.payload), 8, 8)
         fr.iterator.map { f =>
           val px = if (f == 0) base.pixels
             else base.pixels.map(p => (p + f * 7) % 256)
@@ -294,11 +295,12 @@ object Multimodal {
     * training-windows shape (audio analog of [[sampleFrames]]). The final
     * partial window is kept (its n_samples is smaller).
     */
-  def audioChunks(media: Dataset[MediaRow], window: Int): Dataset[AudioChunk] = {
+  def audioChunks(media: Dataset[MediaRow], window: Int,
+      decode: Array[Byte] => Array[Int] = StubCodec.decodeAudio): Dataset[AudioChunk] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.flatMap { m =>
-        val samples = StubCodec.decodeAudio(m.payload)
+        val samples = decode(m.payload)
         samples.grouped(window).zipWithIndex.map { case (chunk, i) =>
           var ss = 0.0
           chunk.foreach(s => ss += s.toDouble * s)
@@ -318,10 +320,10 @@ object Multimodal {
     * parity surface. Output: (media_id, run_idx, start_chunk, end_chunk,
     * n_chunks), runs numbered in time order per payload.
     */
-  def voiceActivity(media: Dataset[MediaRow], window: Int,
-      tau: Double): DataFrame = {
+  def voiceActivity(media: Dataset[MediaRow], window: Int, tau: Double,
+      decode: Array[Byte] => Array[Int] = StubCodec.decodeAudio): DataFrame = {
     import org.apache.spark.sql.expressions.{Window => W}
-    val ch = audioChunks(media, window).toDF()
+    val ch = audioChunks(media, window, decode).toDF()
     val w = W.partitionBy("media_id").orderBy("chunk_idx")
     ch.filter(col("rms") >= tau)
       .withColumn("grp", col("chunk_idx") - row_number().over(w))

@@ -418,6 +418,123 @@ object MediaQueries {
          FROM bs b LEFT JOIN ad ON ad.media_id = b.media_id"""),
   )
 
+  /** Deterministic 16-bit sample formula shared by q188 and its twin:
+    * `s_j = ((doc_id + 1) · 2654435761 + j · 40503) mod 2^16 − 32768` —
+    * all-BIGINT arithmetic both engines execute exactly. Sample count
+    * varies per doc (`3200 + (id%5)·160 + id%7`) so the final PARTIAL
+    * window is exercised.
+    */
+  private def wavMedia(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.Dataset[Multimodal.MediaRow] = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long].map { id =>
+      val n = 3200 + (id % 5).toInt * 160 + (id % 7).toInt
+      val samples = Array.tabulate(n)(j =>
+        (((id + 1) * 2654435761L + j.toLong * 40503L) % 65536L).toInt - 32768)
+      Multimodal.MediaRow(id, graft.ext.Containers.wavBytes(samples))
+    }
+  }
+
+  /** Q188 [X]: voice-activity detection through a REAL WAV container —
+    * each doc's deterministic PCM samples are serialized into an actual
+    * RIFF/WAVE byte stream ([[graft.ext.Containers.wavBytes]]: fmt +
+    * LIST/INFO + data chunks, WORD-aligned) and decoded back by the
+    * real chunk-walking parser ([[Containers.decodeWav]]) feeding the
+    * q176 VAD kernel. The twin recomputes the samples ARITHMETICALLY —
+    * a hash match proves the encode → parse chain is lossless through
+    * the container layout (a parser that assumed "data at byte 44"
+    * would read the LIST chunk as samples and hash garbage). Closes the
+    * "stub codec only" caveat for the audio modality.
+    */
+  val q188 = OracleQuery(
+    "q188_wav_container_vad",
+    (s, d) => Multimodal.voiceActivity(wavMedia(s, d), window = 160,
+      tau = 18900.0, decode = graft.ext.Containers.decodeWav),
+    Some("""WITH d AS (SELECT doc_id,
+                     3200 + (doc_id % 5) * 160 + doc_id % 7 AS n
+                   FROM documents),
+              s AS (SELECT doc_id,
+                     unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS j
+                   FROM d),
+              v AS (SELECT doc_id, j // 160 AS chunk,
+                     ((doc_id + 1) * 2654435761 + j * 40503) % 65536 - 32768
+                       AS smp
+                   FROM s),
+              ch AS (SELECT doc_id AS media_id,
+                      CAST(chunk AS INTEGER) AS chunk,
+                      sum(smp * smp) AS ss, count(*) AS cnt
+                    FROM v GROUP BY 1, 2),
+              act AS (SELECT media_id, chunk FROM ch
+                    WHERE sqrt(CAST(ss AS DOUBLE) / cnt) >= 18900.0),
+              g AS (SELECT media_id, chunk,
+                     chunk - row_number() OVER (PARTITION BY media_id
+                                                ORDER BY chunk) AS grp
+                    FROM act),
+              r AS (SELECT media_id, grp,
+                     min(chunk) AS start_chunk, max(chunk) AS end_chunk,
+                     CAST(count(*) AS BIGINT) AS n_chunks
+                    FROM g GROUP BY 1, 2)
+         SELECT media_id,
+                CAST(row_number() OVER (PARTITION BY media_id
+                  ORDER BY start_chunk) AS INTEGER) AS run_idx,
+                start_chunk, end_chunk, n_chunks
+         FROM r"""),
+  )
+
+  /** Q189 [X]: perceptual hash through a REAL BMP container — each
+    * doc's deterministic gray frame (`v = ((id+1)·131 + idx·17) mod
+    * 256`, width 13..21 so the 4-byte row padding is NONZERO, height
+    * 11..17) is serialized as an actual 24 bpp bottom-up BMP
+    * ([[graft.ext.Containers.bmpBytes]]) and parsed back by the real
+    * header-honoring decoder feeding the q158 resize + aHash kernel.
+    * The twin recomputes each 8×8 cell straight from the formula (the
+    * nearest-neighbor source index is `(y·h/8)·w + x·w/8`) and
+    * assembles the 64 bits in HUGEINT (q111 discipline) — a hash match
+    * proves offset/padding/bottom-up handling is exact. The image
+    * sibling of q188.
+    */
+  val q189 = OracleQuery(
+    "q189_bmp_container_phash",
+    (s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = 13 + (id % 9).toInt
+          val h = 11 + (id % 7).toInt
+          val px = Array.tabulate(w * h)(i =>
+            (((id + 1) * 131L + i.toLong * 17L) % 256L).toInt)
+          Multimodal.MediaRow(id,
+            graft.ext.Containers.bmpBytes(Multimodal.Frame(w, h, px)))
+        }
+      Multimodal.frameHashes(media, Seq(0),
+        decode = graft.ext.Containers.decodeBmp)
+        .toDF().select(col("media_id"), col("ph"))
+    },
+    Some("""WITH RECURSIVE
+              pw(k, v) AS (SELECT 0, 1::HUGEINT UNION ALL
+                           SELECT k + 1, v * 2 FROM pw WHERE k < 63),
+              d AS (SELECT doc_id, 13 + doc_id % 9 AS w,
+                     11 + doc_id % 7 AS h FROM documents),
+              grid AS (SELECT t.i AS i, t.i % 8 AS x, t.i // 8 AS y
+                       FROM unnest(generate_series(0, 63)) AS t(i)),
+              px AS (SELECT doc_id, i,
+                      ((doc_id + 1) * 131 +
+                       (((y * h) // 8) * w + (x * w) // 8) * 17) % 256 AS v
+                    FROM d, grid),
+              sm AS (SELECT doc_id, sum(v) AS sv FROM px GROUP BY 1),
+              b AS (SELECT px.doc_id AS media_id,
+                     sum(CASE WHEN px.v * 64 > sm.sv THEN pw.v
+                         ELSE 0::HUGEINT END) AS u
+                   FROM px JOIN sm ON sm.doc_id = px.doc_id
+                   JOIN pw ON pw.k = px.i
+                   GROUP BY 1)
+         SELECT media_id,
+                CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+                     THEN u - 18446744073709551616::HUGEINT
+                     ELSE u END AS BIGINT) AS ph
+         FROM b"""),
+  )
+
   val all: Seq[OracleQuery] = Seq(q158, q159, q160, q176, q177, q181, q182,
-    q184, q185, q186, q187)
+    q184, q185, q186, q187, q188, q189)
 }

@@ -1,0 +1,83 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.ext.Multimodal.Frame
+
+/** Real-container codecs: byte-exact round trips plus the layout traps
+  * (WAV chunk walk past a LIST chunk, BMP bottom-up + row padding) that
+  * distinguish a real parser from an offset-hardcoding one. The
+  * Spark-side end-to-end proof is q188/q189's oracle hash.
+  */
+class ContainersSpec extends AnyFunSuite with Matchers {
+
+  test("wav: samples round-trip exactly through the RIFF container") {
+    val rnd = new scala.util.Random(7)
+    for (n <- Seq(0, 1, 2, 159, 160, 161, 4096)) {
+      val samples = Array.fill(n)(rnd.nextInt(65536) - 32768)
+      Containers.decodeWav(Containers.wavBytes(samples)) shouldBe samples
+    }
+  }
+
+  test("wav: the container really carries a foreign LIST chunk before data") {
+    val bytes = Containers.wavBytes(Array(1, -1, 32767, -32768))
+    // "LIST" must appear in the byte stream BEFORE "data" — the trap a
+    // data-at-byte-44 parser falls into
+    def find(tag: String): Int = {
+      val t = tag.getBytes("US-ASCII")
+      bytes.indices.indexWhere(i => i + 4 <= bytes.length &&
+        t.indices.forall(k => bytes(i + k) == t(k)))
+    }
+    val list = find("LIST")
+    val data = find("data")
+    list should be > 0
+    data should be > list
+    data should not be 36 // data chunk is NOT where the naive layout puts it
+  }
+
+  test("wav: corrupt magic and truncated forms are rejected loudly") {
+    val good = Containers.wavBytes(Array(5, 6, 7))
+    val badMagic = good.clone(); badMagic(0) = 'X'.toByte
+    an[IllegalArgumentException] should be thrownBy
+      Containers.decodeWav(badMagic)
+    an[IllegalArgumentException] should be thrownBy
+      Containers.decodeWav(good.take(20))
+  }
+
+  test("bmp: frames round-trip exactly, including padded-row widths") {
+    val rnd = new scala.util.Random(11)
+    for ((w, h) <- Seq((13, 11), (16, 9), (21, 17), (1, 1), (8, 8))) {
+      val f = Frame(w, h, Array.fill(w * h)(rnd.nextInt(256)))
+      val back = Containers.decodeBmp(Containers.bmpBytes(f))
+      back.width shouldBe w
+      back.height shouldBe h
+      back.pixels shouldBe f.pixels
+    }
+  }
+
+  test("bmp: corner pixels land where they started (bottom-up honored)") {
+    // distinct corners: a decoder that reads rows top-down flips them
+    val w = 5; val h = 3
+    val px = Array.fill(w * h)(128)
+    px(0) = 10 // top-left
+    px(w - 1) = 20 // top-right
+    px((h - 1) * w) = 30 // bottom-left
+    px(h * w - 1) = 40 // bottom-right
+    val back = Containers.decodeBmp(Containers.bmpBytes(Frame(w, h, px)))
+    back.pixels(0) shouldBe 10
+    back.pixels(w - 1) shouldBe 20
+    back.pixels((h - 1) * w) shouldBe 30
+    back.pixels(h * w - 1) shouldBe 40
+  }
+
+  test("bmp: non-24bpp and bad magic rejected") {
+    val good = Containers.bmpBytes(Frame(4, 4, Array.fill(16)(7)))
+    val badMagic = good.clone(); badMagic(0) = 'Z'.toByte
+    an[IllegalArgumentException] should be thrownBy
+      Containers.decodeBmp(badMagic)
+    val badBpp = good.clone(); badBpp(28) = 32 // bpp field in the info header
+    an[IllegalArgumentException] should be thrownBy
+      Containers.decodeBmp(badBpp)
+  }
+}
