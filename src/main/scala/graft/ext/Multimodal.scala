@@ -337,6 +337,56 @@ object Multimodal {
         col("end_chunk"), col("n_chunks"))
   }
 
+  /** 64-bit ENERGY-DELTA audio fingerprint (Haitsma & Kalker 2002's
+    * sub-band sign-of-difference idea collapsed to one energy band):
+    * bit `b` is set iff window b+1's energy exceeds window b's, over the
+    * first 65 fixed-size windows of the decoded sample stream (energy =
+    * exact integer sum of squares; a missing window counts as 0). The
+    * SIGN of the energy delta is what survives re-encoding — any global
+    * amplitude scaling preserves every comparison exactly, and lossy
+    * per-sample noise only flips bits where adjacent windows near-tie —
+    * so near-dup audio lands at small Hamming distance while unrelated
+    * streams sit near 32. The audio member of the fingerprint family
+    * (simhash/tokens, SRP/embeddings, aHash/images); downstream banding
+    * and Hamming machinery are shared. Output (media_id, afp).
+    */
+  def audioFingerprint(media: Dataset[MediaRow], window: Int,
+      decode: Array[Byte] => Array[Int] = StubCodec.decodeAudio): DataFrame = {
+    require(window >= 1, "audioFingerprint: window >= 1")
+    import media.sparkSession.implicits._
+    media.map { m =>
+      val s = decode(m.payload)
+      val e = new Array[Long](65)
+      val lim = math.min(65 * window, s.length)
+      var i = 0
+      while (i < lim) { e(i / window) += s(i).toLong * s(i); i += 1 }
+      var h = 0L
+      var b = 0
+      while (b < 64) {
+        if (e(b + 1) > e(b)) h |= (1L << b)
+        b += 1
+      }
+      (m.media_id, h)
+    }.toDF("media_id", "afp")
+  }
+
+  /** Incremental audio near-dup probe: the arriving batch's fingerprints
+    * against a FROZEN corpus fingerprint table at Hamming radius
+    * `maxDist` — the audio member of the incremental ingest family
+    * (q117 simhash / q150 SRP / q160 phash). O(batch) banded probe;
+    * output (doc_a = batch id, doc_b = corpus id, dist).
+    */
+  def incrementalAudioPairs(corpusFp: DataFrame, batch: Dataset[MediaRow],
+      window: Int, maxDist: Int = 6,
+      decode: Array[Byte] => Array[Int] = StubCodec.decodeAudio): DataFrame = {
+    val bFp = audioFingerprint(batch, window, decode)
+      .select(col("media_id").as("__id"), col("afp").as("sh"))
+      .localCheckpoint()
+    val cFp = corpusFp.select(col("media_id").as("__id"),
+      col("afp").as("sh"))
+    Dedup.hammingProbePairs(bFp, cFp, 64, maxDist)
+  }
+
   case class CdcChunk(media_id: Long, chunk_idx: Int, start: Int, len: Int,
       chash: Long)
 

@@ -419,7 +419,10 @@ object MediaQueries {
   )
 
   /** Deterministic 16-bit sample formula shared by q188 and its twin:
-    * `s_j = ((doc_id + 1) · 2654435761 + j · 40503) mod 2^16 − 32768` —
+    * `s_j = ((doc_id + 1) · 2654435761 + j · (40503 + 2·doc_id)) mod 2^16
+    * − 32768` — the per-doc ODD stride decorrelates docs (a shared
+    * stride would make every doc the same sequence phase-shifted by a
+    * constant, collapsing cross-doc fingerprint distances) —
     * all-BIGINT arithmetic both engines execute exactly. Sample count
     * varies per doc (`3200 + (id%5)·160 + id%7`) so the final PARTIAL
     * window is exercised.
@@ -430,7 +433,7 @@ object MediaQueries {
     Tables.documents(s, d).select(col("doc_id")).as[Long].map { id =>
       val n = 3200 + (id % 5).toInt * 160 + (id % 7).toInt
       val samples = Array.tabulate(n)(j =>
-        (((id + 1) * 2654435761L + j.toLong * 40503L) % 65536L).toInt - 32768)
+        (((id + 1) * 2654435761L + j.toLong * (40503L + 2L * id)) % 65536L).toInt - 32768)
       Multimodal.MediaRow(id, graft.ext.Containers.wavBytes(samples))
     }
   }
@@ -457,7 +460,7 @@ object MediaQueries {
                      unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS j
                    FROM d),
               v AS (SELECT doc_id, j // 160 AS chunk,
-                     ((doc_id + 1) * 2654435761 + j * 40503) % 65536 - 32768
+                     ((doc_id + 1) * 2654435761 + j * (40503 + 2 * doc_id)) % 65536 - 32768
                        AS smp
                    FROM s),
               ch AS (SELECT doc_id AS media_id,
@@ -535,6 +538,109 @@ object MediaQueries {
          FROM b"""),
   )
 
+  /** Shared twin fragment for q190/q191: per-doc 65-window energies and
+    * the HUGEINT bit assembly of the energy-delta fingerprint over the
+    * q188 sample formula (every window is full: min n = 3200 > 3119,
+    * the last sample index the fingerprint reads). `$half` scales the
+    * batch samples: '' = corpus identity, the trunc form = the
+    * half-amplitude re-encode (DuckDB trunc ≡ Java int division toward
+    * zero — the CLAUDE.md cast discipline).
+    */
+  /** Energy CTE must be AS MATERIALIZED: it is referenced twice (windows
+    * b and b+1 self-join) and DuckDB 1.0 inlines multi-referenced CTEs
+    * (the q165 lesson).
+    */
+  private def audioFpCtes(tag: String, scaled: Boolean): String = {
+    val smp = "((doc_id + 1) * 2654435761 + j * (40503 + 2 * doc_id)) % 65536 - 32768"
+    val v = if (scaled) s"CAST(trunc(($smp) / 2.0) AS BIGINT)" else smp
+    val where = if (scaled) "WHERE doc_id % 10 = 0" else ""
+    s"""e$tag AS MATERIALIZED (
+          SELECT doc_id, CAST(j // 48 AS INTEGER) AS w, sum(smp * smp) AS e
+          FROM (SELECT doc_id, j, $v AS smp
+                FROM (SELECT doc_id,
+                       unnest(generate_series(0,
+                         CAST(65 * 48 - 1 AS BIGINT))) AS j
+                      FROM documents $where))
+          GROUP BY 1, 2),
+        u$tag AS (
+          SELECT a.doc_id AS media_id,
+            sum(CASE WHEN b2.e > a.e THEN pw.v ELSE 0::HUGEINT END) AS u
+          FROM e$tag a JOIN e$tag b2
+            ON b2.doc_id = a.doc_id AND b2.w = a.w + 1
+          JOIN pw ON pw.k = a.w
+          WHERE a.w < 64
+          GROUP BY 1)"""
+  }
+
+  private val signedU =
+    """CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+       THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT)"""
+
+  /** Q190 [X]: 64-bit ENERGY-DELTA audio fingerprint through real WAV
+    * containers (`Multimodal.audioFingerprint`, Haitsma & Kalker 2002):
+    * bit b = window b+1's exact integer energy exceeds window b's, over
+    * 65 48-sample windows of the PARSED RIFF stream. The twin
+    * recomputes energies arithmetically — the audio member of the
+    * fingerprint family (simhash q111, SRP q148, aHash q158), and a
+    * second end-to-end certificate of the WAV codec on a different
+    * read pattern than q188's VAD.
+    */
+  val q190 = OracleQuery(
+    "q190_audio_fingerprint",
+    (s, d) => Multimodal.audioFingerprint(wavMedia(s, d), window = 48,
+      decode = graft.ext.Containers.decodeWav),
+    Some(s"""WITH RECURSIVE
+              pw(k, v) AS (SELECT 0, 1::HUGEINT UNION ALL
+                           SELECT k + 1, v * 2 FROM pw WHERE k < 63),
+              ${audioFpCtes("c", scaled = false)}
+         SELECT media_id, $signedU AS afp FROM uc"""),
+  )
+
+  /** Q191 [X]: INCREMENTAL audio near-dup probe under RE-ENCODING — the
+    * arriving batch is every 10%-of-ids doc's HALF-AMPLITUDE re-encode
+    * (samples integer-halved, re-serialized through the real WAV
+    * writer) probing the frozen corpus fingerprint table at radius 6:
+    * the audio member of the incremental family (q117/q150/q160/q144).
+    * Energy-delta signs are exactly invariant under clean scaling;
+    * integer truncation only flips near-tie windows — so each
+    * re-encode lands on its original at small distance while unrelated
+    * streams (≈32 bits apart) stay silent. O(batch) banded probe. The
+    * twin brute-forces the cross XOR-popcounts over independently
+    * recomputed fingerprints.
+    */
+  val q191 = OracleQuery(
+    "q191_incremental_audio_fp",
+    (s, d) => {
+      import s.implicits._
+      val corpusFp = Multimodal.audioFingerprint(wavMedia(s, d),
+        window = 48, decode = graft.ext.Containers.decodeWav)
+      val batch = Tables.documents(s, d)
+        .filter(col("doc_id") % 10 === 0).select(col("doc_id")).as[Long]
+        .map { id =>
+          val n = 3200 + (id % 5).toInt * 160 + (id % 7).toInt
+          val samples = Array.tabulate(n) { j =>
+            val raw = (((id + 1) * 2654435761L +
+              j.toLong * (40503L + 2L * id)) % 65536L).toInt - 32768
+            raw / 2 // re-encode: half amplitude, truncation toward zero
+          }
+          Multimodal.MediaRow(id, graft.ext.Containers.wavBytes(samples))
+        }
+      Multimodal.incrementalAudioPairs(corpusFp, batch, window = 48,
+        maxDist = 6, decode = graft.ext.Containers.decodeWav)
+    },
+    Some(s"""WITH RECURSIVE
+              pw(k, v) AS (SELECT 0, 1::HUGEINT UNION ALL
+                           SELECT k + 1, v * 2 FROM pw WHERE k < 63),
+              ${audioFpCtes("c", scaled = false)},
+              ${audioFpCtes("b", scaled = true)},
+              c AS (SELECT media_id, $signedU AS afp FROM uc),
+              bf AS (SELECT media_id, $signedU AS afp FROM ub
+                     WHERE media_id % 10 = 0)
+         SELECT b.media_id AS doc_a, c.media_id AS doc_b,
+                CAST(bit_count(xor(b.afp, c.afp)) AS BIGINT) AS dist
+         FROM bf b JOIN c ON bit_count(xor(b.afp, c.afp)) <= 6"""),
+  )
+
   val all: Seq[OracleQuery] = Seq(q158, q159, q160, q176, q177, q181, q182,
-    q184, q185, q186, q187, q188, q189)
+    q184, q185, q186, q187, q188, q189, q190, q191)
 }

@@ -238,4 +238,38 @@ class MultimodalSpec extends SparkSpec {
     row.payload.length should be > 0
     imageFeatures(ds).count() shouldBe docs.count()
   }
+
+  test("audioFingerprint: exact under clean scaling, near under truncation, far for unrelated") {
+    val rnd = new scala.util.Random(31)
+    def wav(samples: Array[Int]) = Containers.wavBytes(samples)
+    // base streams in [-16384, 16383] so a clean ×2 stays in 16-bit range
+    val base = (0 until 4).map(_ => Array.fill(65 * 48)(rnd.nextInt(32768) - 16384))
+    val rows = base.zipWithIndex.flatMap { case (s, i) =>
+      Seq(
+        MediaRow(i * 10L, wav(s)),
+        MediaRow(i * 10L + 1, wav(s.map(_ * 2))), // clean re-encode
+        MediaRow(i * 10L + 2, wav(s.map(_ / 2))) // lossy (truncated) re-encode
+      )
+    }
+    val fp = audioFingerprint(rows.toDS(), window = 48,
+      decode = Containers.decodeWav)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def dist(a: Long, b: Long) = java.lang.Long.bitCount(fp(a) ^ fp(b))
+    for (i <- 0 until 4) {
+      dist(i * 10L, i * 10L + 1) shouldBe 0 // sign-of-delta is scale-exact
+      dist(i * 10L, i * 10L + 2) should be <= 6 // truncation flips near-ties only
+      for (j <- 0 until 4 if j != i)
+        dist(i * 10L, j * 10L) should be > 12 // unrelated streams far apart
+    }
+    // the banded incremental probe finds exactly the brute-force matches
+    val corpusFp = audioFingerprint(
+      base.zipWithIndex.map { case (s, i) => MediaRow(i.toLong, wav(s)) }.toDS(),
+      window = 48, decode = Containers.decodeWav)
+    val batch = base.zipWithIndex
+      .map { case (s, i) => MediaRow(100L + i, wav(s.map(_ / 2))) }.toDS()
+    val got = incrementalAudioPairs(corpusFp, batch, window = 48,
+      maxDist = 6, decode = Containers.decodeWav)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    got shouldBe (0 until 4).map(i => (100L + i, i.toLong)).toSet
+  }
 }
