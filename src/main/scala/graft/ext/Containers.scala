@@ -115,6 +115,150 @@ object Containers {
     data
   }
 
+  // --------------------------------------------------------------- AVI
+
+  /** Serialize grayscale frames as a real uncompressed AVI: a RIFF
+    * 'AVI ' form holding a 'hdrl' LIST (avih main header + one 'strl'
+    * stream LIST with 'strh'/'strf', the strf being the
+    * BITMAPINFOHEADER that carries the frame dimensions) and a 'movi'
+    * LIST of '00db' chunks — each frame a raw 24 bpp BOTTOM-UP DIB with
+    * 4-byte row padding, exactly the BMP pixel layout without the file
+    * header (Microsoft AVI RIFF spec). All frames share one geometry.
+    */
+  def aviBytes(frames: Seq[Frame], fps: Int = 25): Array[Byte] = {
+    require(frames.nonEmpty, "aviBytes: at least one frame")
+    val w = frames.head.width
+    val h = frames.head.height
+    require(frames.forall(f => f.width == w && f.height == h),
+      "aviBytes: frames must share one geometry")
+    val rowLen = w * 3
+    val pad = (4 - rowLen % 4) % 4
+    val frameLen = (rowLen + pad) * h
+    val strfLen = 40
+    val strhLen = 56
+    val avihLen = 56
+    val strlLen = 4 + (8 + strhLen) + (8 + strfLen)
+    val hdrlLen = 4 + (8 + avihLen) + (8 + strlLen)
+    val moviLen = 4 + frames.length * (8 + frameLen)
+    val riffLen = 4 + (8 + hdrlLen) + (8 + moviLen)
+    val buf = ByteBuffer.allocate(8 + riffLen).order(ByteOrder.LITTLE_ENDIAN)
+    def tag(t: String): Unit = { buf.put(t.getBytes("US-ASCII")); () }
+    tag("RIFF"); buf.putInt(riffLen); tag("AVI ")
+    // hdrl
+    tag("LIST"); buf.putInt(hdrlLen); tag("hdrl")
+    tag("avih"); buf.putInt(avihLen)
+    buf.putInt(1000000 / fps) // µs per frame
+      .putInt(frameLen * fps) // max bytes/sec
+      .putInt(0) // padding granularity
+      .putInt(0x10) // AVIF_HASINDEX off — no idx1 written
+      .putInt(frames.length).putInt(0).putInt(1).putInt(frameLen)
+      .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+    // strl
+    tag("LIST"); buf.putInt(strlLen); tag("strl")
+    tag("strh"); buf.putInt(strhLen)
+    tag("vids"); tag("DIB ")
+    buf.putInt(0).putShort(0).putShort(0).putInt(0)
+      .putInt(1).putInt(fps) // rate = fps/1
+      .putInt(0).putInt(frames.length).putInt(frameLen)
+      .putInt(-1).putInt(0)
+      .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+    // strf = BITMAPINFOHEADER
+    tag("strf"); buf.putInt(strfLen)
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(frameLen).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)
+    // movi
+    tag("LIST"); buf.putInt(moviLen); tag("movi")
+    frames.foreach { f =>
+      tag("00db"); buf.putInt(frameLen)
+      var y = h - 1
+      while (y >= 0) {
+        var x = 0
+        while (x < w) {
+          val v = (f.pixels(y * w + x) & 0xff).toByte
+          buf.put(v).put(v).put(v)
+          x += 1
+        }
+        var p = 0
+        while (p < pad) { buf.put(0.toByte); p += 1 }
+        y -= 1
+      }
+    }
+    buf.array()
+  }
+
+  /** Parse an uncompressed AVI: walk the RIFF form for the 'hdrl' LIST
+    * (dimensions from the 'strl'/'strf' BITMAPINFOHEADER — NOT from
+    * per-frame data, which '00db' DIBs don't carry) and the 'movi' LIST
+    * ('00db'/'00dc' chunks in stream order, WORD-aligned), decoding each
+    * frame's bottom-up padded 24 bpp rows to grayscale (blue channel).
+    */
+  def decodeAvi(bytes: Array[Byte]): Seq[Frame] = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    def fourCC(): String = {
+      val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+    }
+    require(fourCC() == "RIFF", "decodeAvi: missing RIFF magic")
+    val riffLen = buf.getInt
+    require(riffLen >= 4 && 8 + riffLen <= bytes.length,
+      s"decodeAvi: RIFF length $riffLen exceeds payload")
+    require(fourCC() == "AVI ", "decodeAvi: not an AVI form")
+    var w = -1
+    var h = -1
+    val frames = scala.collection.mutable.ArrayBuffer[Frame]()
+    def decodeDib(pos: Int): Frame = {
+      require(w > 0 && h > 0, "decodeAvi: frame chunk before strf header")
+      val rowLen = w * 3
+      val pad = (4 - rowLen % 4) % 4
+      val px = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        val fileRow = pos + (rowLen + pad) * y
+        val imgY = h - 1 - y
+        var x = 0
+        while (x < w) {
+          px(imgY * w + x) = bytes(fileRow + x * 3) & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      Frame(w, h, px)
+    }
+    def walk(end: Int, inMovi: Boolean): Unit = {
+      while (buf.position() + 8 <= end) {
+        val id = fourCC()
+        val len = buf.getInt
+        require(len >= 0 && buf.position() + len <= end,
+          s"decodeAvi: chunk '$id' length $len overruns its list")
+        val next = buf.position() + len + (len & 1)
+        id match {
+          case "LIST" =>
+            val listType = fourCC()
+            walk(buf.position() + len - 4, inMovi || listType == "movi")
+          case "strf" =>
+            require(len >= 40, "decodeAvi: strf too short")
+            val p0 = buf.position()
+            buf.getInt // biSize
+            w = buf.getInt
+            h = buf.getInt
+            buf.getShort
+            val bpp = buf.getShort
+            val comp = buf.getInt
+            require(bpp == 24 && comp == 0,
+              s"decodeAvi: need 24 bpp uncompressed, got bpp=$bpp comp=$comp")
+            buf.position(p0)
+          case c if inMovi && (c == "00db" || c == "00dc") =>
+            frames += decodeDib(buf.position())
+          case _ => () // avih, strh, junk, idx1 — skip
+        }
+        buf.position(math.min(next, end))
+      }
+    }
+    walk(8 + riffLen, inMovi = false)
+    require(frames.nonEmpty, "decodeAvi: no frame chunks in movi list")
+    frames.toSeq
+  }
+
   // --------------------------------------------------------------- BMP
 
   /** Serialize a grayscale frame as a real 24 bpp uncompressed BMP

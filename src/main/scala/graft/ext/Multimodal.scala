@@ -192,6 +192,25 @@ object Multimodal {
     }
   }
 
+  /** Per-frame perceptual hashes of a MULTI-FRAME payload through a real
+    * container decoder: decode every frame (each genuinely parsed from
+    * the byte stream — no pointwise-shift shortcut), resize to 8×8,
+    * aHash. The video sibling of [[frameHashes]]'s stub path; frame_idx
+    * is the stream order the container yields. One partition-batched
+    * pass, one row per (payload, frame).
+    */
+  def videoFrameHashes(media: Dataset[MediaRow],
+      decode: Array[Byte] => Seq[Frame]): Dataset[FrameHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        decode(m.payload).iterator.zipWithIndex.map { case (f, i) =>
+          FrameHash(m.media_id, i, aHashBits(resize(f, 8, 8).pixels))
+        }
+      }
+    }
+  }
+
   /** IMAGE near-dup pairs via perceptual-hash band pigeonholing: aHash
     * fingerprints of the selected frames of every payload, then the
     * shared Hamming machinery ([[graft.ext.Dedup.hammingNearDupPairs]] —

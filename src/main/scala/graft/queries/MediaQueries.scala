@@ -641,6 +641,64 @@ object MediaQueries {
          FROM bf b JOIN c ON bit_count(xor(b.afp, c.afp)) <= 6"""),
   )
 
+  /** Q192 [X]: per-frame perceptual hashes through a REAL AVI container —
+    * each doc's 3 deterministic frames (`v = ((id+1)·131 + idx·17 + f·7)
+    * mod 256`, q189's padded geometry) are serialized as an actual RIFF
+    * 'AVI ' form (hdrl with avih/strh/strf, movi LIST of '00db' DIB
+    * chunks — [[graft.ext.Containers.aviBytes]]) and parsed back by the
+    * real nested-LIST walker ([[Containers.decodeAvi]]: dimensions come
+    * from the strf BITMAPINFOHEADER, frames from the movi chunks) into
+    * the q158 resize + aHash kernel. The twin recomputes every cell
+    * arithmetically — a hash match certifies the multi-frame container
+    * round-trip, closing the real-container story for the VIDEO
+    * modality (WAV q188/q190, BMP q189).
+    */
+  val q192 = OracleQuery(
+    "q192_avi_container_phash",
+    (s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = 13 + (id % 9).toInt
+          val h = 11 + (id % 7).toInt
+          val frames = (0 until 3).map { f =>
+            Multimodal.Frame(w, h, Array.tabulate(w * h)(i =>
+              (((id + 1) * 131L + i.toLong * 17L + f * 7L) % 256L).toInt))
+          }
+          Multimodal.MediaRow(id, graft.ext.Containers.aviBytes(frames))
+        }
+      Multimodal.videoFrameHashes(media, graft.ext.Containers.decodeAvi)
+        .toDF().select(col("media_id"), col("frame_idx"), col("ph"))
+    },
+    Some("""WITH RECURSIVE
+              pw(k, v) AS (SELECT 0, 1::HUGEINT UNION ALL
+                           SELECT k + 1, v * 2 FROM pw WHERE k < 63),
+              d AS (SELECT doc_id, 13 + doc_id % 9 AS w,
+                     11 + doc_id % 7 AS h FROM documents),
+              grid AS (SELECT t.i AS i, t.i % 8 AS x, t.i // 8 AS y
+                       FROM unnest(generate_series(0, 63)) AS t(i)),
+              fr AS (SELECT t.f AS f
+                     FROM unnest(generate_series(0, 2)) AS t(f)),
+              px AS (SELECT doc_id, f, i,
+                      ((doc_id + 1) * 131 +
+                       (((y * h) // 8) * w + (x * w) // 8) * 17 +
+                       f * 7) % 256 AS v
+                    FROM d, grid, fr),
+              sm AS (SELECT doc_id, f, sum(v) AS sv FROM px GROUP BY 1, 2),
+              b AS (SELECT px.doc_id AS media_id,
+                     CAST(px.f AS INTEGER) AS frame_idx,
+                     sum(CASE WHEN px.v * 64 > sm.sv THEN pw.v
+                         ELSE 0::HUGEINT END) AS u
+                   FROM px JOIN sm ON sm.doc_id = px.doc_id AND sm.f = px.f
+                   JOIN pw ON pw.k = px.i
+                   GROUP BY 1, 2)
+         SELECT media_id, frame_idx,
+                CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+                     THEN u - 18446744073709551616::HUGEINT
+                     ELSE u END AS BIGINT) AS ph
+         FROM b"""),
+  )
+
   val all: Seq[OracleQuery] = Seq(q158, q159, q160, q176, q177, q181, q182,
-    q184, q185, q186, q187, q188, q189, q190, q191)
+    q184, q185, q186, q187, q188, q189, q190, q191, q192)
 }

@@ -71,6 +71,22 @@ class ContainersSpec extends AnyFunSuite with Matchers {
     back.pixels(h * w - 1) shouldBe 40
   }
 
+  test("avi: multi-frame round-trip exact; dims come from strf, not frames") {
+    val rnd = new scala.util.Random(13)
+    for ((w, h, n) <- Seq((13, 11, 3), (21, 17, 1), (5, 3, 7))) {
+      val frames = (0 until n).map(_ => Frame(w, h, Array.fill(w * h)(rnd.nextInt(256))))
+      val back = Containers.decodeAvi(Containers.aviBytes(frames))
+      back.length shouldBe n
+      back.zip(frames).foreach { case (b, f) =>
+        b.width shouldBe w
+        b.height shouldBe h
+        b.pixels shouldBe f.pixels
+      }
+    }
+    an[IllegalArgumentException] should be thrownBy
+      Containers.decodeAvi(Containers.wavBytes(Array(1, 2, 3))) // WAVE ≠ AVI
+  }
+
   test("bmp: non-24bpp and bad magic rejected") {
     val good = Containers.bmpBytes(Frame(4, 4, Array.fill(16)(7)))
     val badMagic = good.clone(); badMagic(0) = 'Z'.toByte
