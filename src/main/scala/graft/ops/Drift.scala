@@ -99,4 +99,67 @@ object Drift {
             least(col("__nr") - 1, col("__nc") - 1).cast("double"))), 6)
           .as("cramers_v"))
   }
+
+  /** TWO-SAMPLE KOLMOGOROV–SMIRNOV test: D = max over observed values of
+    * |F_A(v) − F_B(v)| — the distribution-free "did this cohort's whole
+    * SHAPE move" statistic that PSI's fixed buckets can miss (a shift
+    * inside one wide bucket is invisible to PSI; KS sees every quantile).
+    * Output one row: (n_a, n_b, d_stat, at_value) — the statistic plus
+    * the value where the ECDFs diverge most (min such value: rank
+    * argmaxes on doubles need a total-order tiebreak).
+    *
+    * Scale design: the ECDFs need a VALUE-ORDERED cumulative count — the
+    * q140 two-phase cumsum, but bucketed by value RANGE (floor((v−lo)/w)
+    * over nBuckets spans from one min/max pass) so bucket order IS value
+    * order: phase 1's single-partition window runs over ≤ nBuckets rows,
+    * never the data; phase 2 cumsums within buckets in parallel. Float
+    * parity: the per-value d is |cumA/nA − cumB/nB| on exact integers —
+    * identical IEEE ops on identical inputs give the identical double on
+    * both engines, so max/argmax/round introduce no drift (no cross-row
+    * float accumulation anywhere).
+    */
+  def ksTest(df: DataFrame, valueCol: String, isA: Column,
+      nBuckets: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perV = df
+      .select(col(valueCol).cast("double").as("__v"),
+        when(isA, 1L).otherwise(0L).as("__a"))
+      .groupBy("__v")
+      .agg(sum(col("__a")).as("ca"), sum(lit(1L) - col("__a")).as("cb"))
+      .localCheckpoint() // feeds the bounds agg AND both cumsum phases
+    val b = perV.agg(min("__v"), max("__v"),
+      sum("ca").cast("long"), sum("cb").cast("long")).head()
+    val (lo, hi) = (b.getDouble(0), b.getDouble(1))
+    val (na, nb) = (b.getLong(2), b.getLong(3))
+    require(na > 0 && nb > 0, s"ksTest: both cohorts must be non-empty ($na, $nb)")
+    val w = if (hi > lo) (hi - lo) / nBuckets else 1.0
+    val bucketed = perV.withColumn("__b",
+      least(lit(nBuckets - 1L),
+        floor((col("__v") - lit(lo)) / lit(w)).cast("long")))
+    // Phase 1: per-bucket totals → exclusive base offsets (≤ nBuckets rows)
+    val bases = bucketed.groupBy("__b")
+      .agg(sum("ca").as("__ta"), sum("cb").as("__tb"))
+      .withColumn("__basea", coalesce(sum(col("__ta")).over(
+        Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("__baseb", coalesce(sum(col("__tb")).over(
+        Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("__b"), col("__basea"), col("__baseb"))
+    // Phase 2: within-bucket cumsum (parallel), value order inside buckets
+    val wLoc = Window.partitionBy("__b").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d = bucketed.join(broadcast(bases), "__b")
+      .withColumn("__cuma", col("__basea") + sum(col("ca")).over(wLoc))
+      .withColumn("__cumb", col("__baseb") + sum(col("cb")).over(wLoc))
+      .select(col("__v"),
+        abs(col("__cuma").cast("double") / na -
+          col("__cumb").cast("double") / nb).as("__d"))
+      .localCheckpoint() // feeds the max agg AND the argmax filter
+    val mx = d.agg(max("__d")).head().getDouble(0)
+    d.filter(col("__d") === mx)
+      .agg(min("__v").as("at_value"))
+      .select(lit(na).as("n_a"), lit(nb).as("n_b"),
+        graft.syntax.round6z(lit(mx)).as("d_stat"), col("at_value"))
+  }
 }

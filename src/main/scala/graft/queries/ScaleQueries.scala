@@ -540,7 +540,46 @@ object ScaleQueries {
          FROM ag"""),
   )
 
+  /** Q193 [X]: two-sample Kolmogorov–Smirnov drift test
+    * (`ops/Drift.ksTest`) — purchase vs click `value` distributions
+    * over events: D = max |F_A − F_B| over every observed value, the
+    * shape-level complement of q78's bucketed PSI and q178's categorical
+    * chi-square. The value-ordered ECDF cumsum is the q140 two-phase
+    * shape (range buckets → tiny phase-1 window, parallel phase 2); the
+    * per-value d is identical IEEE ops on exact integer counts, so
+    * max/argmax carry no float-drift surface, and the argmax value
+    * reports with a min tiebreak. The twin mirrors with one window
+    * cumsum (fine at oracle scale).
+    */
+  val q193 = OracleQuery(
+    "q193_ks_drift",
+    (s, d) => graft.ops.Drift.ksTest(
+      Tables.events(s, d).filter(col("event_type").isin("purchase", "click")),
+      "value", col("event_type") === "purchase"),
+    Some("""WITH v AS (SELECT value AS v,
+                     CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a
+                   FROM events WHERE event_type IN ('purchase', 'click')),
+              pv AS (SELECT v, CAST(sum(a) AS BIGINT) AS ca,
+                     CAST(sum(1 - a) AS BIGINT) AS cb
+                   FROM v GROUP BY 1),
+              t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+                     CAST(sum(cb) AS BIGINT) AS nb FROM pv),
+              c AS (SELECT v,
+                     sum(ca) OVER (ORDER BY v) AS cuma,
+                     sum(cb) OVER (ORDER BY v) AS cumb
+                   FROM pv),
+              dd AS MATERIALIZED (SELECT v,
+                     abs(CAST(cuma AS DOUBLE) / t.na -
+                         CAST(cumb AS DOUBLE) / t.nb) AS dv
+                   FROM c, t),
+              m AS (SELECT max(dv) AS mx FROM dd)
+         SELECT t.na AS n_a, t.nb AS n_b,
+                round(m.mx, 6) + 0.0 AS d_stat,
+                (SELECT min(v) FROM dd WHERE dv = m.mx) AS at_value
+         FROM t, m"""),
+  )
+
   val all: Seq[OracleQuery] =
     Seq(q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q133,
-      q136, q175, q178)
+      q136, q175, q178, q193)
 }

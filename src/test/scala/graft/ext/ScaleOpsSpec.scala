@@ -136,6 +136,43 @@ class ScaleOpsSpec extends SparkSpec {
     r.getAs[Double]("cramers_v") shouldBe 0.5
   }
 
+  test("ksTest: identical samples give D=0; disjoint give D=1; known hand case") {
+    val same = (0 until 50).flatMap(i =>
+      Seq((i.toDouble, true), (i.toDouble, false))).toDF("v", "a")
+    val z = Drift.ksTest(same, "v", col("a")).head()
+    z.getAs[Double]("d_stat") shouldBe 0.0
+    // disjoint supports: ECDFs reach (1, 0) at A's max → D = 1 there
+    val disj = ((0 until 10).map(i => (i.toDouble, true)) ++
+      (0 until 10).map(i => (100.0 + i, false))).toDF("v", "a")
+    val o = Drift.ksTest(disj, "v", col("a")).head()
+    o.getAs[Double]("d_stat") shouldBe 1.0
+    o.getAs[Double]("at_value") shouldBe 9.0
+    // hand case: A = {1,2,3,4}, B = {3,4,5,6}: at v=2 F_A=1/2 F_B=0 → D=0.5
+    val hand = (Seq(1.0, 2.0, 3.0, 4.0).map((_, true)) ++
+      Seq(3.0, 4.0, 5.0, 6.0).map((_, false))).toDF("v", "a")
+    val r = Drift.ksTest(hand, "v", col("a")).head()
+    r.getAs[Long]("n_a") shouldBe 4L
+    r.getAs[Long]("n_b") shouldBe 4L
+    r.getAs[Double]("d_stat") shouldBe 0.5
+    r.getAs[Double]("at_value") shouldBe 2.0
+    // bucketed two-phase cumsum ≡ the single-window ECDF on random data,
+    // for a bucket count that forces many non-trivial bucket boundaries
+    val rnd = new scala.util.Random(17)
+    val big = (0 until 2000).map(_ =>
+      (math.rint(rnd.nextDouble() * 500) / 10.0, rnd.nextBoolean()))
+      .toDF("v", "a")
+    val got = Drift.ksTest(big, "v", col("a"), nBuckets = 7).head()
+    val rows = big.collect().map(r2 => (r2.getDouble(0), r2.getBoolean(1)))
+    val na = rows.count(_._2).toDouble
+    val nb = rows.size - na
+    val dExp = rows.map(_._1).distinct.sorted.map { v =>
+      math.abs(rows.count(t => t._2 && t._1 <= v) / na -
+        rows.count(t => !t._2 && t._1 <= v) / nb)
+    }.max
+    got.getAs[Double]("d_stat") shouldBe
+      (BigDecimal(dExp).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("psiTerms detects a shifted distribution with positive PSI") {
     // Cohort A concentrated low, cohort B high: both buckets drift.
     val df = ((0 until 90).map(i => (10L, true)) ++

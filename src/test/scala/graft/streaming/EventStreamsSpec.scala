@@ -13,6 +13,7 @@ case class Ev(event_id: Long, user_id: Long, event_type: String,
 
 case class ArrivingDoc(doc_id: Long, text: String)
 case class ArrivingVec(vec_id: Long, embedding: Array[Float])
+case class ArrivingMedia(media_id: Long, payload: Array[Byte])
 
 /** ST1–ST5: batch/stream parity — every transform produces identical
   * results when fed the same rows as a batch DataFrame and as a
@@ -599,6 +600,40 @@ class EventStreamsSpec extends SparkSpec {
     got.toMap shouldBe batch
     got(100L) shouldBe ((3L, 0)) // adopted doc 3's cluster, not a keeper
     got(101L) shouldBe ((101L, 1)) // novel: founds its own cluster
+  }
+
+  test("ST19 streaming audio dedup: re-encoded WAV drops, novel audio survives") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.{Containers, Multimodal}
+    val rnd = new scala.util.Random(41)
+    def stream() = Array.fill(65 * 48)(rnd.nextInt(32768) - 16384)
+    val corpusStreams = (0 until 5).map(_ => stream())
+    val corpusFp = Multimodal.audioFingerprint(
+      corpusStreams.zipWithIndex.map { case (s, i) =>
+        Multimodal.MediaRow(i.toLong, Containers.wavBytes(s))
+      }.toDS(), window = 48, decode = Containers.decodeWav)
+      .localCheckpoint()
+    val arriving = Seq(
+      // half-amplitude re-encode of corpus stream 2 → near dup, drops
+      ArrivingMedia(100L, Containers.wavBytes(corpusStreams(2).map(_ / 2))),
+      // novel stream → survives
+      ArrivingMedia(101L, Containers.wavBytes(stream())))
+    val mem = MemoryStream[ArrivingMedia]
+    mem.addData(arriving)
+    val got = scala.collection.mutable.Set[Long]()
+    val q = EventStreams.audioDedupOnArrival(mem.toDF(), corpusFp,
+      window = 48, maxDist = 6, decode = Containers.decodeWav) { out =>
+      got.synchronized { out.collect().foreach(r => got += r.getLong(0)) }
+    }
+    q.processAllAvailable()
+    q.stop()
+    // stream ≡ batch kernel
+    val batchIds = EventStreams.audioDedupBatch(corpusFp,
+      arriving.map(a => Multimodal.MediaRow(a.media_id, a.payload)).toDS(),
+      window = 48, maxDist = 6, decode = Containers.decodeWav)
+      .collect().map(_.getLong(0)).toSet
+    got.toSet shouldBe batchIds
+    batchIds shouldBe Set(101L)
   }
 
   test("ST17 streaming CDC byte-delta: exact copy reports zero new bytes") {
