@@ -184,6 +184,83 @@ object Retrieval {
       .agg(round(sum(col("c")).cast("double"), 6).as("score"))
   }
 
+  /** ColBERT-style MAXSIM late-interaction retrieval (Khattab &
+    * Zaharia 2020, SIGIR): score(q, doc) = Σ over query terms of the MAX
+    * dot product between that term's vector and any document-token
+    * vector — per-term best alignment instead of one pooled document
+    * vector, the property that makes late interaction beat single-vector
+    * retrieval on multi-topic documents. Token "embeddings" are the
+    * deterministic 4-component affine family over the shared md5 token
+    * hash (`c_k(h) = (a_k·h + b_k) mod P − P/2`, the [[TextHash.Seeds]]
+    * minhash seeds) — EXACT integer vectors, so scores are exact longs
+    * on both engines and ranking needs only the doc-id tiebreak.
+    * Headroom: |c_k| < P/2 ≈ 5e8 → a 4-dim dot < 1e18; ≤ 8 query terms
+    * keeps Σ of maxima inside a long.
+    *
+    * Scale shape: distinct (doc, token) explode; per-term dots computed
+    * once per DISTINCT CORPUS TOKEN against the broadcast term list
+    * (vocab-bounded work, all codegen arithmetic — never per-token
+    * lambdas); per-(doc, term) max and per-doc sum are two doc-keyed
+    * aggregates; row_number ≤ k plans the partial WindowGroupLimit
+    * before the exchange. Output (doc_id, maxsim, rnk).
+    */
+  def maxSimTopK(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms.size <= 8,
+      "maxSimTopK: 1..8 query terms (long headroom)")
+    val P = TextHash.P
+    def comps(h: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] =
+      TextHash.Seeds.map { case (a, b) => (h * a + b) % P - (P / 2) }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val docTok = docs.select(col(idCol),
+      explode(Dedup.tokens(col(textCol))).as("w")).distinct()
+    val tokDot = docTok.select("w").distinct()
+      .withColumn("__h", TextHash.tokenHash(col("w")))
+      .crossJoin(broadcast(queryTerms.toDF("qt")
+        .withColumn("__qh", TextHash.tokenHash(col("qt")))))
+      .select(col("w"), col("qt"),
+        comps(col("__h")).zip(comps(col("__qh")))
+          .map { case (c, q) => c * q }.reduce(_ + _).as("__d"))
+    docTok.join(tokDot, "w")
+      .groupBy(col(idCol), col("qt"))
+      .agg(max(col("__d")).as("__m"))
+      .groupBy(idCol)
+      .agg(sum(col("__m")).as("maxsim"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("maxsim").desc, col(idCol))))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("maxsim"), col("rnk"))
+  }
+
+  /** DuckDB twin of [[maxSimTopK]] — same hash, same affine components,
+    * same integer dots; `//` for the P/2 floor.
+    */
+  def maxSimOracleSql(queryTerms: Seq[String], k: Int): String = {
+    val P = TextHash.P
+    val termList =
+      queryTerms.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
+    val dot = TextHash.Seeds.map { case (a, b) =>
+      s"(((th.h * $a + $b) % $P - ${P / 2}) * ((qh.h * $a + $b) % $P - ${P / 2}))"
+    }.mkString(" + ")
+    s"""WITH dt AS (SELECT DISTINCT doc_id,
+                  unnest(string_split(text, ' ')) AS w FROM documents),
+             th AS (SELECT w, ${TextHash.tokenHashSql("w")} AS h
+                    FROM (SELECT DISTINCT w FROM dt)),
+             qh AS (SELECT qt, ${TextHash.tokenHashSql("qt")} AS h
+                    FROM (SELECT unnest([$termList]) AS qt)),
+             dd AS (SELECT th.w, qh.qt, $dot AS d FROM th, qh),
+             pm AS (SELECT dt.doc_id, dd.qt, max(dd.d) AS m
+                    FROM dt JOIN dd ON dd.w = dt.w GROUP BY 1, 2),
+             sc AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS maxsim
+                    FROM pm GROUP BY 1)
+        SELECT doc_id, maxsim,
+               CAST(row_number() OVER (ORDER BY maxsim DESC, doc_id)
+                 AS INTEGER) AS rnk
+        FROM sc QUALIFY rnk <= $k"""
+  }
+
   /** The DuckDB twin of [[bm25TopK]] (same stats, same rounding route, and
     * the same operator association: idf · (tf·(k1+1) / denom), parenthesized
     * so neither engine re-associates the product before the division —

@@ -613,6 +613,49 @@ object CurationQueries {
                       RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"""),
   )
 
+  /** Q195 [X]: the weak-label LOGISTIC quality gate
+    * (`ext/QualityModel`, the CCNet/GPT-3 learned-filter shape): MLlib
+    * logistic regression fit on lang='en' weak labels over exact integer
+    * features (token/distinct/char counts), then the corpus scored by
+    * ONE broadcast-literal codegen dot — the q172 certificate
+    * discipline: the run records the fitted (weights, intercept), the
+    * twin re-scores every document independently from the recorded
+    * literals in the same left-associated IEEE order, so logit and the
+    * strict admit comparison are bit-equal. `round6z` on the reported
+    * logit (the signed-zero rule).
+    */
+  private object LrCert {
+    @volatile var m: Option[graft.ext.QualityModel.LrModel] = None
+  }
+  val q195 = OracleQuery(
+    "q195_logistic_gate",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val m = graft.ext.QualityModel.fit(docs, "doc_id", "text",
+        col("lang") === "en")
+      LrCert.m = Some(m)
+      graft.ext.QualityModel.score(docs, "doc_id", "text", m)
+    },
+    None,
+    dynOracle = () => LrCert.m.map { m =>
+      val Array(w1, w2, w3) = m.weights
+      s"""WITH f AS (SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                 CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                   AS n_distinct,
+                 CAST(len(text) AS BIGINT) AS n_chars
+               FROM documents),
+              l AS (SELECT doc_id,
+                 CAST(n_tokens AS DOUBLE) * $w1 +
+                 CAST(n_distinct AS DOUBLE) * $w2 +
+                 CAST(n_chars AS DOUBLE) * $w3 + ${m.intercept} AS lg
+               FROM f)
+         SELECT doc_id, round(lg, 6) + 0.0 AS logit,
+                CAST(CASE WHEN lg > 0 THEN 1 ELSE 0 END AS INTEGER) AS admit
+         FROM l"""
+    },
+  )
+
   val all: Seq[OracleQuery] = Seq(q59, q60, q61, q62, q63, q64, q65, q66,
-    q67, q68, q69, q70, q71, q72, q73, q74, q164, q173, q179, q180)
+    q67, q68, q69, q70, q71, q72, q73, q74, q164, q173, q179, q180, q195)
 }

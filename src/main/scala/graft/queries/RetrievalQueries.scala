@@ -770,8 +770,26 @@ object RetrievalQueries {
     Some(hitsSql(3)),
   )
 
+  /** Q194 [X]: ColBERT-style MAXSIM late-interaction retrieval
+    * (`Retrieval.maxSimTopK`, Khattab & Zaharia 2020) — per query term,
+    * the best-aligned document token's dot product; per document, the
+    * sum over terms: multi-vector retrieval's core scoring rule beside
+    * the single-vector families (BM25 q96/q151, dense cosine q20). The
+    * deterministic affine token vectors over the shared md5 hash make
+    * every score an EXACT long on both engines — no float surface, id
+    * tiebreak only. Vocab-bounded dot table, two doc-keyed aggregates,
+    * WindowGroupLimit top-k.
+    */
+  val q194 = OracleQuery(
+    "q194_maxsim_retrieval",
+    (s, d) => Retrieval.maxSimTopK(Tables.documents(s, d), "doc_id",
+      "text", Seq("join", "hash", "spark", "window"), k = 12),
+    Some(Retrieval.maxSimOracleSql(
+      Seq("join", "hash", "spark", "window"), k = 12)),
+  )
+
   val all: Seq[OracleQuery] =
     Seq(q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98,
       q99, q100, q101, q102, q151, q152, q155, q161, q162, q168, q169,
-      q183)
+      q183, q194)
 }

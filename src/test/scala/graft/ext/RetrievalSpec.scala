@@ -447,4 +447,38 @@ class RetrievalSpec extends SparkSpec {
     got shouldBe exact // separated clusters → PQ recall 1.0
     model.encoded.select("codes").head().getSeq[Int](0).length shouldBe 4
   }
+
+  test("maxSimTopK ≡ driver brute force; exact-match term dominates") {
+    val docs = Seq(
+      (1L, "join hash window spark"), // contains every query term
+      (2L, "join join join filter"), // one term, repeated (max unaffected)
+      (3L, "totally unrelated words here"),
+      (4L, "hash join sort merge shuffle")
+    ).toDF("doc_id", "text")
+    val terms = Seq("join", "hash")
+    val got = Retrieval.maxSimTopK(docs, "doc_id", "text", terms, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // driver brute force with the same hash/component formulas
+    def h(t: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (md.filter(_.isDigit) + "00000000").take(8).toLong
+    }
+    val P = TextHash.P
+    def comps(x: Long): Seq[Long] =
+      TextHash.Seeds.map { case (a, b) => (x * a + b) % P - P / 2 }
+    def dot(a: String, b: String): Long =
+      comps(h(a)).zip(comps(h(b))).map { case (x, y) => x * y }.sum
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val exp = rows.map { case (id, text) =>
+      val toks = text.split(" ").toSeq
+      id -> terms.flatMap(q =>
+        toks.map(t => dot(q, t)).maxOption).sum
+    }.sortBy { case (id, s) => (-s, id) }
+      .zipWithIndex.map { case ((id, s), i) => (id, s, i + 1) }
+    got.toSeq shouldBe exp
+    // a doc containing a term verbatim scores that term at |v|² — the max
+    // possible for it — so doc 1 (all terms verbatim) must rank first
+    got.head._1 shouldBe 1L
+  }
 }
