@@ -602,6 +602,49 @@ object Soak {
     })
     phSig.unpersist()
 
+    // round-11: the audio-fingerprint family THROUGH REAL WAV containers —
+    // every payload is serialized into an actual RIFF byte stream, parsed
+    // back by the chunk-walking decoder, and energy-delta fingerprinted;
+    // the 1% batch re-encodes corpus streams at half amplitude (sign-of-
+    // delta is scale-invariant, truncation flips near-ties only), so each
+    // batch stream MUST land on its original within radius 6.
+    {
+      import spark.implicits._
+      def wavRows(ids: org.apache.spark.sql.Dataset[java.lang.Long],
+          half: Boolean) = ids.map { idBoxed =>
+        val id = idBoxed.longValue()
+        val samples = Array.tabulate(65 * 48) { j =>
+          val raw = (((id + 1) * 2654435761L +
+            j.toLong * (40503L + 2L * id)) % 65536L).toInt - 32768
+          if (half) raw / 2 else raw
+        }
+        ext.Multimodal.MediaRow(id, ext.Containers.wavBytes(samples))
+      }
+      val nAud = math.max(nVecs, 10000L)
+      val corpusIds = spark.range(nAud).select(col("id").as[java.lang.Long])
+      val afp = time(s"audio fp (real WAV encode+parse, $nAud streams)")({
+        val f = ext.Multimodal.audioFingerprint(
+          wavRows(corpusIds, half = false), window = 48,
+          decode = ext.Containers.decodeWav).cache()
+        f.count()
+        f
+      })
+      time("incremental audio fp (1% half-amplitude batch)")({
+        val batchIds = spark.range(nAud / 100)
+          .select((col("id") * 100).as[java.lang.Long]) // every 100th stream
+        val pairs = ext.Multimodal.incrementalAudioPairs(afp,
+          wavRows(batchIds, half = true), window = 48, maxDist = 6,
+          decode = ext.Containers.decodeWav)
+        val selfHits = pairs.filter(col("doc_a") === col("doc_b")).count()
+        // truncation flips near-tie windows only — the large majority of
+        // re-encodes must land on their original within the radius
+        assert(selfHits >= nAud / 100 * 9 / 10,
+          s"audio fp: only $selfHits of ${nAud / 100} re-encodes found their original")
+        selfHits
+      })
+      afp.unpersist()
+    }
+
     // round-10b: graph kernels over the signature-CONTRACTED LSH pair
     // graph (q163/q165's discipline: exact-signature duplicate groups
     // collapse to min-id representatives BEFORE any cubic-risk kernel —

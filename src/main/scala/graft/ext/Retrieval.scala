@@ -261,6 +261,49 @@ object Retrieval {
         FROM sc QUALIFY rnk <= $k"""
   }
 
+  /** RANKING-QUALITY metrics for retrieval evaluation — nDCG@k (graded,
+    * Järvelin & Kekäläinen 2002), precision@k, and reciprocal rank of
+    * the first relevant hit, per system: the offline eval harness every
+    * retrieval change ships against. `results` is (system, doc_id, rnk);
+    * `qrels` is (doc_id, grade ≥ 0), relevant = grade > 0.
+    *
+    * Float discipline: each DCG term `g / (ln(r+1)/ln 2)` rounds at 9 →
+    * DECIMAL(28,9) → order-free sum (the q87 BM25 route — ln drifts a
+    * ulp across engines, 9-dp rounding absorbs it); precision and MRR
+    * are exact one-shot divisions of identical integers; nDCG divides
+    * two exact decimal-sums once. IDCG ranks the full qrels by
+    * (grade desc, id) — `row_number ≤ k` plans the partial
+    * WindowGroupLimit, so only k rows shuffle at corpus-sized qrels.
+    */
+  def rankingMetrics(results: DataFrame, qrels: DataFrame,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def dcgTerm(g: org.apache.spark.sql.Column,
+        r: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      round(g.cast("double") / (log(r.cast("double") + 1) / math.log(2.0)), 9)
+        .cast("decimal(28,9)")
+    val perSys = results.filter(col("rnk") <= k)
+      .join(qrels.filter(col("grade") > 0), Seq("doc_id"), "left")
+      .select(col("system"), col("rnk"),
+        coalesce(col("grade"), lit(0L)).as("g"))
+      .groupBy("system")
+      .agg(
+        sum(when(col("g") > 0, dcgTerm(col("g"), col("rnk")))).as("__dcg"),
+        sum(when(col("g") > 0, 1L).otherwise(0L)).as("__nrel"),
+        min(when(col("g") > 0, col("rnk"))).as("__fr"))
+    val ideal = qrels.filter(col("grade") > 0)
+      .withColumn("__ir", row_number().over(
+        Window.orderBy(col("grade").desc, col("doc_id"))))
+      .filter(col("__ir") <= k)
+      .agg(sum(dcgTerm(col("grade"), col("__ir"))).as("__idcg"))
+    perSys.crossJoin(broadcast(ideal)).select(
+      col("system"),
+      graft.syntax.round6z(coalesce(col("__dcg"), lit(0))
+        .cast("double") / col("__idcg").cast("double")).as("ndcg"),
+      round(col("__nrel").cast("double") / k, 6).as("p_at_k"),
+      coalesce(round(lit(1.0) / col("__fr"), 6), lit(0.0)).as("mrr"))
+  }
+
   /** The DuckDB twin of [[bm25TopK]] (same stats, same rounding route, and
     * the same operator association: idf · (tf·(k1+1) / denom), parenthesized
     * so neither engine re-associates the product before the division —

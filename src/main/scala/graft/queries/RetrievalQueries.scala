@@ -788,8 +788,79 @@ object RetrievalQueries {
       Seq("join", "hash", "spark", "window"), k = 12)),
   )
 
+  /** Q196 [X]: RANKING-QUALITY evaluation (`Retrieval.rankingMetrics` —
+    * nDCG@12 / precision@12 / MRR) of two retrieval systems on one
+    * query: BM25 (q87's scorer) vs MaxSim (q194's late interaction),
+    * graded qrels = how many of the query's terms a document contains.
+    * The offline eval harness of a retrieval stack as a first-class
+    * relational operator: DCG terms round(9) → DECIMAL → order-free sum
+    * (the q87 ln discipline), precision/MRR exact one-shot divisions,
+    * IDCG's corpus-sized ranking rides the partial WindowGroupLimit.
+    * The twin nests both systems' twins as derived tables so every
+    * scoring definition exists exactly once.
+    */
+  val q196 = OracleQuery(
+    "q196_ranking_metrics",
+    (s, d) => {
+      val terms = Seq("join", "hash", "spark", "window")
+      val docs = Tables.documents(s, d)
+      val qrels = docs.select(col("doc_id"),
+        explode(graft.ext.Dedup.tokens(col("text"))).as("w"))
+        .filter(col("w").isin(terms: _*)).distinct()
+        .groupBy("doc_id").agg(count(lit(1)).cast("long").as("grade"))
+      val bm = Retrieval.bm25TopK(docs, "doc_id", "text", terms, 12)
+        .select(lit("bm25").as("system"), col("doc_id"), col("rnk"))
+      val mx = Retrieval.maxSimTopK(docs, "doc_id", "text", terms, 12)
+        .select(lit("maxsim").as("system"), col("doc_id"), col("rnk"))
+      Retrieval.rankingMetrics(bm.unionByName(mx), qrels, 12)
+    },
+    Some {
+      val terms = Seq("join", "hash", "spark", "window")
+      val termList = terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH bmr AS (SELECT 'bm25' AS system, doc_id, rnk
+                   FROM (${Retrieval.bm25OracleSql(terms, 12)})),
+              mxr AS (SELECT 'maxsim' AS system, doc_id, rnk
+                   FROM (${Retrieval.maxSimOracleSql(terms, 12)})),
+              res AS (SELECT * FROM bmr UNION ALL SELECT * FROM mxr),
+              qr AS MATERIALIZED (SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS grade
+                   FROM (SELECT DISTINCT doc_id, w
+                         FROM (SELECT doc_id,
+                                unnest(string_split(text, ' ')) AS w
+                               FROM documents))
+                   WHERE w IN ($termList) GROUP BY 1),
+              tops AS (SELECT res.system, res.rnk,
+                     coalesce(qr.grade, 0) AS g
+                   FROM res LEFT JOIN qr USING (doc_id)),
+              ps AS (SELECT system,
+                     sum(CASE WHEN g > 0 THEN
+                       CAST(round(CAST(g AS DOUBLE) /
+                         (ln(CAST(rnk AS DOUBLE) + 1) / ln(2)), 9)
+                         AS DECIMAL(28,9)) END) AS dcg,
+                     CAST(sum(CASE WHEN g > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS nrel,
+                     min(CASE WHEN g > 0 THEN rnk END) AS fr
+                   FROM tops GROUP BY 1),
+              id1 AS (SELECT CAST(round(CAST(grade AS DOUBLE) /
+                       (ln(CAST(ir AS DOUBLE) + 1) / ln(2)), 9)
+                       AS DECIMAL(28,9)) AS t
+                   FROM (SELECT grade, doc_id,
+                          row_number() OVER (ORDER BY grade DESC, doc_id)
+                            AS ir
+                         FROM qr WHERE grade > 0)
+                   WHERE ir <= 12),
+              idg AS (SELECT sum(t) AS idcg FROM id1)
+         SELECT ps.system,
+                round(CAST(coalesce(ps.dcg, 0) AS DOUBLE) /
+                      CAST(idg.idcg AS DOUBLE), 6) + 0.0 AS ndcg,
+                round(CAST(nrel AS DOUBLE) / 12, 6) AS p_at_k,
+                coalesce(round(CAST(1.0 AS DOUBLE) / fr, 6), 0.0) AS mrr
+         FROM ps, idg"""
+    },
+  )
+
   val all: Seq[OracleQuery] =
     Seq(q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98,
       q99, q100, q101, q102, q151, q152, q155, q161, q162, q168, q169,
-      q183, q194)
+      q183, q194, q196)
 }

@@ -481,4 +481,34 @@ class RetrievalSpec extends SparkSpec {
     // possible for it — so doc 1 (all terms verbatim) must rank first
     got.head._1 shouldBe 1L
   }
+
+  test("rankingMetrics: perfect ranking gets nDCG 1, hand-computed partial case") {
+    val qrels = Seq((1L, 3L), (2L, 2L), (3L, 1L)).toDF("doc_id", "grade")
+    // perfect system: ranks exactly the ideal order
+    val perfect = Seq(("s1", 1L, 1), ("s1", 2L, 2), ("s1", 3L, 3))
+      .toDF("system", "doc_id", "rnk")
+    val p = Retrieval.rankingMetrics(perfect, qrels, k = 3).head()
+    p.getAs[Double]("ndcg") shouldBe 1.0
+    p.getAs[Double]("p_at_k") shouldBe 1.0
+    p.getAs[Double]("mrr") shouldBe 1.0
+    // partial system: one relevant doc at rank 2, irrelevant elsewhere
+    val partial = Seq(("s2", 99L, 1), ("s2", 2L, 2), ("s2", 98L, 3))
+      .toDF("system", "doc_id", "rnk")
+    val r = Retrieval.rankingMetrics(partial, qrels, k = 3).head()
+    def t(g: Long, rk: Int): BigDecimal = BigDecimal(
+      math.round(g / (math.log(rk + 1.0) / math.log(2.0)) * 1e9)) / BigDecimal(1e9)
+    val idcg = t(3, 1) + t(2, 2) + t(1, 3)
+    val expected = BigDecimal((t(2, 2) / idcg).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    r.getAs[Double]("ndcg") shouldBe expected
+    r.getAs[Double]("p_at_k") shouldBe
+      BigDecimal(1.0 / 3).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    r.getAs[Double]("mrr") shouldBe 0.5
+    // no relevant hits at all → all three metrics zero
+    val zero = Seq(("s3", 99L, 1)).toDF("system", "doc_id", "rnk")
+    val z = Retrieval.rankingMetrics(zero, qrels, k = 3).head()
+    z.getAs[Double]("ndcg") shouldBe 0.0
+    z.getAs[Double]("p_at_k") shouldBe 0.0
+    z.getAs[Double]("mrr") shouldBe 0.0
+  }
 }
