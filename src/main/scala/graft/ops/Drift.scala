@@ -118,8 +118,15 @@ object Drift {
     * both engines, so max/argmax/round introduce no drift (no cross-row
     * float accumulation anywhere).
     */
-  def ksTest(df: DataFrame, valueCol: String, isA: Column,
-      nBuckets: Int = 256): DataFrame = {
+  /** Shared ECDF machinery for [[ksTest]] and [[wasserstein1]]: per
+    * distinct value, |F_A(v) − F_B(v)| plus the value's global rank
+    * among distinct values — every cumulative count built with the
+    * two-phase value-range-bucketed cumsum (phase-1 window over
+    * ≤ nBuckets rows, phase-2 parallel within buckets). Returns the
+    * checkpointed (__v, __rv, __d) relation and the cohort sizes.
+    */
+  private def ecdfDiff(df: DataFrame, valueCol: String, isA: Column,
+      nBuckets: Int): (DataFrame, Long, Long) = {
     import org.apache.spark.sql.expressions.Window
     val perV = df
       .select(col(valueCol).cast("double").as("__v"),
@@ -131,35 +138,73 @@ object Drift {
       sum("ca").cast("long"), sum("cb").cast("long")).head()
     val (lo, hi) = (b.getDouble(0), b.getDouble(1))
     val (na, nb) = (b.getLong(2), b.getLong(3))
-    require(na > 0 && nb > 0, s"ksTest: both cohorts must be non-empty ($na, $nb)")
+    require(na > 0 && nb > 0, s"ecdf: both cohorts must be non-empty ($na, $nb)")
     val w = if (hi > lo) (hi - lo) / nBuckets else 1.0
     val bucketed = perV.withColumn("__b",
       least(lit(nBuckets - 1L),
         floor((col("__v") - lit(lo)) / lit(w)).cast("long")))
     // Phase 1: per-bucket totals → exclusive base offsets (≤ nBuckets rows)
     val bases = bucketed.groupBy("__b")
-      .agg(sum("ca").as("__ta"), sum("cb").as("__tb"))
+      .agg(sum("ca").as("__ta"), sum("cb").as("__tb"),
+        count(lit(1)).as("__tr"))
       .withColumn("__basea", coalesce(sum(col("__ta")).over(
         Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
       .withColumn("__baseb", coalesce(sum(col("__tb")).over(
         Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
-      .select(col("__b"), col("__basea"), col("__baseb"))
+      .withColumn("__baser", coalesce(sum(col("__tr")).over(
+        Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("__b"), col("__basea"), col("__baseb"), col("__baser"))
     // Phase 2: within-bucket cumsum (parallel), value order inside buckets
     val wLoc = Window.partitionBy("__b").orderBy("__v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val d = bucketed.join(broadcast(bases), "__b")
       .withColumn("__cuma", col("__basea") + sum(col("ca")).over(wLoc))
       .withColumn("__cumb", col("__baseb") + sum(col("cb")).over(wLoc))
-      .select(col("__v"),
+      .withColumn("__rv", col("__baser") + count(lit(1)).over(wLoc))
+      .select(col("__v"), col("__rv"),
         abs(col("__cuma").cast("double") / na -
           col("__cumb").cast("double") / nb).as("__d"))
-      .localCheckpoint() // feeds the max agg AND the argmax filter
+      .localCheckpoint() // multi-use: max + argmax (KS), self-join (W1)
+    (d, na, nb)
+  }
+
+  def ksTest(df: DataFrame, valueCol: String, isA: Column,
+      nBuckets: Int = 256): DataFrame = {
+    val (d, na, nb) = ecdfDiff(df, valueCol, isA, nBuckets)
     val mx = d.agg(max("__d")).head().getDouble(0)
     d.filter(col("__d") === mx)
       .agg(min("__v").as("at_value"))
       .select(lit(na).as("n_a"), lit(nb).as("n_b"),
         graft.syntax.round6z(lit(mx)).as("d_stat"), col("at_value"))
+  }
+
+  /** 1-D WASSERSTEIN (earth mover's) distance between the two cohorts'
+    * empirical distributions: W₁ = ∫ |F_A − F_B| dv = Σ over consecutive
+    * distinct values of |F_A(vᵢ) − F_B(vᵢ)| · (vᵢ₊₁ − vᵢ) — the
+    * MAGNITUDE of distribution shift in the value's own units, where KS
+    * reports only the worst single quantile gap (a small shift across
+    * the whole range moves W₁ but barely moves D, and vice versa — the
+    * standard embedding/feature-drift pair).
+    *
+    * The consecutive-value link joins rank → rank+1 on the shared ECDF
+    * relation (an equi-join — no global lead window ever sees the
+    * data). Cross-row float discipline: each interval term rounds at 9
+    * → DECIMAL(38,12) → order-free sum (the q152 route; the term itself
+    * is exact-double × exact-double). Output (n_a, n_b, w1).
+    */
+  def wasserstein1(df: DataFrame, valueCol: String, isA: Column,
+      nBuckets: Int = 256): DataFrame = {
+    val (d, na, nb) = ecdfDiff(df, valueCol, isA, nBuckets)
+    d.join(d.select(col("__rv").as("__rvn"), col("__v").as("__vn")),
+        col("__rvn") === col("__rv") + 1)
+      .select(round(col("__d") * (col("__vn") - col("__v")), 9)
+        .cast("decimal(38,12)").as("__t"))
+      .agg(sum(col("__t")).as("__w"))
+      .select(lit(na).as("n_a"), lit(nb).as("n_b"),
+        graft.syntax.round6z(coalesce(col("__w"), lit(0)).cast("double"))
+          .as("w1"))
   }
 }

@@ -579,7 +579,44 @@ object ScaleQueries {
          FROM t, m"""),
   )
 
+  /** Q197 [X]: 1-D Wasserstein (earth mover's) drift distance
+    * (`ops/Drift.wasserstein1`) on the same purchase-vs-click cohorts
+    * as q193 — W₁ = ∫|F_A − F_B| dv, the shift MAGNITUDE where KS is
+    * the worst quantile gap; the consecutive-value link is a rank
+    * equi-join on the shared two-phase ECDF (no global lead window),
+    * interval terms round(9) → DECIMAL(38,12) → order-free sum.
+    */
+  val q197 = OracleQuery(
+    "q197_wasserstein_drift",
+    (s, d) => graft.ops.Drift.wasserstein1(
+      Tables.events(s, d).filter(col("event_type").isin("purchase", "click")),
+      "value", col("event_type") === "purchase"),
+    Some("""WITH v AS (SELECT value AS v,
+                     CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a
+                   FROM events WHERE event_type IN ('purchase', 'click')),
+              pv AS (SELECT v, CAST(sum(a) AS BIGINT) AS ca,
+                     CAST(sum(1 - a) AS BIGINT) AS cb
+                   FROM v GROUP BY 1),
+              t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+                     CAST(sum(cb) AS BIGINT) AS nb FROM pv),
+              c AS (SELECT v,
+                     sum(ca) OVER (ORDER BY v) AS cuma,
+                     sum(cb) OVER (ORDER BY v) AS cumb,
+                     row_number() OVER (ORDER BY v) AS rv
+                   FROM pv),
+              dd AS MATERIALIZED (SELECT v, rv,
+                     abs(CAST(cuma AS DOUBLE) / t.na -
+                         CAST(cumb AS DOUBLE) / t.nb) AS dv
+                   FROM c, t),
+              tm AS (SELECT CAST(round(a.dv * (b.v - a.v), 9)
+                       AS DECIMAL(38,12)) AS tt
+                   FROM dd a JOIN dd b ON b.rv = a.rv + 1)
+         SELECT t.na AS n_a, t.nb AS n_b,
+                round(CAST(coalesce(sum(tt), 0) AS DOUBLE), 6) + 0.0 AS w1
+         FROM tm, t GROUP BY 1, 2"""),
+  )
+
   val all: Seq[OracleQuery] =
     Seq(q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q133,
-      q136, q175, q178, q193)
+      q136, q175, q178, q193, q197)
 }

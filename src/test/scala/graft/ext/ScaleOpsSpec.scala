@@ -173,6 +173,36 @@ class ScaleOpsSpec extends SparkSpec {
       (BigDecimal(dExp).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("wasserstein1: constant shift gives the shift; identical gives 0") {
+    // B = A + 5 pointwise → W1 = 5 exactly (mass moves 5 units)
+    val shifted = ((0 until 100).map(i => (i.toDouble, true)) ++
+      (0 until 100).map(i => (i.toDouble + 5, false))).toDF("v", "a")
+    Drift.wasserstein1(shifted, "v", col("a")).head()
+      .getAs[Double]("w1") shouldBe 5.0
+    val same = (0 until 50).flatMap(i =>
+      Seq((i.toDouble, true), (i.toDouble, false))).toDF("v", "a")
+    Drift.wasserstein1(same, "v", col("a")).head()
+      .getAs[Double]("w1") shouldBe 0.0
+    // bucketed rank join ≡ driver integral on random data
+    val rnd = new scala.util.Random(23)
+    val big = (0 until 1000).map(_ =>
+      (math.rint(rnd.nextDouble() * 300) / 10.0, rnd.nextBoolean()))
+      .toDF("v", "a")
+    val got = Drift.wasserstein1(big, "v", col("a"), nBuckets = 5).head()
+    val rows = big.collect().map(r2 => (r2.getDouble(0), r2.getBoolean(1)))
+    val na = rows.count(_._2).toDouble
+    val nb = rows.size - na
+    val vs = rows.map(_._1).distinct.sorted
+    val terms = vs.zip(vs.tail).map { case (v1, v2) =>
+      val dv = math.abs(rows.count(t => t._2 && t._1 <= v1) / na -
+        rows.count(t => !t._2 && t._1 <= v1) / nb)
+      BigDecimal(math.round(dv * (v2 - v1) * 1e9)) / BigDecimal(1e9)
+    }
+    val expected = BigDecimal(terms.sum.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got.getAs[Double]("w1") shouldBe expected
+  }
+
   test("psiTerms detects a shifted distribution with positive PSI") {
     // Cohort A concentrated low, cohort B high: both buckets drift.
     val df = ((0 until 90).map(i => (10L, true)) ++
