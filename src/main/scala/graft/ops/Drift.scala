@@ -54,6 +54,28 @@ object Drift {
         round((pa - pb) * log(pa / pb), 6).as("psi_term"))
   }
 
+  /** PSI of an arriving batch against a FROZEN reference bucket table
+    * (`(bucket, n_ref)` — one [[psiTerms]]-shaped count pass over the
+    * corpus, paid once and persisted): the incremental form of the
+    * drift check, O(batch) + |buckets| per probe. Same contract as
+    * [[psiTerms]]: buckets empty on either side are omitted (their
+    * unsmoothed term is undefined). Output (bucket, n_ref, n_batch,
+    * psi_term); callers sum `psi_term` for the scalar alarm.
+    */
+  def psiAgainstReference(ref: DataFrame, batch: DataFrame,
+      bucket: Column): DataFrame = {
+    val bc = batch.select(bucket.as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_batch"))
+    val totals = bc.agg(sum("n_batch").as("__tb"))
+      .crossJoin(ref.agg(sum("n_ref").as("__tr")))
+    val pa = col("n_ref").cast("double") / col("__tr")
+    val pb = col("n_batch").cast("double") / col("__tb")
+    ref.join(bc, Seq("bucket"))
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"), col("n_ref"), col("n_batch"),
+        round((pa - pb) * log(pa / pb), 6).as("psi_term"))
+  }
+
   /** PEARSON CHI-SQUARE test of independence between two categorical
     * columns, with Cramér's V — the statistical complement of the PSI
     * drift terms: PSI watches one dimension move over time, chi-square

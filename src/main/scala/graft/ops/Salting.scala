@@ -54,4 +54,38 @@ object Salting {
       explode(sequence(lit(0L), lit(buckets - 1L))))
     saltedProbe.join(broadcast(replicated), Seq(keyCol, "_salt")).drop("_salt")
   }
+
+  /** JOIN-KEY SKEW advisor: the top-k hottest keys of a prospective
+    * join/aggregation key with, per key, its row count, corpus share,
+    * skew factor (count ÷ mean-per-key — how many average keys' worth of
+    * rows land on one reducer), and the salt bucket count that brings it
+    * under `targetPerTask` rows per task (`ceil(cnt / target)`, integer
+    * div — exactly the `buckets` argument [[saltedAgg]]/[[saltedJoin]]
+    * take). The measurement step of the salting workflow: run the
+    * advisor on the key, feed the recommendation to the salted
+    * operators. All-integer except the two exact-ratio doubles; ranking
+    * tiebreaks on the key; `row_number ≤ k` keeps only k·partitions
+    * rows shuffling. Output (key, cnt, share, skew, salt_buckets).
+    */
+  def skewReport(df: DataFrame, keyCol: String, targetPerTask: Long,
+      k: Int): DataFrame = {
+    require(targetPerTask > 0 && k > 0, "skewReport: target and k positive")
+    import org.apache.spark.sql.expressions.Window
+    val cnt = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = cnt.agg(sum("cnt").as("__n"), count(lit(1)).as("__k"))
+    cnt
+      .withColumn("__r", row_number().over(
+        Window.orderBy(col("cnt").desc, col("key"))))
+      .filter(col("__r") <= k)
+      .crossJoin(broadcast(tot))
+      .select(col("key"), col("cnt"),
+        round(col("cnt").cast("double") / col("__n"), 6).as("share"),
+        round(col("cnt").cast("double") * col("__k") / col("__n"), 6)
+          .as("skew"),
+        // integer `div`, never `/`: Column./ on longs returns double
+        expr(s"(cnt + ${targetPerTask - 1}L) div ${targetPerTask}L")
+          .as("salt_buckets"))
+      .orderBy(col("cnt").desc, col("key"))
+  }
 }

@@ -616,7 +616,34 @@ object ScaleQueries {
          FROM tm, t GROUP BY 1, 2"""),
   )
 
+  /** Q198 [X]: join-key SKEW advisor (`ops/Salting.skewReport`) — the
+    * measurement step of the salting workflow: hottest lineitem
+    * suppliers with count, share, skew factor (count ÷ mean-per-key),
+    * and the salt bucket count (`ceil(cnt/target)`) the salted
+    * operators should take. At 100 TB this is the query you run BEFORE
+    * the expensive join to decide whether AQE's skew handling needs
+    * help; all-integer except two exact-ratio divisions.
+    */
+  val q198 = OracleQuery(
+    "q198_skew_report",
+    (s, d) => graft.ops.Salting.skewReport(
+      Tables.lineitem(s, d), "l_suppkey", targetPerTask = 100L, k = 10),
+    Some("""WITH c AS (SELECT l_suppkey AS key,
+                     CAST(count(*) AS BIGINT) AS cnt
+                   FROM lineitem GROUP BY 1),
+              t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+                     CAST(count(*) AS BIGINT) AS k FROM c),
+              r AS (SELECT key, cnt,
+                     row_number() OVER (ORDER BY cnt DESC, key) AS rr
+                   FROM c)
+         SELECT r.key, r.cnt,
+                round(CAST(cnt AS DOUBLE) / t.n, 6) AS share,
+                round(CAST(cnt AS DOUBLE) * t.k / t.n, 6) AS skew,
+                (cnt + 99) // 100 AS salt_buckets
+         FROM r, t WHERE rr <= 10"""),
+  )
+
   val all: Seq[OracleQuery] =
     Seq(q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q133,
-      q136, q175, q178, q193, q197)
+      q136, q175, q178, q193, q197, q198)
 }

@@ -32,4 +32,20 @@ class SaltingSpec extends SparkSpec {
     direct.exceptAll(salted).count() shouldBe 0L
     salted.exceptAll(direct).count() shouldBe 0L
   }
+
+  test("skewReport: hand-computed hot-key stats and salt recommendation") {
+    import spark.implicits._
+    // key 1: 600 rows, key 2: 300, keys 3..12: 10 each → n=1000, k=12
+    val df = (Seq.fill(600)(1L) ++ Seq.fill(300)(2L) ++
+      (3L to 12L).flatMap(Seq.fill(10)(_))).toDF("key0")
+    val got = Salting.skewReport(df, "key0", targetPerTask = 100L, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4)))
+    got.length shouldBe 3
+    got(0) shouldBe ((1L, 600L, 0.6, 7.2, 6L)) // 600/1000, 600·12/1000, ceil(600/100)
+    got(1) shouldBe ((2L, 300L, 0.3, 3.6, 3L))
+    got(2)._2 shouldBe 10L // ties on cnt → smallest key first
+    got(2)._1 shouldBe 3L
+    got(2)._5 shouldBe 1L
+  }
 }

@@ -636,6 +636,46 @@ class EventStreamsSpec extends SparkSpec {
     batchIds shouldBe Set(101L)
   }
 
+  test("ST20 streaming drift: shifted batch alarms, corpus-like batch stays quiet") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Drift
+    val thresholds = Seq(25L, 50L, 75L)
+    // corpus: uniform over 0..99 → 25 rows per bucket
+    val corpus = (0L until 100L).map(i => Ev(i, i % 7, "view",
+      new Timestamp(1700000000000L + i), i.toDouble, "{}")).toDF()
+    val refBuckets = corpus
+      .select(Drift.bucketOf(col("value"), thresholds).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_ref"))
+      .localCheckpoint()
+    def psiOf(rows: Seq[Ev]): Double = {
+      val mem = MemoryStream[Ev]
+      mem.addData(rows)
+      val got = scala.collection.mutable.ArrayBuffer[Double]()
+      val q = EventStreams.driftOnArrival(mem.toDF(), refBuckets,
+        "value", thresholds) { out =>
+        got.synchronized {
+          got ++= out.collect().map(_.getDouble(3))
+        }
+      }
+      q.processAllAvailable()
+      q.stop()
+      // stream ≡ batch kernel
+      val batchPsi = Drift.psiAgainstReference(refBuckets, rows.toDF(),
+        Drift.bucketOf(col("value"), thresholds))
+        .collect().map(_.getDouble(3))
+      got.sorted.toSeq shouldBe batchPsi.sorted.toSeq
+      got.sum
+    }
+    // corpus-like arrival: same uniform shape → PSI ~ 0
+    val same = (0L until 100L).map(i => Ev(1000 + i, i % 7, "view",
+      new Timestamp(1700000100000L + i), i.toDouble, "{}"))
+    math.abs(psiOf(same)) should be < 1e-9
+    // shifted arrival: all mass in the top bucket → large positive PSI
+    val shifted = (0L until 100L).map(i => Ev(2000 + i, i % 7, "view",
+      new Timestamp(1700000200000L + i), 80.0 + (i % 20), "{}"))
+    psiOf(shifted) should be > 1.0
+  }
+
   test("ST17 streaming CDC byte-delta: exact copy reports zero new bytes") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ext.Multimodal
