@@ -63,6 +63,30 @@ object StorageLayout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Hilbert curve index of (`x`, `y`) at `order` bits per axis — the
+    * locality-preserving upgrade over [[zValue]]: consecutive indices
+    * are always Manhattan-adjacent cells, so a 2-D range scan over a
+    * Hilbert-clustered layout touches fewer files than over the Z
+    * curve's power-of-two diagonal jumps. A codegen'd native expression
+    * ([[graft.functions.HilbertIndex]]) — `order` integer iterations
+    * inside whole-stage codegen, no per-row object.
+    */
+  def hilbertValue(x: Column, y: Column, order: Int = 16): Column =
+    graft.functions.HilbertIndex(x.cast("long"), y.cast("long"), order)
+
+  /** Write `df` parquet Hilbert-clustered on (`xCol`, `yCol`) — same
+    * one-shuffle range-partition + in-file sort shape as [[zorderWrite]],
+    * on the better curve.
+    */
+  def hilbertWrite(df: DataFrame, xCol: String, yCol: String, path: String,
+      files: Int, order: Int = 16): Unit = {
+    df.withColumn("__h", hilbertValue(col(xCol), col(yCol), order))
+      .repartitionByRange(files, col("__h"))
+      .sortWithinPartitions("__h")
+      .drop("__h")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Rendezvous (highest-random-weight) shard assignment: a row's shard is
     * `argmax_s hash(id, s)`. The property modulo hashing can't give:
     * growing `shards` → `shards+1` moves only ~1/(shards+1) of rows (each

@@ -643,7 +643,49 @@ object ScaleQueries {
          FROM r, t WHERE rr <= 10"""),
   )
 
+  /** Q199 [X]: HILBERT curve index (`ops/StorageLayout.hilbertValue`, a
+    * native codegen expression) — the locality-preserving layout key
+    * beside q82's Z-order: the twin replays the identical bit walk
+    * (rx/ry extraction, `s²·((3·rx)⊕ry)` quadrant offset, conditional
+    * reflect+swap) as a per-row recursive CTE over the `order` levels,
+    * so a hash match proves the generated Java loop ≡ the public d2xy
+    * formulation step for step. Correctness (unit-step adjacency — the
+    * property Z-order lacks) is pinned exhaustively in the spec.
+    */
+  val q199 = OracleQuery(
+    "q199_hilbert_index",
+    (s, d) => Tables.customer(s, d).select(
+      col("c_custkey"),
+      (col("c_custkey") % 347).cast("long").as("x"),
+      (col("c_custkey") % 161).cast("long").as("y"))
+      .withColumn("h", graft.ops.StorageLayout.hilbertValue(
+        col("x"), col("y"), order = 9)),
+    Some("""WITH RECURSIVE pts AS (
+              SELECT c_custkey, CAST(c_custkey % 347 AS BIGINT) AS x0,
+                     CAST(c_custkey % 161 AS BIGINT) AS y0
+              FROM customer),
+            hw(key, x, y, d, s) AS (
+              SELECT c_custkey, x0, y0, 0::BIGINT, 256::BIGINT FROM pts
+              UNION ALL
+              SELECT key,
+                CASE WHEN (y & s) = 0
+                     THEN CASE WHEN (x & s) != 0 THEN s - 1 - y ELSE y END
+                     ELSE x END,
+                CASE WHEN (y & s) = 0
+                     THEN CASE WHEN (x & s) != 0 THEN s - 1 - x ELSE x END
+                     ELSE y END,
+                d + s * s * (CASE WHEN (x & s) = 0 AND (y & s) = 0 THEN 0
+                                  WHEN (x & s) = 0 THEN 1
+                                  WHEN (y & s) = 0 THEN 3
+                                  ELSE 2 END),
+                s // 2
+              FROM hw WHERE s > 0)
+       SELECT p.c_custkey, p.x0 AS x, p.y0 AS y, hw.d AS h
+       FROM hw JOIN pts p ON p.c_custkey = hw.key
+       WHERE hw.s = 0"""),
+  )
+
   val all: Seq[OracleQuery] =
     Seq(q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q133,
-      q136, q175, q178, q193, q197, q198)
+      q136, q175, q178, q193, q197, q198, q199)
 }
