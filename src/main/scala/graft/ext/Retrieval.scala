@@ -261,6 +261,80 @@ object Retrieval {
         FROM sc QUALIFY rnk <= $k"""
   }
 
+  /** TOPIC ROUTING by MaxSim: every document is assigned to the
+    * best-matching named query (term set) by the [[maxSimTopK]] scoring
+    * rule — classification-by-retrieval, the router in front of a
+    * topic-sharded corpus or a mixture-of-prompts pipeline. Scores are
+    * exact longs (the affine integer token vectors), the winner breaks
+    * ties on the query name; output (idCol, topic, score).
+    *
+    * Scale shape: the dot table is DISTINCT CORPUS TOKENS × the
+    * broadcast (topic, term) list — vocab-bounded; per-(doc, topic)
+    * max + sum are doc-keyed aggregates; the argmax is a packed-struct
+    * max_by per doc (one aggregate, no window). Total query terms ≤ 8
+    * across all topics (long headroom, as [[maxSimTopK]]).
+    */
+  def maxSimRoute(docs: DataFrame, idCol: String, textCol: String,
+      topics: Map[String, Seq[String]]): DataFrame = {
+    val allTerms = topics.toSeq.flatMap { case (n, ts) => ts.map(n -> _) }
+    require(topics.nonEmpty && allTerms.size <= 8,
+      "maxSimRoute: 1..8 terms across all topics (long headroom)")
+    val P = TextHash.P
+    def comps(h: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] =
+      TextHash.Seeds.map { case (a, b) => (h * a + b) % P - (P / 2) }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val docTok = docs.select(col(idCol),
+      explode(Dedup.tokens(col(textCol))).as("w")).distinct()
+    val tokDot = docTok.select("w").distinct()
+      .withColumn("__h", TextHash.tokenHash(col("w")))
+      .crossJoin(broadcast(allTerms.toDF("topic", "qt")
+        .withColumn("__qh", TextHash.tokenHash(col("qt")))))
+      .select(col("w"), col("topic"), col("qt"),
+        comps(col("__h")).zip(comps(col("__qh")))
+          .map { case (c, q) => c * q }.reduce(_ + _).as("__d"))
+    docTok.join(tokDot, "w")
+      .groupBy(col(idCol), col("topic"), col("qt"))
+      .agg(max(col("__d")).as("__m"))
+      .groupBy(col(idCol), col("topic"))
+      .agg(sum(col("__m")).as("__s"))
+      // argmax per doc: highest score, smallest topic name on ties — a
+      // doc-partitioned window over ≤ |topics| rows per doc
+      .withColumn("__r", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(idCol)
+          .orderBy(col("__s").desc, col("topic"))))
+      .filter(col("__r") === 1)
+      .select(col(idCol), col("topic"), col("__s").as("score"))
+  }
+
+  /** DuckDB twin of [[maxSimRoute]]. */
+  def maxSimRouteSql(topics: Map[String, Seq[String]]): String = {
+    val P = TextHash.P
+    val pairs = topics.toSeq.sortBy(_._1).flatMap { case (n, ts) =>
+      ts.map(t => s"('${n.replace("'", "''")}', '${t.replace("'", "''")}')")
+    }.mkString(", ")
+    val dot = TextHash.Seeds.map { case (a, b) =>
+      s"(((th.h * $a + $b) % $P - ${P / 2}) * ((qh.h * $a + $b) % $P - ${P / 2}))"
+    }.mkString(" + ")
+    s"""WITH dt AS (SELECT DISTINCT doc_id,
+                  unnest(string_split(text, ' ')) AS w FROM documents),
+             th AS (SELECT w, ${TextHash.tokenHashSql("w")} AS h
+                    FROM (SELECT DISTINCT w FROM dt)),
+             q0 AS (SELECT * FROM (VALUES $pairs) v(topic, qt)),
+             qh AS (SELECT topic, qt, ${TextHash.tokenHashSql("qt")} AS h
+                    FROM q0),
+             dd AS (SELECT th.w, qh.topic, qh.qt, $dot AS d FROM th, qh),
+             pm AS (SELECT dt.doc_id, dd.topic, dd.qt, max(dd.d) AS m
+                    FROM dt JOIN dd ON dd.w = dt.w GROUP BY 1, 2, 3),
+             sc AS (SELECT doc_id, topic, CAST(sum(m) AS BIGINT) AS s
+                    FROM pm GROUP BY 1, 2),
+             rk AS (SELECT doc_id, topic, s,
+                     row_number() OVER (PARTITION BY doc_id
+                       ORDER BY s DESC, topic) AS rr
+                    FROM sc)
+        SELECT doc_id, topic, s AS score FROM rk WHERE rr = 1"""
+  }
+
   /** RANKING-QUALITY metrics for retrieval evaluation — nDCG@k (graded,
     * Järvelin & Kekäläinen 2002), precision@k, and reciprocal rank of
     * the first relevant hit, per system: the offline eval harness every

@@ -859,8 +859,26 @@ object RetrievalQueries {
     },
   )
 
+  /** Q200 [X]: MaxSim TOPIC ROUTING (`Retrieval.maxSimRoute`) — every
+    * document assigned to its best-matching named term set by the q194
+    * scoring rule: classification-by-retrieval, the router in front of
+    * a topic-sharded corpus. Exact long scores, name tiebreak; the
+    * vocab-bounded dot table and doc-keyed aggregates make the batch
+    * form O(corpus) and the ST21 streaming form O(batch).
+    */
+  private val routeTopics = Map(
+    "analytics" -> Seq("join", "hash"),
+    "streaming" -> Seq("window", "batch"),
+    "storage" -> Seq("scan", "table"))
+  val q200 = OracleQuery(
+    "q200_maxsim_route",
+    (s, d) => Retrieval.maxSimRoute(Tables.documents(s, d), "doc_id",
+      "text", routeTopics),
+    Some(Retrieval.maxSimRouteSql(routeTopics)),
+  )
+
   val all: Seq[OracleQuery] =
     Seq(q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98,
       q99, q100, q101, q102, q151, q152, q155, q161, q162, q168, q169,
-      q183, q194, q196)
+      q183, q194, q196, q200)
 }

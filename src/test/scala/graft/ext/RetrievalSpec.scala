@@ -482,6 +482,26 @@ class RetrievalSpec extends SparkSpec {
     got.head._1 shouldBe 1L
   }
 
+  test("maxSimRoute: verbatim-term docs route to their topic; one row per doc") {
+    val docs = Seq(
+      (1L, "join hash merge sort"), // both analytics terms verbatim
+      (2L, "window batch stream state"), // both streaming terms verbatim
+      (3L, "scan table files parquet") // both storage terms verbatim
+    ).toDF("doc_id", "text")
+    val topics = Map(
+      "analytics" -> Seq("join", "hash"),
+      "streaming" -> Seq("window", "batch"),
+      "storage" -> Seq("scan", "table"))
+    val got = Retrieval.maxSimRoute(docs, "doc_id", "text", topics)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // a verbatim term scores |v|² (the max possible), so a doc carrying
+    // BOTH of a topic's terms verbatim must route there
+    got shouldBe Map(1L -> "analytics", 2L -> "streaming", 3L -> "storage")
+    Retrieval.maxSimRoute(docs, "doc_id", "text", topics)
+      .groupBy("doc_id").count().collect()
+      .foreach(_.getLong(1) shouldBe 1L) // argmax: exactly one row per doc
+  }
+
   test("rankingMetrics: perfect ranking gets nDCG 1, hand-computed partial case") {
     val qrels = Seq((1L, 3L), (2L, 2L), (3L, 1L)).toDF("doc_id", "grade")
     // perfect system: ranks exactly the ideal order

@@ -676,6 +676,35 @@ class EventStreamsSpec extends SparkSpec {
     psiOf(shifted) should be > 1.0
   }
 
+  test("ST21 streaming topic routing: arrivals route like the batch kernel") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.Retrieval
+    val topics = Map(
+      "analytics" -> Seq("join", "hash"),
+      "streaming" -> Seq("window", "batch"))
+    val arriving = Seq(
+      ArrivingDoc(1L, "join hash merge"),
+      ArrivingDoc(2L, "window batch state"),
+      ArrivingDoc(3L, "completely unrelated words"))
+    val mem = MemoryStream[ArrivingDoc]
+    mem.addData(arriving)
+    val got = scala.collection.mutable.Map[Long, String]()
+    val q = EventStreams.routeOnArrival(mem.toDF(), "doc_id", "text",
+      topics) { out =>
+      got.synchronized {
+        out.collect().foreach(r => got(r.getLong(0)) = r.getString(1))
+      }
+    }
+    q.processAllAvailable()
+    q.stop()
+    val batch = Retrieval.maxSimRoute(arriving.toDF("doc_id", "text"),
+      "doc_id", "text", topics)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.toMap shouldBe batch
+    got(1L) shouldBe "analytics"
+    got(2L) shouldBe "streaming"
+  }
+
   test("ST17 streaming CDC byte-delta: exact copy reports zero new bytes") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ext.Multimodal
