@@ -145,6 +145,29 @@ object syntax {
     def zorderWrite(xCol: String, yCol: String, path: String,
         files: Int): Unit =
       StorageLayout.zorderWrite(df, xCol, yCol, path, files)
+
+    // --- round-11 sugar: drift stats, retrieval eval, routing, layout ---
+    def ksDrift(valueCol: String, isA: Column): DataFrame =
+      graft.ops.Drift.ksTest(df, valueCol, isA)
+
+    def wassersteinDrift(valueCol: String, isA: Column): DataFrame =
+      graft.ops.Drift.wasserstein1(df, valueCol, isA)
+
+    def maxSimTopK(idCol: String, textCol: String, terms: Seq[String],
+        k: Int): DataFrame =
+      Retrieval.maxSimTopK(df, idCol, textCol, terms, k)
+
+    def routeByTopic(idCol: String, textCol: String,
+        topics: Map[String, Seq[String]]): DataFrame =
+      Retrieval.maxSimRoute(df, idCol, textCol, topics)
+
+    def skewReport(keyCol: String, targetPerTask: Long,
+        k: Int = 20): DataFrame =
+      graft.ops.Salting.skewReport(df, keyCol, targetPerTask, k)
+
+    def hilbertWrite(xCol: String, yCol: String, path: String,
+        files: Int): Unit =
+      StorageLayout.hilbertWrite(df, xCol, yCol, path, files)
   }
 
   implicit class GraftTextColumn(private val text: Column) extends AnyVal {

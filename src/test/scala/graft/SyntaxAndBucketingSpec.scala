@@ -30,6 +30,17 @@ class SyntaxAndBucketingSpec extends SparkSpec {
     docs.packShards("doc_id", "text", $"text".tokenCount, 8L)
       .columns should contain("shard")
     docs.unigramLogProb("doc_id", "text").columns should contain("logprob")
+    // round-11 sugar: drift stats, retrieval, routing, skew
+    val vals = Seq((1.0, true), (2.0, true), (3.0, false), (4.0, false))
+      .toDF("v", "a")
+    vals.ksDrift("v", $"a").columns should contain("d_stat")
+    vals.wassersteinDrift("v", $"a").columns should contain("w1")
+    docs.maxSimTopK("doc_id", "text", Seq("quick", "casa"), 3)
+      .columns should contain("maxsim")
+    docs.routeByTopic("doc_id", "text",
+      Map("en" -> Seq("quick"), "es" -> Seq("casa")))
+      .count() shouldBe 3
+    docs.skewReport("doc_id", 10L).columns should contain("salt_buckets")
     // round-3 sugar: repetition, redaction, CDC, interval join
     docs.repetitionMetrics("doc_id", "text").columns should contain("top_bigram_frac")
     Seq("mail a@b.co now 123").toDF("t")
