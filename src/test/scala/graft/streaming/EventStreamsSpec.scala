@@ -705,6 +705,38 @@ class EventStreamsSpec extends SparkSpec {
     got(2L) shouldBe "streaming"
   }
 
+  test("ST22 streaming distinct count: merged sketch ≡ full-history estimate, replay no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = (0L until 500L).map(i => ArrivingDoc(i, s"u${i % 300}"))
+    val b2 = (500L until 900L).map(i => ArrivingDoc(i, s"u${i % 450}"))
+    val dir = java.nio.file.Files.createTempDirectory("st22_").toString
+    val mem = MemoryStream[ArrivingDoc]
+    mem.addData(b1)
+    val q1 = EventStreams.distinctCountOnArrival(mem.toDF(), "text",
+      s"$dir/t", s"$dir/cp")
+    q1.awaitTermination()
+    mem.addData(b2)
+    val q2 = EventStreams.distinctCountOnArrival(mem.toDF(), "text",
+      s"$dir/t", s"$dir/cp")
+    q2.awaitTermination()
+    val streamed = EventStreams.distinctEstimate(spark, s"$dir/t")
+    // HLL union is per-register max → the streamed chain of unions must
+    // equal one DIRECT union over the same two batch sketches (a direct
+    // single build can differ by a hair: HIP is discarded on union)
+    val unioned = Seq(b1, b2).map(b =>
+      b.toDF("doc_id", "text").agg(hll_sketch_agg(col("text")).as("sketch")))
+      .reduce(_ unionByName _)
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch")))).head().getLong(0)
+    streamed shouldBe unioned
+    // and the estimate is in the right neighborhood of the exact count
+    val exact = (b1 ++ b2).map(_.text).distinct.size.toLong
+    math.abs(streamed - exact).toDouble / exact should be < 0.05
+    // at-least-once replay: re-merging an applied batchId is a no-op
+    EventStreams.distinctMergeBatch(b2.toDF("doc_id", "text"), "text",
+      s"$dir/t", 1L) shouldBe false
+    EventStreams.distinctEstimate(spark, s"$dir/t") shouldBe streamed
+  }
+
   test("ST17 streaming CDC byte-delta: exact copy reports zero new bytes") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ext.Multimodal
