@@ -148,13 +148,21 @@ object Drift {
     * checkpointed (__v, __rv, __d) relation and the cohort sizes.
     */
   private def ecdfDiff(df: DataFrame, valueCol: String, isA: Column,
-      nBuckets: Int): (DataFrame, Long, Long) = {
-    import org.apache.spark.sql.expressions.Window
-    val perV = df
+      nBuckets: Int): (DataFrame, Long, Long) =
+    ecdfDiffPreAgg(df
       .select(col(valueCol).cast("double").as("__v"),
         when(isA, 1L).otherwise(0L).as("__a"))
       .groupBy("__v")
-      .agg(sum(col("__a")).as("ca"), sum(lit(1L) - col("__a")).as("cb"))
+      .agg(sum(col("__a")).as("ca"), sum(lit(1L) - col("__a")).as("cb")),
+      nBuckets)
+
+  /** [[ecdfDiff]] over an ALREADY per-value-aggregated `(\_\_v, ca, cb)`
+    * relation — the seam the incremental probe enters through.
+    */
+  private def ecdfDiffPreAgg(perV0: DataFrame,
+      nBuckets: Int): (DataFrame, Long, Long) = {
+    import org.apache.spark.sql.expressions.Window
+    val perV = perV0
       .localCheckpoint() // feeds the bounds agg AND both cumsum phases
     val b = perV.agg(min("__v"), max("__v"),
       sum("ca").cast("long"), sum("cb").cast("long")).head()
@@ -196,11 +204,49 @@ object Drift {
   def ksTest(df: DataFrame, valueCol: String, isA: Column,
       nBuckets: Int = 256): DataFrame = {
     val (d, na, nb) = ecdfDiff(df, valueCol, isA, nBuckets)
+    ksFinish(d, na, nb)
+  }
+
+  private def ksFinish(d: DataFrame, na: Long, nb: Long): DataFrame = {
     val mx = d.agg(max("__d")).head().getDouble(0)
     d.filter(col("__d") === mx)
       .agg(min("__v").as("at_value"))
       .select(lit(na).as("n_a"), lit(nb).as("n_b"),
         graft.syntax.round6z(lit(mx)).as("d_stat"), col("at_value"))
+  }
+
+  /** Persistable corpus-side count table for incremental drift probes:
+    * one `(v, cnt)` row per distinct value — the corpus pays its raw
+    * aggregation once; probes never touch the raw rows again. At
+    * continuous-valued 100 TB the distinct-value table can itself be
+    * large — quantize the value upstream (a fixed grid) if the ECDF
+    * table must stay compact; the probe is exact for whatever value
+    * resolution the table carries.
+    */
+  def ecdfTable(df: DataFrame, valueCol: String): DataFrame =
+    df.select(col(valueCol).cast("double").as("v"))
+      .groupBy("v").agg(count(lit(1)).as("cnt"))
+
+  /** INCREMENTAL two-sample KS — the drift member of the incremental
+    * ingest family: the arriving batch (cohort B) is tested against the
+    * FROZEN corpus count table (cohort A, [[ecdfTable]]) without
+    * re-reading corpus rows; per probe the work is one O(batch)
+    * aggregate plus the two-phase cumsum over (|ecdf table| + |batch
+    * distinct|) rows. The merged per-value counts feed the exact same
+    * machinery as [[ksTest]], so D (and the argmax value) is
+    * BIT-IDENTICAL to running ksTest over the combined raw rows — which
+    * is precisely what the q201 twin re-derives.
+    */
+  def incrementalKs(corpusCounts: DataFrame, batch: DataFrame,
+      valueCol: String, nBuckets: Int = 256): DataFrame = {
+    val b = batch.select(col(valueCol).cast("double").as("__v"))
+      .groupBy("__v").agg(count(lit(1)).as("cb"))
+    val perV = corpusCounts
+      .select(col("v").as("__v"), col("cnt").as("ca"), lit(0L).as("cb"))
+      .unionByName(b.select(col("__v"), lit(0L).as("ca"), col("cb")))
+      .groupBy("__v").agg(sum("ca").as("ca"), sum("cb").as("cb"))
+    val (d, na, nb) = ecdfDiffPreAgg(perV, nBuckets)
+    ksFinish(d, na, nb)
   }
 
   /** 1-D WASSERSTEIN (earth mover's) distance between the two cohorts'

@@ -685,7 +685,49 @@ object ScaleQueries {
        WHERE hw.s = 0"""),
   )
 
+  /** Q201 [X]: INCREMENTAL two-sample KS (`ops/Drift.incrementalKs`) —
+    * the drift member of the incremental-ingest family: the arriving
+    * purchase batch probes the FROZEN click-corpus count table
+    * (`Drift.ecdfTable`) without re-reading corpus rows. The twin
+    * recomputes the same two-sample KS directly over the raw cohorts
+    * (the q193 windowed form) — the hash match is the exactness proof
+    * that the pre-aggregated probe ≡ the full recompute, argmax value
+    * included.
+    */
+  val q201 = OracleQuery(
+    "q201_incremental_ks",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val corpus = graft.ops.Drift.ecdfTable(
+        ev.filter(col("event_type") === "click"), "value")
+        .localCheckpoint() // the frozen, persistable corpus structure
+      graft.ops.Drift.incrementalKs(corpus,
+        ev.filter(col("event_type") === "purchase"), "value")
+    },
+    Some("""WITH v AS (SELECT value AS v,
+                     CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a
+                   FROM events WHERE event_type IN ('purchase', 'click')),
+              pv AS (SELECT v, CAST(sum(a) AS BIGINT) AS ca,
+                     CAST(sum(1 - a) AS BIGINT) AS cb
+                   FROM v GROUP BY 1),
+              t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+                     CAST(sum(cb) AS BIGINT) AS nb FROM pv),
+              c AS (SELECT v,
+                     sum(ca) OVER (ORDER BY v) AS cuma,
+                     sum(cb) OVER (ORDER BY v) AS cumb
+                   FROM pv),
+              dd AS MATERIALIZED (SELECT v,
+                     abs(CAST(cuma AS DOUBLE) / t.na -
+                         CAST(cumb AS DOUBLE) / t.nb) AS dv
+                   FROM c, t),
+              m AS (SELECT max(dv) AS mx FROM dd)
+         SELECT t.na AS n_a, t.nb AS n_b,
+                round(m.mx, 6) + 0.0 AS d_stat,
+                (SELECT min(v) FROM dd WHERE dv = m.mx) AS at_value
+         FROM t, m"""),
+  )
+
   val all: Seq[OracleQuery] =
     Seq(q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q133,
-      q136, q175, q178, q193, q197, q198, q199)
+      q136, q175, q178, q193, q197, q198, q199, q201)
 }

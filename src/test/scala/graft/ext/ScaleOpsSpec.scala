@@ -203,6 +203,24 @@ class ScaleOpsSpec extends SparkSpec {
     got.getAs[Double]("w1") shouldBe expected
   }
 
+  test("incrementalKs ≡ ksTest over the combined raw rows, bit for bit") {
+    val rnd = new scala.util.Random(29)
+    val corpusRows = (0 until 800).map(_ =>
+      math.rint(rnd.nextDouble() * 400) / 10.0)
+    val batchRows = (0 until 150).map(_ =>
+      math.rint(rnd.nextDouble() * 400) / 10.0 + 3.0) // shifted arrivals
+    val corpus = graft.ops.Drift.ecdfTable(corpusRows.toDF("value"), "value")
+    val inc = graft.ops.Drift.incrementalKs(corpus,
+      batchRows.toDF("value"), "value", nBuckets = 7).head()
+    val direct = graft.ops.Drift.ksTest(
+      (corpusRows.map((_, true)) ++ batchRows.map((_, false)))
+        .toDF("value", "a"), "value", col("a"), nBuckets = 13).head()
+    inc.getAs[Long]("n_a") shouldBe direct.getAs[Long]("n_a")
+    inc.getAs[Long]("n_b") shouldBe direct.getAs[Long]("n_b")
+    inc.getAs[Double]("d_stat") shouldBe direct.getAs[Double]("d_stat")
+    inc.getAs[Double]("at_value") shouldBe direct.getAs[Double]("at_value")
+  }
+
   test("psiTerms detects a shifted distribution with positive PSI") {
     // Cohort A concentrated low, cohort B high: both buckets drift.
     val df = ((0 until 90).map(i => (10L, true)) ++
