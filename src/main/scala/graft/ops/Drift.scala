@@ -239,13 +239,8 @@ object Drift {
     */
   def incrementalKs(corpusCounts: DataFrame, batch: DataFrame,
       valueCol: String, nBuckets: Int = 256): DataFrame = {
-    val b = batch.select(col(valueCol).cast("double").as("__v"))
-      .groupBy("__v").agg(count(lit(1)).as("cb"))
-    val perV = corpusCounts
-      .select(col("v").as("__v"), col("cnt").as("ca"), lit(0L).as("cb"))
-      .unionByName(b.select(col("__v"), lit(0L).as("ca"), col("cb")))
-      .groupBy("__v").agg(sum("ca").as("ca"), sum("cb").as("cb"))
-    val (d, na, nb) = ecdfDiffPreAgg(perV, nBuckets)
+    val (d, na, nb) = ecdfDiffPreAgg(mergedCounts(corpusCounts, batch,
+      valueCol), nBuckets)
     ksFinish(d, na, nb)
   }
 
@@ -266,6 +261,10 @@ object Drift {
   def wasserstein1(df: DataFrame, valueCol: String, isA: Column,
       nBuckets: Int = 256): DataFrame = {
     val (d, na, nb) = ecdfDiff(df, valueCol, isA, nBuckets)
+    w1Finish(d, na, nb)
+  }
+
+  private def w1Finish(d: DataFrame, na: Long, nb: Long): DataFrame =
     d.join(d.select(col("__rv").as("__rvn"), col("__v").as("__vn")),
         col("__rvn") === col("__rv") + 1)
       .select(round(col("__d") * (col("__vn") - col("__v")), 9)
@@ -274,5 +273,26 @@ object Drift {
       .select(lit(na).as("n_a"), lit(nb).as("n_b"),
         graft.syntax.round6z(coalesce(col("__w"), lit(0)).cast("double"))
           .as("w1"))
+
+  /** INCREMENTAL Wasserstein-1 against the same frozen [[ecdfTable]] as
+    * [[incrementalKs]] — one corpus structure serves both drift probes;
+    * W₁ is bit-identical to [[wasserstein1]] over the combined raw rows
+    * (same merged counts, same machinery).
+    */
+  def incrementalWasserstein(corpusCounts: DataFrame, batch: DataFrame,
+      valueCol: String, nBuckets: Int = 256): DataFrame = {
+    val (d, na, nb) = ecdfDiffPreAgg(mergedCounts(corpusCounts, batch,
+      valueCol), nBuckets)
+    w1Finish(d, na, nb)
+  }
+
+  private def mergedCounts(corpusCounts: DataFrame, batch: DataFrame,
+      valueCol: String): DataFrame = {
+    val b = batch.select(col(valueCol).cast("double").as("__v"))
+      .groupBy("__v").agg(count(lit(1)).as("cb"))
+    corpusCounts
+      .select(col("v").as("__v"), col("cnt").as("ca"), lit(0L).as("cb"))
+      .unionByName(b.select(col("__v"), lit(0L).as("ca"), col("cb")))
+      .groupBy("__v").agg(sum("ca").as("ca"), sum("cb").as("cb"))
   }
 }

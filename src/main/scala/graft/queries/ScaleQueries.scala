@@ -727,7 +727,49 @@ object ScaleQueries {
          FROM t, m"""),
   )
 
+  /** Q202 [X]: INCREMENTAL Wasserstein-1
+    * (`ops/Drift.incrementalWasserstein`) — the same frozen
+    * click-corpus count table as q201 serves the magnitude statistic
+    * too: one persisted structure, both drift probes. Twin = the q197
+    * windowed form on the cohorts — hash match proves probe ≡
+    * recompute.
+    */
+  val q202 = OracleQuery(
+    "q202_incremental_wasserstein",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val corpus = graft.ops.Drift.ecdfTable(
+        ev.filter(col("event_type") === "click"), "value")
+        .localCheckpoint()
+      graft.ops.Drift.incrementalWasserstein(corpus,
+        ev.filter(col("event_type") === "purchase"), "value")
+    },
+    Some("""WITH v AS (SELECT value AS v,
+                     CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a
+                   FROM events WHERE event_type IN ('purchase', 'click')),
+              pv AS (SELECT v, CAST(sum(a) AS BIGINT) AS ca,
+                     CAST(sum(1 - a) AS BIGINT) AS cb
+                   FROM v GROUP BY 1),
+              t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+                     CAST(sum(cb) AS BIGINT) AS nb FROM pv),
+              c AS (SELECT v,
+                     sum(ca) OVER (ORDER BY v) AS cuma,
+                     sum(cb) OVER (ORDER BY v) AS cumb,
+                     row_number() OVER (ORDER BY v) AS rv
+                   FROM pv),
+              dd AS MATERIALIZED (SELECT v, rv,
+                     abs(CAST(cuma AS DOUBLE) / t.na -
+                         CAST(cumb AS DOUBLE) / t.nb) AS dv
+                   FROM c, t),
+              tm AS (SELECT CAST(round(a.dv * (b.v - a.v), 9)
+                       AS DECIMAL(38,12)) AS tt
+                   FROM dd a JOIN dd b ON b.rv = a.rv + 1)
+         SELECT t.na AS n_a, t.nb AS n_b,
+                round(CAST(coalesce(sum(tt), 0) AS DOUBLE), 6) + 0.0 AS w1
+         FROM tm, t GROUP BY 1, 2"""),
+  )
+
   val all: Seq[OracleQuery] =
     Seq(q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q133,
-      q136, q175, q178, q193, q197, q198, q199, q201)
+      q136, q175, q178, q193, q197, q198, q199, q201, q202)
 }

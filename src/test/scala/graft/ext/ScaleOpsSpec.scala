@@ -219,6 +219,13 @@ class ScaleOpsSpec extends SparkSpec {
     inc.getAs[Long]("n_b") shouldBe direct.getAs[Long]("n_b")
     inc.getAs[Double]("d_stat") shouldBe direct.getAs[Double]("d_stat")
     inc.getAs[Double]("at_value") shouldBe direct.getAs[Double]("at_value")
+    // and the same frozen table serves the W1 probe, also bit-identically
+    val incW = graft.ops.Drift.incrementalWasserstein(corpus,
+      batchRows.toDF("value"), "value", nBuckets = 7).head()
+    val directW = graft.ops.Drift.wasserstein1(
+      (corpusRows.map((_, true)) ++ batchRows.map((_, false)))
+        .toDF("value", "a"), "value", col("a"), nBuckets = 13).head()
+    incW.getAs[Double]("w1") shouldBe directW.getAs[Double]("w1")
   }
 
   test("psiTerms detects a shifted distribution with positive PSI") {
