@@ -153,6 +153,16 @@ object syntax {
     def wassersteinDrift(valueCol: String, isA: Column): DataFrame =
       graft.ops.Drift.wasserstein1(df, valueCol, isA)
 
+    def ecdfTable(valueCol: String): DataFrame =
+      graft.ops.Drift.ecdfTable(df, valueCol)
+
+    def ksDriftAgainst(corpusCounts: DataFrame, valueCol: String): DataFrame =
+      graft.ops.Drift.incrementalKs(corpusCounts, df, valueCol)
+
+    def wassersteinAgainst(corpusCounts: DataFrame,
+        valueCol: String): DataFrame =
+      graft.ops.Drift.incrementalWasserstein(corpusCounts, df, valueCol)
+
     def maxSimTopK(idCol: String, textCol: String, terms: Seq[String],
         k: Int): DataFrame =
       Retrieval.maxSimTopK(df, idCol, textCol, terms, k)

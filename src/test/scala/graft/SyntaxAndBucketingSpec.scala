@@ -35,6 +35,9 @@ class SyntaxAndBucketingSpec extends SparkSpec {
       .toDF("v", "a")
     vals.ksDrift("v", $"a").columns should contain("d_stat")
     vals.wassersteinDrift("v", $"a").columns should contain("w1")
+    val ref = vals.filter($"a").ecdfTable("v")
+    vals.filter(!$"a").ksDriftAgainst(ref, "v").columns should contain("d_stat")
+    vals.filter(!$"a").wassersteinAgainst(ref, "v").columns should contain("w1")
     docs.maxSimTopK("doc_id", "text", Seq("quick", "casa"), 3)
       .columns should contain("maxsim")
     docs.routeByTopic("doc_id", "text",
