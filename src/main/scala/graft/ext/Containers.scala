@@ -248,6 +248,10 @@ object Containers {
               s"decodeAvi: need 24 bpp uncompressed, got bpp=$bpp comp=$comp")
             buf.position(p0)
           case c if inMovi && (c == "00db" || c == "00dc") =>
+            require(w > 0 && h > 0, "decodeAvi: frame chunk before strf header")
+            val needed = (w * 3 + (4 - (w * 3) % 4) % 4) * h
+            require(len >= needed,
+              s"decodeAvi: frame chunk '$c' length $len shorter than $needed")
             frames += decodeDib(buf.position())
           case _ => () // avih, strh, junk, idx1 — skip
         }

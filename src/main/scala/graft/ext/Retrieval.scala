@@ -213,8 +213,13 @@ object Retrieval {
       TextHash.Seeds.map { case (a, b) => (h * a + b) % P - (P / 2) }
     val spark = docs.sparkSession
     import spark.implicits._
+    // docTok feeds BOTH the distinct-token dot table and the probe
+    // join — without a cut the documents scan + explode + distinct
+    // recomputes twice (the multi-use-subplan rule; same discipline as
+    // q86 / Drift.chiSquare).
     val docTok = docs.select(col(idCol),
       explode(Dedup.tokens(col(textCol))).as("w")).distinct()
+      .localCheckpoint()
     val tokDot = docTok.select("w").distinct()
       .withColumn("__h", TextHash.tokenHash(col("w")))
       .crossJoin(broadcast(queryTerms.toDF("qt")
@@ -284,8 +289,13 @@ object Retrieval {
       TextHash.Seeds.map { case (a, b) => (h * a + b) % P - (P / 2) }
     val spark = docs.sparkSession
     import spark.implicits._
+    // docTok feeds BOTH the distinct-token dot table and the probe
+    // join — without a cut the documents scan + explode + distinct
+    // recomputes twice (the multi-use-subplan rule; same discipline as
+    // q86 / Drift.chiSquare).
     val docTok = docs.select(col(idCol),
       explode(Dedup.tokens(col(textCol))).as("w")).distinct()
+      .localCheckpoint()
     val tokDot = docTok.select("w").distinct()
       .withColumn("__h", TextHash.tokenHash(col("w")))
       .crossJoin(broadcast(allTerms.toDF("topic", "qt")

@@ -20,9 +20,12 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * `s²·((3·rx) ⊕ ry)`, conditional reflect+swap — the public-domain
   * d2xy/xy2d formulation) runs as a primitive loop in both the
   * interpreted path and generated code: `order` iterations of integer
-  * ops, fully inside whole-stage codegen. Inputs must lie in
-  * [0, 2^order); the exhaustive adjacency spec pins correctness, the
-  * q199 recursive-CTE twin pins cross-engine parity.
+  * ops, fully inside whole-stage codegen. Inputs MUST lie in
+  * [0, 2^order) — enforced with a loud IllegalArgumentException in both
+  * the interpreted and generated paths (an out-of-range coordinate
+  * would otherwise yield a silently non-injective index). The
+  * exhaustive adjacency spec pins correctness, the q199 recursive-CTE
+  * twin pins cross-engine parity.
   */
 case class HilbertIndex(left: Expression, right: Expression, order: Int)
     extends BinaryExpression with ImplicitCastInputTypes {
@@ -38,6 +41,12 @@ case class HilbertIndex(left: Expression, right: Expression, order: Int)
   override def nullSafeEval(a: Any, b: Any): Any = {
     var x = a.asInstanceOf[Long]
     var y = b.asInstanceOf[Long]
+    // Enforce the documented domain loudly (the codecs' require
+    // discipline): an out-of-range coordinate would silently yield a
+    // non-injective index and cluster a layout on garbage keys.
+    if (x < 0L || x >= (1L << order) || y < 0L || y >= (1L << order))
+      throw new IllegalArgumentException(
+        s"graft_hilbert: coordinates ($x, $y) outside [0, 2^$order)")
     var d = 0L
     var s = 1L << (order - 1)
     while (s > 0) {
@@ -65,6 +74,10 @@ case class HilbertIndex(left: Expression, right: Expression, order: Int)
       s"""
          |long $x = $a;
          |long $y = $b;
+         |if ($x < 0L || $x >= (1L << $order) || $y < 0L || $y >= (1L << $order)) {
+         |  throw new IllegalArgumentException(
+         |    "graft_hilbert: coordinates (" + $x + ", " + $y + ") outside [0, 2^$order)");
+         |}
          |long $d = 0L;
          |for (long $s = 1L << ${order - 1}; $s > 0; $s >>= 1) {
          |  long $rx = (($x & $s) != 0L) ? 1L : 0L;
