@@ -335,4 +335,72 @@ object Containers {
     }
     Frame(w, h, px)
   }
+
+  // --------------------------------------------------------------- PNG
+
+  /** Serialize a grayscale frame as a REAL COMPRESSED PNG (ISO 15948 /
+    * RFC 2083: zlib/DEFLATE-compressed scanlines, CRC-checked chunks)
+    * via the JDK's ImageIO codec — unlike the self-written WAV/BMP/AVI
+    * layouts above, the payload here genuinely rides a compression
+    * stage. 8-bit grayscale PNG is lossless, so
+    * `decodePng(pngBytes(f)) == f` exactly, which is what lets the
+    * q203/q204 twins recompute the pixels arithmetically and
+    * hash-check the full encode → DEFLATE → decode chain (the same
+    * proof discipline as the raw containers, now through a compressed
+    * format). Same chain q107 already exercises for tile rasters
+    * (`raster/TileStore.scala` ImageIO.read).
+    */
+  def pngBytes(f: Frame): Array[Byte] = {
+    require(f.width > 0 && f.height > 0, "pngBytes: empty frame")
+    val img = new java.awt.image.BufferedImage(
+      f.width, f.height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < f.height) {
+      var x = 0
+      while (x < f.width) {
+        val v = f.pixels(y * f.width + x)
+        require(v >= 0 && v <= 255, s"pngBytes: pixel $v outside [0, 255]")
+        raster.setSample(x, y, 0, v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, "png", bos),
+      "pngBytes: no PNG writer available")
+    bos.toByteArray
+  }
+
+  /** Decode a grayscale PNG back to a frame. Fails loudly (the codec
+    * discipline) on a missing PNG signature, an unreadable stream, or a
+    * non-8-bit/non-gray sample layout — silent channel coercion would
+    * corrupt hashes downstream exactly like a silent row-padding bug.
+    */
+  def decodePng(bytes: Array[Byte]): Frame = {
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    require(bytes.length > 8 && sig.indices.forall(i =>
+      (bytes(i) & 0xff) == sig(i)), "decodePng: missing PNG signature")
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "decodePng: no reader accepted the stream")
+    val raster = img.getRaster
+    require(raster.getNumBands == 1 && raster.getSampleModel
+      .getSampleSize(0) == 8,
+      s"decodePng: need 8-bit single-band gray, got ${raster.getNumBands} " +
+        s"bands x ${raster.getSampleModel.getSampleSize(0)} bits")
+    val w = img.getWidth
+    val h = img.getHeight
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        px(y * w + x) = raster.getSample(x, y, 0)
+        x += 1
+      }
+      y += 1
+    }
+    Frame(w, h, px)
+  }
 }

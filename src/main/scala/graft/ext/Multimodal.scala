@@ -296,9 +296,10 @@ object Multimodal {
     *   (pointwise shift), which a perceptual probe must still catch.
     */
   def incrementalPhashPairs(corpusSig: DataFrame, batch: Dataset[MediaRow],
-      maxDist: Int = 4, frame: Int = 0): DataFrame = {
+      maxDist: Int = 4, frame: Int = 0,
+      decode: Array[Byte] => Frame = StubCodec.decode): DataFrame = {
     require(frame >= 0, "incrementalPhashPairs: frame index must be >= 0")
-    val bSig = frameHashes(batch, Seq(frame)).toDF()
+    val bSig = frameHashes(batch, Seq(frame), decode).toDF()
       .select(col("media_id").as("__id"), col("ph").as("sh"))
       .localCheckpoint()
     val cSig = corpusSig.select(col("media_id").as("__id"),

@@ -699,6 +699,125 @@ object MediaQueries {
          FROM b"""),
   )
 
+  /** Q203 [X]: per-image aHash signatures through REAL COMPRESSED PNG
+    * payloads — each doc's deterministic grayscale frame
+    * (`v = ((id+3)·197 + idx·29) mod 256`, 12..22 × 10..14) is encoded
+    * as an actual zlib/DEFLATE-compressed PNG by the JDK codec
+    * ([[graft.ext.Containers.pngBytes]]) and decoded back by
+    * [[graft.ext.Containers.decodePng]] inside the q158 resize + aHash
+    * kernel (`mapPartitions`, one decode per payload). The twin
+    * recomputes every hash from the pixel formula alone — a match
+    * certifies the encode → DEFLATE → decode chain is lossless, closing
+    * the "all containers uncompressed" caveat: unlike WAV/BMP/AVI these
+    * payload bytes genuinely ride a compression stage.
+    */
+  val q203 = OracleQuery(
+    "q203_png_container_phash",
+    (s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = 12 + (id % 11).toInt
+          val h = 10 + (id % 5).toInt
+          val px = Array.tabulate(w * h)(i =>
+            (((id + 3) * 197L + i.toLong * 29L) % 256L).toInt)
+          Multimodal.MediaRow(id,
+            graft.ext.Containers.pngBytes(Multimodal.Frame(w, h, px)))
+        }
+      Multimodal.frameHashes(media, Seq(0),
+        decode = graft.ext.Containers.decodePng)
+        .toDF().select(col("media_id"), col("ph"))
+    },
+    Some("""WITH RECURSIVE
+              pw(k, v) AS (SELECT 0, 1::HUGEINT UNION ALL
+                           SELECT k + 1, v * 2 FROM pw WHERE k < 63),
+              d AS (SELECT doc_id, 12 + doc_id % 11 AS w,
+                     10 + doc_id % 5 AS h FROM documents),
+              grid AS (SELECT t.i AS i, t.i % 8 AS x, t.i // 8 AS y
+                       FROM unnest(generate_series(0, 63)) AS t(i)),
+              px AS (SELECT doc_id, i,
+                      ((doc_id + 3) * 197 +
+                       (((y * h) // 8) * w + (x * w) // 8) * 29) % 256 AS v
+                    FROM d, grid),
+              sm AS (SELECT doc_id, sum(v) AS sv FROM px GROUP BY 1),
+              b AS (SELECT px.doc_id AS media_id,
+                     sum(CASE WHEN px.v * 64 > sm.sv THEN pw.v
+                         ELSE 0::HUGEINT END) AS u
+                   FROM px JOIN sm ON sm.doc_id = px.doc_id
+                   JOIN pw ON pw.k = px.i
+                   GROUP BY 1)
+         SELECT media_id,
+                CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+                     THEN u - 18446744073709551616::HUGEINT
+                     ELSE u END AS BIGINT) AS ph
+         FROM b"""),
+  )
+
+  /** Q204 [X]: the RE-ENCODE near-dup probe through real PNG bytes —
+    * the q160 incremental shape with both sides riding the compressed
+    * container: the frozen corpus signatures come from frame-0 PNGs
+    * (q203's payloads), the arriving batch is every image's
+    * brightness-shifted re-upload (`(v+7) mod 256`, pointwise — commutes
+    * with nearest-neighbor resize) RE-ENCODED as a fresh PNG, decoded by
+    * the real codec, hashed, and band-probed at radius 4
+    * ([[Multimodal.incrementalPhashPairs]] — `maxDist+1` pigeonhole
+    * bands, O(batch), no false negatives). Originals still match their
+    * re-encode (only pixels wrapping past 255 flip bits) while unrelated
+    * images stay far. The twin brute-forces the cross XOR-popcounts over
+    * arithmetically recomputed shifted/unshifted hashes.
+    */
+  val q204 = OracleQuery(
+    "q204_png_near_dup",
+    (s, d) => {
+      import s.implicits._
+      def media(shift: Int) =
+        Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .map { id =>
+            val w = 12 + (id % 11).toInt
+            val h = 10 + (id % 5).toInt
+            val px = Array.tabulate(w * h)(i =>
+              (((id + 3) * 197L + i.toLong * 29L + shift) % 256L).toInt)
+            Multimodal.MediaRow(id,
+              graft.ext.Containers.pngBytes(Multimodal.Frame(w, h, px)))
+          }
+      val corpusSig = Multimodal.frameHashes(media(0), Seq(0),
+        decode = graft.ext.Containers.decodePng).toDF()
+      Multimodal.incrementalPhashPairs(corpusSig, media(7), maxDist = 4,
+        frame = 0, decode = graft.ext.Containers.decodePng)
+    },
+    Some("""WITH RECURSIVE
+              pw(k, v) AS (SELECT 0, 1::HUGEINT UNION ALL
+                           SELECT k + 1, v * 2 FROM pw WHERE k < 63),
+              d AS (SELECT doc_id, 12 + doc_id % 11 AS w,
+                     10 + doc_id % 5 AS h FROM documents),
+              grid AS (SELECT t.i AS i, t.i % 8 AS x, t.i // 8 AS y
+                       FROM unnest(generate_series(0, 63)) AS t(i)),
+              fr AS (SELECT t.f AS f
+                     FROM unnest(generate_series(0, 1)) AS t(f)),
+              px AS (SELECT doc_id, f, i,
+                      ((doc_id + 3) * 197 +
+                       (((y * h) // 8) * w + (x * w) // 8) * 29 +
+                       f * 7) % 256 AS v
+                    FROM d, grid, fr),
+              sm AS (SELECT doc_id, f, sum(v) AS sv FROM px GROUP BY 1, 2),
+              b AS (SELECT px.doc_id AS media_id, px.f AS f,
+                     sum(CASE WHEN px.v * 64 > sm.sv THEN pw.v
+                         ELSE 0::HUGEINT END) AS u
+                   FROM px JOIN sm ON sm.doc_id = px.doc_id AND sm.f = px.f
+                   JOIN pw ON pw.k = px.i
+                   GROUP BY 1, 2),
+              sig AS (SELECT media_id, f,
+                       CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+                            THEN u - 18446744073709551616::HUGEINT
+                            ELSE u END AS BIGINT) AS ph
+                     FROM b)
+         SELECT a.media_id AS doc_a, c.media_id AS doc_b,
+                CAST(bit_count(xor(a.ph, c.ph)) AS BIGINT) AS dist
+         FROM sig a JOIN sig c
+           ON a.f = 1 AND c.f = 0
+         WHERE bit_count(xor(a.ph, c.ph)) <= 4"""),
+  )
+
   val all: Seq[OracleQuery] = Seq(q158, q159, q160, q176, q177, q181, q182,
-    q184, q185, q186, q187, q188, q189, q190, q191, q192)
+    q184, q185, q186, q187, q188, q189, q190, q191, q192, q203, q204)
 }

@@ -96,4 +96,38 @@ class ContainersSpec extends AnyFunSuite with Matchers {
     an[IllegalArgumentException] should be thrownBy
       Containers.decodeBmp(badBpp)
   }
+
+  test("png: frames round-trip exactly through real DEFLATE compression") {
+    val rnd = new scala.util.Random(13)
+    for ((w, h) <- Seq((12, 10), (22, 14), (1, 1), (8, 8), (64, 64))) {
+      val f = Frame(w, h, Array.fill(w * h)(rnd.nextInt(256)))
+      val bytes = Containers.pngBytes(f)
+      // real PNG signature on the wire
+      (bytes(0) & 0xff) shouldBe 0x89
+      new String(bytes.slice(1, 4), "US-ASCII") shouldBe "PNG"
+      val back = Containers.decodePng(bytes)
+      back.width shouldBe w
+      back.height shouldBe h
+      back.pixels shouldBe f.pixels
+    }
+  }
+
+  test("png: the container genuinely compresses redundant content") {
+    // a constant 64×64 image deflates far below its 4096 raw bytes —
+    // proof the payload rides a real compression stage, unlike BMP
+    val flat = Frame(64, 64, Array.fill(64 * 64)(200))
+    Containers.pngBytes(flat).length should be < 1024
+    Containers.bmpBytes(flat).length should be > 4096
+  }
+
+  test("png: bad signature and foreign containers rejected loudly") {
+    val good = Containers.pngBytes(Frame(4, 4, Array.fill(16)(7)))
+    val badMagic = good.clone(); badMagic(0) = 'Q'.toByte
+    an[IllegalArgumentException] should be thrownBy
+      Containers.decodePng(badMagic)
+    an[IllegalArgumentException] should be thrownBy
+      Containers.decodePng(Containers.bmpBytes(Frame(2, 2, Array.fill(4)(1))))
+    an[IllegalArgumentException] should be thrownBy
+      Containers.pngBytes(Frame(2, 2, Array(0, 1, 2, 300))) // out-of-range px
+  }
 }
