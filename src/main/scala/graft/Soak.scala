@@ -738,6 +738,81 @@ object Soak {
     })
     covSums.unpersist()
 
+    // round-12: quantized-ECDF drift at 1M CONTINUOUS values — the
+    // operator form of the "quantize upstream" caveat, proven at soak
+    // shape: the corpus table is GRID-bounded (≤ range/step cells, here
+    // 2000, forever — a raw ecdfTable would carry ~1M distinct doubles),
+    // and the 1% probe against the frozen table is bit-identical to the
+    // full two-sample recompute over combined quantized rows. The probe
+    // pays O(batch + |grid|); only the recompute (the checker, not the
+    // monitor) re-touches the corpus.
+    val contVals = spark.range(nDocs).select(
+      (pmod(xxhash64(col("id")), lit(100000)).cast("double") / 1000.0)
+        .as("value")).cache()
+    val step = 0.05
+    val ecdfQ = time("quantized ecdf table (step 0.05)")({
+      val q = ops.Drift.quantizedEcdfTable(contVals, "value", step)
+        .localCheckpoint()
+      val cells = q.count()
+      assert(cells <= (100.0 / step).toLong + 1,
+        s"quantized ecdf: $cells cells exceeds the grid bound")
+      println(s"[soak] quantized ecdf cells $cells (grid bound ${(100.0 / step).toLong + 1})")
+      q
+    })
+    time("incremental KS+W1 drift (1% batch)")({
+      val batch = spark.range(nDocs / 100).select(
+        (pmod(xxhash64(col("id") + 7 * nDocs), lit(100000)).cast("double")
+          / 1000.0 + 2.5).as("value")) // shifted arrivals
+        .localCheckpoint()
+      val ks = ops.Drift.incrementalKsQuantized(ecdfQ, batch, "value",
+        step).head()
+      val w1 = ops.Drift.incrementalWassersteinQuantized(ecdfQ, batch,
+        "value", step).head()
+      // probe ≡ recompute, bit for bit (the incremental-family contract)
+      val combined = contVals.withColumn("a", lit(true))
+        .unionByName(batch.withColumn("a", lit(false)))
+        .select(ops.Drift.quantize(col("value"), step).as("value"), col("a"))
+      val dks = ops.Drift.ksTest(combined, "value", col("a")).head()
+      val dw1 = ops.Drift.wasserstein1(combined, "value", col("a")).head()
+      assert(ks.getAs[Double]("d_stat") == dks.getAs[Double]("d_stat") &&
+        ks.getAs[Double]("at_value") == dks.getAs[Double]("at_value"),
+        s"incremental KS probe != recompute: $ks vs $dks")
+      assert(w1.getAs[Double]("w1") == dw1.getAs[Double]("w1"),
+        s"incremental W1 probe != recompute: $w1 vs $dw1")
+      println(f"[soak] drift d=${ks.getAs[Double]("d_stat")}%.4f " +
+        f"w1=${w1.getAs[Double]("w1")}%.4f (probe == recompute)")
+    })
+    contVals.unpersist()
+
+    // round-12: MaxSim late-interaction at soak scale — the q194/q200
+    // work-bound argument, asserted: the per-term dot table is DISTINCT
+    // CORPUS TOKENS × query terms (vocab-bounded — the synthetic vocab
+    // is 10k words), never docs × terms, so retrieval work is
+    // O(vocab·terms + doc-token pairs), not corpus² — the same fan-out
+    // guard shape as the PPJoin candidate bound.
+    time("maxsim route + topk (3 topics)")({
+      val topics = Map(
+        "alpha" -> Seq("w11", "w222", "w3333"),
+        "beta" -> Seq("w44", "w555"),
+        "gamma" -> Seq("w6666", "w77"))
+      val nTerms = topics.valuesIterator.map(_.size).sum
+      val distinctToks = docs.select(
+        explode(split(col("text"), " ")).as("w")).distinct().count()
+      assert(distinctToks <= 10000L,
+        s"maxsim: $distinctToks distinct tokens exceeds the 10k vocab")
+      val dotRows = distinctToks * nTerms
+      assert(dotRows <= 10000L * nTerms,
+        s"maxsim: dot table $dotRows rows exceeds vocab x terms bound")
+      println(s"[soak] maxsim dot table $dotRows rows " +
+        s"(= $distinctToks tokens x $nTerms terms; docs=$nDocs)")
+      val routed = Retrieval.maxSimRoute(docs, "doc_id", "text", topics)
+      assert(routed.count() == nDocs,
+        "maxsim route must assign every document exactly once")
+      val top = Retrieval.maxSimTopK(docs, "doc_id", "text",
+        topics("alpha"), k = 10)
+      assert(top.count() == 10, "maxsim topk must return k rows")
+    })
+
     spark.stop()
   }
 }

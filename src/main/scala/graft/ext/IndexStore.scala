@@ -160,4 +160,60 @@ object IndexStore {
     (spark.read.parquet(s"$path/seg"),
       spark.read.parquet(s"$path/corpus"), k)
   }
+
+  /** Persist a drift-monitor ECDF count table
+    * ([[graft.ops.Drift.ecdfTable]] / `quantizedEcdfTable`) WITH its
+    * grid step — the step is part of the probe contract (every batch
+    * must snap to the same grid), so a cold-start monitor must never
+    * have to guess it. No hive partitioning: every probe merges the
+    * WHOLE table (a two-sample test reads both full ECDFs), and the
+    * table is grid- or distinct-value-bounded, so there is nothing to
+    * prune and nothing oversized. `step = None` marks a raw
+    * (unquantized) table.
+    */
+  def writeEcdfTable(counts: DataFrame, path: String,
+      step: Option[Double] = None): Unit = {
+    counts.write.mode("overwrite").parquet(s"$path/counts")
+    counts.sparkSession.range(1)
+      .select(lit(step.getOrElse(Double.NaN)).as("step"))
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Reload a persisted ECDF reference: (count table, grid step —
+    * `None` = raw values). Feed straight to
+    * [[graft.ops.Drift.incrementalKs]] / `incrementalKsQuantized` (and
+    * the Wasserstein twins) or the ST23 streaming monitor.
+    */
+  def loadEcdfTable(spark: SparkSession,
+      path: String): (DataFrame, Option[Double]) = {
+    val s = spark.read.parquet(s"$path/meta").head().getAs[Double]("step")
+    (spark.read.parquet(s"$path/counts"),
+      if (java.lang.Double.isNaN(s)) None else Some(s))
+  }
+
+  /** Persist a PSI reference bucket table (`(bucket, n_ref)`) WITH the
+    * threshold ladder that defines its buckets — the thresholds are the
+    * other half of the [[graft.ops.Drift.psiAgainstReference]] contract
+    * (a probe bucketing by a different ladder compares apples to
+    * oranges), so they ride along for cold starts (ST20 from a fresh
+    * session).
+    */
+  def writePsiReference(refBuckets: DataFrame, thresholds: Seq[Long],
+      path: String): Unit = {
+    refBuckets.write.mode("overwrite").parquet(s"$path/buckets")
+    import refBuckets.sparkSession.implicits._
+    thresholds.zipWithIndex.map { case (t, i) => (i, t) }
+      .toDF("pos", "threshold")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Reload a persisted PSI reference: (bucket table, threshold ladder
+    * in original order).
+    */
+  def loadPsiReference(spark: SparkSession,
+      path: String): (DataFrame, Seq[Long]) = {
+    val ts = spark.read.parquet(s"$path/meta")
+      .orderBy("pos").collect().map(_.getAs[Long]("threshold")).toSeq
+    (spark.read.parquet(s"$path/buckets"), ts)
+  }
 }

@@ -219,13 +219,63 @@ object Drift {
     * one `(v, cnt)` row per distinct value — the corpus pays its raw
     * aggregation once; probes never touch the raw rows again. At
     * continuous-valued 100 TB the distinct-value table can itself be
-    * large — quantize the value upstream (a fixed grid) if the ECDF
-    * table must stay compact; the probe is exact for whatever value
-    * resolution the table carries.
+    * large — use [[quantizedEcdfTable]] (a fixed grid) to bound it; the
+    * probe is exact for whatever value resolution the table carries.
     */
   def ecdfTable(df: DataFrame, valueCol: String): DataFrame =
     df.select(col(valueCol).cast("double").as("v"))
       .groupBy("v").agg(count(lit(1)).as("cnt"))
+
+  /** Snap a value to the LEFT EDGE of its `step`-wide grid cell:
+    * `step · floor(v / step)` — both the corpus table and every probe
+    * batch must pass through the SAME grid (same step), and then the
+    * probe is EXACT at grid resolution: identical IEEE ops on identical
+    * inputs land every value in the same cell on every engine/executor.
+    * Left-edge (floor, not round) so a cell's representative is
+    * independent of what else lands in it.
+    */
+  def quantize(c: Column, step: Double): Column = {
+    require(step > 0 && java.lang.Double.isFinite(step),
+      s"quantize: step must be a positive finite double, got $step")
+    floor(c.cast("double") / step) * step
+  }
+
+  /** GRID-QUANTIZED corpus count table for incremental drift probes at
+    * continuous-valued scale — the operator form of [[ecdfTable]]'s
+    * "quantize upstream" caveat. At 100 TB a continuous value column has
+    * ~as many distinct doubles as rows, so the raw distinct-value table
+    * is itself corpus-sized; snapping to a fixed `step` grid bounds the
+    * table at (value range / step) rows FOREVER, independent of corpus
+    * growth. The probe contract (pinned by spec): [[incrementalKs]] /
+    * [[incrementalWasserstein]] over this table with the batch passed
+    * through [[quantize]] at the SAME step is bit-identical to the full
+    * two-sample test over combined raw rows quantized at that step —
+    * i.e. the only approximation is the grid itself, stated up front,
+    * never a probe-side artifact.
+    */
+  def quantizedEcdfTable(df: DataFrame, valueCol: String,
+      step: Double): DataFrame =
+    df.select(quantize(col(valueCol), step).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("cnt"))
+
+  /** [[incrementalKs]] against a [[quantizedEcdfTable]] — the batch is
+    * snapped to the same grid before probing (the exactness contract
+    * requires one shared step).
+    */
+  def incrementalKsQuantized(corpusCounts: DataFrame, batch: DataFrame,
+      valueCol: String, step: Double, nBuckets: Int = 256): DataFrame =
+    incrementalKs(corpusCounts,
+      batch.select(quantize(col(valueCol), step).as("v")), "v", nBuckets)
+
+  /** [[incrementalWasserstein]] against a [[quantizedEcdfTable]] — same
+    * shared-grid contract; W₁ is then the drift magnitude measured at
+    * grid resolution (cell-edge distances).
+    */
+  def incrementalWassersteinQuantized(corpusCounts: DataFrame,
+      batch: DataFrame, valueCol: String, step: Double,
+      nBuckets: Int = 256): DataFrame =
+    incrementalWasserstein(corpusCounts,
+      batch.select(quantize(col(valueCol), step).as("v")), "v", nBuckets)
 
   /** INCREMENTAL two-sample KS — the drift member of the incremental
     * ingest family: the arriving batch (cohort B) is tested against the

@@ -115,4 +115,52 @@ class IndexStoreSpec extends SparkSpec {
       rows(Dedup.jaccardSimilarityJoin(
         built.append(batch, "doc_id", "text"), 1, 2))
   }
+
+  test("ecdf store: load ≡ build for the KS/W1 probes; step rides along") {
+    import graft.ops.Drift
+    val rnd = new scala.util.Random(41)
+    val corpusVals = (0 until 600).map(_ => rnd.nextDouble() * 30.0)
+    val step = 0.2
+    val built = Drift.quantizedEcdfTable(
+      corpusVals.toDF("value"), "value", step)
+    val dir = java.nio.file.Files.createTempDirectory("idx_ecdf_").toString
+    IndexStore.writeEcdfTable(built, dir, Some(step))
+    val (loaded, loadedStep) = IndexStore.loadEcdfTable(spark, dir)
+    loadedStep shouldBe Some(step)
+    val batch = (0 until 90).map(_ => rnd.nextDouble() * 30.0 + 4.0)
+      .toDF("value")
+    Drift.incrementalKsQuantized(loaded, batch, "value", step)
+      .head() shouldBe
+      Drift.incrementalKsQuantized(built, batch, "value", step).head()
+    Drift.incrementalWassersteinQuantized(loaded, batch, "value", step)
+      .head() shouldBe
+      Drift.incrementalWassersteinQuantized(built, batch, "value", step)
+        .head()
+    // raw (unquantized) tables round-trip with step = None
+    val rawDir = java.nio.file.Files.createTempDirectory("idx_ecdf2_")
+      .toString
+    IndexStore.writeEcdfTable(
+      Drift.ecdfTable(corpusVals.toDF("value"), "value"), rawDir)
+    IndexStore.loadEcdfTable(spark, rawDir)._2 shouldBe None
+  }
+
+  test("psi store: bucket table + threshold ladder round-trip, probe ≡ build") {
+    import graft.ops.Drift
+    val thresholds = Seq(10L, 40L, 70L)
+    val corpus = (0L until 200L).map(i => i % 100L).toDF("v")
+    val refBuckets = corpus
+      .select(Drift.bucketOf(col("v"), thresholds).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_ref"))
+    val dir = java.nio.file.Files.createTempDirectory("idx_psi_").toString
+    IndexStore.writePsiReference(refBuckets, thresholds, dir)
+    val (loadedRef, loadedTs) = IndexStore.loadPsiReference(spark, dir)
+    loadedTs shouldBe thresholds
+    val batch = (0L until 50L).map(i => 60L + i % 40L).toDF("v")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    rows(Drift.psiAgainstReference(loadedRef, batch,
+      Drift.bucketOf(col("v"), loadedTs))) shouldBe
+      rows(Drift.psiAgainstReference(refBuckets, batch,
+        Drift.bucketOf(col("v"), thresholds)))
+  }
 }

@@ -228,6 +228,42 @@ class ScaleOpsSpec extends SparkSpec {
     incW.getAs[Double]("w1") shouldBe directW.getAs[Double]("w1")
   }
 
+  test("quantizedEcdfTable: bounded size; probe ≡ full test at grid resolution") {
+    val rnd = new scala.util.Random(31)
+    // genuinely continuous values — ~every double distinct
+    val corpusRows = (0 until 2000).map(_ => rnd.nextDouble() * 40.0)
+    val batchRows = (0 until 300).map(_ => rnd.nextDouble() * 40.0 + 3.0)
+    val step = 0.5
+    val q = graft.ops.Drift.quantizedEcdfTable(
+      corpusRows.toDF("value"), "value", step)
+    // the table is grid-bounded, not data-bounded: ≤ range/step + 1 cells
+    corpusRows.distinct.size should be > 1900 // raw table would be ~n rows
+    q.count() should be <= (40.0 / step).toLong + 1
+    // probe over the quantized table ≡ the full two-sample test over
+    // combined raw rows quantized at the SAME grid — bit for bit
+    val inc = graft.ops.Drift.incrementalKsQuantized(q,
+      batchRows.toDF("value"), "value", step, nBuckets = 7).head()
+    val combined = (corpusRows.map((_, true)) ++ batchRows.map((_, false)))
+      .toDF("value", "a")
+      .select(graft.ops.Drift.quantize(col("value"), step).as("value"),
+        col("a"))
+    val direct = graft.ops.Drift.ksTest(combined, "value", col("a"),
+      nBuckets = 13).head()
+    inc.getAs[Double]("d_stat") shouldBe direct.getAs[Double]("d_stat")
+    inc.getAs[Double]("at_value") shouldBe direct.getAs[Double]("at_value")
+    val incW = graft.ops.Drift.incrementalWassersteinQuantized(q,
+      batchRows.toDF("value"), "value", step, nBuckets = 7).head()
+    val directW = graft.ops.Drift.wasserstein1(combined, "value",
+      col("a"), nBuckets = 13).head()
+    incW.getAs[Double]("w1") shouldBe directW.getAs[Double]("w1")
+    // the grid really is the only approximation: the quantized KS is
+    // within one cell's mass of the raw-value KS on this smooth data
+    val rawD = graft.ops.Drift.ksTest(
+      (corpusRows.map((_, true)) ++ batchRows.map((_, false)))
+        .toDF("value", "a"), "value", col("a")).head().getAs[Double]("d_stat")
+    math.abs(inc.getAs[Double]("d_stat") - rawD) should be < 0.05
+  }
+
   test("psiTerms detects a shifted distribution with positive PSI") {
     // Cohort A concentrated low, cohort B high: both buckets drift.
     val df = ((0 until 90).map(i => (10L, true)) ++

@@ -676,6 +676,51 @@ class EventStreamsSpec extends SparkSpec {
     psiOf(shifted) should be > 1.0
   }
 
+  test("ST23 streaming KS/W1 drift: stream ≡ batch probes, shift moves both") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Drift
+    // frozen quantized corpus table over continuous values
+    val rnd = new scala.util.Random(37)
+    val corpusVals = (0 until 500).map(_ => rnd.nextDouble() * 50.0)
+    val step = 0.25
+    val corpus = Drift.quantizedEcdfTable(
+      corpusVals.toDF("value"), "value", step).localCheckpoint()
+    def probe(vals: Seq[Double], ids0: Long): (Double, Double) = {
+      val rows = vals.zipWithIndex.map { case (v, i) =>
+        Ev(ids0 + i, i % 5, "view",
+          new Timestamp(1700000000000L + i), v, "{}")
+      }
+      val mem = MemoryStream[Ev]
+      mem.addData(rows)
+      val got = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+      val q = EventStreams.ecdfDriftOnArrival(mem.toDF(), corpus,
+        "value", step = Some(step)) { out =>
+        got.synchronized {
+          got ++= out.collect().map(r =>
+            (r.getAs[Double]("d_stat"), r.getAs[Double]("w1")))
+        }
+      }
+      q.processAllAvailable()
+      q.stop()
+      got should have size 1
+      // stream ≡ batch kernels, bit for bit
+      val bks = Drift.incrementalKsQuantized(corpus, rows.toDF(),
+        "value", step).head().getAs[Double]("d_stat")
+      val bw1 = Drift.incrementalWassersteinQuantized(corpus, rows.toDF(),
+        "value", step).head().getAs[Double]("w1")
+      got.head shouldBe ((bks, bw1))
+      got.head
+    }
+    // corpus-shaped arrival: small D, small W1
+    val (dSame, wSame) =
+      probe((0 until 200).map(_ => rnd.nextDouble() * 50.0), 1000L)
+    // shifted arrival: both statistics move
+    val (dShift, wShift) =
+      probe((0 until 200).map(_ => rnd.nextDouble() * 50.0 + 10.0), 2000L)
+    dShift should be > dSame
+    wShift should be > wSame + 5.0 // ~the 10-unit shift, minus overlap slack
+  }
+
   test("ST21 streaming topic routing: arrivals route like the batch kernel") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ext.Retrieval
