@@ -894,6 +894,62 @@ class EventStreamsSpec extends SparkSpec {
     cells.distinct.length shouldBe cells.length
   }
 
+  test("ST24 tws sessionization: data-closed + timer-closed ≡ batch gap-split") {
+    implicit val sqlCtx = spark.sqlContext
+    val gapUs = 600000000L // 10 minutes
+    // user 1: two sessions ([0,5] closed by data when 30 arrives; [30,35]
+    // closed by TIMER once the watermark passes 35+gap); user 2: two
+    // single-event sessions ([2] data-closed by 40; [40] timer-closed)
+    val evs = Seq(
+      Ev(1, 1, "a", t(0), 1.0, "{}"), Ev(2, 1, "a", t(5), 2.0, "{}"),
+      Ev(3, 2, "a", t(2), 5.0, "{}"),
+      Ev(4, 1, "a", t(30), 3.0, "{}"), Ev(5, 1, "a", t(35), 4.0, "{}"),
+      Ev(6, 2, "a", t(40), 6.0, "{}"))
+    // transformWithState timers need the RocksDB state store (the ST4c
+    // setup)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val name = s"sess_${System.nanoTime()}"
+    try {
+      val mem = MemoryStream[Ev]
+      val q = EventStreams.gapSessionsOnArrival(mem.toDF(), gapUs)
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .start()
+      mem.addData(evs.take(3)); q.processAllAvailable()
+      mem.addData(evs.drop(3)); q.processAllAvailable()
+      // sentinel far in the future advances the watermark past every open
+      // session's (last + gap) expiry — the TIMER path must flush them
+      mem.addData(Seq(Ev(99, 99, "a", t(100000), 0.0, "{}")))
+      q.processAllAvailable()
+      q.stop()
+    } finally {
+      prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
+    val got = spark.table(name)
+      .filter(col("user_id") =!= 99)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    // batch reference: gap-split sessions over the same events
+    def us(ts: Timestamp): Long = ts.getTime * 1000L
+    val expected = evs.groupBy(_.user_id).flatMap { case (uid, es) =>
+      val sorted = es.sortBy(e => us(e.ts))
+      val sessions = sorted.foldLeft(List.empty[List[Ev]]) {
+        case (acc, e) => acc match {
+          case cur :: rest if us(e.ts) - us(cur.last.ts) <= gapUs =>
+            (cur :+ e) :: rest
+          case _ => List(e) :: acc
+        }
+      }
+      sessions.map(s => (uid, us(s.head.ts), us(s.last.ts), s.size.toLong,
+        s.map(_.value).sum))
+    }.toSet
+    got shouldBe expected
+    got should have size 4 // user 1: [0,5], [30,35]; user 2: [2], [40]
+  }
+
   test("ST5: unreadable existing target fails the batch, never wipes it") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("st5bad").toString
