@@ -403,4 +403,82 @@ object Containers {
     }
     Frame(w, h, px)
   }
+
+  // -------------------------------------------------------------- JPEG
+
+  /** Serialize a grayscale frame as a real LOSSY JPEG (ITU T.81 baseline
+    * DCT) via the JDK ImageIO codec at the given quality. Unlike every
+    * format above, `decodeJpeg(jpegBytes(f)) != f` in general — which is
+    * the point: the perceptual-hash family's whole contract is that a
+    * LOSSY re-encode still matches its original within a small Hamming
+    * radius while unrelated images stay far, and only a genuinely lossy
+    * container can demonstrate it. No arithmetic DuckDB twin is possible
+    * (the DCT quantization isn't reasonably SQL-mirrorable), so this
+    * codec is SPEC-owned: `ContainersSpec` pins bounded per-pixel error
+    * and `MultimodalSpec` pins the aHash-survives-JPEG property.
+    */
+  def jpegBytes(f: Frame, quality: Float = 0.9f): Array[Byte] = {
+    require(f.width > 0 && f.height > 0, "jpegBytes: empty frame")
+    require(quality > 0f && quality <= 1f,
+      s"jpegBytes: quality in (0, 1], got $quality")
+    val img = new java.awt.image.BufferedImage(
+      f.width, f.height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < f.height) {
+      var x = 0
+      while (x < f.width) {
+        val v = f.pixels(y * f.width + x)
+        require(v >= 0 && v <= 255, s"jpegBytes: pixel $v outside [0, 255]")
+        raster.setSample(x, y, 0, v)
+        x += 1
+      }
+      y += 1
+    }
+    val it = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg")
+    require(it.hasNext, "jpegBytes: no JPEG writer available")
+    val writer = it.next()
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  /** Decode a grayscale JPEG. Same loud-failure contract as
+    * [[decodePng]]: SOI marker required, single-band 8-bit enforced.
+    */
+  def decodeJpeg(bytes: Array[Byte]): Frame = {
+    require(bytes.length > 2 && (bytes(0) & 0xff) == 0xff &&
+      (bytes(1) & 0xff) == 0xd8, "decodeJpeg: missing SOI marker")
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "decodeJpeg: no reader accepted the stream")
+    val raster = img.getRaster
+    require(raster.getNumBands == 1 && raster.getSampleModel
+      .getSampleSize(0) == 8,
+      s"decodeJpeg: need 8-bit single-band gray, got ${raster.getNumBands} " +
+        s"bands x ${raster.getSampleModel.getSampleSize(0)} bits")
+    val w = img.getWidth
+    val h = img.getHeight
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        px(y * w + x) = raster.getSample(x, y, 0)
+        x += 1
+      }
+      y += 1
+    }
+    Frame(w, h, px)
+  }
 }

@@ -120,6 +120,34 @@ class ContainersSpec extends AnyFunSuite with Matchers {
     Containers.bmpBytes(flat).length should be > 4096
   }
 
+  test("jpeg: genuinely lossy but bounded error on smooth content") {
+    // smooth gradient: baseline DCT at q=0.9 stays within a few units
+    val w = 40; val h = 32
+    val f = Frame(w, h, Array.tabulate(w * h)(i =>
+      ((i % w) * 3 + (i / w) * 2) % 200))
+    val bytes = Containers.jpegBytes(f, 0.9f)
+    // real JFIF on the wire: SOI marker
+    (bytes(0) & 0xff) shouldBe 0xff
+    (bytes(1) & 0xff) shouldBe 0xd8
+    val back = Containers.decodeJpeg(bytes)
+    back.width shouldBe w
+    back.height shouldBe h
+    val maxErr = f.pixels.zip(back.pixels).map {
+      case (a, b) => math.abs(a - b)
+    }.max
+    maxErr should be > 0 // lossy — a PNG-style exact round-trip would be
+    maxErr should be <= 24 // ...but bounded: the content survives
+  }
+
+  test("jpeg: bad magic and foreign containers rejected loudly") {
+    val good = Containers.jpegBytes(Frame(8, 8, Array.fill(64)(128)))
+    val badMagic = good.clone(); badMagic(0) = 0
+    an[IllegalArgumentException] should be thrownBy
+      Containers.decodeJpeg(badMagic)
+    an[IllegalArgumentException] should be thrownBy
+      Containers.decodeJpeg(Containers.pngBytes(Frame(2, 2, Array.fill(4)(1))))
+  }
+
   test("png: bad signature and foreign containers rejected loudly") {
     val good = Containers.pngBytes(Frame(4, 4, Array.fill(16)(7)))
     val badMagic = good.clone(); badMagic(0) = 'Q'.toByte

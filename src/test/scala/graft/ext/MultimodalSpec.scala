@@ -140,6 +140,46 @@ class MultimodalSpec extends SparkSpec {
     got.count { case (a, b, _) => a == b } should be >= 15
   }
 
+  test("aHash survives a real LOSSY JPEG re-encode; unrelated images stay far") {
+    // The perceptual-hash contract only a lossy container can prove:
+    // smooth deterministic images re-encoded as baseline JPEG (q=0.85)
+    // must still hash within a small Hamming radius of their original,
+    // while independent images stay tens of bits apart. The decode
+    // rides the same mapPartitions frameHashes path as PNG/BMP.
+    val w = 40; val h = 32
+    def img(seed: Long) = Multimodal.Frame(w, h, Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      (((x * (3 + seed % 5) + y * (2 + seed % 3)) + seed * 37) % 200).toInt
+    })
+    val ids = (1L to 20L)
+    val orig = ids.map(i =>
+      MediaRow(i, graft.ext.Containers.pngBytes(img(i)))).toDS()
+    val jpeg = ids.map(i =>
+      MediaRow(i, graft.ext.Containers.jpegBytes(img(i), 0.85f))).toDS()
+    val hOrig = frameHashes(orig, Seq(0),
+      decode = graft.ext.Containers.decodePng)
+      .collect().map(f => f.media_id -> f.ph).toMap
+    val hJpeg = frameHashes(jpeg, Seq(0),
+      decode = graft.ext.Containers.decodeJpeg)
+      .collect().map(f => f.media_id -> f.ph).toMap
+    // every JPEG re-encode matches its own original within radius 8
+    ids.foreach { i =>
+      withClue(s"image $i: ") { dist(hOrig(i), hJpeg(i)) should be <= 8 }
+    }
+    // ...and the probe machinery finds the matches: each jpeg arrival
+    // hits its original through the band join at radius 8
+    val corpusSig = frameHashes(orig, Seq(0),
+      decode = graft.ext.Containers.decodePng).toDF()
+    val hits = incrementalPhashPairs(corpusSig, jpeg, maxDist = 8,
+      frame = 0, decode = graft.ext.Containers.decodeJpeg)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    ids.foreach(i => hits should contain((i, i)))
+    // unrelated pairs: median cross-distance stays in the tens of bits
+    val cross = for { a <- ids; b <- ids; if a < b }
+      yield dist(hOrig(a), hOrig(b))
+    cross.sorted.apply(cross.size / 2) should be >= 16
+  }
+
   test("voiceActivity ≡ driver islands over audioChunks; runs ordered and disjoint") {
     val univ = (1L to 15L).map(i =>
       MediaRow(i, (s"audio payload $i " * (i.toInt % 5 + 2)).getBytes("UTF-8"))).toDS()
