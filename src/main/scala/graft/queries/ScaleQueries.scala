@@ -769,7 +769,95 @@ object ScaleQueries {
          FROM tm, t GROUP BY 1, 2"""),
   )
 
+  /** Q205 [X]: QUANTIZED incremental KS
+    * (`ops/Drift.quantizedEcdfTable` + `incrementalKsQuantized`) — the
+    * grid-bounded form of q201 for continuous values at 100 TB: corpus
+    * and batch snap to the LEFT EDGE of a shared 0.25-wide grid, so the
+    * frozen count table is ≤ range/step cells forever. `step = 0.25` is
+    * a POWER OF TWO on purpose: v/0.25, floor, and ·0.25 are all exact
+    * IEEE operations, so the cell values are bit-identical across
+    * engines by construction (not merely by both running the same op
+    * sequence). The twin quantizes in SQL and replays the q201 windowed
+    * form — the hash match proves probe ≡ full recompute AT GRID
+    * RESOLUTION, the contract the spec pins in miniature.
+    */
+  val q205 = OracleQuery(
+    "q205_quantized_ks",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val step = 0.25
+      val corpus = graft.ops.Drift.quantizedEcdfTable(
+        ev.filter(col("event_type") === "click"), "value", step)
+        .localCheckpoint() // the frozen, grid-bounded corpus structure
+      graft.ops.Drift.incrementalKsQuantized(corpus,
+        ev.filter(col("event_type") === "purchase"), "value", step)
+    },
+    Some("""WITH v AS (SELECT floor(value / 0.25) * 0.25 AS v,
+                     CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a
+                   FROM events WHERE event_type IN ('purchase', 'click')),
+              pv AS (SELECT v, CAST(sum(a) AS BIGINT) AS ca,
+                     CAST(sum(1 - a) AS BIGINT) AS cb
+                   FROM v GROUP BY 1),
+              t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+                     CAST(sum(cb) AS BIGINT) AS nb FROM pv),
+              c AS (SELECT v,
+                     sum(ca) OVER (ORDER BY v) AS cuma,
+                     sum(cb) OVER (ORDER BY v) AS cumb
+                   FROM pv),
+              dd AS MATERIALIZED (SELECT v,
+                     abs(CAST(cuma AS DOUBLE) / t.na -
+                         CAST(cumb AS DOUBLE) / t.nb) AS dv
+                   FROM c, t),
+              m AS (SELECT max(dv) AS mx FROM dd)
+         SELECT t.na AS n_a, t.nb AS n_b,
+                round(m.mx, 6) + 0.0 AS d_stat,
+                (SELECT min(v) FROM dd WHERE dv = m.mx) AS at_value
+         FROM t, m"""),
+  )
+
+  /** Q206 [X]: QUANTIZED incremental Wasserstein-1 — the same frozen
+    * grid table as q205 serves the magnitude statistic (one persisted
+    * structure, both probes, as q201/q202): W₁ measured at grid
+    * resolution, interval terms now cell-edge distances (multiples of
+    * the exact 0.25 step).
+    */
+  val q206 = OracleQuery(
+    "q206_quantized_wasserstein",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val step = 0.25
+      val corpus = graft.ops.Drift.quantizedEcdfTable(
+        ev.filter(col("event_type") === "click"), "value", step)
+        .localCheckpoint()
+      graft.ops.Drift.incrementalWassersteinQuantized(corpus,
+        ev.filter(col("event_type") === "purchase"), "value", step)
+    },
+    Some("""WITH v AS (SELECT floor(value / 0.25) * 0.25 AS v,
+                     CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a
+                   FROM events WHERE event_type IN ('purchase', 'click')),
+              pv AS (SELECT v, CAST(sum(a) AS BIGINT) AS ca,
+                     CAST(sum(1 - a) AS BIGINT) AS cb
+                   FROM v GROUP BY 1),
+              t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+                     CAST(sum(cb) AS BIGINT) AS nb FROM pv),
+              c AS (SELECT v,
+                     sum(ca) OVER (ORDER BY v) AS cuma,
+                     sum(cb) OVER (ORDER BY v) AS cumb,
+                     row_number() OVER (ORDER BY v) AS rv
+                   FROM pv),
+              dd AS MATERIALIZED (SELECT v, rv,
+                     abs(CAST(cuma AS DOUBLE) / t.na -
+                         CAST(cumb AS DOUBLE) / t.nb) AS dv
+                   FROM c, t),
+              tm AS (SELECT CAST(round(a.dv * (b.v - a.v), 9)
+                       AS DECIMAL(38,12)) AS tt
+                   FROM dd a JOIN dd b ON b.rv = a.rv + 1)
+         SELECT t.na AS n_a, t.nb AS n_b,
+                round(CAST(coalesce(sum(tt), 0) AS DOUBLE), 6) + 0.0 AS w1
+         FROM tm, t GROUP BY 1, 2"""),
+  )
+
   val all: Seq[OracleQuery] =
     Seq(q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q133,
-      q136, q175, q178, q193, q197, q198, q199, q201, q202)
+      q136, q175, q178, q193, q197, q198, q199, q201, q202, q205, q206)
 }
