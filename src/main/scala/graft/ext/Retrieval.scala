@@ -393,6 +393,156 @@ object Retrieval {
     * so neither engine re-associates the product before the division —
     * last-ulp double drift at the round-9 boundary is an ordering flip).
     */
+  /** PSEUDO-RELEVANCE-FEEDBACK query expansion (the RM3 family:
+    * Lavrenko & Croft 2001 relevance models; Abdul-Jaleel et al. 2004):
+    * run the seed BM25 query, treat its top `kFb` documents as
+    * relevant, mine the `mExp` highest relevance-weighted terms from
+    * them — weight(t) = Σ over feedback docs of (tf(t,d)/dl(d)) ·
+    * score(d), the relevance-model estimate — and re-score the corpus
+    * with seed ∪ expansion terms (seed weight 1, expansion terms their
+    * mined weights). The recall move a single literal term list cannot
+    * make: documents phrased in the feedback docs' vocabulary surface
+    * even when they share no seed term.
+    *
+    * Scale shape: the (id, token) relation materializes ONCE and serves
+    * all four consumers (doc lengths, both scoring passes, the feedback
+    * mine — the GramIndex discipline); each scoring pass restricts to
+    * the term table BEFORE grouping so tf/df aggregates shuffle only
+    * matching rows; the feedback mine touches `kFb` documents' tokens;
+    * the expansion rank's global window runs over the feedback docs'
+    * vocabulary (kFb docs' distinct terms — bounded by feedback size,
+    * never the corpus). Float discipline: every cross-row sum is
+    * round(9) → DECIMAL; mined weights round(6) before reuse so the
+    * rescore consumes identical doubles on both engines; rankings
+    * tiebreak on term / doc id.
+    */
+  def prfExpandedBm25(docs: DataFrame, idCol: String, textCol: String,
+      seedTerms: Seq[String], kFb: Int, mExp: Int, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(seedTerms.nonEmpty && kFb > 0 && mExp > 0 && k > 0,
+      "prfExpandedBm25: seedTerms, kFb, mExp, k must all be non-empty/positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tok = docs.select(col(idCol),
+      explode(Dedup.tokens(col(textCol))).as("w"))
+      .localCheckpoint() // four consumers — materialize the narrow pass once
+    val dl = tok.groupBy(idCol).agg(count(lit(1)).as("dl"))
+      .localCheckpoint() // three consumers (both scorings + the mine)
+    val avgdl = dl.agg(avg(col("dl")).as("avgdl"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+
+    // BM25 over a WEIGHTED term table (w, wt): per-term contribution
+    // wt · idf · tfNorm, round(9) → DECIMAL, per-doc sum, round(6).
+    def scoreTerms(terms: DataFrame): DataFrame = {
+      val tf = tok.join(broadcast(terms), "w")
+        .groupBy(col(idCol), col("w"), col("wt"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      val idf = log(lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      val tfNorm = col("tf") * (lit(k1) + 1.0) /
+        (col("tf") + lit(k1) *
+          (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+      tf.join(broadcast(dfreq), "w")
+        .join(dl, idCol)
+        .crossJoin(broadcast(avgdl)).crossJoin(broadcast(nDocs))
+        .select(col(idCol),
+          round(col("wt") * idf * tfNorm, 9).cast("decimal(28,9)").as("c"))
+        .groupBy(idCol)
+        .agg(round(sum(col("c")).cast("double"), 6).as("score"))
+    }
+
+    val seedDf = seedTerms.toDF("w").withColumn("wt", lit(1.0))
+    val fb = scoreTerms(seedDf)
+      .orderBy(desc("score"), col(idCol)).limit(kFb)
+      .localCheckpoint() // the feedback set feeds the mining join
+    val expansion = tok
+      .join(broadcast(fb), idCol)
+      .groupBy(col(idCol), col("w"), col("score"))
+      .agg(count(lit(1)).as("tf"))
+      .join(dl, idCol)
+      .select(col("w"),
+        round(col("tf") / col("dl") * col("score"), 9)
+          .cast("decimal(28,9)").as("c"))
+      .groupBy("w")
+      .agg(round(sum(col("c")).cast("double"), 6).as("wt"))
+      .filter(!col("w").isin(seedTerms: _*) && length(col("w")) > 2)
+      // bounded window: the feedback docs' vocabulary, never the corpus
+      .withColumn("__r",
+        row_number().over(Window.orderBy(desc("wt"), col("w"))))
+      .filter(col("__r") <= mExp)
+      .select(col("w"), col("wt"))
+    scoreTerms(seedDf.unionByName(expansion))
+      .orderBy(desc("score"), col(idCol)).limit(k)
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(desc("score"), col(idCol))))
+  }
+
+  /** DuckDB twin of [[prfExpandedBm25]] — the same three phases with the
+    * same round(9)→DECIMAL / round(6) float discipline; multi-referenced
+    * CTEs MATERIALIZED (DuckDB inlines them otherwise).
+    */
+  def prfOracleSql(seedTerms: Seq[String], kFb: Int, mExp: Int, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): String = {
+    val termList =
+      seedTerms.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
+    def contrib(tf: String, df: String) =
+      s"""CAST(round(wt *
+            ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+            (($tf * ($k1 + 1.0)) /
+             ($tf + $k1 * (1.0 - $b + $b * dl.dl / ad.avgdl))), 9)
+          AS DECIMAL(28,9))"""
+    s"""WITH tok AS MATERIALIZED (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents),
+            dl AS MATERIALIZED (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+              FROM tok GROUP BY doc_id),
+            ad AS (SELECT avg(dl) AS avgdl FROM dl),
+            nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+            tf1 AS (SELECT doc_id, w, 1.0 AS wt,
+                     CAST(count(*) AS BIGINT) AS tf
+                   FROM tok WHERE w IN ($termList) GROUP BY 1, 2, 3),
+            df1 AS (SELECT w, CAST(count(*) AS BIGINT) AS df
+                   FROM tf1 GROUP BY 1),
+            c1 AS (SELECT doc_id, ${contrib("tf", "df")} AS c
+                   FROM tf1 JOIN df1 USING (w) JOIN dl USING (doc_id), ad, nd),
+            fb AS MATERIALIZED (
+              SELECT doc_id, round(CAST(sum(c) AS DOUBLE), 6) AS score,
+                     row_number() OVER (
+                       ORDER BY round(CAST(sum(c) AS DOUBLE), 6) DESC,
+                       doc_id) AS r
+              FROM c1 GROUP BY doc_id QUALIFY r <= $kFb),
+            ftf AS (SELECT fb.doc_id, tok.w, fb.score,
+                     CAST(count(*) AS BIGINT) AS tf
+                   FROM tok JOIN fb USING (doc_id) GROUP BY 1, 2, 3),
+            ewc AS (SELECT w, CAST(round(tf / dl.dl * score, 9)
+                     AS DECIMAL(28,9)) AS c
+                   FROM ftf JOIN dl USING (doc_id)),
+            exp_terms AS MATERIALIZED (
+              SELECT w, round(CAST(sum(c) AS DOUBLE), 6) AS wt
+              FROM ewc
+              WHERE w NOT IN ($termList) AND length(w) > 2
+              GROUP BY 1
+              QUALIFY row_number() OVER (
+                ORDER BY round(CAST(sum(c) AS DOUBLE), 6) DESC, w) <= $mExp),
+            terms AS (SELECT w, 1.0 AS wt
+                      FROM (SELECT unnest([$termList]) AS w)
+                      UNION ALL SELECT w, wt FROM exp_terms),
+            tf2 AS (SELECT doc_id, tok.w, t.wt,
+                     CAST(count(*) AS BIGINT) AS tf
+                   FROM tok JOIN terms t USING (w) GROUP BY 1, 2, 3),
+            df2 AS (SELECT w, CAST(count(*) AS BIGINT) AS df
+                   FROM tf2 GROUP BY 1),
+            c2 AS (SELECT doc_id, ${contrib("tf", "df")} AS c
+                   FROM tf2 JOIN df2 USING (w) JOIN dl USING (doc_id), ad, nd)
+       SELECT doc_id, round(CAST(sum(c) AS DOUBLE), 6) AS score,
+              CAST(row_number() OVER (
+                ORDER BY round(CAST(sum(c) AS DOUBLE), 6) DESC, doc_id)
+                AS INTEGER) AS rnk
+       FROM c2 GROUP BY doc_id QUALIFY rnk <= $k"""
+  }
+
   def bm25OracleSql(queryTerms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): String = {
     val termList =

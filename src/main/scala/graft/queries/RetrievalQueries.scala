@@ -877,8 +877,25 @@ object RetrievalQueries {
     Some(Retrieval.maxSimRouteSql(routeTopics)),
   )
 
+  /** Q207 [X]: pseudo-relevance-feedback query expansion
+    * ([[graft.ext.Retrieval.prfExpandedBm25]], the RM3 family) — seed
+    * BM25 run → top-5 feedback docs → 5 relevance-weighted expansion
+    * terms → weighted re-score, all three phases in one plan. The twin
+    * replays the identical phases (mined weights rounded before reuse,
+    * term/id tiebreaks at every rank) — the hash match certifies the
+    * data-dependent expansion TERM SET matched too, not just the final
+    * scores.
+    */
+  val q207 = OracleQuery(
+    "q207_prf_expansion",
+    (s, d) => Retrieval.prfExpandedBm25(
+      Tables.documents(s, d), "doc_id", "text", Bm25Terms,
+      kFb = 5, mExp = 5, k = 10),
+    Some(Retrieval.prfOracleSql(Bm25Terms, kFb = 5, mExp = 5, k = 10)),
+  )
+
   val all: Seq[OracleQuery] =
     Seq(q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98,
       q99, q100, q101, q102, q151, q152, q155, q161, q162, q168, q169,
-      q183, q194, q196, q200)
+      q183, q194, q196, q200, q207)
 }

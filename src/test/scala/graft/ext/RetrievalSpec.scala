@@ -80,6 +80,36 @@ class RetrievalSpec extends SparkSpec {
     novel(50L) shouldBe exp0 +- 1e-9
   }
 
+  test("prfExpandedBm25: expansion retrieves docs sharing NO seed term") {
+    // "alpha" docs consistently co-occur with "bridge"; doc 10 has only
+    // "bridge" — invisible to the seed query, reachable via expansion.
+    val corpus = Seq(
+      (0L, "alpha bridge common common"),
+      (1L, "alpha bridge common filler"),
+      (2L, "alpha bridge extra filler"),
+      (10L, "bridge bridge other words"),
+      (11L, "unrelated noise tokens here"),
+      (12L, "more unrelated noise text")
+    ).toDF("doc_id", "text")
+    val seedOnly = Retrieval.bm25TopK(corpus, "doc_id", "text",
+      Seq("alpha"), k = 10).collect().map(_.getLong(0)).toSet
+    seedOnly shouldBe Set(0L, 1L, 2L) // doc 10 invisible to the seed
+    val expanded = Retrieval.prfExpandedBm25(corpus, "doc_id", "text",
+      Seq("alpha"), kFb = 3, mExp = 2, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    // "bridge" (in every feedback doc) gets mined; doc 10 now surfaces
+    expanded.map(_._1) should contain(10L)
+    // the unrelated docs share neither seed nor expansion vocabulary...
+    expanded.map(_._1) should contain noneOf(11L, 12L)
+    // ...and ranks are a clean 1..n on the (score desc, id) order
+    expanded.sortBy(_._3).map(_._3).toSeq shouldBe (1 to expanded.length)
+    // deterministic: a second run returns the identical table
+    Retrieval.prfExpandedBm25(corpus, "doc_id", "text",
+      Seq("alpha"), kFb = 3, mExp = 2, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+      .toSeq shouldBe expanded.toSeq
+  }
+
   test("bm25TopK: a doc saturated in one term scores below one matching both") {
     val top = Retrieval.bm25TopK(docs, "doc_id", "text",
       Seq("spark", "merge"), k = 1).collect()
