@@ -478,6 +478,103 @@ object Retrieval {
         row_number().over(Window.orderBy(desc("score"), col(idCol))))
   }
 
+  /** HARD-NEGATIVE MINING for dense-retriever training (the BM25-
+    * negatives recipe of Karpukhin et al. 2020, DPR): for every named
+    * query, rank the corpus by BM25 and slice the rank band BELOW the
+    * presumed positives — ranks 1..pPos are treated as positives (what
+    * a bi-encoder trains to retrieve) and ranks pPos+1..pPos+kNeg are
+    * the hard negatives (lexically close enough to fool BM25, labeled
+    * non-relevant) — the examples that actually move a contrastive
+    * retriever, where random negatives are trivially separable. Output
+    * one row per (topic, mined negative): (topic, idCol, score, rnk)
+    * with rnk the topic-local BM25 rank.
+    *
+    * Scale shape: ALL queries score in one plan — tf restricts to the
+    * broadcast (topic, term) list before grouping (only matching
+    * (doc, topic, term) rows shuffle); df is per (topic, term) over
+    * matching docs; the per-topic ranking is `row_number ≤ pPos+kNeg`
+    * over a topic-partitioned window, which Spark plans as a partial
+    * WindowGroupLimit BEFORE the exchange — only (pPos+kNeg)·topics
+    * rows cross the wire, never the scored corpus.
+    */
+  def hardNegatives(docs: DataFrame, idCol: String, textCol: String,
+      topics: Map[String, Seq[String]], pPos: Int, kNeg: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(topics.nonEmpty && topics.values.forall(_.nonEmpty) &&
+      pPos >= 0 && kNeg > 0,
+      "hardNegatives: topics non-empty, pPos >= 0, kNeg > 0")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tok = docs.select(col(idCol),
+      explode(Dedup.tokens(col(textCol))).as("w"))
+    val dl = tok.groupBy(idCol).agg(count(lit(1)).as("dl"))
+    val avgdl = dl.agg(avg(col("dl")).as("avgdl"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val terms = topics.toSeq.flatMap { case (t, ws) => ws.map(t -> _) }
+      .toDF("topic", "w")
+    val tf = tok.join(broadcast(terms), "w")
+      .groupBy(col(idCol), col("topic"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("topic", "w").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfNorm = col("tf") * (lit(k1) + 1.0) /
+      (col("tf") + lit(k1) *
+        (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+    tf.join(broadcast(dfreq), Seq("topic", "w"))
+      .join(dl, idCol)
+      .crossJoin(broadcast(avgdl)).crossJoin(broadcast(nDocs))
+      .select(col("topic"), col(idCol),
+        round(idf * tfNorm, 9).cast("decimal(28,9)").as("c"))
+      .groupBy("topic", idCol)
+      .agg(round(sum(col("c")).cast("double"), 6).as("score"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("topic").orderBy(desc("score"), col(idCol))))
+      .filter(col("rnk") > pPos && col("rnk") <= pPos + kNeg)
+      .select(col("topic"), col(idCol), col("score"), col("rnk"))
+  }
+
+  /** DuckDB twin of [[hardNegatives]] — same per-topic scoring and rank
+    * band; topics ride a VALUES list (the q200 twin form).
+    */
+  def hardNegativesSql(topics: Map[String, Seq[String]], pPos: Int,
+      kNeg: Int, k1: Double = 1.2, b: Double = 0.75): String = {
+    val pairs = topics.toSeq.sortBy(_._1).flatMap { case (t, ws) =>
+      ws.map(w => s"('${t.replace("'", "''")}', '${w.replace("'", "''")}')")
+    }.mkString(", ")
+    s"""WITH tok AS MATERIALIZED (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents),
+            dl AS MATERIALIZED (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+              FROM tok GROUP BY doc_id),
+            ad AS (SELECT avg(dl) AS avgdl FROM dl),
+            nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+            q AS (SELECT * FROM (VALUES $pairs) v(topic, w)),
+            tf AS (SELECT doc_id, q.topic, tok.w,
+                     CAST(count(*) AS BIGINT) AS tf
+                   FROM tok JOIN q USING (w) GROUP BY 1, 2, 3),
+            dfq AS (SELECT topic, w, CAST(count(*) AS BIGINT) AS df
+                   FROM tf GROUP BY 1, 2),
+            c AS (SELECT tf.topic, doc_id,
+                     CAST(round(
+                       ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+                       ((tf * ($k1 + 1.0)) /
+                        (tf + $k1 * (1.0 - $b + $b * dl.dl / ad.avgdl))), 9)
+                       AS DECIMAL(28,9)) AS c
+                   FROM tf JOIN dfq USING (topic, w)
+                   JOIN dl USING (doc_id), ad, nd),
+            s AS (SELECT topic, doc_id,
+                     round(CAST(sum(c) AS DOUBLE), 6) AS score
+                   FROM c GROUP BY 1, 2),
+            r AS (SELECT topic, doc_id, score,
+                     CAST(row_number() OVER (PARTITION BY topic
+                       ORDER BY score DESC, doc_id) AS INTEGER) AS rnk
+                   FROM s)
+       SELECT topic, doc_id, score, rnk
+       FROM r WHERE rnk > $pPos AND rnk <= ${pPos + kNeg}"""
+  }
+
   /** DuckDB twin of [[prfExpandedBm25]] — the same three phases with the
     * same round(9)→DECIMAL / round(6) float discipline; multi-referenced
     * CTEs MATERIALIZED (DuckDB inlines them otherwise).

@@ -894,8 +894,29 @@ object RetrievalQueries {
     Some(Retrieval.prfOracleSql(Bm25Terms, kFb = 5, mExp = 5, k = 10)),
   )
 
+  /** Q208 [X]: hard-negative mining
+    * ([[graft.ext.Retrieval.hardNegatives]], the DPR BM25-negatives
+    * recipe) — per named query, the BM25 rank band just below the
+    * presumed positives: lexically-close non-relevant documents, the
+    * examples that actually train a contrastive retriever. Two queries
+    * mined in one plan; per-topic ranks via the scale-safe partial
+    * WindowGroupLimit.
+    */
+  val q208 = OracleQuery(
+    "q208_hard_negatives",
+    (s, d) => Retrieval.hardNegatives(
+      Tables.documents(s, d), "doc_id", "text",
+      Map("analytics" -> Seq("spark", "shuffle"),
+        "storage" -> Seq("merge", "sort")),
+      pPos = 3, kNeg = 7),
+    Some(Retrieval.hardNegativesSql(
+      Map("analytics" -> Seq("spark", "shuffle"),
+        "storage" -> Seq("merge", "sort")),
+      pPos = 3, kNeg = 7)),
+  )
+
   val all: Seq[OracleQuery] =
     Seq(q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98,
       q99, q100, q101, q102, q151, q152, q155, q161, q162, q168, q169,
-      q183, q194, q196, q200, q207)
+      q183, q194, q196, q200, q207, q208)
 }

@@ -110,6 +110,30 @@ class RetrievalSpec extends SparkSpec {
       .toSeq shouldBe expanded.toSeq
   }
 
+  test("hardNegatives: the rank band below the positives, per topic") {
+    // topic "x": docs 0,1 dominate (both terms), docs 2,3 match weakly
+    val corpus = Seq(
+      (0L, "spark spark shuffle shuffle pad"),
+      (1L, "spark shuffle pad pad pad"),
+      (2L, "spark pad pad pad pad"),
+      (3L, "shuffle pad pad pad pad"),
+      (4L, "nothing relevant here at all")
+    ).toDF("doc_id", "text")
+    val mined = Retrieval.hardNegatives(corpus, "doc_id", "text",
+      Map("x" -> Seq("spark", "shuffle")), pPos = 2, kNeg = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(3)))
+    // positives (ranks 1-2: the dominating docs) are EXCLUDED; the band
+    // holds only the lexically-close weak matchers; non-matchers absent
+    mined.map(_._2).toSet shouldBe Set(2L, 3L)
+    mined.map(_._3).toSet shouldBe Set(3, 4)
+    // full ranking cross-check: the band is exactly ranks p+1..p+k of
+    // the topic's BM25 order
+    val full = Retrieval.bm25TopK(corpus, "doc_id", "text",
+      Seq("spark", "shuffle"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+    mined.foreach { case (_, id, rnk) => full(id) shouldBe rnk }
+  }
+
   test("bm25TopK: a doc saturated in one term scores below one matching both") {
     val top = Retrieval.bm25TopK(docs, "doc_id", "text",
       Seq("spark", "merge"), k = 1).collect()
