@@ -95,6 +95,132 @@ object Packing {
     * bounded by k — the interpreted per-group lambda touches k elements,
     * never the corpus. Output: groupCol, `n_items`, `packed`.
     */
+  /** T5 SPAN-CORRUPTION example generation (the Raffel et al. 2020
+    * denoising objective): per document, drop token spans and emit the
+    * training pair — input with numbered `<extra_id_k>` sentinels in
+    * the spans' places, target = each sentinel followed by its dropped
+    * tokens, in order. Spans are DETERMINISTIC AND BLOCK-LOCAL instead
+    * of sequentially sampled: positions partition into fixed
+    * `blockLen` blocks, and each block corrupts one `spanLen` span at
+    * offset `md5-hash(doc, block) mod (blockLen − spanLen + 1)` — no
+    * overlap BY CONSTRUCTION (the property a sequential sampler needs a
+    * scan to enforce), corruption rate exactly spanLen/blockLen on full
+    * blocks, and every choice replays bit-for-bit in SQL (the q33/q57
+    * deterministic-codec discipline). A span landing past a short
+    * tail block corrupts fewer (or zero) tokens — a block gets a
+    * sentinel only if it actually dropped something, on both engines.
+    *
+    * Scale shape: one posexplode, narrow per-token flags (all codegen
+    * arithmetic on the md5 token hash), sentinel numbering a
+    * doc-partitioned window over corrupted BLOCKS (≤ len/blockLen rows
+    * per doc), and two per-doc string assemblies (sort-by-key inside a
+    * doc-bounded collect_list — documents are the parallel unit).
+    * Output: (idCol, input_text, target_text, n_sentinels, n_dropped).
+    */
+  def spanCorrupt(docs: DataFrame, idCol: String, textCol: String,
+      blockLen: Int = 20, spanLen: Int = 3): DataFrame = {
+    require(spanLen > 0 && blockLen > spanLen,
+      s"spanCorrupt: need blockLen > spanLen > 0, got $blockLen/$spanLen")
+    val tok = docs
+      .select(col(idCol), posexplode(Dedup.tokens(col(textCol)))
+        .as(Seq("pos", "w")))
+      .withColumn("blk", (col("pos") / blockLen).cast("long"))
+      .withColumn("sstart", col("blk") * blockLen +
+        graft.ext.TextHash.tokenHash(concat(col(idCol).cast("string"),
+          lit(":"), col("blk").cast("string"))) %
+          (blockLen - spanLen + 1))
+      .withColumn("corrupt",
+        col("pos") >= col("sstart") && col("pos") < col("sstart") + spanLen)
+      .localCheckpoint() // three consumers: sentinels, input, target
+    val sent = tok.filter(col("corrupt"))
+      .groupBy(col(idCol), col("blk"), col("sstart"))
+      .agg(count(lit(1)).as("n_drop"))
+      .withColumn("k", row_number().over(
+        Window.partitionBy(idCol).orderBy("blk")) - 1)
+      .withColumn("sentinel",
+        concat(lit("<extra_id_"), col("k").cast("string"), lit(">")))
+      .localCheckpoint() // three consumers: input, target, counts
+    def assemble(pieces: DataFrame, out: String): DataFrame =
+      pieces.groupBy(idCol).agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("sk"), col("piece")))),
+            x => x.getField("piece")),
+          " ").as(out))
+    val input = assemble(
+      tok.filter(!col("corrupt"))
+        .select(col(idCol), (col("pos") * 2).as("sk"), col("w").as("piece"))
+        .unionByName(sent.select(col(idCol), (col("sstart") * 2).as("sk"),
+          col("sentinel").as("piece"))),
+      "input_text")
+    val target = assemble(
+      tok.filter(col("corrupt"))
+        .select(col(idCol), (col("pos") * 2 + 1).as("sk"),
+          col("w").as("piece"))
+        .unionByName(sent.select(col(idCol), (col("sstart") * 2).as("sk"),
+          col("sentinel").as("piece"))),
+      "target_text")
+    val counts = sent.groupBy(idCol)
+      .agg(count(lit(1)).as("n_sentinels"), sum("n_drop").as("n_dropped"))
+    input
+      .join(target, Seq(idCol), "left")
+      .join(counts, Seq(idCol), "left")
+      .select(col(idCol), col("input_text"),
+        coalesce(col("target_text"), lit("")).as("target_text"),
+        coalesce(col("n_sentinels"), lit(0L)).as("n_sentinels"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+  }
+
+  /** DuckDB twin of [[spanCorrupt]] — the zipped unnest +
+    * generate_subscripts positional form, the shared md5 token hash,
+    * and `string_agg(… ORDER BY sk)` for the assemblies.
+    */
+  def spanCorruptSql(blockLen: Int = 20, spanLen: Int = 3): String = {
+    val hash = graft.ext.TextHash.tokenHashSql(
+      "CAST(doc_id AS VARCHAR) || ':' || CAST(pos // " + blockLen +
+        " AS VARCHAR)")
+    s"""WITH tok AS MATERIALIZED (
+              SELECT doc_id, w, CAST(p - 1 AS BIGINT) AS pos FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                       generate_subscripts(string_split(text, ' '), 1) AS p
+                FROM documents)),
+            c AS MATERIALIZED (
+              SELECT doc_id, pos, w, pos // $blockLen AS blk,
+                     (pos // $blockLen) * $blockLen +
+                       ($hash % ${blockLen - spanLen + 1}) AS sstart
+              FROM tok),
+            cc AS MATERIALIZED (
+              SELECT *, pos >= sstart AND pos < sstart + $spanLen AS corrupt
+              FROM c),
+            sent AS MATERIALIZED (
+              SELECT doc_id, blk, sstart, CAST(count(*) AS BIGINT) AS n_drop,
+                     '<extra_id_' ||
+                       (row_number() OVER (PARTITION BY doc_id
+                          ORDER BY blk) - 1) || '>' AS sentinel
+              FROM cc WHERE corrupt GROUP BY 1, 2, 3),
+            ip AS (SELECT doc_id, pos * 2 AS sk, w AS piece
+                   FROM cc WHERE NOT corrupt
+                   UNION ALL
+                   SELECT doc_id, sstart * 2, sentinel FROM sent),
+            tp AS (SELECT doc_id, pos * 2 + 1 AS sk, w AS piece
+                   FROM cc WHERE corrupt
+                   UNION ALL
+                   SELECT doc_id, sstart * 2, sentinel FROM sent),
+            inp AS (SELECT doc_id, string_agg(piece, ' ' ORDER BY sk)
+                      AS input_text FROM ip GROUP BY 1),
+            tgt AS (SELECT doc_id, string_agg(piece, ' ' ORDER BY sk)
+                      AS target_text FROM tp GROUP BY 1),
+            ns AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sentinels,
+                     CAST(sum(n_drop) AS BIGINT) AS n_dropped
+                   FROM sent GROUP BY 1)
+       SELECT i.doc_id, i.input_text,
+              coalesce(t.target_text, '') AS target_text,
+              coalesce(ns.n_sentinels, 0) AS n_sentinels,
+              coalesce(ns.n_dropped, 0) AS n_dropped
+       FROM inp i LEFT JOIN tgt t USING (doc_id)
+       LEFT JOIN ns USING (doc_id)"""
+  }
+
   def topKConcat(df: DataFrame, groupCol: String, order: Seq[Column],
       payload: Column, k: Int, sep: String): DataFrame = {
     val w = Window.partitionBy(groupCol).orderBy(order: _*)

@@ -1247,9 +1247,25 @@ object TrainQueries {
          FROM sp LEFT JOIN agg USING (source_a, source_b)"""),
   )
 
+  /** Q209 [X]: T5 span-corruption example generation
+    * ([[graft.ext.Packing.spanCorrupt]]) — the denoising-objective
+    * training pairs: input with `<extra_id_k>` sentinels, target =
+    * sentinels + dropped spans. Block-local deterministic spans (md5
+    * offset per (doc, block), no overlap by construction) make every
+    * choice — span placement, sentinel numbering, both string
+    * assemblies — SQL-replayable; the hash match certifies the full
+    * example text on both sides.
+    */
+  val q209 = OracleQuery(
+    "q209_span_corrupt",
+    (s, d) => graft.ext.Packing.spanCorrupt(
+      Tables.documents(s, d), "doc_id", "text"),
+    Some(graft.ext.Packing.spanCorruptSql()),
+  )
+
   val all: Seq[OracleQuery] =
     Seq(q41, q42, q42b, q43, q44, q45, q46, q47, q48, q49, q50,
       q53, q54, q55, q56, q57, q120, q121, q122, q123, q124, q125, q126,
       q127, q128, q129, q130, q131, q132, q134, q137, q138, q140, q141,
-      q142, q153, q154, q163, q165, q166, q167)
+      q142, q153, q154, q163, q165, q166, q167, q209)
 }

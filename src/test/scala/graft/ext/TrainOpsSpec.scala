@@ -244,6 +244,44 @@ class TrainOpsSpec extends SparkSpec {
     out(11L) shouldBe 1L
   }
 
+  test("spanCorrupt: lossless round-trip — splicing targets back restores the doc") {
+    val docs = Seq(
+      (1L, (0 until 47).map(i => s"t$i").mkString(" ")), // 2 full + 1 tail block
+      (2L, "a b c"),                                     // shorter than one span window
+      (3L, (0 until 20).map(i => s"u$i").mkString(" "))  // exactly one block
+    ).toDF("doc_id", "text")
+    val out = Packing.spanCorrupt(docs, "doc_id", "text",
+      blockLen = 10, spanLen = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getLong(3), r.getLong(4))).toMap
+    val original = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { case (id, (input, target, nSent, nDrop)) =>
+      // the denoising contract: replacing each sentinel in the input by
+      // its target span reconstructs the original token stream exactly
+      val spans = target.split(" ").filter(_.nonEmpty)
+        .foldLeft(List.empty[(String, List[String])]) {
+        case (acc, t) if t.startsWith("<extra_id_") => (t, Nil) :: acc
+        case ((s0, ts) :: rest, t) => (s0, t :: ts) :: rest
+        case (Nil, t) => fail(s"target starts without a sentinel: $t")
+      }.map { case (s0, ts) => s0 -> ts.reverse.mkString(" ") }.toMap
+      val restored = input.split(" ").map(t => spans.getOrElse(t, t))
+        .filter(_.nonEmpty).mkString(" ")
+      withClue(s"doc $id: ") {
+        restored shouldBe original(id)
+        nSent shouldBe spans.size.toLong
+        nDrop shouldBe target.split(" ").filter(_.nonEmpty)
+          .count(!_.startsWith("<extra_id_"))
+        // sentinels are densely numbered 0..n-1 in input order
+        val sents = input.split(" ").filter(_.startsWith("<extra_id_"))
+        sents.toSeq shouldBe (0 until nSent.toInt).map(k => s"<extra_id_$k>")
+      }
+    }
+    // full blocks corrupt exactly spanLen tokens each: doc 3 has one
+    // 10-token... 20-token doc = 2 blocks of 10 -> 2 sentinels, 6 dropped
+    out(3L)._3 shouldBe 2L
+    out(3L)._4 shouldBe 6L
+  }
+
   test("qualityFlags: each rule fires independently; keep = all pass") {
     val docs = Seq(
       (1L, "short doc"), // S (2 tokens)
