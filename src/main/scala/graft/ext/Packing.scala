@@ -221,6 +221,65 @@ object Packing {
        LEFT JOIN ns USING (doc_id)"""
   }
 
+  /** FILL-IN-THE-MIDDLE transformation (Bavarian et al. 2022, the
+    * infilling objective code models train on): split each document's
+    * token sequence at two deterministic cut points and emit the PSM
+    * rearrangement `<PRE> prefix <SUF> suffix <MID> middle` — the model
+    * learns to produce the middle given both sides. Cuts are md5-derived
+    * per document (c1 uniform over [0, n], c2 uniform over [c1, n]), so
+    * the twin replays them exactly; empty segments are legal (a cut at
+    * the edge) and round-trip as empty slices on both engines.
+    *
+    * Scale shape: a PURE PER-ROW PROJECTION — split, two hashes, three
+    * `slice`s, one `array_join`, all inside whole-stage codegen; no
+    * explode, no shuffle, nothing but the scan. The 100 TB form of this
+    * operator is exactly this plan.
+    */
+  def fimTransform(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val arr = Dedup.tokens(col(textCol))
+    val n = size(arr)
+    val h1 = graft.ext.TextHash.tokenHash(
+      concat(col(idCol).cast("string"), lit(":p")))
+    val h2 = graft.ext.TextHash.tokenHash(
+      concat(col(idCol).cast("string"), lit(":m")))
+    val c1 = h1 % (n + 1)
+    val c2 = c1 + h2 % (n - c1 + 1)
+    val prefix = slice(arr, lit(1), c1)
+    val middle = slice(arr, c1 + 1, c2 - c1)
+    val suffix = slice(arr, c2 + 1, n - c2)
+    docs.select(col(idCol),
+      array_join(concat(
+        array(lit("<PRE>")), prefix,
+        array(lit("<SUF>")), suffix,
+        array(lit("<MID>")), middle), " ").as("fim_text"),
+      c1.cast("long").as("n_prefix"),
+      (c2 - c1).cast("long").as("n_middle"),
+      (n - c2).cast("long").as("n_suffix"))
+  }
+
+  /** DuckDB twin of [[fimTransform]] — list slicing (1-based inclusive,
+    * `l[1:0]` legally empty) and `||` list concatenation.
+    */
+  def fimOracleSql(): String = {
+    val h1 = graft.ext.TextHash.tokenHashSql(
+      "CAST(doc_id AS VARCHAR) || ':p'")
+    val h2 = graft.ext.TextHash.tokenHashSql(
+      "CAST(doc_id AS VARCHAR) || ':m'")
+    s"""WITH b AS (SELECT doc_id, string_split(text, ' ') AS l,
+                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+                  FROM documents),
+            c AS (SELECT doc_id, l, n, $h1 % (n + 1) AS c1 FROM b),
+            d AS (SELECT doc_id, l, n, c1,
+                    c1 + $h2 % (n - c1 + 1) AS c2 FROM c)
+       SELECT doc_id,
+              array_to_string(
+                ['<PRE>'] || l[1:c1] || ['<SUF>'] || l[c2+1:n] ||
+                ['<MID>'] || l[c1+1:c2], ' ') AS fim_text,
+              c1 AS n_prefix, c2 - c1 AS n_middle, n - c2 AS n_suffix
+       FROM d"""
+  }
+
   def topKConcat(df: DataFrame, groupCol: String, order: Seq[Column],
       payload: Column, k: Int, sep: String): DataFrame = {
     val w = Window.partitionBy(groupCol).orderBy(order: _*)

@@ -1263,9 +1263,23 @@ object TrainQueries {
     Some(graft.ext.Packing.spanCorruptSql()),
   )
 
+  /** Q210 [X]: fill-in-the-middle transformation
+    * ([[graft.ext.Packing.fimTransform]]) — the PSM infilling
+    * rearrangement at two md5-derived cut points, a pure per-row
+    * codegen projection (no explode, no shuffle). The twin replays the
+    * cuts with list slicing; the hash match certifies the full
+    * rearranged text and all three segment lengths.
+    */
+  val q210 = OracleQuery(
+    "q210_fim_transform",
+    (s, d) => graft.ext.Packing.fimTransform(
+      Tables.documents(s, d), "doc_id", "text"),
+    Some(graft.ext.Packing.fimOracleSql()),
+  )
+
   val all: Seq[OracleQuery] =
     Seq(q41, q42, q42b, q43, q44, q45, q46, q47, q48, q49, q50,
       q53, q54, q55, q56, q57, q120, q121, q122, q123, q124, q125, q126,
       q127, q128, q129, q130, q131, q132, q134, q137, q138, q140, q141,
-      q142, q153, q154, q163, q165, q166, q167, q209)
+      q142, q153, q154, q163, q165, q166, q167, q209, q210)
 }

@@ -282,6 +282,37 @@ class TrainOpsSpec extends SparkSpec {
     out(3L)._4 shouldBe 6L
   }
 
+  test("fimTransform: PSM reassembly restores the doc; plan has no exchange") {
+    val docs = Seq(
+      (1L, (0 until 31).map(i => s"t$i").mkString(" ")),
+      (2L, "solo"),
+      (3L, (0 until 8).map(i => s"u$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val fim = Packing.fimTransform(docs, "doc_id", "text")
+    val original = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    fim.collect().foreach { r =>
+      val (id, text) = (r.getLong(0), r.getString(1))
+      val (np, nm, ns) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      // parse <PRE> p... <SUF> s... <MID> m... and reassemble p+m+s
+      val pre = text.indexOf("<PRE>"); val suf = text.indexOf("<SUF>")
+      val mid = text.indexOf("<MID>")
+      (pre, suf > pre, mid > suf) shouldBe ((0, true, true))
+      def seg(from: Int, until: Int) =
+        text.substring(from, until).trim.split(" ").filter(_.nonEmpty)
+      val p = seg(pre + 5, suf); val sfx = seg(suf + 5, mid)
+      val m = seg(mid + 5, text.length)
+      withClue(s"doc $id: ") {
+        (p ++ m ++ sfx).mkString(" ") shouldBe original(id)
+        (p.length.toLong, m.length.toLong, sfx.length.toLong) shouldBe
+          ((np, nm, ns))
+        np + nm + ns shouldBe original(id).split(" ").length.toLong
+      }
+    }
+    // the 100 TB contract: a pure projection — no exchange in the plan
+    val plan = fim.queryExecution.executedPlan.toString()
+    plan should not include "Exchange"
+  }
+
   test("qualityFlags: each rule fires independently; keep = all pass") {
     val docs = Seq(
       (1L, "short doc"), // S (2 tokens)
