@@ -280,6 +280,70 @@ object Packing {
        FROM d"""
   }
 
+  /** PER-WINDOW DOCUMENT SEGMENTS for packed training sequences — the
+    * attention-mask boundary table: documents are laid end-to-end per
+    * group ([[packShards]] offsets) and cut into fixed `budget`-token
+    * context windows; every (window, document) overlap becomes one row
+    * with the document's token span INSIDE that window. This is the
+    * table a trainer needs to mask cross-document attention and to
+    * place BOS/EOS — `is_doc_start`/`is_doc_end` mark whether the
+    * document's true boundaries fall in this window (a straddling doc
+    * continues from/into a neighbor window).
+    *
+    * Scale shape: the offset is the one group-partitioned running-sum
+    * window packShards already pays; each document then fans out to
+    * exactly its windows via `sequence` + explode (a doc touches
+    * ⌈n/budget⌉+1 windows — output is O(tokens/budget), never
+    * all-pairs); the span arithmetic is pure codegen. Output: (groupCol,
+    * idCol, window_id, start_tok, end_tok, is_doc_start, is_doc_end)
+    * with [start_tok, end_tok) the within-window span.
+    */
+  def windowSegments(df: DataFrame, idCol: String, groupCol: String,
+      nTok: Column, budget: Long): DataFrame = {
+    require(budget > 0, s"windowSegments: budget > 0, got $budget")
+    val w = Window.partitionBy(groupCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(groupCol), col(idCol), nTok.cast("long").as("__n"))
+      .filter(col("__n") > 0)
+      .withColumn("__off", sum(col("__n")).over(w) - col("__n"))
+      .withColumn("window_id", explode(sequence(
+        floor(col("__off") / budget).cast("long"),
+        floor((col("__off") + col("__n") - 1) / budget).cast("long"))))
+      .select(col(groupCol), col(idCol), col("window_id"),
+        greatest(col("__off") - col("window_id") * budget, lit(0L))
+          .as("start_tok"),
+        least(col("__off") + col("__n") - col("window_id") * budget,
+          lit(budget)).as("end_tok"),
+        (col("__off") >= col("window_id") * budget).as("is_doc_start"),
+        (col("__off") + col("__n") <= (col("window_id") + 1) * budget)
+          .as("is_doc_end"))
+  }
+
+  /** DuckDB twin of [[windowSegments]] over the documents table with
+    * `nTokExpr` as the token count — cumulative-sum window +
+    * generate_series fan-out.
+    */
+  def windowSegmentsSql(groupCol: String, nTokExpr: String,
+      budget: Long): String =
+    s"""WITH d AS (SELECT $groupCol AS grp, doc_id,
+                    CAST($nTokExpr AS BIGINT) AS n
+                  FROM documents),
+            o AS (SELECT grp, doc_id, n,
+                    CAST(sum(n) OVER (PARTITION BY grp ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      - n AS BIGINT) AS off
+                  FROM d WHERE n > 0),
+            f AS (SELECT grp, doc_id, n, off,
+                    unnest(generate_series(off // $budget,
+                      (off + n - 1) // $budget)) AS window_id
+                  FROM o)
+       SELECT grp AS $groupCol, doc_id, window_id,
+              greatest(off - window_id * $budget, 0) AS start_tok,
+              least(off + n - window_id * $budget, $budget) AS end_tok,
+              off >= window_id * $budget AS is_doc_start,
+              off + n <= (window_id + 1) * $budget AS is_doc_end
+       FROM f"""
+
   def topKConcat(df: DataFrame, groupCol: String, order: Seq[Column],
       payload: Column, k: Int, sep: String): DataFrame = {
     val w = Window.partitionBy(groupCol).orderBy(order: _*)

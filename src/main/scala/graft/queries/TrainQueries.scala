@@ -1277,9 +1277,25 @@ object TrainQueries {
     Some(graft.ext.Packing.fimOracleSql()),
   )
 
+  /** Q211 [X]: per-window document segments
+    * ([[graft.ext.Packing.windowSegments]]) — the attention-mask
+    * boundary table for q140-style packed sequences: every (context
+    * window, document) overlap with its within-window token span and
+    * doc-boundary flags. Pure integer arithmetic; the twin replays the
+    * cumulative offsets and the generate_series fan-out.
+    */
+  val q211 = OracleQuery(
+    "q211_window_segments",
+    (s, d) => graft.ext.Packing.windowSegments(
+      Tables.documents(s, d), "doc_id", "source",
+      size(graft.ext.Dedup.tokens(col("text"))), budget = 512L),
+    Some(graft.ext.Packing.windowSegmentsSql(
+      "source", "len(string_split(text, ' '))", budget = 512L)),
+  )
+
   val all: Seq[OracleQuery] =
     Seq(q41, q42, q42b, q43, q44, q45, q46, q47, q48, q49, q50,
       q53, q54, q55, q56, q57, q120, q121, q122, q123, q124, q125, q126,
       q127, q128, q129, q130, q131, q132, q134, q137, q138, q140, q141,
-      q142, q153, q154, q163, q165, q166, q167, q209, q210)
+      q142, q153, q154, q163, q165, q166, q167, q209, q210, q211)
 }

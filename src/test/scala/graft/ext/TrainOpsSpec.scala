@@ -313,6 +313,38 @@ class TrainOpsSpec extends SparkSpec {
     plan should not include "Exchange"
   }
 
+  test("windowSegments: exhaustive tiling, exactly-once boundaries, straddles split") {
+    // group g: docs of 100/500/30 tokens into 256-token windows — doc 20
+    // straddles windows 0->2; doc 30 sits entirely inside window 2
+    val df = Seq((10L, "g", 100L), (20L, "g", 500L), (30L, "g", 30L),
+      (40L, "h", 600L)).toDF("id", "grp", "nt")
+    val seg = Packing.windowSegments(df, "id", "grp", $"nt", 256L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5), r.getBoolean(6)))
+    // every doc's spans sum to its token count
+    val bySpan = seg.groupBy(t => (t._1, t._2))
+      .view.mapValues(_.map(t => t._5 - t._4).sum).toMap
+    bySpan shouldBe Map(("g", 10L) -> 100L, ("g", 20L) -> 500L,
+      ("g", 30L) -> 30L, ("h", 40L) -> 600L)
+    // is_doc_start / is_doc_end fire exactly once per doc
+    seg.groupBy(t => (t._1, t._2)).foreach { case (_, rows) =>
+      rows.count(_._6) shouldBe 1
+      rows.count(_._7) shouldBe 1
+    }
+    // windows tile without overlap: within a (grp, window), spans are
+    // disjoint and ordered doc-id-consecutively
+    seg.groupBy(t => (t._1, t._3)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._4)
+      sorted.sliding(2).filter(_.length == 2).foreach { pair =>
+        pair(0)._5 should be <= pair(1)._4
+      }
+    }
+    // the straddling doc's middle window is the full budget
+    seg.find(t => t._2 == 20L && t._3 == 1L).get should matchPattern {
+      case ("g", 20L, 1L, 0L, 256L, false, false) =>
+    }
+  }
+
   test("qualityFlags: each rule fires independently; keep = all pass") {
     val docs = Seq(
       (1L, "short doc"), // S (2 tokens)
