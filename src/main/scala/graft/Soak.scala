@@ -813,6 +813,42 @@ object Soak {
       assert(top.count() == 10, "maxsim topk must return k rows")
     })
 
+    // round-12: training-prep example generators at 1M docs — span
+    // corruption (the only generator with per-doc reassembly state),
+    // FIM (pure projection — the plan IS the scale argument), and the
+    // packed-window segment table (one running-sum shuffle per group +
+    // bounded fan-out). Assertions are the row-conservation contracts.
+    time("span corruption (1M example pairs)")({
+      val sc = ext.Packing.spanCorrupt(docs, "doc_id", "text")
+      assert(sc.count() == nDocs,
+        "spanCorrupt must emit exactly one example per document")
+    })
+    time("fim transform (1M example pairs)")({
+      val f = ext.Packing.fimTransform(docs, "doc_id", "text")
+      val r = f.agg(count(lit(1)),
+        sum(col("n_prefix") + col("n_middle") + col("n_suffix"))).head()
+      assert(r.getLong(0) == nDocs, "fim must emit one row per doc")
+      val totTok = docs.select(sum(size(split(col("text"), " "))))
+        .head().getLong(0)
+      assert(r.getLong(1) == totTok,
+        s"fim segment lengths ${r.getLong(1)} != corpus tokens $totTok")
+    })
+    time("window segments (2048-token windows, 64 groups)")({
+      val seg = ext.Packing.windowSegments(
+        docs.select(col("doc_id"), (col("doc_id") % 64).as("grp"),
+          size(split(col("text"), " ")).as("nt")),
+        "doc_id", "grp", col("nt"), 2048L)
+      val r = seg.agg(sum(col("end_tok") - col("start_tok")),
+        sum(col("is_doc_start").cast("long")),
+        sum(col("is_doc_end").cast("long"))).head()
+      val totTok = docs.select(sum(size(split(col("text"), " "))))
+        .head().getLong(0)
+      assert(r.getLong(0) == totTok,
+        s"segment spans ${r.getLong(0)} != corpus tokens $totTok")
+      assert(r.getLong(1) == nDocs && r.getLong(2) == nDocs,
+        "doc boundaries must fire exactly once per document")
+    })
+
     spark.stop()
   }
 }
