@@ -44,7 +44,30 @@ object GraftFunctions {
         "(use array_sort + filter(x -> x is not null) first)", ""),
     (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1)))
 
-  val all: Seq[FunctionDescription] = Seq(dotDescription, intersectDescription)
+  val hilbertDescription: FunctionDescription = (
+    FunctionIdentifier("graft_hilbert"),
+    new ExpressionInfo(classOf[HilbertIndex].getName, null, "graft_hilbert",
+      "graft_hilbert(x, y, order) - Hilbert-curve index of 2-D cell " +
+        "(x, y), both in [0, 2^order); order must be a literal in " +
+        "[1, 31]", ""),
+    (children: Seq[Expression]) => {
+      require(children.length == 3, "graft_hilbert takes (x, y, order)")
+      val order = children(2) match {
+        case lit if lit.foldable && lit.eval() != null =>
+          lit.eval() match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case other => throw new IllegalArgumentException(
+              s"graft_hilbert: order must be an integer literal, got $other")
+          }
+        case _ => throw new IllegalArgumentException(
+          "graft_hilbert: order must be a foldable literal")
+      }
+      HilbertIndex(children(0), children(1), order)
+    })
+
+  val all: Seq[FunctionDescription] =
+    Seq(dotDescription, intersectDescription, hilbertDescription)
 
   /** Register every graft function into an existing session's registry. */
   def register(spark: SparkSession): Unit =

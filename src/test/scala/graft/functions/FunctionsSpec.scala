@@ -36,6 +36,23 @@ class FunctionsSpec extends SparkSpec {
       .as[Double].head() shouldBe 11.0
   }
 
+  test("graft_hilbert registers as a SQL function; order must be literal") {
+    GraftFunctions.register(spark)
+    // matches the Column-API expression bit for bit
+    val viaSql = spark.sql(
+      "SELECT graft_hilbert(5L, 3L, 3) AS h").head().getLong(0)
+    val viaColumn = spark.range(1)
+      .select(graft.ops.StorageLayout.hilbertValue(
+        org.apache.spark.sql.functions.lit(5L),
+        org.apache.spark.sql.functions.lit(3L), order = 3))
+      .head().getLong(0)
+    viaSql shouldBe viaColumn
+    // out-of-range coordinates fail loudly through the SQL route too
+    intercept[Exception] {
+      spark.sql("SELECT graft_hilbert(9L, 0L, 3) AS h").head()
+    }
+  }
+
   test("graft_sorted_intersect_count: merge semantics, SQL + Column routes") {
     GraftFunctions.register(spark)
     spark.sql("SELECT graft_sorted_intersect_count(array(1L, 3L, 5L, 9L), " +
