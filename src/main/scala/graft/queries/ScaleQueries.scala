@@ -857,7 +857,101 @@ object ScaleQueries {
          FROM tm, t GROUP BY 1, 2"""),
   )
 
+  /** Q212 [X layout]: shard manifest ([[graft.ops.Manifest.shardManifest]])
+    * — the dataset-card record for a rendezvous-sharded corpus: per-shard
+    * row/token/char totals, id range, and an ORDER-FREE mod-P content
+    * checksum (sum of per-row fingerprints — commutative, so parallel
+    * shard writers need no stable row order). One scan + one group-by,
+    * all codegen'd integer math; the twin replays the fingerprint
+    * arithmetic exactly (everything below 2^63 by construction).
+    */
+  val q212 = OracleQuery(
+    "q212_shard_manifest",
+    (s, d) => graft.ops.Manifest.shardManifest(
+      Tables.documents(s, d), "doc_id", "text", shards = 8),
+    Some(graft.ops.Manifest.shardManifestSql(shards = 8)),
+  )
+
+  /** Q213 [X sketch]: bottom-k (KMV) vocabulary sketch per source
+    * ([[graft.ops.Sketches.bottomK]], k = 64) — the DETERMINISTIC
+    * mergeable distinct sketch next to q24's HLL: the k smallest distinct
+    * portable token hashes per group. Distinct-before-rank makes the
+    * order total; the twin replays hash, distinct, and rank.
+    */
+  val q213 = OracleQuery(
+    "q213_bottomk_sketch",
+    (s, d) => graft.ops.Sketches.bottomK(
+      Tables.documents(s, d)
+        .select(col("source"), explode(Dedup.tokens(col("text"))).as("tok")),
+      "source", "tok", k = 64),
+    Some(s"""WITH tk AS (SELECT DISTINCT source, ${tokenHashSql("tok")} AS h
+                  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+                        FROM documents)),
+              r AS (SELECT source, h,
+                       row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+                    FROM tk)
+         SELECT source, rn, h FROM r WHERE rn <= 64"""),
+  )
+
+  /** Q214 [X incremental]: bottom-k MERGE certificate — the corpus
+    * (doc_id % 10 ≠ 0) and batch (% 10 = 0) are sketched SEPARATELY and
+    * merged in O(k) per source ([[graft.ops.Sketches.merge]]), then
+    * summarized to the KMV distinct estimate; the twin recomputes the
+    * sketch from the FULL corpus directly, so the hash match IS the
+    * `bottomK(A ∪ B) = bottomK(bottomK(A) ∪ bottomK(B))` merge law —
+    * the deterministic counterpart of the HLL union (ST22) and the
+    * twelfth member of the incremental family.
+    */
+  val q214 = OracleQuery(
+    "q214_bottomk_merge",
+    (s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(Dedup.tokens(col("text"))).as("tok"))
+      val corpus = graft.ops.Sketches.bottomK(
+        tok.filter(col("doc_id") % 10 =!= 0), "source", "tok", k = 64)
+      val batch = graft.ops.Sketches.bottomK(
+        tok.filter(col("doc_id") % 10 === 0), "source", "tok", k = 64)
+      graft.ops.Sketches.distinctEstimate(
+        graft.ops.Sketches.merge(corpus, batch, "source", k = 64),
+        "source", k = 64)
+    },
+    Some(s"""WITH tk AS (SELECT DISTINCT source, ${tokenHashSql("tok")} AS h
+                  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+                        FROM documents)),
+              r AS (SELECT source, h,
+                       row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+                    FROM tk),
+              sk AS (SELECT source, h FROM r WHERE rn <= 64),
+              a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_sketch,
+                       max(h) AS h_k
+                    FROM sk GROUP BY 1)
+         SELECT source, n_sketch, h_k,
+                round(CASE WHEN n_sketch < 64 THEN CAST(n_sketch AS DOUBLE)
+                           ELSE 6300000000.0 / CAST(h_k AS DOUBLE) END, 6)
+                  + 0.0 AS est_distinct
+         FROM a"""),
+  )
+
+  /** Q215 [X eval]: Cohen's kappa ([[graft.ops.Agreement.cohenKappa]])
+    * between two binary raters per source — the labeling-QA primitive
+    * (here the raters are the token-length and char-length gates, which
+    * correlate but disagree on ~10% of docs, so kappa sits well below
+    * raw agreement). All doubles are single divisions of exact integer
+    * cross-products — cross-engine bit parity by construction.
+    */
+  val q215 = OracleQuery(
+    "q215_rater_kappa",
+    (s, d) => graft.ops.Agreement.cohenKappa(
+      Tables.documents(s, d), "source",
+      size(split(col("text"), " ")) >= 56, col("n_chars") >= 330),
+    Some(graft.ops.Agreement.cohenKappaSql(
+      "documents", "source", "source",
+      "len(string_split(text, ' ')) >= 56", "n_chars >= 330")),
+  )
+
   val all: Seq[OracleQuery] =
     Seq(q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q133,
-      q136, q175, q178, q193, q197, q198, q199, q201, q202, q205, q206)
+      q136, q175, q178, q193, q197, q198, q199, q201, q202, q205, q206,
+      q212, q213, q214, q215)
 }

@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Bottom-k sketches, shard manifests, and rater agreement. */
+class SketchesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // 3 groups × synthetic tokens with duplicates; group g's token space is
+  // id % m_g with m_g coprime to the group stride 3, so group g holds
+  // EXACTLY m_g distinct tokens (40 / 140 / 230).
+  private lazy val elems = spark.range(0, 9000)
+    .select(
+      concat(lit("g"), (col("id") % 3)).as("grp"),
+      concat(lit("t"), (col("id") % 3), lit("-"),
+        (col("id") % when(col("id") % 3 === 0, 40)
+          .when(col("id") % 3 === 1, 140).otherwise(230))).as("tok"))
+
+  test("bottomK: k smallest distinct hashes, ranked densely") {
+    val sk = Sketches.bottomK(elems, "grp", "tok", k = 16).collect()
+    sk.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      rows.length shouldBe 16
+      val byRank = rows.sortBy(_.getInt(1))
+      byRank.map(_.getInt(1)).toSeq shouldBe (1 to 16)
+      val hs = byRank.map(_.getLong(2))
+      hs.toSeq shouldBe hs.sorted.toSeq
+      hs.distinct.length shouldBe hs.length
+    }
+  }
+
+  test("merge law: merge of split sketches == sketch of the union") {
+    val a = elems.filter(col("tok").substr(-1, 1).isin("0", "2", "4"))
+    val b = elems.filter(!col("tok").substr(-1, 1).isin("0", "2", "4"))
+    val merged = Sketches.merge(
+      Sketches.bottomK(a, "grp", "tok", 16),
+      Sketches.bottomK(b, "grp", "tok", 16), "grp", 16)
+    val full = Sketches.bottomK(elems, "grp", "tok", 16)
+    merged.exceptAll(full).count() shouldBe 0L
+    full.exceptAll(merged).count() shouldBe 0L
+  }
+
+  test("distinctEstimate: exact below k, unbiased-ish above") {
+    // g0 has 40 distinct tokens, g1 140, g2 230.
+    val est = Sketches.distinctEstimate(
+      Sketches.bottomK(elems, "grp", "tok", k = 64), "grp", k = 64)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(3))).toMap
+    est("g0")._1 shouldBe 40L
+    est("g0")._2 shouldBe 40.0 // below k → exact
+    est("g1")._1 shouldBe 64L
+    est("g2")._1 shouldBe 64L
+    // KMV relative error ~ 1/sqrt(k-1) ≈ 13%; allow 3σ.
+    math.abs(est("g1")._2 - 140.0) / 140.0 should be < 0.4
+    math.abs(est("g2")._2 - 230.0) / 230.0 should be < 0.4
+  }
+
+  test("shardManifest: order-free checksum, totals, content-sensitive") {
+    val docs = spark.range(0, 500)
+      .select(col("id").as("doc_id"),
+        concat(lit("w"), col("id") % 7, lit(" x"), col("id") % 11).as("text"))
+    val m1 = Manifest.shardManifest(docs, "doc_id", "text", shards = 4)
+    // row order must not matter
+    val m2 = Manifest.shardManifest(
+      docs.orderBy(rand(7)).repartition(13), "doc_id", "text", shards = 4)
+    m1.exceptAll(m2).count() shouldBe 0L
+    m2.exceptAll(m1).count() shouldBe 0L
+    val agg = m1.agg(sum("n_docs"), sum("n_tokens")).head
+    agg.getLong(0) shouldBe 500L
+    agg.getLong(1) shouldBe 1000L // every doc is 2 whitespace tokens
+    // a one-doc edit flips that shard's checksum
+    val edited = docs.withColumn("text",
+      when(col("doc_id") === 42, lit("tampered doc")).otherwise(col("text")))
+    val m3 = Manifest.shardManifest(edited, "doc_id", "text", shards = 4)
+    m1.join(m3, "shard")
+      .filter(m1("checksum") =!= m3("checksum")).count() shouldBe 1L
+  }
+
+  test("cohenKappa: hand-computed 2x2 contingency") {
+    // n=100: n11=40, n10=10, n01=5, n00=45 → po=0.85,
+    // pe=(50·45 + 50·55)/10000=0.5, kappa=0.35/0.5=0.7
+    val df = (Seq.fill(40)((true, true)) ++ Seq.fill(10)((true, false)) ++
+      Seq.fill(5)((false, true)) ++ Seq.fill(45)((false, false)))
+      .toDF("a", "b").withColumn("g", lit("all"))
+    val r = Agreement.cohenKappa(df, "g", col("a"), col("b")).head
+    r.getLong(1) shouldBe 100L
+    (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) shouldBe
+      ((40L, 10L, 5L, 45L))
+    r.getDouble(6) shouldBe 0.85
+    r.getDouble(7) shouldBe 0.5
+    r.getDouble(8) shouldBe 0.7
+  }
+
+  test("cohenKappa: degenerate chance-agreement-1 group yields NULL") {
+    val df = Seq.fill(10)((true, true)).toDF("a", "b")
+      .withColumn("g", lit("all"))
+    val r = Agreement.cohenKappa(df, "g", col("a"), col("b")).head
+    r.isNullAt(8) shouldBe true
+  }
+}
