@@ -849,6 +849,61 @@ object Soak {
         "doc boundaries must fire exactly once per document")
     })
 
+    // round-12: bottom-k (KMV) sketch merge law at 1M docs — the
+    // deterministic distinct sketch (q213/q214, ST25) at soak shape.
+    // The frozen corpus state is ≤ k rows PER GROUP forever; the 1%
+    // batch probe pays its own tokens plus an O(k·groups) merge, never
+    // re-reading the corpus; and unlike HLL the merged sketch must be
+    // BIT-EQUAL to a cold rebuild over the full history — asserted,
+    // with the KMV estimate checked against the exact distinct count.
+    time("bottom-k sketch merge (k=256, 16 groups)")({
+      val k = 256
+      val grpDocs = docs.select(col("doc_id"),
+        (col("doc_id") % 16).cast("string").as("grp"), col("text"))
+      def toks(df: DataFrame) =
+        df.select(col("grp"), explode(split(col("text"), " ")).as("tok"))
+      val corpusSk = ops.Sketches.bottomK(
+        toks(grpDocs.filter(col("doc_id") % 100 =!= 0)), "grp", "tok", k)
+        .localCheckpoint()
+      val skRows = corpusSk.count()
+      assert(skRows <= 16L * k,
+        s"bottom-k: corpus sketch $skRows rows exceeds k x groups")
+      val batchSk = ops.Sketches.bottomK(
+        toks(grpDocs.filter(col("doc_id") % 100 === 0)), "grp", "tok", k)
+      val merged = ops.Sketches.merge(corpusSk, batchSk, "grp", k)
+        .localCheckpoint()
+      val full = ops.Sketches.bottomK(toks(grpDocs), "grp", "tok", k)
+      assert(merged.exceptAll(full).count() == 0 &&
+        full.exceptAll(merged).count() == 0,
+        "bottom-k: streamed merge != cold rebuild (merge law broken)")
+      val exact = toks(grpDocs).distinct()
+        .groupBy("grp").agg(count(lit(1)).as("exact"))
+      val worst = ops.Sketches.distinctEstimate(merged, "grp", k)
+        .join(exact, "grp")
+        .select(max(abs(col("est_distinct") - col("exact")) /
+          col("exact"))).head().getDouble(0)
+      assert(worst < 0.25,
+        f"bottom-k: KMV estimate off by $worst%.3f (> 3 sigma for k=$k)")
+      println(f"[soak] bottom-k merge == rebuild; worst est err $worst%.3f")
+    })
+
+    // round-12: shard manifest at 1M docs — one scan + one group-by;
+    // the order-free checksum must be invariant under a repartition
+    // (parallel shard writers have no stable row order).
+    time("shard manifest (32 shards)")({
+      val m1 = ops.Manifest.shardManifest(docs, "doc_id", "text", 32)
+        .localCheckpoint()
+      assert(m1.agg(sum("n_docs")).head().getLong(0) == nDocs,
+        "manifest rows must sum to the corpus")
+      // checkpoint: m2 feeds BOTH exceptAll sides (multi-use-subplan rule)
+      val m2 = ops.Manifest.shardManifest(
+        docs.repartition(97), "doc_id", "text", 32)
+        .localCheckpoint()
+      assert(m1.exceptAll(m2).count() == 0 &&
+        m2.exceptAll(m1).count() == 0,
+        "manifest must be row-order invariant")
+    })
+
     spark.stop()
   }
 }

@@ -900,7 +900,7 @@ object ScaleQueries {
     * sketch from the FULL corpus directly, so the hash match IS the
     * `bottomK(A ∪ B) = bottomK(bottomK(A) ∪ bottomK(B))` merge law —
     * the deterministic counterpart of the HLL union (ST22) and the
-    * twelfth member of the incremental family.
+    * newest member of the incremental family.
     */
   val q214 = OracleQuery(
     "q214_bottomk_merge",

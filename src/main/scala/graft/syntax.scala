@@ -178,6 +178,17 @@ object syntax {
     def hilbertWrite(xCol: String, yCol: String, path: String,
         files: Int): Unit =
       StorageLayout.hilbertWrite(df, xCol, yCol, path, files)
+
+    // --- round-12 sugar: sketches, manifests, agreement ------------------
+    def bottomKSketch(groupCol: String, elemCol: String, k: Int): DataFrame =
+      graft.ops.Sketches.bottomK(df, groupCol, elemCol, k)
+
+    def shardManifest(idCol: String, textCol: String, shards: Int): DataFrame =
+      graft.ops.Manifest.shardManifest(df, idCol, textCol, shards)
+
+    def raterKappa(groupCol: String, raterA: Column,
+        raterB: Column): DataFrame =
+      graft.ops.Agreement.cohenKappa(df, groupCol, raterA, raterB)
   }
 
   implicit class GraftTextColumn(private val text: Column) extends AnyVal {

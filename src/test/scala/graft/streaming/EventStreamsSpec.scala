@@ -782,6 +782,50 @@ class EventStreamsSpec extends SparkSpec {
     EventStreams.distinctEstimate(spark, s"$dir/t") shouldBe streamed
   }
 
+  test("ST25 streaming bottom-k sketch: streamed merge ≡ cold rebuild bit-for-bit, replay no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    // two groups (doc_id parity), overlapping token spaces across batches
+    val b1 = (0L until 400L).map(i => ArrivingDoc(i, s"u${i % 90}"))
+    val b2 = (400L until 700L).map(i => ArrivingDoc(i, s"u${(i % 130) + 40}"))
+    val dir = java.nio.file.Files.createTempDirectory("st25_").toString
+    def withGrp(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("grp", (col("doc_id") % 2).cast("string"))
+    val mem = MemoryStream[ArrivingDoc]
+    mem.addData(b1)
+    val q1 = EventStreams.bottomKOnArrival(withGrp(mem.toDF()), "grp",
+      "text", 32, s"$dir/t", s"$dir/cp")
+    q1.awaitTermination()
+    mem.addData(b2)
+    val q2 = EventStreams.bottomKOnArrival(withGrp(mem.toDF()), "grp",
+      "text", 32, s"$dir/t", s"$dir/cp")
+    q2.awaitTermination()
+    // the merge law is exact: streamed state == one direct build over
+    // the full history (not merely estimate-equal, row-for-row equal)
+    val streamedSketch = spark.read.parquet(s"$dir/t")
+      .select("grp", "rn", "h")
+    val direct = graft.ops.Sketches.bottomK(
+      withGrp((b1 ++ b2).toDF("doc_id", "text")), "grp", "text", 32)
+    streamedSketch.exceptAll(direct).count() shouldBe 0L
+    direct.exceptAll(streamedSketch).count() shouldBe 0L
+    // the estimate reader matches a direct estimate over the same sketch
+    val est = EventStreams.bottomKDistinctEstimate(
+      spark, s"$dir/t", "grp", 32).collect()
+    est.length shouldBe 2
+    val exactByGrp = (b1 ++ b2).groupBy(_.doc_id % 2)
+      .map { case (g, docs) => g.toString -> docs.map(_.text).distinct.size }
+    est.foreach { r =>
+      val exact = exactByGrp(r.getString(0)).toDouble
+      math.abs(r.getDouble(3) - exact) / exact should be < 0.5
+    }
+    // at-least-once replay: re-merging an applied batchId is a no-op
+    EventStreams.bottomKMergeBatch(withGrp(b2.toDF("doc_id", "text")),
+      "grp", "text", 32, s"$dir/t", 1L) shouldBe false
+    // empty batch: no write, no marker advance
+    EventStreams.bottomKMergeBatch(
+      withGrp(b1.take(0).toDF("doc_id", "text")),
+      "grp", "text", 32, s"$dir/t", 99L) shouldBe false
+  }
+
   test("ST17 streaming CDC byte-delta: exact copy reports zero new bytes") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ext.Multimodal
