@@ -173,10 +173,19 @@ object IndexStore {
     */
   def writeEcdfTable(counts: DataFrame, path: String,
       step: Option[Double] = None): Unit = {
-    counts.write.mode("overwrite").parquet(s"$path/counts")
+    // NaN is the on-disk encoding of step=None, so a caller-provided NaN
+    // (or non-positive/infinite step) would silently round-trip as a RAW
+    // table — reject it loudly (the quantize contract requires a
+    // positive finite step anyway). Meta is written FIRST: a crash
+    // between the two writes then leaves a meta with no counts (an
+    // obvious unreadable partial) instead of a counts table that loads
+    // as raw and probes on the wrong grid.
+    require(step.forall(s => s > 0 && java.lang.Double.isFinite(s)),
+      s"writeEcdfTable: step must be positive and finite, got $step")
     counts.sparkSession.range(1)
       .select(lit(step.getOrElse(Double.NaN)).as("step"))
       .write.mode("overwrite").parquet(s"$path/meta")
+    counts.write.mode("overwrite").parquet(s"$path/counts")
   }
 
   /** Reload a persisted ECDF reference: (count table, grid step —

@@ -421,6 +421,16 @@ object Retrieval {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(seedTerms.nonEmpty && kFb > 0 && mExp > 0 && k > 0,
       "prfExpandedBm25: seedTerms, kFb, mExp, k must all be non-empty/positive")
+    // The expansion rank is a GLOBAL window over the feedback docs'
+    // vocabulary — bounded by construction ONLY while kFb stays small
+    // (RM3 uses 5-20 feedback docs). A caller passing kFb in the
+    // thousands would funnel a large vocabulary through one task, so the
+    // bound is a loud contract, not a comment (the Sketches.bottomK k
+    // discipline).
+    require(kFb <= 64,
+      s"prfExpandedBm25: kFb=$kFb exceeds 64 — the expansion-term rank is " +
+        "a single global window over the feedback docs' vocabulary; large " +
+        "feedback sets need a partitioned mining pass")
     val spark = docs.sparkSession
     import spark.implicits._
     val tok = docs.select(col(idCol),

@@ -63,6 +63,11 @@ object GraftFunctions {
         case _ => throw new IllegalArgumentException(
           "graft_hilbert: order must be a foldable literal")
       }
+      // Validate at the SQL surface too (HilbertIndex's constructor
+      // require is the backstop): a clear builder-level message beats a
+      // case-class init error surfacing mid-analysis.
+      if (order < 1 || order > 31) throw new IllegalArgumentException(
+        s"graft_hilbert: order must be in [1, 31], got $order")
       HilbertIndex(children(0), children(1), order)
     })
 

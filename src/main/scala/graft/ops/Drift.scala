@@ -237,7 +237,17 @@ object Drift {
   def quantize(c: Column, step: Double): Column = {
     require(step > 0 && java.lang.Double.isFinite(step),
       s"quantize: step must be a positive finite double, got $step")
-    floor(c.cast("double") / step) * step
+    // Non-finite values PROPAGATE UNCHANGED: Spark's `floor` returns
+    // LongType (NaN would silently land in cell 0; ±Inf overflows the
+    // long under ANSI), while DuckDB's DOUBLE floor keeps NaN/Inf — the
+    // guard makes both engines agree (NaN stays NaN, Inf stays Inf) and
+    // keeps the wrong-cell path unreachable. Finite-domain contract:
+    // cells are exact for |v/step| < 2^53 (the long→double conversion is
+    // exact there); beyond that the grid itself has sub-ulp cells and a
+    // caller should rescale.
+    val v = c.cast("double")
+    when(isnan(v) || abs(v) === Double.PositiveInfinity, v)
+      .otherwise(floor(v / step) * step)
   }
 
   /** GRID-QUANTIZED corpus count table for incremental drift probes at

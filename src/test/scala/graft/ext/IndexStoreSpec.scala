@@ -142,6 +142,12 @@ class IndexStoreSpec extends SparkSpec {
     IndexStore.writeEcdfTable(
       Drift.ecdfTable(corpusVals.toDF("value"), "value"), rawDir)
     IndexStore.loadEcdfTable(spark, rawDir)._2 shouldBe None
+    // a NaN/zero/negative/infinite step would silently round-trip as a
+    // RAW table (NaN is the step=None on-disk encoding) — rejected loudly
+    val t = Drift.ecdfTable(corpusVals.toDF("value"), "value")
+    for (bad <- Seq(Double.NaN, 0.0, -0.5, Double.PositiveInfinity))
+      an[IllegalArgumentException] should be thrownBy
+        IndexStore.writeEcdfTable(t, rawDir, Some(bad))
   }
 
   test("psi store: bucket table + threshold ladder round-trip, probe ≡ build") {

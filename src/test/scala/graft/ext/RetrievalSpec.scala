@@ -110,6 +110,16 @@ class RetrievalSpec extends SparkSpec {
       .toSeq shouldBe expanded.toSeq
   }
 
+  test("prfExpandedBm25: kFb beyond the bounded-window contract fails loudly") {
+    // the expansion rank is a single global window over the feedback
+    // docs' vocabulary — bounded only while kFb is small, so the cap is
+    // a require, not a comment
+    val corpus = Seq((0L, "a b"), (1L, "b c")).toDF("doc_id", "text")
+    an[IllegalArgumentException] should be thrownBy
+      Retrieval.prfExpandedBm25(corpus, "doc_id", "text",
+        Seq("a"), kFb = 65, mExp = 2, k = 5)
+  }
+
   test("hardNegatives: the rank band below the positives, per topic") {
     // topic "x": docs 0,1 dominate (both terms), docs 2,3 match weakly
     val corpus = Seq(

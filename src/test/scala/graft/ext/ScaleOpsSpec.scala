@@ -264,6 +264,24 @@ class ScaleOpsSpec extends SparkSpec {
     math.abs(inc.getAs[Double]("d_stat") - rawD) should be < 0.05
   }
 
+  test("quantize: non-finite values propagate unchanged (cross-engine NaN/Inf parity)") {
+    // Spark's floor returns LongType — unguarded, NaN would land in cell
+    // 0 and ±Inf would overflow under ANSI, while DuckDB's DOUBLE floor
+    // keeps them. The guard makes both engines agree: non-finite in,
+    // same non-finite out; finite values hit the floor(v/step)·step path.
+    val vals = Seq(Double.NaN, Double.PositiveInfinity,
+      Double.NegativeInfinity, 3.7, -3.7, 0.0).toDF("v")
+    val out = vals.select(
+      graft.ops.Drift.quantize(col("v"), 0.5).as("q")).collect()
+      .map(_.getDouble(0))
+    assert(out(0).isNaN)
+    out(1) shouldBe Double.PositiveInfinity
+    out(2) shouldBe Double.NegativeInfinity
+    out(3) shouldBe 3.5
+    out(4) shouldBe -4.0 // floor, not trunc: left edge below the value
+    out(5) shouldBe 0.0
+  }
+
   test("psiTerms detects a shifted distribution with positive PSI") {
     // Cohort A concentrated low, cohort B high: both buckets drift.
     val df = ((0 until 90).map(i => (10L, true)) ++

@@ -57,6 +57,48 @@ class SketchesSpec extends SparkSpec {
     math.abs(est("g2")._2 - 230.0) / 230.0 should be < 0.4
   }
 
+  test("tokenHash63: three-limb assembly, [0, 2^63) range, no limb cross-talk") {
+    import graft.ext.TextHash
+    val toks = elems.select(col("tok")).distinct().limit(200)
+    val rows = toks.select(col("tok"),
+      TextHash.tokenHash63(col("tok")).as("h63"),
+      (TextHash.tokenHash(col("tok")) % 2097152L).as("l0"),
+      (TextHash.tokenHash(concat(col("tok"), lit("|1"))) % 2097152L).as("l1"),
+      (TextHash.tokenHash(concat(col("tok"), lit("|2"))) % 2097152L).as("l2"))
+      .collect()
+    rows.foreach { r =>
+      val h = r.getLong(1)
+      h should be >= 0L // 63 bits: the sign bit never sets
+      h shouldBe ((r.getLong(2) << 42) | (r.getLong(3) << 21) | r.getLong(4))
+      (h >> 42) shouldBe r.getLong(2) // disjoint ranges: no carry/overlap
+      ((h >> 21) & 2097151L) shouldBe r.getLong(3)
+      (h & 2097151L) shouldBe r.getLong(4)
+    }
+    // salted limbs are genuinely independent: collisions across the 200
+    // tokens would need all three 21-bit limbs to agree
+    rows.map(_.getLong(1)).distinct.length shouldBe rows.length
+  }
+
+  test("bottomK64: merge law and below-k exactness at the 2^63 space") {
+    val a = elems.filter(col("tok").substr(-1, 1).isin("0", "2", "4"))
+    val b = elems.filter(!col("tok").substr(-1, 1).isin("0", "2", "4"))
+    val merged = Sketches.merge(
+      Sketches.bottomK64(a, "grp", "tok", 16),
+      Sketches.bottomK64(b, "grp", "tok", 16), "grp", 16)
+    val full = Sketches.bottomK64(elems, "grp", "tok", 16)
+    merged.exceptAll(full).count() shouldBe 0L
+    full.exceptAll(merged).count() shouldBe 0L
+    // estimator: exact below k; above k the 2^63-space KMV lands within
+    // 3σ of the true count (deterministic hashes — a fixed number)
+    val est = Sketches.distinctEstimate64(
+      Sketches.bottomK64(elems, "grp", "tok", k = 64), "grp", k = 64)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(3))).toMap
+    est("g0") shouldBe ((40L, 40.0))
+    math.abs(est("g1")._2 - 140.0) / 140.0 should be < 0.4
+    math.abs(est("g2")._2 - 230.0) / 230.0 should be < 0.4
+  }
+
   test("shardManifest: order-free checksum, totals, content-sensitive") {
     val docs = spark.range(0, 500)
       .select(col("id").as("doc_id"),

@@ -994,6 +994,52 @@ class EventStreamsSpec extends SparkSpec {
     got should have size 4 // user 1: [0,5], [30,35]; user 2: [2], [40]
   }
 
+  test("ST24 tws sessionization: allowed-late pre-start events (nonzero watermark) fold or emit, never drop") {
+    implicit val sqlCtx = spark.sqlContext
+    val gapUs = 600000000L // 10 minutes
+    // batch 1 opens user 1's session [60, 65]; with a 30-minute watermark
+    // delay the watermark is then 35, so batch 2's events at 40 and 58
+    // are ALLOWED-LATE but both precede the open session's start:
+    //  - t(58) is within one gap of the start (60): batch gap-split
+    //    would place it IN the session, extending its start — must fold;
+    //  - t(40) is beyond the gap: its own immediately-closed singleton
+    //    (nothing still in flight can merge with it) — must emit, the
+    //    pre-fix code silently dropped it.
+    val evs1 = Seq(Ev(1, 1, "a", t(60), 1.0, "{}"),
+      Ev(2, 1, "a", t(65), 2.0, "{}"))
+    val evs2 = Seq(Ev(3, 1, "a", t(40), 8.0, "{}"),
+      Ev(4, 1, "a", t(58), 4.0, "{}"))
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val name = s"sesslate_${System.nanoTime()}"
+    try {
+      val mem = MemoryStream[Ev]
+      val q = EventStreams.gapSessionsOnArrival(mem.toDF(), gapUs,
+        watermark = "1800 seconds")
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .start()
+      mem.addData(evs1); q.processAllAvailable()
+      mem.addData(evs2); q.processAllAvailable()
+      mem.addData(Seq(Ev(99, 99, "a", t(100000), 0.0, "{}")))
+      q.processAllAvailable()
+      q.stop()
+    } finally {
+      prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
+    def us(ts: Timestamp): Long = ts.getTime * 1000L
+    val got = spark.table(name)
+      .filter(col("user_id") =!= 99)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    // ≡ batch gap-split over ALL four events: [40] alone, [58, 60, 65]
+    got shouldBe Set(
+      (1L, us(t(40)), us(t(40)), 1L, 8.0),
+      (1L, us(t(58)), us(t(65)), 3L, 7.0))
+  }
+
   test("ST5: unreadable existing target fails the batch, never wipes it") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("st5bad").toString
