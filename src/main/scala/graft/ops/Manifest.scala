@@ -52,6 +52,29 @@ object Manifest {
         max("__id").as("max_id"),
         (sum("__fp") % lit(P)).as("checksum"))
 
+  /** Merge two manifest tables into the manifest of the combined data —
+    * the INCREMENTAL member the additive design was built for: counts
+    * and totals add, id ranges combine, and the mod-P checksum ADDS
+    * (the per-row fingerprint sum commutes and associates), so
+    * `merge(manifest(A), manifest(B)) == manifest(A ∪ B)` EXACTLY (the
+    * q217 certificate) and an appended batch costs O(batch + shards),
+    * never a corpus re-read. Caller contract: both sides sharded by the
+    * same `shards` count and disjoint row sets (a replayed row would
+    * double-count — the ST26 sink guards replays by batch id).
+    * Residues stay in [0, P) so the summed residues of any practical
+    * number of shards/merges fit a long with room to spare.
+    */
+  def mergeManifests(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy("shard")
+      .agg(
+        sum("n_docs").as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        sum("n_chars").as("n_chars"),
+        min("min_id").as("min_id"),
+        max("max_id").as("max_id"),
+        (sum("checksum") % lit(P)).as("checksum"))
+
   /** DuckDB twin of [[shardManifest]] over the `documents` table. */
   def shardManifestSql(shards: Int): String = {
     val fp =

@@ -983,6 +983,30 @@ object ScaleQueries {
          FROM a"""),
   )
 
+  /** Q217 [X incremental]: shard-manifest MERGE certificate — the
+    * corpus (doc_id % 10 ≠ 0) and batch (% 10 = 0) manifests are built
+    * SEPARATELY and merged in O(shards)
+    * ([[graft.ops.Manifest.mergeManifests]]: counts/totals add, id
+    * ranges combine, mod-P checksums ADD — the additive design the
+    * order-free fingerprint sum was chosen for); the twin recomputes
+    * the manifest from the FULL table directly, so the hash match IS
+    * the `merge(manifest(A), manifest(B)) = manifest(A ∪ B)` law — an
+    * appended batch updates a dataset card in O(batch), never a corpus
+    * re-read (the q214 certificate shape for the manifest family).
+    */
+  val q217 = OracleQuery(
+    "q217_manifest_merge",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ops.Manifest.mergeManifests(
+        graft.ops.Manifest.shardManifest(
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", shards = 8),
+        graft.ops.Manifest.shardManifest(
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", shards = 8))
+    },
+    Some(graft.ops.Manifest.shardManifestSql(shards = 8)),
+  )
+
   /** Q215 [X eval]: Cohen's kappa ([[graft.ops.Agreement.cohenKappa]])
     * between two binary raters per source — the labeling-QA primitive
     * (here the raters are the token-length and char-length gates, which
@@ -1003,5 +1027,5 @@ object ScaleQueries {
   val all: Seq[OracleQuery] =
     Seq(q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q133,
       q136, q175, q178, q193, q197, q198, q199, q201, q202, q205, q206,
-      q212, q213, q214, q215, q216)
+      q212, q213, q214, q215, q216, q217)
 }

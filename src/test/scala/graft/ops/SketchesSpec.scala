@@ -120,6 +120,28 @@ class SketchesSpec extends SparkSpec {
       .filter(m1("checksum") =!= m3("checksum")).count() shouldBe 1L
   }
 
+  test("mergeManifests: merge of split manifests == manifest of the union") {
+    val docs = spark.range(0, 500)
+      .select(col("id").as("doc_id"),
+        concat(lit("w"), col("id") % 7, lit(" x"), col("id") % 11).as("text"))
+    val a = docs.filter(col("doc_id") % 3 === 0)
+    val b = docs.filter(col("doc_id") % 3 =!= 0)
+    val merged = Manifest.mergeManifests(
+      Manifest.shardManifest(a, "doc_id", "text", shards = 4),
+      Manifest.shardManifest(b, "doc_id", "text", shards = 4))
+    val full = Manifest.shardManifest(docs, "doc_id", "text", shards = 4)
+    merged.exceptAll(full).count() shouldBe 0L
+    full.exceptAll(merged).count() shouldBe 0L
+    // associativity across a three-way split (parallel shard writers)
+    val c3 = Seq(0, 1, 2).map(r =>
+      Manifest.shardManifest(docs.filter(col("doc_id") % 3 === r),
+        "doc_id", "text", shards = 4))
+    val chained = Manifest.mergeManifests(
+      Manifest.mergeManifests(c3(0), c3(1)), c3(2))
+    chained.exceptAll(full).count() shouldBe 0L
+    full.exceptAll(chained).count() shouldBe 0L
+  }
+
   test("cohenKappa: hand-computed 2x2 contingency") {
     // n=100: n11=40, n10=10, n01=5, n00=45 → po=0.85,
     // pe=(50·45 + 50·55)/10000=0.5, kappa=0.35/0.5=0.7

@@ -826,6 +826,40 @@ class EventStreamsSpec extends SparkSpec {
       "grp", "text", 32, s"$dir/t", 99L) shouldBe false
   }
 
+  test("ST26 streaming shard manifest: streamed merge ≡ cold recompute; replay guard is load-bearing") {
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = (0L until 300L).map(i => ArrivingDoc(i, s"alpha w${i % 13} x${i % 7}"))
+    val b2 = (300L until 500L).map(i => ArrivingDoc(i, s"beta w${i % 17}"))
+    val dir = java.nio.file.Files.createTempDirectory("st26_").toString
+    val mem = MemoryStream[ArrivingDoc]
+    mem.addData(b1)
+    val q1 = EventStreams.manifestOnArrival(mem.toDF(), "doc_id", "text",
+      shards = 4, s"$dir/t", s"$dir/cp")
+    q1.awaitTermination()
+    mem.addData(b2)
+    val q2 = EventStreams.manifestOnArrival(mem.toDF(), "doc_id", "text",
+      shards = 4, s"$dir/t", s"$dir/cp")
+    q2.awaitTermination()
+    // the additive merge is exact: streamed dataset card == one direct
+    // manifest over the full history, row-for-row (counts, id ranges,
+    // AND the mod-P content checksum)
+    val streamed = EventStreams.manifestRead(spark, s"$dir/t")
+    val direct = graft.ops.Manifest.shardManifest(
+      (b1 ++ b2).toDF("doc_id", "text"), "doc_id", "text", 4)
+    streamed.exceptAll(direct).count() shouldBe 0L
+    direct.exceptAll(streamed).count() shouldBe 0L
+    // at-least-once replay: the additive merge is NOT idempotent, so the
+    // batch-id guard must refuse a re-applied batch (a double-merge
+    // would double every count)
+    EventStreams.manifestMergeBatch(b2.toDF("doc_id", "text"), "doc_id",
+      "text", 4, s"$dir/t", 1L) shouldBe false
+    val after = EventStreams.manifestRead(spark, s"$dir/t")
+    after.exceptAll(direct).count() shouldBe 0L
+    // empty batch: no write, no marker advance
+    EventStreams.manifestMergeBatch(b1.take(0).toDF("doc_id", "text"),
+      "doc_id", "text", 4, s"$dir/t", 99L) shouldBe false
+  }
+
   test("ST17 streaming CDC byte-delta: exact copy reports zero new bytes") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ext.Multimodal
