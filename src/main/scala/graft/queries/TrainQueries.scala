@@ -1293,9 +1293,78 @@ object TrainQueries {
       "source", "len(string_split(text, ' '))", budget = 512L)),
   )
 
+  /** Q218 [X capstone]: the BPE-TOKENIZED training-prep chain — the
+    * composition a trainer actually runs, in ONE certified plan: learn
+    * 16 merges on the corpus ([[graft.ext.Bpe.train]] — the loop q132
+    * pins round 1 of and TrainOpsSpec pins in full), ENCODE every
+    * document under them ([[graft.ext.Bpe.tokenCounts]]: merges apply
+    * once on the distinct-word table, join back aggregated), and cut
+    * the packed stream into 512-BPE-token attention windows
+    * ([[graft.ext.Packing.windowSegments]] over the ENCODED counts —
+    * q211's generator, previously fed only whitespace counts). The twin
+    * is a dynOracle certificate: built after the run with the learned
+    * merges as literals, it replays the full encode (the two-pass
+    * nested-replace chain per merge — `Bpe.train`'s non-overlapping
+    * application proof), per-doc counts, and the window fan-out; the
+    * hash match certifies the entire trained-tokenizer → packed-window
+    * pipeline end-to-end.
+    */
+  private object BpeCapstone {
+    @volatile var merges: Option[Seq[(String, String)]] = None
+  }
+  val q218 = OracleQuery(
+    "q218_bpe_pack_capstone",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val ms = graft.ext.Bpe.train(docs, "text", k = 16).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      BpeCapstone.merges = Some(ms)
+      Packing.windowSegments(
+        docs.select(col("doc_id"), col("source"))
+          .join(graft.ext.Bpe.tokenCounts(docs, "doc_id", "text", ms),
+            "doc_id"),
+        "doc_id", "source", col("n_bpe_tokens"), budget = 512L)
+    },
+    None,
+    dynOracle = () => BpeCapstone.merges.map { ms =>
+      def q(lit: String) = "'" + lit.replace("'", "''") + "'"
+      val chain = ms.foldLeft(
+        "' ' || array_to_string(string_split(w, ''), ' ') || ' '") {
+        case (e, (s1, s2)) =>
+          val (pat, rep) = (q(s" $s1 $s2 "), q(s" $s1$s2 "))
+          s"replace(replace($e, $pat, $rep), $pat, $rep)"
+      }
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                  FROM documents),
+            wds AS (SELECT DISTINCT w FROM toks),
+            enc AS MATERIALIZED (SELECT w,
+                  len(string_split(trim($chain), ' ')) AS n_sym FROM wds),
+            cnt AS (SELECT t.doc_id, CAST(sum(e.n_sym) AS BIGINT) AS n
+                  FROM toks t JOIN enc e USING (w) GROUP BY 1),
+            d AS (SELECT dd.source AS grp, c.doc_id, c.n
+                  FROM cnt c JOIN documents dd USING (doc_id)
+                  WHERE c.n > 0),
+            o AS (SELECT grp, doc_id, n,
+                    CAST(sum(n) OVER (PARTITION BY grp ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      - n AS BIGINT) AS off
+                  FROM d),
+            f AS (SELECT grp, doc_id, n, off,
+                    unnest(generate_series(off // 512,
+                      (off + n - 1) // 512)) AS window_id
+                  FROM o)
+       SELECT grp AS source, doc_id, window_id,
+              greatest(off - window_id * 512, 0) AS start_tok,
+              least(off + n - window_id * 512, 512) AS end_tok,
+              off >= window_id * 512 AS is_doc_start,
+              off + n <= (window_id + 1) * 512 AS is_doc_end
+       FROM f"""
+    },
+  )
+
   val all: Seq[OracleQuery] =
     Seq(q41, q42, q42b, q43, q44, q45, q46, q47, q48, q49, q50,
       q53, q54, q55, q56, q57, q120, q121, q122, q123, q124, q125, q126,
       q127, q128, q129, q130, q131, q132, q134, q137, q138, q140, q141,
-      q142, q153, q154, q163, q165, q166, q167, q209, q210, q211)
+      q142, q153, q154, q163, q165, q166, q167, q209, q210, q211, q218)
 }

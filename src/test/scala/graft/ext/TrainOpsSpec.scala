@@ -736,6 +736,45 @@ class TrainOpsSpec extends SparkSpec {
     out(2L) shouldBe ((2L, 2L))
   }
 
+  test("bpe capstone: trained encode feeds window segments with exact token conservation") {
+    // the q218 composition on a hand-checkable corpus: train 2 merges,
+    // encode, cut 6-BPE-token windows — every span pinned by hand.
+    val docs = Seq(
+      (0L, "aa ab aa ab ab", "s1"),
+      (1L, "ab ab b a", "s1"),
+      (2L, "ba ba ba aa", "s2")).toDF("doc_id", "text", "source")
+    val ms = Bpe.train(docs, "text", k = 2).orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    // (a,b) cnt 5 wins round 1; round 2 ties (a,a)=3 with (b,a)=3 and
+    // the lexicographic tiebreak picks (a,a)
+    ms shouldBe Seq(("a", "b"), ("a", "a"))
+    val counts = Bpe.tokenCounts(docs, "doc_id", "text", ms)
+    val byDoc = counts.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // encoded sym counts: aa→1, ab→1, ba→2 ("ba" has no learned merge
+    // at its boundary order: " b a " is untouched by (a,b) and (a,a))
+    byDoc(0L) shouldBe ((5L, 5L))
+    byDoc(1L) shouldBe ((4L, 4L))
+    byDoc(2L) shouldBe ((4L, 7L))
+    val seg = Packing.windowSegments(
+      docs.select(col("doc_id"), col("source")).join(counts, "doc_id"),
+      "doc_id", "source", col("n_bpe_tokens"), budget = 6L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5), r.getBoolean(6)))
+      .toSet
+    // s1 stream: doc0 [0,5), doc1 [5,9) → window 0 gets doc0 fully +
+    // doc1's first token, window 1 the rest; s2: doc2 [0,7) straddles
+    seg shouldBe Set(
+      ("s1", 0L, 0L, 0L, 5L, true, true),
+      ("s1", 1L, 0L, 5L, 6L, true, false),
+      ("s1", 1L, 1L, 0L, 3L, false, true),
+      ("s2", 2L, 0L, 0L, 6L, true, false),
+      ("s2", 2L, 1L, 0L, 1L, false, true))
+    // conservation: window spans sum exactly to the encoded token totals
+    seg.groupBy(_._1).view.mapValues(_.map(s => s._5 - s._4).sum).toMap shouldBe
+      Map("s1" -> 9L, "s2" -> 7L)
+  }
+
   test("quotaSample: per-stratum dynamic quotas, missing strata excluded") {
     val df = (0L until 30L).map(i => (i, if (i < 20) "big" else "small"))
       .toDF("id", "src")
