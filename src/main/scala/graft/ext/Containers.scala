@@ -404,6 +404,74 @@ object Containers {
     Frame(w, h, px)
   }
 
+  // ---------------------------------------------------------- PNG (RGB)
+
+  /** Serialize packed 0xRRGGBB pixels as a real COMPRESSED COLOR PNG
+    * (TYPE_INT_RGB through the JDK codec — ISO 15948 truecolour,
+    * 8 bits/channel). RGB PNG is LOSSLESS, so
+    * `decodePngRgb(pngBytesRgb(w, h, px)) == (w, h, px)` exactly —
+    * which is what keeps an arithmetic DuckDB twin viable for COLOR
+    * payloads through the compression stage (q219): the grayscale
+    * family ([[pngBytes]]) proved the DEFLATE chain, this closes the
+    * "containers are gray-only" caveat without surrendering the twin
+    * (JPEG's chroma subsampling never could).
+    */
+  def pngBytesRgb(width: Int, height: Int, rgb: Array[Int]): Array[Byte] = {
+    require(width > 0 && height > 0, "pngBytesRgb: empty frame")
+    require(rgb.length == width * height,
+      s"pngBytesRgb: ${rgb.length} pixels for ${width}x$height")
+    var i = 0
+    while (i < rgb.length) {
+      require((rgb(i) & 0xffffff) == rgb(i),
+        f"pngBytesRgb: pixel 0x${rgb(i)}%08x outside packed 24-bit RGB")
+      i += 1
+    }
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, width, height, rgb, 0, width)
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, "png", bos),
+      "pngBytesRgb: no PNG writer available")
+    bos.toByteArray
+  }
+
+  /** Decode a color PNG to (width, height, packed 0xRRGGBB pixels).
+    * Fails loudly (the codec discipline) on a missing signature, an
+    * unreadable stream, or a non-3×8-bit sample layout — silent
+    * channel coercion would corrupt the luma hashes downstream.
+    */
+  def decodePngRgb(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    require(bytes.length > 8 && sig.indices.forall(i =>
+      (bytes(i) & 0xff) == sig(i)), "decodePngRgb: missing PNG signature")
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "decodePngRgb: no reader accepted the stream")
+    val sm = img.getRaster.getSampleModel
+    require(sm.getNumBands == 3 &&
+      (0 until 3).forall(b => sm.getSampleSize(b) == 8),
+      s"decodePngRgb: need 3x8-bit RGB, got ${sm.getNumBands} bands x " +
+        s"${(0 until sm.getNumBands).map(sm.getSampleSize).mkString("/")} bits")
+    val w = img.getWidth
+    val h = img.getHeight
+    (w, h, img.getRGB(0, 0, w, h, null, 0, w).map(_ & 0xffffff))
+  }
+
+  /** ITU-R 601-2 luma reduction of packed RGB to a grayscale [[Frame]] —
+    * PIL's `convert('L')` fixed-point coefficients, the SAME formula the
+    * raster family pins (`raster/TileStore.scala` FileTileStore mode
+    * "L"): `(r·19595 + g·38470 + b·7471 + 0x8000) >> 16`. Pure integer
+    * math, so the q219 twin replays it exactly in SQL.
+    */
+  def lumaFrame(width: Int, height: Int, rgb: Array[Int]): Frame = {
+    require(rgb.length == width * height,
+      s"lumaFrame: ${rgb.length} pixels for ${width}x$height")
+    Frame(width, height, rgb.map { v =>
+      val r = (v >> 16) & 0xff; val g = (v >> 8) & 0xff; val b = v & 0xff
+      (r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16
+    })
+  }
+
   // -------------------------------------------------------------- JPEG
 
   /** Serialize a grayscale frame as a real LOSSY JPEG (ITU T.81 baseline

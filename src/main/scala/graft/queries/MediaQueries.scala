@@ -818,6 +818,77 @@ object MediaQueries {
          WHERE bit_count(xor(a.ph, c.ph)) <= 4"""),
   )
 
+  /** Q219 [X]: aHash signatures through real COMPRESSED **COLOR** PNG
+    * payloads — each doc's deterministic RGB image (three independent
+    * per-channel formulas, 12..22 × 10..14) rides a TRUECOLOUR PNG
+    * ([[graft.ext.Containers.pngBytesRgb]]), is decoded back by the
+    * real codec, reduced to gray by the ITU-R 601-2 fixed-point luma
+    * the raster family pins ([[graft.ext.Containers.lumaFrame]] ≡
+    * `FileTileStore` mode "L"), and hashed by the q158 resize + aHash
+    * kernel. The twin recomputes every channel and the integer luma
+    * from the formulas alone — a match certifies the COLOR
+    * encode → DEFLATE → decode → luma chain end-to-end (the q203 proof
+    * extended from grayscale to RGB; lossless is what keeps the
+    * arithmetic twin possible). Luma commutes with the
+    * nearest-neighbor resize (pointwise), so the twin lumas AT the 64
+    * sampled source pixels.
+    */
+  val q219 = OracleQuery(
+    "q219_rgb_png_phash",
+    (s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = 12 + (id % 11).toInt
+          val h = 10 + (id % 5).toInt
+          val rgb = Array.tabulate(w * h) { i =>
+            val r = (((id + 3) * 197L + i.toLong * 29L) % 256L).toInt
+            val g = (((id + 5) * 131L + i.toLong * 17L) % 256L).toInt
+            val b = (((id + 7) * 173L + i.toLong * 23L) % 256L).toInt
+            (r << 16) | (g << 8) | b
+          }
+          Multimodal.MediaRow(id,
+            graft.ext.Containers.pngBytesRgb(w, h, rgb))
+        }
+      Multimodal.frameHashes(media, Seq(0),
+        decode = bytes => {
+          val (w, h, rgb) = graft.ext.Containers.decodePngRgb(bytes)
+          graft.ext.Containers.lumaFrame(w, h, rgb)
+        })
+        .toDF().select(col("media_id"), col("ph"))
+    },
+    Some("""WITH RECURSIVE
+              pw(k, v) AS (SELECT 0, 1::HUGEINT UNION ALL
+                           SELECT k + 1, v * 2 FROM pw WHERE k < 63),
+              d AS (SELECT doc_id, 12 + doc_id % 11 AS w,
+                     10 + doc_id % 5 AS h FROM documents),
+              grid AS (SELECT t.i AS i, t.i % 8 AS x, t.i // 8 AS y
+                       FROM unnest(generate_series(0, 63)) AS t(i)),
+              src AS (SELECT doc_id, i,
+                       (((y * h) // 8) * w + (x * w) // 8) AS s
+                     FROM d, grid),
+              ch AS (SELECT doc_id, i,
+                      ((doc_id + 3) * 197 + s * 29) % 256 AS r,
+                      ((doc_id + 5) * 131 + s * 17) % 256 AS g,
+                      ((doc_id + 7) * 173 + s * 23) % 256 AS b
+                    FROM src),
+              px AS (SELECT doc_id, i,
+                      (r * 19595 + g * 38470 + b * 7471 + 32768) // 65536 AS v
+                    FROM ch),
+              sm AS (SELECT doc_id, sum(v) AS sv FROM px GROUP BY 1),
+              b AS (SELECT px.doc_id AS media_id,
+                     sum(CASE WHEN px.v * 64 > sm.sv THEN pw.v
+                         ELSE 0::HUGEINT END) AS u
+                   FROM px JOIN sm ON sm.doc_id = px.doc_id
+                   JOIN pw ON pw.k = px.i
+                   GROUP BY 1)
+         SELECT media_id,
+                CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+                     THEN u - 18446744073709551616::HUGEINT
+                     ELSE u END AS BIGINT) AS ph
+         FROM b"""),
+  )
+
   val all: Seq[OracleQuery] = Seq(q158, q159, q160, q176, q177, q181, q182,
-    q184, q185, q186, q187, q188, q189, q190, q191, q192, q203, q204)
+    q184, q185, q186, q187, q188, q189, q190, q191, q192, q203, q204, q219)
 }

@@ -120,6 +120,34 @@ class ContainersSpec extends AnyFunSuite with Matchers {
     Containers.bmpBytes(flat).length should be > 4096
   }
 
+  test("rgb png: lossless truecolour round-trip; luma matches the raster formula") {
+    val w = 13; val h = 9 // odd sizes: no row-stride luck
+    val rgb = Array.tabulate(w * h)(i =>
+      (((i * 37) % 256) << 16) | (((i * 59 + 7) % 256) << 8) | ((i * 83 + 11) % 256))
+    val bytes = Containers.pngBytesRgb(w, h, rgb)
+    // real PNG signature on the wire
+    (bytes(0) & 0xff) shouldBe 0x89
+    new String(bytes.slice(1, 4), "US-ASCII") shouldBe "PNG"
+    val (w2, h2, back) = Containers.decodePngRgb(bytes)
+    (w2, h2) shouldBe ((w, h))
+    back.toSeq shouldBe rgb.toSeq // LOSSLESS: every channel byte exact
+    // luma ≡ the FileTileStore mode-"L" fixed-point formula
+    val lf = Containers.lumaFrame(w, h, rgb)
+    lf.pixels.zip(rgb).foreach { case (l, v) =>
+      val r = (v >> 16) & 0xff; val g = (v >> 8) & 0xff; val b = v & 0xff
+      l shouldBe ((r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16)
+      l should (be >= 0 and be <= 255)
+    }
+    // loud failures: out-of-range packed pixel, gray payload to the RGB
+    // decoder, RGB payload to the gray decoder
+    an[IllegalArgumentException] should be thrownBy
+      Containers.pngBytesRgb(2, 2, Array(0, 1, 2, 0x1000000))
+    an[IllegalArgumentException] should be thrownBy
+      Containers.decodePngRgb(Containers.pngBytes(Frame(2, 2, Array.fill(4)(7))))
+    an[IllegalArgumentException] should be thrownBy
+      Containers.decodePng(bytes)
+  }
+
   test("jpeg: genuinely lossy but bounded error on smooth content") {
     // smooth gradient: baseline DCT at q=0.9 stays within a few units
     val w = 40; val h = 32
