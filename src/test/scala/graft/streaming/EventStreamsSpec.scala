@@ -1074,6 +1074,49 @@ class EventStreamsSpec extends SparkSpec {
       (1L, us(t(58)), us(t(65)), 3L, 7.0))
   }
 
+  test("ST27 tws ListState leaderboard: final board ≡ batch top-k; board bounded by k") {
+    implicit val sqlCtx = spark.sqlContext
+    val k = 3
+    val b1 = Seq(Ev(1, 1, "a", t(0), 5.0, "{}"), Ev(2, 1, "a", t(1), 9.0, "{}"),
+      Ev(3, 1, "a", t(2), 1.0, "{}"), Ev(4, 2, "a", t(3), 2.0, "{}"))
+    // event 8 ties event 4 on value — the event_id tiebreak must hold
+    val b2 = Seq(Ev(5, 1, "a", t(4), 7.0, "{}"), Ev(6, 1, "a", t(5), 3.0, "{}"),
+      Ev(7, 2, "a", t(6), 8.0, "{}"), Ev(8, 2, "a", t(7), 2.0, "{}"))
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val name = s"topk_${System.nanoTime()}"
+    try {
+      val mem = MemoryStream[Ev]
+      val q = EventStreams.topKOnArrival(mem.toDF(), k)
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .start()
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+      q.stop()
+    } finally {
+      prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
+    val rows = spark.table(name).collect().map(r => (r.getLong(0),
+      r.getLong(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
+    // emit-on-update: a reader takes each key's max-seq board
+    val latest = rows.groupBy(_._1).map { case (u, rs) =>
+      val mx = rs.map(_._2).max
+      u -> rs.filter(_._2 == mx).sortBy(_._3).map(r => (r._4, r._5)).toSeq
+    }
+    // ≡ the q14-shape batch rank over the FULL history
+    val expected = (b1 ++ b2).groupBy(_.user_id).map { case (u, es) =>
+      u -> es.sortBy(e => (-e.value, e.event_id)).take(k)
+        .map(e => (e.event_id, e.value)).toSeq
+    }
+    latest shouldBe expected
+    // the retained board (and so every emission) is bounded by k
+    rows.groupBy(r => (r._1, r._2)).values.foreach(_.size should be <= k)
+    // per-key update sequence advances once per contributing batch
+    rows.filter(_._1 == 1L).map(_._2).distinct.sorted.toSeq shouldBe Seq(1L, 2L)
+  }
+
   test("ST5: unreadable existing target fails the batch, never wipes it") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("st5bad").toString
