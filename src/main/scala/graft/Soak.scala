@@ -904,6 +904,86 @@ object Soak {
         "manifest must be row-order invariant")
     })
 
+    // round-13: incremental manifest — the additive merge must equal a
+    // cold recompute EXACTLY at 1M docs (q217's law at soak shape): an
+    // appended 1% batch costs O(batch + shards), never a corpus re-read.
+    time("manifest merge (1% append)")({
+      val full = ops.Manifest.shardManifest(docs, "doc_id", "text", 32)
+        .localCheckpoint()
+      val merged = ops.Manifest.mergeManifests(
+        ops.Manifest.shardManifest(
+          docs.filter(col("doc_id") % 100 =!= 0), "doc_id", "text", 32),
+        ops.Manifest.shardManifest(
+          docs.filter(col("doc_id") % 100 === 0), "doc_id", "text", 32))
+        .localCheckpoint()
+      assert(merged.exceptAll(full).count() == 0 &&
+        full.exceptAll(merged).count() == 0,
+        "manifest merge != cold recompute (additive law broken)")
+    })
+
+    // round-13: retrieval-expansion family at 1M docs — PRF (RM3) and
+    // DPR hard-negative mining. The scale guard is the scored-relation
+    // bound: both ops restrict the (id, token) stream to the broadcast
+    // term list BEFORE any aggregate, so the per-term work is the
+    // MATCHING rows only — asserted against an independent count —
+    // and the outputs are k- and (topics × band)-bounded.
+    time("prf + hard negatives (1M docs)")({
+      val seeds = Seq("w11", "w222")
+      val prf = Retrieval.prfExpandedBm25(docs, "doc_id", "text", seeds,
+        kFb = 8, mExp = 8, k = 20)
+      assert(prf.count() == 20, "prf must return k ranked docs")
+      val topics = Map("alpha" -> Seq("w11", "w222"),
+        "beta" -> Seq("w44", "w555"))
+      val hn = Retrieval.hardNegatives(docs, "doc_id", "text", topics,
+        pPos = 5, kNeg = 20)
+      val perTopic = hn.groupBy("topic").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(perTopic.values.forall(_ == 20L),
+        s"hard negatives must fill the kNeg band per topic: $perTopic")
+      val allTerms = (seeds ++ topics.values.flatten).distinct
+      val matching = docs.select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w").isin(allTerms: _*)).count()
+      val corpusToks = docs.select(sum(size(split(col("text"), " "))))
+        .head().getLong(0)
+      assert(matching < corpusToks / 100,
+        s"term-restricted relation $matching rows should be ~vocab-share " +
+          s"of $corpusToks corpus tokens — the pre-aggregate filter is " +
+          "what keeps BM25 scoring off the full token stream")
+      println(s"[soak] retrieval scored relation $matching rows " +
+        s"(corpus tokens $corpusToks)")
+    })
+
+    // round-13: the production-width KMV sketch at HIGH cardinality —
+    // 20M distinct ids in ONE group, where the 1e8-space estimator's
+    // collision bias is structural (expected distinct HASHES at m=2e7:
+    // 1e8·(1−e^−0.2) ≈ 1.81e7, a ~9% under-count) while the 2^63 space
+    // stays unbiased within KMV noise. Deterministic md5 hashes → the
+    // measured errors are fixed constants; 3σ = 3/√k.
+    time("bottom-k 2^63 space at 20M distinct")({
+      val k = 1024
+      val m = 20000000L
+      val ids = spark.range(m).select(lit("g").as("grp"),
+        concat(lit("u"), col("id")).as("e"))
+      val est63 = ops.Sketches.distinctEstimate64(
+        ops.Sketches.bottomK64(ids, "grp", "e", k), "grp", k)
+        .head().getAs[Double]("est_distinct")
+      val est8 = ops.Sketches.distinctEstimate(
+        ops.Sketches.bottomK(ids, "grp", "e", k), "grp", k)
+        .head().getAs[Double]("est_distinct")
+      val sigma = 1.0 / math.sqrt(k.toDouble)
+      val err63 = math.abs(est63 - m) / m
+      val bias8 = (m - est8) / m
+      println(f"[soak] kmv at m=2e7: est63=$est63%.0f (err $err63%.4f) " +
+        f"est8=$est8%.0f (bias $bias8%.4f) sigma=$sigma%.4f")
+      assert(err63 < 3 * sigma,
+        f"2^63-space KMV err $err63%.4f exceeds 3 sigma ($sigma%.4f x 3)")
+      assert(bias8 > 3 * sigma,
+        f"1e8-space bias $bias8%.4f should be visible (> 3 sigma) at 2e7 " +
+          "distinct — if not, the hash space assumption changed")
+      assert(err63 < bias8,
+        "the 2^63 space must beat the 1e8 space at this cardinality")
+    })
+
     spark.stop()
   }
 }
