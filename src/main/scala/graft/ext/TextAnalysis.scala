@@ -461,4 +461,48 @@ object TextAnalysis {
         round(avg(when(col("first_id") === col(idCol), 1.0).otherwise(0.0)), 6)
           .as("novel_frac"))
   }
+
+  /** VOCABULARY-GROWTH (Heaps' law) curve per group: split each group's
+    * document stream (ordered by `idCol`) into `buckets` equal-count
+    * segments and report, per bucket, the token volume and the number of
+    * NEW types (tokens whose first occurrence falls there), with
+    * cumulative sums — the V(n) ~ K·n^β curve a tokenizer-vocab or
+    * dedup-rate planner reads before committing to a vocab size. The
+    * relational trick that avoids windowed COUNT(DISTINCT) entirely:
+    * first-occurrence bucket = `min(bucket)` per (group, token) — one
+    * (group, token) aggregate — then new-type counts group by that
+    * minimum; buckets with no new types are kept by the token-volume
+    * spine (left join, coalesce 0). All integer arithmetic (`div`, never
+    * `/` — Spark's long division is double); the only windows are the
+    * per-group doc ranking (the packShards shuffle) and a cumulative sum
+    * over ≤ `buckets` rows per group.
+    *
+    * Output: (groupCol, bkt, n_tokens, new_types, cum_tokens, cum_types).
+    */
+  def vocabGrowth(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, groupCol: String, buckets: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(buckets > 0, s"vocabGrowth: buckets > 0, got $buckets")
+    import org.apache.spark.sql.expressions.Window
+    val n = df.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+    val base = df.select(col(groupCol), col(idCol), col(textCol))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(groupCol).orderBy(idCol)))
+      .join(broadcast(n), groupCol)
+      .select(col(groupCol), col(textCol),
+        expr(s"((__rn - 1) * $buckets) div __n").as("bkt"))
+    val tok = base.select(col(groupCol), col("bkt"),
+      explode(Dedup.tokens(col(textCol))).as("w"))
+      .localCheckpoint() // two consumers: first-occurrence + volume spine
+    val newTypes = tok.groupBy(groupCol, "w").agg(min("bkt").as("bkt"))
+      .groupBy(groupCol, "bkt").agg(count(lit(1)).as("new_types"))
+    val wCum = Window.partitionBy(groupCol).orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tok.groupBy(groupCol, "bkt").agg(count(lit(1)).as("n_tokens"))
+      .join(newTypes, Seq(groupCol, "bkt"), "left")
+      .select(col(groupCol), col("bkt"), col("n_tokens"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .withColumn("cum_tokens", sum("n_tokens").over(wCum))
+      .withColumn("cum_types", sum("new_types").over(wCum))
+  }
 }

@@ -122,4 +122,45 @@ object Timeseries {
       coalesce(max(when(col("gap") > 0, col("gap"))), lit(0L))
         .as("longest_gap"))
   }
+
+  /** SEQUENTIAL k-stage funnel: per key, the chained first-completion
+    * times `t1 = min(ts | type = stages(0))`,
+    * `t_{i+1} = min(ts | type = stages(i), ts > t_i)` — each stage must
+    * happen STRICTLY AFTER the previous one, which is the semantics q51's
+    * first-occurrence comparison cannot express past two stages (its
+    * global first purchase may precede the first click). Output one row
+    * per key that completed stage 1: (keyCol, t1..tk as epoch-µs, depth)
+    * with NULLs from the drop-off stage on and `depth` = completed
+    * stages.
+    *
+    * Scale shape: stage i is one type-pruned scan (the filter reaches
+    * the parquet scan) joined on the key and min-aggregated — k−1
+    * key-partitioned shuffles of ALREADY-AGGREGATED left sides (one row
+    * per surviving user), never an event-by-event window; conditional
+    * min handles the "after t_i" restriction without a sort.
+    */
+  def sequentialFunnel(events: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty && stages.distinct.size == stages.size,
+      s"sequentialFunnel: stages must be non-empty and distinct: $stages")
+    val ev = events.select(col(keyCol), col(typeCol),
+      unix_micros(col(tsCol)).as("__us"))
+    val s1 = ev.filter(col(typeCol) === stages.head)
+      .groupBy(keyCol).agg(min("__us").as("t1"))
+    val full = stages.zipWithIndex.drop(1).foldLeft(s1) {
+      case (prev, (st, i)) =>
+        val (tPrev, tCur) = (s"t$i", s"t${i + 1}")
+        val groupCols = (col(keyCol) +: (1 to i).map(j => col(s"t$j")))
+        prev.join(
+          ev.filter(col(typeCol) === st)
+            .select(col(keyCol), col("__us")),
+          Seq(keyCol), "left")
+          .groupBy(groupCols: _*)
+          .agg(min(when(col("__us") > col(tPrev), col("__us"))).as(tCur))
+    }
+    full.withColumn("depth",
+      stages.indices.drop(1)
+        .map(i => col(s"t${i + 1}").isNotNull.cast("long"))
+        .foldLeft(lit(1L))(_ + _))
+  }
 }

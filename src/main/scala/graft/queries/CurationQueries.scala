@@ -656,6 +656,50 @@ object CurationQueries {
     },
   )
 
+  /** Q220 [X]: vocabulary-growth (Heaps' law) curve per source
+    * ([[graft.ext.TextAnalysis.vocabGrowth]], 10 buckets) — token
+    * volume and NEW-type counts per equal-count segment of each
+    * source's doc stream, cumulated: the V(n) ~ K·n^β curve a
+    * tokenizer-vocab planner reads. First-occurrence-bucket =
+    * min(bucket) per (source, token) — the relational move that avoids
+    * windowed COUNT(DISTINCT) entirely. All integer; the twin replays
+    * rank, integer-div bucketing, the min-bucket aggregate, and the
+    * cumulative sums.
+    */
+  val q220 = OracleQuery(
+    "q220_vocab_growth",
+    (s, d) => TextAnalysis.vocabGrowth(
+      Tables.documents(s, d), "doc_id", "text", "source", buckets = 10),
+    Some("""WITH n AS (SELECT source, CAST(count(*) AS BIGINT) AS ns
+                  FROM documents GROUP BY 1),
+              r AS (SELECT source, doc_id, text,
+                     row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+                   FROM documents),
+              b AS (SELECT r.source, r.text,
+                     ((rn - 1) * 10) // ns AS bkt
+                   FROM r JOIN n USING (source)),
+              tok AS (SELECT source, bkt,
+                       unnest(string_split(text, ' ')) AS w
+                     FROM b),
+              fo AS (SELECT source, w, min(bkt) AS bkt
+                    FROM tok GROUP BY 1, 2),
+              nt AS (SELECT source, bkt, CAST(count(*) AS BIGINT) AS new_types
+                    FROM fo GROUP BY 1, 2),
+              vol AS (SELECT source, bkt, CAST(count(*) AS BIGINT) AS n_tokens
+                    FROM tok GROUP BY 1, 2)
+         SELECT vol.source, vol.bkt, vol.n_tokens,
+                coalesce(nt.new_types, 0) AS new_types,
+                CAST(sum(vol.n_tokens) OVER (PARTITION BY vol.source
+                  ORDER BY vol.bkt ROWS BETWEEN UNBOUNDED PRECEDING AND
+                  CURRENT ROW) AS BIGINT) AS cum_tokens,
+                CAST(sum(coalesce(nt.new_types, 0)) OVER (PARTITION BY
+                  vol.source ORDER BY vol.bkt ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_types
+         FROM vol LEFT JOIN nt ON nt.source = vol.source
+           AND nt.bkt = vol.bkt"""),
+  )
+
   val all: Seq[OracleQuery] = Seq(q59, q60, q61, q62, q63, q64, q65, q66,
-    q67, q68, q69, q70, q71, q72, q73, q74, q164, q173, q179, q180, q195)
+    q67, q68, q69, q70, q71, q72, q73, q74, q164, q173, q179, q180, q195,
+    q220)
 }

@@ -494,8 +494,42 @@ object ExtQueries {
             HAVING count(*) >= 2 AND max(tus) > min(tus)"""),
   )
 
+  /** Q221 [X]: SEQUENTIAL three-stage funnel view → click → purchase
+    * ([[graft.ops.Timeseries.sequentialFunnel]]) — each stage strictly
+    * AFTER the previous completion (`t_{i+1} = min(ts > t_i)`), the
+    * chained-order semantics q51's independent first-occurrence
+    * comparison cannot express past two stages. One row per user who
+    * viewed, epoch-µs stage times with NULLs from the drop-off on,
+    * depth = completed stages. All integer µs — no float surface; the
+    * twin chains the same conditional-min CTEs.
+    */
+  val q221 = OracleQuery(
+    "q221_sequential_funnel",
+    (s, d) => graft.ops.Timeseries.sequentialFunnel(
+      Tables.events(s, d), "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase")),
+    Some("""WITH e AS (SELECT user_id, event_type,
+                    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+              s1 AS (SELECT user_id, min(us) AS t1 FROM e
+                    WHERE event_type = 'view' GROUP BY 1),
+              s2 AS (SELECT s1.user_id, s1.t1,
+                      min(CASE WHEN e.us > s1.t1 THEN e.us END) AS t2
+                    FROM s1 LEFT JOIN e ON e.user_id = s1.user_id
+                      AND e.event_type = 'click'
+                    GROUP BY 1, 2),
+              s3 AS (SELECT s2.user_id, s2.t1, s2.t2,
+                      min(CASE WHEN e.us > s2.t2 THEN e.us END) AS t3
+                    FROM s2 LEFT JOIN e ON e.user_id = s2.user_id
+                      AND e.event_type = 'purchase'
+                    GROUP BY 1, 2, 3)
+         SELECT user_id, t1, t2, t3,
+                1 + CAST(t2 IS NOT NULL AS BIGINT)
+                  + CAST(t3 IS NOT NULL AS BIGINT) AS depth
+         FROM s3"""),
+  )
+
   val all: Seq[OracleQuery] = Seq(
     q18, q19, q19b, q20, q20b, q21, q22, q23,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
-    q51, q52, q58)
+    q51, q52, q58, q221)
 }

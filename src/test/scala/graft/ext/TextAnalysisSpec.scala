@@ -93,4 +93,27 @@ class TextAnalysisSpec extends SparkSpec {
     val (exact, approx) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
     math.abs(approx - exact) / exact should be < 0.05
   }
+
+  test("vocabGrowth: hand-computed Heaps curve; empty-new-type buckets kept") {
+    // one source, 4 docs, 2 buckets (docs 1-2 | docs 3-4):
+    //   d1 "a b", d2 "a c" → bucket 0: 4 tokens, new types {a,b,c}=3
+    //   d3 "a b", d4 "a d" → bucket 1: 4 tokens, new type {d}=1
+    val docs = Seq(
+      (1L, "a b", "s"), (2L, "a c", "s"), (3L, "a b", "s"), (4L, "a d", "s"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.vocabGrowth(docs, "doc_id", "text", "source", 2)
+      .orderBy("bkt").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))
+    out.toSeq shouldBe Seq(
+      (0L, 4L, 3L, 4L, 3L),
+      (1L, 4L, 1L, 8L, 4L))
+    // a bucket introducing NO new types still appears on the volume
+    // spine with new_types = 0 and a flat cumulative curve
+    val rep = Seq((1L, "x y", "s"), (2L, "x y", "s")).toDF("doc_id", "text", "source")
+    TextAnalysis.vocabGrowth(rep, "doc_id", "text", "source", 2)
+      .orderBy("bkt").collect()
+      .map(r => (r.getLong(1), r.getLong(3), r.getLong(5))).toSeq shouldBe
+      Seq((0L, 2L, 2L), (1L, 0L, 2L))
+  }
 }

@@ -80,4 +80,35 @@ class TimeseriesSpec extends SparkSpec {
       .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     fromGrid.toSeq shouldBe rep.toSeq
   }
+
+  test("sequentialFunnel: chained strictly-after stages; order matters past two stages") {
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000L)
+    // user 1 completes A→B→C in order; user 2 has C BEFORE B (global
+    // first-C precedes first-B — the case a q51-style independent
+    // first-occurrence comparison mislabels); user 3 drops after A;
+    // user 4 never does A (excluded entirely).
+    val ev = Seq(
+      (1L, "A", 1000000L), (1L, "B", 2000000L), (1L, "C", 3000000L),
+      (2L, "A", 1000000L), (2L, "C", 1500000L), (2L, "B", 2000000L),
+      (2L, "C", 2500000L), // a later C AFTER B: stage 3 must pick this
+      (3L, "A", 4000000L),
+      (4L, "B", 1000000L), (4L, "C", 2000000L))
+      .map { case (u, t, us) => (u, t, ts(us)) }
+      .toDF("user_id", "event_type", "ts")
+    val out = Timeseries.sequentialFunnel(ev, "user_id", "ts",
+      "event_type", Seq("A", "B", "C"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3)),
+          r.getLong(4)))).toMap
+    out.keySet shouldBe Set(1L, 2L, 3L)
+    out(1L) shouldBe ((Some(1000000L), Some(2000000L), Some(3000000L), 3L))
+    // user 2: the pre-B C is skipped, the post-B C completes the funnel
+    out(2L) shouldBe ((Some(1000000L), Some(2000000L), Some(2500000L), 3L))
+    out(3L) shouldBe ((Some(4000000L), None, None, 1L))
+    // strictness: a stage-2 event exactly AT t1 does not count
+    val tie = Seq((9L, "A", ts(1000000L)), (9L, "B", ts(1000000L)))
+      .toDF("user_id", "event_type", "ts")
+    Timeseries.sequentialFunnel(tie, "user_id", "ts", "event_type",
+      Seq("A", "B")).collect().head.getLong(3) shouldBe 1L
+  }
 }
