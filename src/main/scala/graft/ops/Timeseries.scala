@@ -163,4 +163,86 @@ object Timeseries {
         .map(i => col(s"t${i + 1}").isNotNull.cast("long"))
         .foldLeft(lit(1L))(_ + _))
   }
+
+  /** Kaplan-Meier survival curve (Kaplan & Meier, JASA 1958) for
+    * time-to-`eventType` after a key's first `entryType`, by entry-week
+    * cohort — the retention/churn read q52's fixed-lag retention cannot
+    * give: the WHOLE time-to-event distribution with right-censoring
+    * handled correctly (users who never convert are censored at the last
+    * observed timestamp, not dropped — dropping them biases survival
+    * down; counting them as never-converting biases it up).
+    *
+    * Semantics: t0 = first entry event per key; the event time is the
+    * first `eventType` STRICTLY after t0 (the q221 chained-order rule);
+    * observed day = (t − t0) div 86400000000 µs. At each observed day
+    * n_risk = users still under observation (censored-at-day users count
+    * as at risk THAT day — the standard events-before-censoring
+    * convention), and S(day) = Π_{d ≤ day} (1 − d_events/n_risk).
+    *
+    * Cross-engine float discipline: each factor is one exact integer
+    * division and subtraction; the running product is a SEQUENTIAL fold
+    * over the day-sorted per-cohort array on BOTH engines (`aggregate`
+    * here ≡ `list_reduce` in the twin — the q169 EWMA rule: identical
+    * fold order gives identical doubles), rounded once at the surface.
+    * The interpreted higher-order fold is fine HERE because it runs over
+    * curve rows (cohorts × observed days — thousands), never corpus
+    * rows; the corpus-scale work is the two type-pruned scans and one
+    * (cohort, day) group-by.
+    *
+    * Output: (cohort_us, day, n_risk, d_events, c_censored, survival).
+    */
+  def kaplanMeier(events: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, entryType: String, eventType: String): DataFrame = {
+    require(entryType != eventType,
+      s"kaplanMeier: entryType and eventType must differ, got '$entryType'")
+    val dayUs = 86400000000L
+    val ev = events.select(col(keyCol), col(typeCol),
+      unix_micros(col(tsCol)).as("__us"))
+    val entry = ev.filter(col(typeCol) === entryType)
+      .groupBy(keyCol).agg(min("__us").as("t0"))
+    val withEvt = entry
+      .join(ev.filter(col(typeCol) === eventType)
+        .select(col(keyCol), col("__us")), Seq(keyCol), "left")
+      .groupBy(col(keyCol), col("t0"))
+      .agg(min(when(col("__us") > col("t0"), col("__us"))).as("tevt"))
+    val maxUs = ev.agg(max("__us").as("__mu"))
+    val perUser = withEvt.crossJoin(broadcast(maxUs))
+      // integer `div`, not `/` — float division then cast would be a
+      // truncation of a rounded quotient, not the exact floor
+      .withColumn("__dt",
+        when(col("tevt").isNotNull, col("tevt") - col("t0"))
+          .otherwise(col("__mu") - col("t0")))
+      .select(
+        unix_micros(date_trunc("week", timestamp_micros(col("t0"))))
+          .as("cohort_us"),
+        expr(s"__dt div ${dayUs}L").as("day"),
+        col("tevt").isNotNull.cast("long").as("ev"))
+    val dayTab = perUser.groupBy(col("cohort_us"), col("day"))
+      .agg(sum(col("ev")).as("d_events"),
+        sum(lit(1L) - col("ev")).as("c_censored"))
+    val wAll = Window.partitionBy("cohort_us")
+    val wPrior = Window.partitionBy("cohort_us").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val risk = dayTab.withColumn("n_risk",
+      sum(col("d_events") + col("c_censored")).over(wAll) -
+        coalesce(sum(col("d_events") + col("c_censored")).over(wPrior),
+          lit(0L)))
+      .localCheckpoint() // feeds the fold input AND the join-back side
+    val folded = risk
+      .groupBy(col("cohort_us"))
+      .agg(sort_array(collect_list(
+        struct(col("day"), col("d_events").as("d"), col("n_risk").as("n"))))
+        .as("arr"))
+      .select(col("cohort_us"), col("arr"),
+        posexplode(col("arr")).as(Seq("pos", "x")))
+      .select(col("cohort_us"), col("x.day").as("day"),
+        graft.syntax.round6z(aggregate(
+          slice(col("arr"), lit(1), col("pos") + 1), lit(1.0d),
+          (acc, e) => acc *
+            (lit(1.0d) - e.getField("d").cast("double") / e.getField("n"))))
+          .as("survival"))
+    risk.join(folded, Seq("cohort_us", "day"))
+      .select(col("cohort_us"), col("day"), col("n_risk"),
+        col("d_events"), col("c_censored"), col("survival"))
+  }
 }

@@ -528,8 +528,75 @@ object ExtQueries {
          FROM s3"""),
   )
 
+  /** Q225 [X]: Kaplan-Meier survival curve for time-to-purchase after
+    * first view, by entry-week cohort ([[graft.ops.Timeseries
+    * .kaplanMeier]]) — the right-censored time-to-event read q52's
+    * fixed-lag retention cannot give: never-converting users are
+    * censored at the last observed timestamp (not dropped, not counted
+    * as never-converting — both bias S). Float discipline: each factor
+    * `1 − d/n` is one exact integer division; the running product is a
+    * SEQUENTIAL day-ordered fold on BOTH engines (`aggregate` ≡
+    * `list_reduce` over the same day-sorted slice — the q169 identical-
+    * fold-order rule), rounded once at the surface.
+    */
+  val q225 = OracleQuery(
+    "q225_survival_km",
+    (s, d) => graft.ops.Timeseries.kaplanMeier(
+      Tables.events(s, d), "user_id", "ts", "event_type",
+      entryType = "view", eventType = "purchase"),
+    Some("""WITH e AS MATERIALIZED (SELECT user_id, event_type,
+                    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+              ent AS (SELECT user_id, min(us) AS t0 FROM e
+                      WHERE event_type = 'view' GROUP BY 1),
+              evt AS (SELECT ent.user_id, ent.t0,
+                        min(CASE WHEN e.us > ent.t0 THEN e.us END) AS tevt
+                      FROM ent LEFT JOIN e ON e.user_id = ent.user_id
+                        AND e.event_type = 'purchase'
+                      GROUP BY 1, 2),
+              mu AS (SELECT max(us) AS m FROM e),
+              pu AS (SELECT
+                       epoch_us(date_trunc('week', make_timestamp(t0)))
+                         AS cohort_us,
+                       (CASE WHEN tevt IS NOT NULL THEN tevt - t0
+                             ELSE mu.m - t0 END) // 86400000000 AS day,
+                       CAST(tevt IS NOT NULL AS BIGINT) AS ev
+                     FROM evt, mu),
+              dt AS (SELECT cohort_us, day,
+                       CAST(sum(ev) AS BIGINT) AS d_events,
+                       CAST(sum(1 - ev) AS BIGINT) AS c_censored
+                     FROM pu GROUP BY 1, 2),
+              rk AS MATERIALIZED (SELECT cohort_us, day, d_events,
+                       c_censored,
+                       CAST(sum(d_events + c_censored)
+                              OVER (PARTITION BY cohort_us)
+                            - coalesce(sum(d_events + c_censored)
+                                OVER (PARTITION BY cohort_us ORDER BY day
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS BIGINT)
+                         AS n_risk
+                     FROM dt),
+              ag AS (SELECT cohort_us,
+                       list(struct_pack(day := day, d := d_events,
+                                        n := n_risk)
+                            ORDER BY day) AS arr
+                     FROM rk GROUP BY 1),
+              ex AS (SELECT cohort_us, unnest(arr) AS x,
+                       generate_subscripts(arr, 1) AS pos, arr
+                     FROM ag)
+         SELECT rk.cohort_us, rk.day, rk.n_risk, rk.d_events,
+                rk.c_censored,
+                round(list_reduce(
+                  list_prepend(CAST(1.0 AS DOUBLE),
+                    list_transform(ex.arr[1:ex.pos],
+                      e -> CAST(1.0 AS DOUBLE)
+                           - CAST(e.d AS DOUBLE) / e.n)),
+                  (a, f) -> a * f), 6) + 0.0 AS survival
+         FROM rk JOIN ex ON ex.cohort_us = rk.cohort_us
+           AND ex.x.day = rk.day"""),
+  )
+
   val all: Seq[OracleQuery] = Seq(
     q18, q19, q19b, q20, q20b, q21, q22, q23,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
-    q51, q52, q58, q221)
+    q51, q52, q58, q221, q225)
 }

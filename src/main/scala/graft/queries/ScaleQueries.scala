@@ -1024,8 +1024,97 @@ object ScaleQueries {
       "len(string_split(text, ' ')) >= 56", "n_chars >= 330")),
   )
 
+  /** The token relation the three linear-sketch queries share, and the
+    * matching DuckDB FROM clauses. The explode is a cheap single-scan
+    * projection (the q214 precedent — no checkpoint: each reuse is one
+    * pushdown-friendly parquet scan, cheaper than materializing the
+    * corpus-sized token relation).
+    */
+  private def tokRel(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.documents(s, d).select(col("doc_id"), col("source"),
+      explode(Dedup.tokens(col("text"))).as("tok"))
+  private val tokFrom =
+    "(SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)"
+  private val probeFrom =
+    """(SELECT DISTINCT source, tok FROM
+          (SELECT source, doc_id, unnest(string_split(text, ' ')) AS tok
+           FROM documents) WHERE doc_id % 101 = 0)"""
+
+  /** Q222 [X sketch]: count-min frequency estimates off a MERGED sketch
+    * ([[graft.ops.LinearSketches]], depth 3 × width 256) — corpus
+    * (doc_id % 10 ≠ 0) and batch (% 10 = 0) sketched separately, merged
+    * by element-wise counter ADDITION (`cmsMerge` — the LINEAR merge
+    * law, exact by construction), then probed with the distinct tokens
+    * of the % 101 = 0 docs. The twin builds its sketch from the FULL
+    * corpus, so the hash match certifies the merge law AND the salted
+    * bucket-hash parity at once; estimates are exact integers (CMS
+    * overestimates under collisions identically on both engines).
+    */
+  val q222 = OracleQuery(
+    "q222_cms_estimate",
+    (s, d) => {
+      val tok = tokRel(s, d)
+      val merged = graft.ops.LinearSketches.cmsMerge(
+        graft.ops.LinearSketches.cmsSketch(
+          tok.filter(col("doc_id") % 10 =!= 0), "source", "tok", 3, 256),
+        graft.ops.LinearSketches.cmsSketch(
+          tok.filter(col("doc_id") % 10 === 0), "source", "tok", 3, 256),
+        "source")
+      graft.ops.LinearSketches.cmsEstimate(
+        merged,
+        tok.filter(col("doc_id") % 101 === 0)
+          .select(col("source"), col("tok")).distinct(),
+        "source", "tok", 3, 256)
+    },
+    Some(graft.ops.LinearSketches.cmsEstimateSql(
+      tokFrom, probeFrom, "source", "source", "tok", "tok", 3, 256)),
+  )
+
+  /** Q223 [X sketch]: AMS/count-sketch second-moment (F2) estimate off a
+    * MERGED sketch (depth 3 × width 256): F2 = Σ f_tok² — the self-join
+    * size / collision mass of the token distribution, the skew statistic
+    * a repartition planner reads. Corpus/batch sketched separately,
+    * merged by SIGNED counter addition, then the median-row estimator —
+    * all exact BIGINT math end to end. The twin recomputes from the full
+    * corpus: the hash match is the linear merge law for signed sketches.
+    */
+  val q223 = OracleQuery(
+    "q223_ams_f2",
+    (s, d) => {
+      val tok = tokRel(s, d)
+      graft.ops.LinearSketches.amsF2Estimate(
+        graft.ops.LinearSketches.amsMerge(
+          graft.ops.LinearSketches.amsSketch(
+            tok.filter(col("doc_id") % 10 =!= 0), "source", "tok", 3, 256),
+          graft.ops.LinearSketches.amsSketch(
+            tok.filter(col("doc_id") % 10 === 0), "source", "tok", 3, 256),
+          "source"),
+        "source", depth = 3)
+    },
+    Some(graft.ops.LinearSketches.amsF2Sql(
+      tokFrom, "source", "source", "tok", 3, 256)),
+  )
+
+  /** Q224 [X sketch]: feature-hashed source similarity — every source's
+    * token stream projected to a 1024-bucket signed vector (the hashing
+    * trick, [[graft.ops.LinearSketches.featureHash]]; no vocabulary scan,
+    * state = dim buckets per source FOREVER), then all-pairs cosine over
+    * the |sources|² pair relation. Integer dots/norms; one double
+    * division against sqrt(na)·sqrt(nb) (two exact factors — the integer
+    * norm PRODUCT could exceed 2^63).
+    */
+  val q224 = OracleQuery(
+    "q224_hashed_cosine",
+    (s, d) => graft.ops.LinearSketches.hashedCosine(
+      graft.ops.LinearSketches.featureHash(
+        tokRel(s, d), "source", "tok", dim = 1024),
+      "source"),
+    Some(graft.ops.LinearSketches.hashedCosineSql(
+      tokFrom, "source", "source", "tok", dim = 1024)),
+  )
+
   val all: Seq[OracleQuery] =
     Seq(q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q133,
       q136, q175, q178, q193, q197, q198, q199, q201, q202, q205, q206,
-      q212, q213, q214, q215, q216, q217)
+      q212, q213, q214, q215, q216, q217, q222, q223, q224)
 }

@@ -111,4 +111,35 @@ class TimeseriesSpec extends SparkSpec {
     Timeseries.sequentialFunnel(tie, "user_id", "ts", "event_type",
       Seq("A", "B")).collect().head.getLong(3) shouldBe 1L
   }
+
+  test("kaplanMeier: right-censoring, cohort split, and the running product") {
+    val day = 86400000000L
+    // u1: view@0, purchase@1.5d → day-1 event.  u2: view@0, never
+    // purchases → censored at the global max (8.2d → day 8).  u3:
+    // view@0, purchase AT t0 (not strictly after) → censored too.
+    // u4: view@8d (NEXT week's cohort), purchase@8.2d (the global max)
+    // → day-0 event.  u5: purchase only, no view → excluded.
+    val ev = Seq(
+      ("u1", "view", 0L), ("u1", "purchase", 129600000000L),
+      ("u2", "view", 0L),
+      ("u3", "view", 0L), ("u3", "purchase", 0L),
+      ("u4", "view", 8L * day), ("u4", "purchase", 708480000000L),
+      ("u5", "purchase", day))
+      .toDF("user_id", "event_type", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = Timeseries.kaplanMeier(ev, "user_id", "ts", "event_type",
+      "view", "purchase")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // cohorts: 1970-01-01 (Thu) → Mon 1969-12-29 = -3d;
+    //          1970-01-09 (Fri) → Mon 1970-01-05 = +4d
+    val w0 = -3L * day; val w1 = 4L * day
+    out.keySet shouldBe Set((w0, 1L), (w0, 8L), (w1, 0L))
+    // day 1: 3 at risk, 1 event → S = 1 - 1/3; day 8: 2 at risk, both
+    // censored → S carries (censored users were AT RISK through day 8)
+    out((w0, 1L)) shouldBe ((3L, 1L, 0L, 0.666667))
+    out((w0, 8L)) shouldBe ((2L, 0L, 2L, 0.666667))
+    // u4 converts on its cohort's first observed day → S drops to 0
+    out((w1, 0L)) shouldBe ((1L, 1L, 0L, 0.0))
+  }
 }
