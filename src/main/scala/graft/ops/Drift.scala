@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distribution-drift monitoring between two cohorts of one table —
@@ -344,6 +345,55 @@ object Drift {
     val (d, na, nb) = ecdfDiffPreAgg(mergedCounts(corpusCounts, batch,
       valueCol), nBuckets)
     w1Finish(d, na, nb)
+  }
+
+  /** Merge two ECDF count tables (built on the SAME grid, or both raw):
+    * counts ADD per value — the linear merge law for count tables, exact
+    * by construction, so per-shard tables roll up through any tree shape
+    * to the identical global table (what lets [[quantilesFromEcdf]] and
+    * the incremental KS/W₁ probes run off shard-local builds without a
+    * corpus re-scan).
+    */
+  def mergeEcdfTables(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("v"), col("cnt"))
+      .unionByName(b.select(col("v"), col("cnt")))
+      .groupBy("v").agg(sum("cnt").as("cnt"))
+
+  /** Quantiles FROM the (quantized) ECDF count table — the mergeable-
+    * quantile read the grid family was missing: because count tables ADD
+    * (per-shard tables union + re-group — the [[incrementalKs]] merge),
+    * any tree of shard-local tables yields the same global table, and
+    * this probe then answers any quantile in O(|table|) without touching
+    * corpus rows. Exact AT GRID RESOLUTION — the one approximation is
+    * the grid, stated up front (raw [[ecdfTable]] input ⇒ exact
+    * order statistics). Definition: the `p`-th percentile is the
+    * smallest cell value whose cumulative count reaches
+    * `max(1, ceil(p/100 · n))` — the standard left-continuous inverse
+    * CDF. Percentiles ride as INTEGERS (p/100.0 is the only division,
+    * identical on both engines; `ceil` of a double is integral, so the
+    * long conversion is rounding-mode-proof). The cumulative window is
+    * GLOBAL by construction — bounded by the grid cell count (the q205
+    * rule), never corpus rows.
+    */
+  def quantilesFromEcdf(counts: DataFrame, pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"quantilesFromEcdf: percentiles must be in [1,100], got $pcts")
+    val spark = counts.sparkSession
+    import spark.implicits._
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts.select(col("v"), col("cnt"))
+      .withColumn("cum", sum("cnt").over(w))
+      .crossJoin(broadcast(counts.agg(sum("cnt").as("n"))))
+    val p = pcts.toDF("pct")
+    cum.crossJoin(broadcast(p))
+      .withColumn("r", greatest(lit(1L),
+        ceil(col("pct").cast("double") / 100.0 * col("n").cast("double"))
+          .cast("long")))
+      .filter(col("cum") >= col("r"))
+      .groupBy(col("pct"), col("r"), col("n"))
+      .agg(min(col("v")).as("v_q"))
+      .select(col("pct"), col("r"), col("n"), col("v_q"))
   }
 
   private def mergedCounts(corpusCounts: DataFrame, batch: DataFrame,

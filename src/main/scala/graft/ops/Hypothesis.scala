@@ -1,0 +1,188 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Two-sample hypothesis tests — Welch's unequal-variance t-test (Welch,
+  * Biometrika 1947) and the tie-corrected Mann-Whitney U / Wilcoxon
+  * rank-sum test (Mann & Whitney 1947) — the A/B-readout primitives the
+  * drift family (PSI/KS/W₁/chi-square) doesn't cover: PSI/KS ask "did
+  * the distribution move?", these ask "is the LOCATION difference
+  * between two named cohorts significant?".
+  *
+  * Cross-engine float discipline (the kappa rule, `ops/Agreement.scala`):
+  * every aggregate is an EXACT integer (counts, integer value sums,
+  * doubled rank sums, tie cubes), and doubles are formed only at the
+  * end by an identical sequence of divisions/multiplications/sqrt on
+  * both engines — bit parity by construction, one round6z at the
+  * surface. That is why [[welchTTest]] takes an INTEGER-valued column:
+  * an exact Σx/Σx² is what makes the variance portable (a double value
+  * column should be scaled-and-truncated upstream — the 2^-40 rule — or
+  * tested rank-wise with [[mannWhitneyU]], which never sums values at
+  * all).
+  *
+  * Scale shape: one scan → per-group integer aggregates (map-side
+  * combinable); Welch then pairs the GROUP table (|groups|², never
+  * corpus²), MW's rank machinery is a per-group window over DISTINCT
+  * values. Overflow bounds (documented, loud in scaladoc not runtime —
+  * same posture as kappa's n² bound): Welch needs Σx² < 2^63 (~9e10
+  * rows/group at x ≤ 10⁴); MW's doubled rank sum stays exact below
+  * ~2e9 rows/group and the tie term needs max tie-group < ~2e6.
+  */
+object Hypothesis {
+
+  /** Welch's t-test on an integer-valued column between ALL PAIRS of
+    * groups (a < b): per group n/Σx/Σx² (exact longs), then
+    * `t = (m_a − m_b) / sqrt(v_a/n_a + v_b/n_b)` and the
+    * Welch-Satterthwaite degrees of freedom. Groups with n < 2 drop;
+    * pairs with zero pooled standard error drop (t undefined — and NaN
+    * formatting differs between engines).
+    */
+  def welchTTest(df: DataFrame, groupCol: String, value: Column)
+      : DataFrame = {
+    val x = value.cast("long")
+    val g = df.select(col(groupCol).as("g"), x.as("x"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("x").as("s1"),
+        sum(col("x") * col("x")).as("s2"))
+      .filter(col("n") >= 2)
+    def mean(s1: Column, n: Column) = s1.cast("double") / n.cast("double")
+    def se2(s1: Column, s2: Column, n: Column) = {
+      val m = mean(s1, n)
+      val v = (s2.cast("double") - s1.cast("double") * m) /
+        (n - 1).cast("double")
+      v / n.cast("double")
+    }
+    val pairs = g.alias("a").join(g.alias("b"), col("a.g") < col("b.g"))
+      .select(
+        col("a.g").as("ga"), col("b.g").as("gb"),
+        col("a.n").as("na"), col("b.n").as("nb"),
+        col("a.s1").as("s1a"), col("a.s2").as("s2a"),
+        col("b.s1").as("s1b"), col("b.s2").as("s2b"))
+    val sa = se2(col("s1a"), col("s2a"), col("na"))
+    val sb = se2(col("s1b"), col("s2b"), col("nb"))
+    val pooled = sa + sb
+    pairs
+      .filter(pooled > 0.0)
+      .select(
+        col("ga").as(s"${groupCol}_a"), col("gb").as(s"${groupCol}_b"),
+        col("na").as("n_a"), col("nb").as("n_b"),
+        graft.syntax.round6z(mean(col("s1a"), col("na"))).as("mean_a"),
+        graft.syntax.round6z(mean(col("s1b"), col("nb"))).as("mean_b"),
+        graft.syntax.round6z(
+          (mean(col("s1a"), col("na")) - mean(col("s1b"), col("nb"))) /
+            sqrt(pooled)).as("t_stat"),
+        graft.syntax.round6z(
+          (pooled * pooled) /
+            (sa * sa / (col("na") - 1).cast("double") +
+              sb * sb / (col("nb") - 1).cast("double"))).as("df_w"))
+  }
+
+  /** DuckDB twin of [[welchTTest]] over `FROM $from` with an
+    * integer-valued `$valueExpr` — replays the exact-integer aggregates
+    * and the identical double-op sequence.
+    */
+  def welchTTestSql(from: String, groupExpr: String, groupName: String,
+      valueExpr: String): String = {
+    def mean(p: String) = s"(CAST(s1$p AS DOUBLE) / CAST(n$p AS DOUBLE))"
+    def se2(p: String) =
+      s"(((CAST(s2$p AS DOUBLE) - CAST(s1$p AS DOUBLE) * ${mean(p)}) / " +
+        s"CAST(n$p - 1 AS DOUBLE)) / CAST(n$p AS DOUBLE))"
+    val pooled = s"(${se2("a")} + ${se2("b")})"
+    s"""WITH g AS (SELECT $groupExpr AS g, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CAST($valueExpr AS BIGINT)) AS BIGINT) AS s1,
+              CAST(sum(CAST($valueExpr AS BIGINT) * CAST($valueExpr AS BIGINT))
+                   AS BIGINT) AS s2
+            FROM $from GROUP BY 1 HAVING count(*) >= 2),
+          p AS (SELECT a.g AS ga, b.g AS gb, a.n AS na, b.n AS nb,
+                   a.s1 AS s1a, a.s2 AS s2a, b.s1 AS s1b, b.s2 AS s2b
+                FROM g a JOIN g b ON a.g < b.g)
+       SELECT ga AS ${groupName}_a, gb AS ${groupName}_b,
+              na AS n_a, nb AS n_b,
+              round(${mean("a")}, 6) + 0.0 AS mean_a,
+              round(${mean("b")}, 6) + 0.0 AS mean_b,
+              round((${mean("a")} - ${mean("b")}) / sqrt($pooled), 6) + 0.0
+                AS t_stat,
+              round(($pooled * $pooled) /
+                    (${se2("a")} * ${se2("a")} / CAST(na - 1 AS DOUBLE) +
+                     ${se2("b")} * ${se2("b")} / CAST(nb - 1 AS DOUBLE)), 6)
+                + 0.0 AS df_w
+       FROM p WHERE $pooled > 0.0"""
+  }
+
+  /** Tie-corrected Mann-Whitney U between cohorts A (`isA`) and B, per
+    * group: ranks never materialize per row — per DISTINCT value the
+    * cohort counts and the prior cumulative give the tied-average rank,
+    * so the DOUBLED rank sum `2R_A = Σ na_v·(2·prev + t_v + 1)` is an
+    * exact integer (halves from tie-averaging cancel), as are
+    * `2U_A = 2R_A − n_a(n_a+1)` and the tie term `Σ(t³ − t)`. The
+    * normal-approximation z (no continuity correction — both engines
+    * would apply it identically anyway, it's omitted for simplicity)
+    * forms from those integers by one identical double sequence:
+    * `σ² = (n_a·n_b/12)·(N+1 − ties/(N(N−1)))`,
+    * `z = (2U_A − n_a·n_b) / (2σ)`. Groups where either cohort is empty
+    * or σ² = 0 (all values tied) drop on both sides.
+    */
+  def mannWhitneyU(df: DataFrame, groupCol: String, isA: Column,
+      value: Column): DataFrame = {
+    val perV = df.select(col(groupCol).as("g"), isA.cast("boolean").as("ia"),
+        value.cast("double").as("v"))
+      .groupBy("g", "v")
+      .agg(sum(when(col("ia"), 1L).otherwise(0L)).as("na_v"),
+        sum(when(!col("ia"), 1L).otherwise(0L)).as("nb_v"))
+      .withColumn("t_v", col("na_v") + col("nb_v"))
+    val wPrev = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val agg = perV
+      .withColumn("prev", coalesce(sum("t_v").over(wPrev), lit(0L)))
+      .groupBy("g")
+      .agg(sum("na_v").as("n_a"), sum("nb_v").as("n_b"),
+        sum(col("na_v") * (lit(2L) * col("prev") + col("t_v") + 1L))
+          .as("r2_a"),
+        sum(col("t_v") * col("t_v") * col("t_v") - col("t_v")).as("ties"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+    val nn = col("n_a") + col("n_b")
+    val u2 = col("r2_a") - col("n_a") * (col("n_a") + 1L)
+    val sigma2 = (col("n_a") * col("n_b")).cast("double") / 12.0 *
+      ((nn + 1L).cast("double") -
+        col("ties").cast("double") / (nn * (nn - 1L)).cast("double"))
+    agg
+      .filter(sigma2 > 0.0)
+      .select(col("g").as(groupCol), col("n_a"), col("n_b"),
+        u2.as("u2_a"), col("ties"),
+        graft.syntax.round6z(
+          (u2 - col("n_a") * col("n_b")).cast("double") /
+            (lit(2.0) * sqrt(sigma2))).as("z"))
+  }
+
+  /** DuckDB twin of [[mannWhitneyU]] over `FROM $from`. */
+  def mannWhitneyUSql(from: String, groupExpr: String, groupName: String,
+      isAExpr: String, valueExpr: String): String = {
+    val sigma2 = "(CAST(n_a * n_b AS DOUBLE) / 12.0 * " +
+      "(CAST(n_a + n_b + 1 AS DOUBLE) - CAST(ties AS DOUBLE) / " +
+      "CAST((n_a + n_b) * (n_a + n_b - 1) AS DOUBLE)))"
+    s"""WITH pv AS (SELECT $groupExpr AS g, CAST($valueExpr AS DOUBLE) AS v,
+              CAST(sum(CASE WHEN $isAExpr THEN 1 ELSE 0 END) AS BIGINT)
+                AS na_v,
+              CAST(sum(CASE WHEN $isAExpr THEN 0 ELSE 1 END) AS BIGINT)
+                AS nb_v
+            FROM $from GROUP BY 1, 2),
+          pr AS (SELECT g, v, na_v, nb_v, na_v + nb_v AS t_v,
+                   coalesce(sum(na_v + nb_v) OVER (PARTITION BY g
+                     ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS prev
+                 FROM pv),
+          ag AS (SELECT g, CAST(sum(na_v) AS BIGINT) AS n_a,
+                   CAST(sum(nb_v) AS BIGINT) AS n_b,
+                   CAST(sum(na_v * (2 * prev + t_v + 1)) AS BIGINT) AS r2_a,
+                   CAST(sum(t_v * t_v * t_v - t_v) AS BIGINT) AS ties
+                 FROM pr GROUP BY 1
+                 HAVING sum(na_v) > 0 AND sum(nb_v) > 0)
+       SELECT g AS $groupName, n_a, n_b,
+              r2_a - n_a * (n_a + 1) AS u2_a, ties,
+              round(CAST(r2_a - n_a * (n_a + 1) - n_a * n_b AS DOUBLE) /
+                    (2.0 * sqrt($sigma2)), 6) + 0.0 AS z
+       FROM ag WHERE $sigma2 > 0.0"""
+  }
+}

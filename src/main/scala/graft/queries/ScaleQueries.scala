@@ -1113,8 +1113,83 @@ object ScaleQueries {
       tokFrom, "source", "source", "tok", dim = 1024)),
   )
 
+  /** Q226 [X test]: Welch's unequal-variance t-test on document length
+    * (n_chars) between ALL source pairs ([[graft.ops.Hypothesis
+    * .welchTTest]]) — the location-significance readout the drift family
+    * (PSI/KS: "did it move?") doesn't give. Integer Σx/Σx² per source
+    * are exact longs; t and the Welch-Satterthwaite df form by one
+    * identical double-op sequence on both engines (the kappa rule).
+    * Pairs the 20-row GROUP table, never the corpus.
+    */
+  val q226 = OracleQuery(
+    "q226_welch_ttest",
+    (s, d) => graft.ops.Hypothesis.welchTTest(
+      Tables.documents(s, d), "source", col("n_chars")),
+    Some(graft.ops.Hypothesis.welchTTestSql(
+      "documents", "source", "source", "n_chars")),
+  )
+
+  /** Q227 [X test]: tie-corrected Mann-Whitney U between A/B arms
+    * (user_id parity) on event value, per event type
+    * ([[graft.ops.Hypothesis.mannWhitneyU]]) — the rank-based location
+    * test for value columns whose SUMS aren't portable (doubles):
+    * ranks never materialize per row (per-DISTINCT-value cohort counts
+    * + prior cumulative ⇒ the DOUBLED rank sum is an exact integer),
+    * and z forms from exact integers by one identical double sequence.
+    */
+  val q227 = OracleQuery(
+    "q227_mannwhitney_ab",
+    (s, d) => graft.ops.Hypothesis.mannWhitneyU(
+      Tables.events(s, d), "event_type",
+      col("user_id") % 2 === 0, col("value")),
+    Some(graft.ops.Hypothesis.mannWhitneyUSql(
+      "events", "event_type", "event_type", "user_id % 2 = 0", "value")),
+  )
+
+  /** Q228 [X sketch]: mergeable grid quantiles — per-arm quantized ECDF
+    * tables (the q205 0.25 grid) MERGED by count addition
+    * ([[graft.ops.Drift.mergeEcdfTables]] — the linear law for count
+    * tables), then the percentile ladder read off the merged table
+    * ([[graft.ops.Drift.quantilesFromEcdf]]: smallest cell whose
+    * cumulative reaches ceil(p/100·n)). The twin rebuilds the table
+    * from the FULL corpus, so the hash match certifies the merge law
+    * AND the inverse-CDF probe; exact at grid resolution, O(cells) per
+    * probe, corpus rows never re-read.
+    */
+  val q228 = OracleQuery(
+    "q228_grid_quantiles",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val step = 0.25
+      graft.ops.Drift.quantilesFromEcdf(
+        graft.ops.Drift.mergeEcdfTables(
+          graft.ops.Drift.quantizedEcdfTable(
+            ev.filter(col("user_id") % 2 === 0), "value", step),
+          graft.ops.Drift.quantizedEcdfTable(
+            ev.filter(col("user_id") % 2 =!= 0), "value", step)),
+        Seq(1, 5, 25, 50, 75, 95, 99))
+    },
+    Some("""WITH q AS (SELECT floor(value / 0.25) * 0.25 AS v FROM events),
+              c AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt
+                    FROM q GROUP BY 1),
+              cum AS (SELECT v, sum(cnt) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS cum
+                      FROM c),
+              n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c),
+              ps(pct) AS (VALUES (1), (5), (25), (50), (75), (95), (99)),
+              r AS (SELECT ps.pct, n.n,
+                      greatest(1, CAST(ceil(CAST(ps.pct AS DOUBLE) / 100.0
+                        * CAST(n.n AS DOUBLE)) AS BIGINT)) AS r
+                    FROM ps, n)
+         SELECT r.pct, r.r, r.n, min(cum.v) AS v_q
+         FROM r JOIN cum ON cum.cum >= r.r
+         GROUP BY 1, 2, 3"""),
+  )
+
   val all: Seq[OracleQuery] =
     Seq(q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q133,
       q136, q175, q178, q193, q197, q198, q199, q201, q202, q205, q206,
-      q212, q213, q214, q215, q216, q217, q222, q223, q224)
+      q212, q213, q214, q215, q216, q217, q222, q223, q224, q226, q227,
+      q228)
 }

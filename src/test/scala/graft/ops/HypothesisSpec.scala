@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Welch's t-test and Mann-Whitney U (q226/q227), plus the mergeable
+  * grid-quantile probe (q228). Assertions are hand-computed on tiny
+  * cohorts — the portable-integer discipline means every statistic is a
+  * deterministic function of exact counts.
+  */
+class HypothesisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("welchTTest: hand-computed t and Welch-Satterthwaite df") {
+    // g1: {1,2,3} → n=3, m=2, v=1;  g2: {4,6} → n=2, m=5, v=2
+    val df = Seq(("g1", 1), ("g1", 2), ("g1", 3), ("g2", 4), ("g2", 6))
+      .toDF("g", "x")
+    val out = Hypothesis.welchTTest(df, "g", col("x")).collect()
+    out.length shouldBe 1
+    val r = out.head
+    (r.getString(0), r.getString(1)) shouldBe (("g1", "g2"))
+    r.getDouble(4) shouldBe 2.0 // mean_a
+    r.getDouble(5) shouldBe 5.0 // mean_b
+    // se² = 1/3 + 2/2 = 4/3; t = -3 / sqrt(4/3) = -2.598076
+    r.getDouble(6) shouldBe -2.598076 +- 1e-6
+    // df = (4/3)² / ((1/3)²/2 + 1²/1) = (16/9) / (1/18 + 1) = 1.684211
+    r.getDouble(7) shouldBe 1.684211 +- 1e-6
+  }
+
+  test("welchTTest: n<2 groups and zero-variance pairs drop") {
+    val df = Seq(("a", 5), ("a", 5), ("b", 7), ("b", 7), ("c", 1))
+      .toDF("g", "x")
+    // a and b both have v=0 → pooled se 0 → pair dropped; c has n=1
+    Hypothesis.welchTTest(df, "g", col("x")).count() shouldBe 0L
+  }
+
+  test("mannWhitneyU: hand-computed doubled rank sum, U, ties, z") {
+    // A = {1, 3, 3}, B = {2, 3, 5}: sorted 1,2,3,3,3,5
+    // ranks: 1→1, 2→2, {3,3,3}→avg 4, 5→6; R_A = 1+4+4 = 9 → 2R_A = 18
+    // 2U_A = 18 − 3·4 = 6; ties = 3³−3 = 24
+    val df = Seq((true, 1.0), (true, 3.0), (true, 3.0),
+      (false, 2.0), (false, 3.0), (false, 5.0))
+      .map { case (a, v) => ("k", a, v) }.toDF("g", "ia", "v")
+    val out = Hypothesis.mannWhitneyU(df, "g", col("ia"), col("v")).collect()
+    out.length shouldBe 1
+    val r = out.head
+    (r.getLong(1), r.getLong(2)) shouldBe ((3L, 3L))
+    r.getLong(3) shouldBe 6L   // 2U_A
+    r.getLong(4) shouldBe 24L  // Σ(t³−t)
+    // σ² = (9/12)·(7 − 24/30) = 0.75·6.2 = 4.65
+    // z = (6 − 9) / (2·sqrt(4.65)) = −0.695608
+    r.getDouble(5) shouldBe -0.695608 +- 1e-6
+  }
+
+  test("mannWhitneyU: all-tied group (σ²=0) and one-cohort group drop") {
+    val df = Seq(("t", true, 1.0), ("t", false, 1.0),
+      ("o", true, 1.0), ("o", true, 2.0)).toDF("g", "ia", "v")
+    Hypothesis.mannWhitneyU(df, "g", col("ia"), col("v")).count() shouldBe 0L
+  }
+
+  test("quantilesFromEcdf: inverse CDF off a merged count table") {
+    // values 1..10 once each: p50 → r=5 → v=5; p95 → r=ceil(9.5)=10 → v=10
+    val a = Seq(1, 2, 3, 4, 5).map(_.toDouble).toDF("x")
+    val b = Seq(6, 7, 8, 9, 10).map(_.toDouble).toDF("x")
+    val merged = graft.ops.Drift.mergeEcdfTables(
+      graft.ops.Drift.ecdfTable(a, "x"), graft.ops.Drift.ecdfTable(b, "x"))
+    // merge law: ≡ one table over the union
+    merged.orderBy("v").collect().map(r => (r.getDouble(0), r.getLong(1)))
+      .toSeq shouldBe graft.ops.Drift.ecdfTable(a.union(b), "x")
+      .orderBy("v").collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    val q = graft.ops.Drift.quantilesFromEcdf(merged, Seq(1, 50, 95, 100))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(3))))
+      .toMap
+    q(1) shouldBe ((1L, 1.0))    // r = max(1, ceil(0.1)) = 1
+    q(50) shouldBe ((5L, 5.0))
+    q(95) shouldBe ((10L, 10.0)) // ceil(9.5) = 10
+    q(100) shouldBe ((10L, 10.0))
+    an[IllegalArgumentException] should be thrownBy
+      graft.ops.Drift.quantilesFromEcdf(merged, Seq(0))
+  }
+}
