@@ -984,6 +984,89 @@ object Soak {
         "the 2^63 space must beat the 1e8 space at this cardinality")
     })
 
+    // round-13: the LINEAR sketch family (CMS / AMS / feature hashing,
+    // q222-q224, ST28) — merge ≡ cold rebuild must hold BIT-FOR-BIT
+    // (element-wise integer addition, the strongest mergeability class)
+    // and state stays ≤ depth·width (or dim) rows per group. Run on a
+    // 200k-doc subset: the law is row-count-independent, and each salted
+    // hash row costs one md5 per token on the portable-hash discipline.
+    time("linear sketches merge law (CMS/AMS/FH)")({
+      val sub = docs.filter(col("doc_id") % 5 === 0)
+      val grpDocs = sub.select(col("doc_id"),
+        (col("doc_id") % 16).cast("string").as("grp"), col("text"))
+      def toks(df: DataFrame) =
+        df.select(col("grp"), explode(split(col("text"), " ")).as("tok"))
+      val depth = 3; val width = 256
+      val corpus = toks(grpDocs.filter(col("doc_id") % 100 =!= 0))
+      val batch = toks(grpDocs.filter(col("doc_id") % 100 === 0))
+      val full = toks(grpDocs)
+      val cmsMerged = ops.LinearSketches.cmsMerge(
+        ops.LinearSketches.cmsSketch(corpus, "grp", "tok", depth, width),
+        ops.LinearSketches.cmsSketch(batch, "grp", "tok", depth, width),
+        "grp").localCheckpoint()
+      val cmsFull = ops.LinearSketches.cmsSketch(full, "grp", "tok",
+        depth, width)
+      assert(cmsMerged.exceptAll(cmsFull).count() == 0 &&
+        cmsFull.exceptAll(cmsMerged).count() == 0,
+        "CMS merge != cold rebuild (linear law broken)")
+      assert(cmsMerged.count() <= 16L * depth * width,
+        "CMS state exceeds depth x width per group")
+      val amsMerged = ops.LinearSketches.amsMerge(
+        ops.LinearSketches.amsSketch(corpus, "grp", "tok", depth, width),
+        ops.LinearSketches.amsSketch(batch, "grp", "tok", depth, width),
+        "grp").localCheckpoint()
+      val amsFull = ops.LinearSketches.amsSketch(full, "grp", "tok",
+        depth, width)
+      assert(amsMerged.exceptAll(amsFull).count() == 0 &&
+        amsFull.exceptAll(amsMerged).count() == 0,
+        "AMS merge != cold rebuild (signed linear law broken)")
+      // F2 estimator accuracy against the exact second moment: per-row
+      // rel std ~ sqrt(2/width) = 8.8%, median of 3 rows, worst of 16
+      // groups — 0.5 is a loose deterministic bound (hashes are fixed)
+      val exactF2 = full.groupBy("grp", "tok").agg(count(lit(1)).as("f"))
+        .groupBy("grp").agg(sum(col("f") * col("f")).as("f2"))
+      val worst = ops.LinearSketches.amsF2Estimate(amsMerged, "grp", depth)
+        .join(exactF2, "grp")
+        .select(max(abs(col("f2_est") - col("f2")).cast("double") /
+          col("f2").cast("double"))).head().getDouble(0)
+      assert(worst < 0.5, f"AMS F2 worst rel err $worst%.3f exceeds bound")
+      println(f"[soak] cms/ams merge == rebuild; ams f2 worst err $worst%.3f")
+      // feature hashing is linear too, and the vector stays dim-bounded
+      val fhMerged = ops.LinearSketches.featureHash(corpus, "grp", "tok", 1024)
+        .unionByName(
+          ops.LinearSketches.featureHash(batch, "grp", "tok", 1024))
+        .groupBy("grp", "j").agg(sum("v").as("v")).localCheckpoint()
+      val fhFull = ops.LinearSketches.featureHash(full, "grp", "tok", 1024)
+      assert(fhMerged.exceptAll(fhFull).count() == 0 &&
+        fhFull.exceptAll(fhMerged).count() == 0,
+        "feature-hash vectors must add exactly")
+      assert(fhMerged.count() <= 16L * 1024,
+        "feature-hash state exceeds dim per group")
+    })
+
+    // round-13: mergeable grid quantiles at 1M values (q228) — shard
+    // tables ADD to the global table (cells stay grid-bounded), and the
+    // inverse-CDF probe answers in O(cells) without re-reading values.
+    time("grid quantiles off merged tables")({
+      val step = 0.25
+      val vals = spark.range(nDocs).select(
+        (pmod(xxhash64(col("id")), lit(100000)).cast("double") / 1000.0)
+          .as("v")) // uniform-ish [0, 100)
+      val merged = ops.Drift.mergeEcdfTables(
+        ops.Drift.quantizedEcdfTable(vals.filter(col("v") < 50), "v", step),
+        ops.Drift.quantizedEcdfTable(vals.filter(col("v") >= 50), "v", step))
+        .localCheckpoint()
+      val cells = merged.count()
+      assert(cells <= (100.0 / step).toLong + 1,
+        s"grid cells $cells exceed the range/step bound")
+      val q = ops.Drift.quantilesFromEcdf(merged, Seq(1, 50, 99))
+        .collect().map(r => r.getInt(0) -> r.getDouble(3)).toMap
+      assert(q(50) > 45 && q(50) < 55,
+        s"p50 ${q(50)} of a uniform [0,100) sample should be near 50")
+      assert(q(1) < q(50) && q(50) < q(99), "percentile ladder must be monotone")
+      println(f"[soak] grid quantiles cells=$cells p50=${q(50)}%.2f")
+    })
+
     spark.stop()
   }
 }

@@ -860,6 +860,48 @@ class EventStreamsSpec extends SparkSpec {
       "doc_id", "text", 4, s"$dir/t", 99L) shouldBe false
   }
 
+  test("ST28 streaming count-min sketch: streamed merge ≡ cold rebuild bit-for-bit, replay refused") {
+    implicit val sqlCtx = spark.sqlContext
+    // two groups (doc_id parity), token frequencies skewed per batch
+    val b1 = (0L until 400L).map(i => ArrivingDoc(i, s"w${i % 25}"))
+    val b2 = (400L until 700L).map(i => ArrivingDoc(i, s"w${i % 40}"))
+    val dir = java.nio.file.Files.createTempDirectory("st28_").toString
+    def withGrp(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("grp", (col("doc_id") % 2).cast("string"))
+    val mem = MemoryStream[ArrivingDoc]
+    mem.addData(b1)
+    val q1 = EventStreams.cmsOnArrival(withGrp(mem.toDF()), "grp", "text",
+      depth = 3, width = 64, s"$dir/t", s"$dir/cp")
+    q1.awaitTermination()
+    mem.addData(b2)
+    val q2 = EventStreams.cmsOnArrival(withGrp(mem.toDF()), "grp", "text",
+      depth = 3, width = 64, s"$dir/t", s"$dir/cp")
+    q2.awaitTermination()
+    // LINEAR merge law: streamed counters == one sketch over the full
+    // history, bit-for-bit (integer addition commutes exactly)
+    val streamed = spark.read.parquet(s"$dir/t").select("grp", "r", "b", "cnt")
+    val direct = graft.ops.LinearSketches.cmsSketch(
+      withGrp((b1 ++ b2).toDF("doc_id", "text")), "grp", "text", 3, 64)
+    streamed.exceptAll(direct).count() shouldBe 0L
+    direct.exceptAll(streamed).count() shouldBe 0L
+    // the probe reader: every estimate >= the true count (CMS one-sided)
+    val truth = withGrp((b1 ++ b2).toDF("doc_id", "text"))
+      .groupBy("grp", "text").count()
+    val est = EventStreams.cmsEstimateRead(spark, s"$dir/t",
+      truth.select("grp", "text"), "grp", "text", 3, 64)
+    est.join(truth, Seq("grp", "text")).collect()
+      .foreach(r => r.getLong(2) should be >= r.getLong(3))
+    // at-least-once replay: counter addition is NOT idempotent — the
+    // batch-id guard must refuse a re-applied batch
+    EventStreams.cmsMergeBatch(withGrp(b2.toDF("doc_id", "text")), "grp",
+      "text", 3, 64, s"$dir/t", 1L) shouldBe false
+    spark.read.parquet(s"$dir/t").select("grp", "r", "b", "cnt")
+      .exceptAll(direct).count() shouldBe 0L
+    // empty batch: no write, no marker advance
+    EventStreams.cmsMergeBatch(withGrp(b1.take(0).toDF("doc_id", "text")),
+      "grp", "text", 3, 64, s"$dir/t", 99L) shouldBe false
+  }
+
   test("ST17 streaming CDC byte-delta: exact copy reports zero new bytes") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ext.Multimodal
