@@ -111,6 +111,66 @@ object Hypothesis {
        FROM p WHERE $pooled > 0.0"""
   }
 
+  /** Two-proportion z-test between cohorts A (`isA`) and B, per group —
+    * the conversion-rate A/B readout: `z = (p̂_a − p̂_b) /
+    * sqrt(p̂(1−p̂)(1/n_a + 1/n_b))` with the pooled p̂. Counts are the
+    * only aggregates (exact longs); the statistic is one identical
+    * double sequence. Groups with an empty arm or a degenerate pooled
+    * rate (0 or 1 — zero standard error) drop on both sides.
+    */
+  def twoProportionZ(df: DataFrame, groupCol: String, isA: Column,
+      success: Column): DataFrame = {
+    val g = df.select(col(groupCol).as("g"), isA.cast("boolean").as("ia"),
+        success.cast("boolean").as("s"))
+      .groupBy("g")
+      .agg(
+        sum(when(col("ia"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("ia") && col("s"), 1L).otherwise(0L)).as("x_a"),
+        sum(when(!col("ia"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(!col("ia") && col("s"), 1L).otherwise(0L)).as("x_b"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+    val p1 = col("x_a").cast("double") / col("n_a").cast("double")
+    val p2 = col("x_b").cast("double") / col("n_b").cast("double")
+    val pool = (col("x_a") + col("x_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val se = sqrt(pool * (lit(1.0) - pool) *
+      (lit(1.0) / col("n_a").cast("double") +
+        lit(1.0) / col("n_b").cast("double")))
+    g.filter(se > 0.0)
+      .select(col("g").as(groupCol), col("n_a"), col("x_a"),
+        col("n_b"), col("x_b"),
+        graft.syntax.round6z(p1).as("p_a"),
+        graft.syntax.round6z(p2).as("p_b"),
+        graft.syntax.round6z((p1 - p2) / se).as("z"))
+  }
+
+  /** DuckDB twin of [[twoProportionZ]] over `FROM $from`. */
+  def twoProportionZSql(from: String, groupExpr: String, groupName: String,
+      isAExpr: String, successExpr: String): String = {
+    val p1 = "(CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE))"
+    val p2 = "(CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))"
+    val pool = "(CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))"
+    val se = s"sqrt($pool * (1.0 - $pool) * " +
+      "(1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))"
+    s"""WITH g AS (SELECT $groupExpr AS g,
+              CAST(sum(CASE WHEN $isAExpr THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_a,
+              CAST(sum(CASE WHEN ($isAExpr) AND ($successExpr)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS x_a,
+              CAST(sum(CASE WHEN NOT ($isAExpr) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_b,
+              CAST(sum(CASE WHEN NOT ($isAExpr) AND ($successExpr)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS x_b
+            FROM $from GROUP BY 1
+            HAVING sum(CASE WHEN $isAExpr THEN 1 ELSE 0 END) > 0
+               AND sum(CASE WHEN NOT ($isAExpr) THEN 1 ELSE 0 END) > 0)
+       SELECT g AS $groupName, n_a, x_a, n_b, x_b,
+              round($p1, 6) + 0.0 AS p_a,
+              round($p2, 6) + 0.0 AS p_b,
+              round(($p1 - $p2) / $se, 6) + 0.0 AS z
+       FROM g WHERE $se > 0.0"""
+  }
+
   /** Tie-corrected Mann-Whitney U between cohorts A (`isA`) and B, per
     * group: ranks never materialize per row — per DISTINCT value the
     * cohort counts and the prior cumulative give the tied-average rank,

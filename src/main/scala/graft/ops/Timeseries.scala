@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -162,6 +162,54 @@ object Timeseries {
       stages.indices.drop(1)
         .map(i => col(s"t${i + 1}").isNotNull.cast("long"))
         .foldLeft(lit(1L))(_ + _))
+  }
+
+  /** One-sided (upward) CUSUM changepoint statistic (Page, Biometrika
+    * 1954) per key over a regular grid series ([[resampleLocf]] output):
+    * `S_t = max(0, S_{t−1} + (v_t − target))`, reporting the maximal
+    * excursion and the EARLIEST bucket achieving it — the
+    * "when did this series start running hot" monitoring read that
+    * point-in-time drift tests (KS/PSI, distribution-level) cannot give.
+    *
+    * Implementation is NOT the naive fold: the classic prefix identity
+    * `S_t = C_t − min(0, min_{j≤t} C_j)` (C = running sum of v − target)
+    * turns the recursion into two CUMULATIVE windows + a rank — fully
+    * relational, no per-key array materializes (better than the q169
+    * fold at 100 TB grid widths), and cumulative frames are the
+    * cross-engine-safe window class (running evaluation on both
+    * engines — the q180 rule: only SLIDING frames segment-tree).
+    * Belt: the argmax ranks on the ROUNDED excursion with the bucket
+    * tiebreak (the q47/q48 rounded-rank rule). A DuckDB-1.0 caveat
+    * recorded for posterity: `list_reduce` with a STRUCT accumulator
+    * evaluates later fields against a partially-updated accumulator —
+    * a struct-state fold twin is NOT portable; the window identity
+    * sidesteps it entirely.
+    *
+    * Output: (key, n_buckets, cusum_max, bkt_at_max); `bkt_at_max` = −1
+    * when the series never rises above the target (no excursion).
+    */
+  def cusum(grid: DataFrame, keyCol: String, bktCol: String,
+      valueCol: String, target: Double): DataFrame = {
+    require(java.lang.Double.isFinite(target),
+      s"cusum: target must be finite, got $target")
+    val wCum = Window.partitionBy(keyCol).orderBy(bktCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keyCol)
+    val wRank = Window.partitionBy(keyCol)
+      .orderBy(col("__s").desc, col(bktCol).asc)
+    grid
+      .select(col(keyCol), col(bktCol).cast("long").as(bktCol),
+        col(valueCol).cast("double").as("__v"))
+      .withColumn("__c", sum(col("__v") - lit(target)).over(wCum))
+      .withColumn("__s", graft.syntax.round6z(
+        col("__c") - least(min(col("__c")).over(wCum), lit(0.0))))
+      .withColumn("n_buckets", count(lit(1)).over(wAll))
+      .withColumn("__rn", row_number().over(wRank))
+      .filter(col("__rn") === 1)
+      .select(col(keyCol), col("n_buckets"),
+        col("__s").as("cusum_max"),
+        when(col("__s") > 0.0, col(bktCol)).otherwise(lit(-1L))
+          .as("bkt_at_max"))
   }
 
   /** Kaplan-Meier survival curve (Kaplan & Meier, JASA 1958) for

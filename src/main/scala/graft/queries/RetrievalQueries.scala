@@ -717,6 +717,49 @@ object RetrievalQueries {
          FROM g GROUP BY user_id"""),
   )
 
+  /** Q230 [X]: one-sided CUSUM changepoint statistic over the q161 grid
+    * ([[graft.ops.Timeseries.cusum]], target 80 vs the ~50 value mean) —
+    * per user the maximal upward excursion `max_t S_t`,
+    * `S_t = max(0, S_{t−1} + (v_t − 80))`, and the EARLIEST bucket
+    * achieving it: the "when did this series start running hot" read
+    * that distribution-level drift tests can't give. Relational via the
+    * prefix identity `S_t = C_t − min(0, min_{j≤t} C_j)` — two
+    * cumulative windows (the cross-engine-safe frame class) + the
+    * rounded-rank argmax; no fold, no per-key array. (A struct-state
+    * `list_reduce` twin is NOT portable on DuckDB 1.0 — later struct
+    * fields see a partially-updated accumulator; see the operator
+    * scaladoc.)
+    */
+  val q230 = OracleQuery(
+    "q230_cusum_changepoint",
+    (s, d) => graft.ops.Timeseries.cusum(
+      graft.ops.Timeseries.resampleLocf(
+        Tables.events(s, d), "user_id", "ts", "value", 21600000000L),
+      "user_id", "bkt", "value", target = 80.0),
+    Some(s"""WITH g AS ($locfSql),
+              c AS (SELECT user_id, bkt,
+                      sum(value - 80.0) OVER (PARTITION BY user_id
+                        ORDER BY bkt ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS cu
+                    FROM g),
+              sv AS (SELECT user_id, bkt,
+                       round(cu - least(min(cu) OVER (PARTITION BY user_id
+                         ORDER BY bkt ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW), CAST(0 AS DOUBLE)), 6) + 0.0
+                         AS s,
+                       count(*) OVER (PARTITION BY user_id) AS nb
+                     FROM c),
+              r AS (SELECT user_id, bkt, s, nb,
+                      row_number() OVER (PARTITION BY user_id
+                        ORDER BY s DESC, bkt) AS rn
+                    FROM sv)
+         SELECT user_id, CAST(nb AS BIGINT) AS n_buckets,
+                s AS cusum_max,
+                CASE WHEN s > 0 THEN bkt ELSE CAST(-1 AS BIGINT) END
+                  AS bkt_at_max
+         FROM r WHERE rn = 1"""),
+  )
+
   /** DuckDB twin of `Graph.hits` — the q152 unroll pattern (chained
     * builder-generated CTE rounds, every multiply-referenced round
     * MATERIALIZED per the kCore inlining lesson), with the identical
@@ -918,5 +961,5 @@ object RetrievalQueries {
   val all: Seq[OracleQuery] =
     Seq(q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98,
       q99, q100, q101, q102, q151, q152, q155, q161, q162, q168, q169,
-      q183, q194, q196, q200, q207, q208)
+      q183, q194, q196, q200, q207, q208, q230)
 }

@@ -1187,9 +1187,26 @@ object ScaleQueries {
          GROUP BY 1, 2, 3"""),
   )
 
+  /** Q229 [X test]: two-proportion z-test between A/B arms (user_id
+    * parity) on the high-value-event rate (value ≥ 100), per event type
+    * ([[graft.ops.Hypothesis.twoProportionZ]]) — the conversion-rate
+    * A/B readout beside q227's rank test: counts are the only
+    * aggregates, the pooled-SE statistic is one identical double
+    * sequence on both engines.
+    */
+  val q229 = OracleQuery(
+    "q229_two_proportion_z",
+    (s, d) => graft.ops.Hypothesis.twoProportionZ(
+      Tables.events(s, d), "event_type",
+      col("user_id") % 2 === 0, col("value") >= 100.0),
+    Some(graft.ops.Hypothesis.twoProportionZSql(
+      "events", "event_type", "event_type",
+      "user_id % 2 = 0", "value >= 100.0")),
+  )
+
   val all: Seq[OracleQuery] =
     Seq(q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q133,
       q136, q175, q178, q193, q197, q198, q199, q201, q202, q205, q206,
       q212, q213, q214, q215, q216, q217, q222, q223, q224, q226, q227,
-      q228)
+      q228, q229)
 }

@@ -59,6 +59,46 @@ class HypothesisSpec extends SparkSpec {
     Hypothesis.mannWhitneyU(df, "g", col("ia"), col("v")).count() shouldBe 0L
   }
 
+  test("twoProportionZ: hand-computed pooled z; degenerate groups drop") {
+    // g: A 2/4 vs B 1/4 → pool 3/8, se = sqrt(.375·.625·.5) = 0.342329,
+    // z = 0.25/se = 0.730297
+    val df = Seq(
+      ("g", true, true), ("g", true, true), ("g", true, false),
+      ("g", true, false), ("g", false, true), ("g", false, false),
+      ("g", false, false), ("g", false, false),
+      // h: all successes in both arms → pooled rate 1 → se 0 → drops
+      ("h", true, true), ("h", false, true),
+      // i: arm B empty → drops
+      ("i", true, true), ("i", true, false))
+      .toDF("g", "ia", "s")
+    val out = Hypothesis.twoProportionZ(df, "g", col("ia"), col("s"))
+      .collect()
+    out.length shouldBe 1
+    val r = out.head
+    (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) shouldBe
+      ((4L, 2L, 4L, 1L))
+    r.getDouble(5) shouldBe 0.5
+    r.getDouble(6) shouldBe 0.25
+    r.getDouble(7) shouldBe 0.730297 +- 1e-6
+  }
+
+  test("cusum: prefix-identity excursion, earliest argmax, no-excursion -1") {
+    // a (target 3): v 5,1,6,2 → S 2,0,3,2 → max 3 at bkt 2
+    // b: all below target → S always 0 → bkt_at_max = -1
+    // c: v 4,2,4,2 → S 1,0,1,0 → tie broken to the EARLIEST bucket (0)
+    val grid = Seq(
+      ("a", 0L, 5.0), ("a", 1L, 1.0), ("a", 2L, 6.0), ("a", 3L, 2.0),
+      ("b", 0L, 1.0), ("b", 1L, 2.0),
+      ("c", 0L, 4.0), ("c", 1L, 2.0), ("c", 2L, 4.0), ("c", 3L, 2.0))
+      .toDF("k", "bkt", "v")
+    val out = Timeseries.cusum(grid, "k", "bkt", "v", target = 3.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    out("a") shouldBe ((4L, 3.0, 2L))
+    out("b") shouldBe ((2L, 0.0, -1L))
+    out("c") shouldBe ((4L, 1.0, 0L))
+  }
+
   test("quantilesFromEcdf: inverse CDF off a merged count table") {
     // values 1..10 once each: p50 → r=5 → v=5; p95 → r=ceil(9.5)=10 → v=10
     val a = Seq(1, 2, 3, 4, 5).map(_.toDouble).toDF("x")
