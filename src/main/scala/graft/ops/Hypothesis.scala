@@ -111,6 +111,104 @@ object Hypothesis {
        FROM p WHERE $pooled > 0.0"""
   }
 
+  /** Per-group moment-stats table (n, Σx, Σx² — exact longs) for an
+    * integer-valued column: the FROZEN structure of the hypothesis
+    * family. LINEAR — stats of A ∪ B are the element-wise SUMS of the
+    * parts ([[mergeStatsTables]]), so shard/epoch partials roll up
+    * exactly and a persisted corpus table absorbs a batch in O(groups);
+    * [[welchFromStats]] then tests any two tables against each other
+    * without touching rows. O(groups) rows forever.
+    */
+  def statsTable(df: DataFrame, groupCol: String, value: Column)
+      : DataFrame = {
+    val x = value.cast("long")
+    df.select(col(groupCol).as("g"), x.as("x"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("x").as("s1"),
+        sum(col("x") * col("x")).as("s2"))
+  }
+
+  /** Merge two [[statsTable]]s: counts and sums ADD — exact, any tree
+    * shape (the linear merge law; same class as
+    * [[LinearSketches.cmsMerge]]).
+    */
+  def mergeStatsTables(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("g"), col("n"), col("s1"), col("s2"))
+      .unionByName(b.select(col("g"), col("n"), col("s1"), col("s2")))
+      .groupBy("g")
+      .agg(sum("n").as("n"), sum("s1").as("s1"), sum("s2").as("s2"))
+
+  /** Welch's t-test of cohort A vs cohort B PER GROUP, from two
+    * [[statsTable]]s (same group space) — the incremental-family probe:
+    * a frozen corpus table vs an arriving batch's own table, no corpus
+    * rows re-read. Same math and drop rules as [[welchTTest]] (which
+    * pairs GROUPS of one table; this pairs two TABLES per group).
+    */
+  def welchFromStats(a: DataFrame, b: DataFrame, groupCol: String)
+      : DataFrame = {
+    def side(df: DataFrame, p: String) =
+      df.select(col("g"), col("n").as(s"n$p"), col("s1").as(s"s1$p"),
+        col("s2").as(s"s2$p")).filter(col(s"n$p") >= 2)
+    val pairs = side(a, "a").join(side(b, "b"), "g")
+    def mean(p: String) = col(s"s1$p").cast("double") /
+      col(s"n$p").cast("double")
+    def se2(p: String) = {
+      val v = (col(s"s2$p").cast("double") -
+        col(s"s1$p").cast("double") * mean(p)) /
+        (col(s"n$p") - 1).cast("double")
+      v / col(s"n$p").cast("double")
+    }
+    val pooled = se2("a") + se2("b")
+    pairs
+      .filter(pooled > 0.0)
+      .select(col("g").as(groupCol),
+        col("na").as("n_a"), col("nb").as("n_b"),
+        graft.syntax.round6z(mean("a")).as("mean_a"),
+        graft.syntax.round6z(mean("b")).as("mean_b"),
+        graft.syntax.round6z((mean("a") - mean("b")) / sqrt(pooled))
+          .as("t_stat"),
+        graft.syntax.round6z(
+          (pooled * pooled) /
+            (se2("a") * se2("a") / (col("na") - 1).cast("double") +
+              se2("b") * se2("b") / (col("nb") - 1).cast("double")))
+          .as("df_w"))
+  }
+
+  /** DuckDB twin of [[statsTable]]×2 + [[welchFromStats]] composed over
+    * `FROM $from`, cohort B selected by `$isBExpr` — rebuilding both
+    * stats from the full table, so running it against MERGED Spark
+    * tables certifies the linear stats merge law and the probe at once.
+    */
+  def welchSplitSql(from: String, groupExpr: String, groupName: String,
+      valueExpr: String, isBExpr: String): String = {
+    def mean(p: String) = s"(CAST(s1$p AS DOUBLE) / CAST(n$p AS DOUBLE))"
+    def se2(p: String) =
+      s"(((CAST(s2$p AS DOUBLE) - CAST(s1$p AS DOUBLE) * ${mean(p)}) / " +
+        s"CAST(n$p - 1 AS DOUBLE)) / CAST(n$p AS DOUBLE))"
+    val pooled = s"(${se2("a")} + ${se2("b")})"
+    def statsCte(name: String, pred: String) =
+      s"""$name AS (SELECT $groupExpr AS g, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CAST($valueExpr AS BIGINT)) AS BIGINT) AS s1,
+            CAST(sum(CAST($valueExpr AS BIGINT) * CAST($valueExpr AS BIGINT))
+                 AS BIGINT) AS s2
+          FROM $from WHERE $pred GROUP BY 1 HAVING count(*) >= 2)"""
+    s"""WITH ${statsCte("sa", s"NOT ($isBExpr)")},
+          ${statsCte("sb", s"($isBExpr)")},
+          p AS (SELECT sa.g, sa.n AS na, sa.s1 AS s1a, sa.s2 AS s2a,
+                   sb.n AS nb, sb.s1 AS s1b, sb.s2 AS s2b
+                FROM sa JOIN sb ON sb.g = sa.g)
+       SELECT g AS $groupName, na AS n_a, nb AS n_b,
+              round(${mean("a")}, 6) + 0.0 AS mean_a,
+              round(${mean("b")}, 6) + 0.0 AS mean_b,
+              round((${mean("a")} - ${mean("b")}) / sqrt($pooled), 6) + 0.0
+                AS t_stat,
+              round(($pooled * $pooled) /
+                    (${se2("a")} * ${se2("a")} / CAST(na - 1 AS DOUBLE) +
+                     ${se2("b")} * ${se2("b")} / CAST(nb - 1 AS DOUBLE)), 6)
+                + 0.0 AS df_w
+       FROM p WHERE $pooled > 0.0"""
+  }
+
   /** Two-proportion z-test between cohorts A (`isA`) and B, per group —
     * the conversion-rate A/B readout: `z = (p̂_a − p̂_b) /
     * sqrt(p̂(1−p̂)(1/n_a + 1/n_b))` with the pooled p̂. Counts are the

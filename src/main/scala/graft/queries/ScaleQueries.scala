@@ -1204,9 +1204,44 @@ object ScaleQueries {
       "user_id % 2 = 0", "value >= 100.0")),
   )
 
+  /** Q231 [X incremental]: Welch probe off MERGED moment-stats tables —
+    * the hypothesis family's incremental member: per-source (n, Σx, Σx²)
+    * tables are LINEAR (counts/sums add — [[graft.ops.Hypothesis
+    * .mergeStatsTables]]), so the corpus side here is two shard tables
+    * merged, probed against the batch's own table by
+    * [[graft.ops.Hypothesis.welchFromStats]] with no row re-read. The
+    * twin rebuilds both cohorts' stats from the full table — the hash
+    * match certifies the stats merge law AND the probe math at once
+    * (the q214/q222 certificate shape). A drifted batch shows up as t
+    * without the corpus ever re-scanning. Split moduli are COPRIME with
+    * the testdata's source stride (source = doc_id mod 20): a %-10
+    * batch would land entirely in src0/src10 and leave every source
+    * one-cohorted — %-7 batch and %-3 corpus shards populate both arms
+    * of all 20 sources.
+    */
+  val q231 = OracleQuery(
+    "q231_welch_incremental",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val isBatch = col("doc_id") % 7 === 0
+      val corpusStats = graft.ops.Hypothesis.mergeStatsTables(
+        graft.ops.Hypothesis.statsTable(
+          docs.filter(!isBatch && col("doc_id") % 3 === 0),
+          "source", col("n_chars")),
+        graft.ops.Hypothesis.statsTable(
+          docs.filter(!isBatch && col("doc_id") % 3 =!= 0),
+          "source", col("n_chars")))
+      val batchStats = graft.ops.Hypothesis.statsTable(
+        docs.filter(isBatch), "source", col("n_chars"))
+      graft.ops.Hypothesis.welchFromStats(corpusStats, batchStats, "source")
+    },
+    Some(graft.ops.Hypothesis.welchSplitSql(
+      "documents", "source", "source", "n_chars", "doc_id % 7 = 0")),
+  )
+
   val all: Seq[OracleQuery] =
     Seq(q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q133,
       q136, q175, q178, q193, q197, q198, q199, q201, q202, q205, q206,
       q212, q213, q214, q215, q216, q217, q222, q223, q224, q226, q227,
-      q228, q229)
+      q228, q229, q231)
 }

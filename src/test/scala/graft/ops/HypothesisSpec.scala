@@ -28,6 +28,24 @@ class HypothesisSpec extends SparkSpec {
     r.getDouble(7) shouldBe 1.684211 +- 1e-6
   }
 
+  test("statsTable merge law + welchFromStats ≡ welchTTest math") {
+    // same cohorts as the pair test, re-expressed as two tables over one
+    // group key: {1,2,3} vs {4,6} → identical t and df
+    val a = Seq(("k", 1), ("k", 2), ("k", 3)).toDF("g", "x")
+    val b = Seq(("k", 4), ("k", 6)).toDF("g", "x")
+    // linear merge: shard stats add exactly
+    val mergedA = Hypothesis.mergeStatsTables(
+      Hypothesis.statsTable(a.limit(1), "g", col("x")),
+      Hypothesis.statsTable(a.exceptAll(a.limit(1)), "g", col("x")))
+    mergedA.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).toSeq shouldBe Seq(("k", 3L, 6L, 14L))
+    val out = Hypothesis.welchFromStats(mergedA,
+      Hypothesis.statsTable(b, "g", col("x")), "g").collect()
+    out.length shouldBe 1
+    out.head.getDouble(5) shouldBe -2.598076 +- 1e-6
+    out.head.getDouble(6) shouldBe 1.684211 +- 1e-6
+  }
+
   test("welchTTest: n<2 groups and zero-variance pairs drop") {
     val df = Seq(("a", 5), ("a", 5), ("b", 7), ("b", 7), ("c", 1))
       .toDF("g", "x")
