@@ -902,6 +902,50 @@ class EventStreamsSpec extends SparkSpec {
       "grp", "text", 3, 64, s"$dir/t", 99L) shouldBe false
   }
 
+  test("ST29 streaming moment stats: streamed merge ≡ cold rebuild; live Welch probe") {
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, t: String, v: Double) =
+      Ev(id, id % 7, t, new Timestamp(id * 1000), v, "{}")
+    // two groups with different means (A ~ id%20, B ~ id%20 + 30)
+    val b1 = (0L until 300L).map(i =>
+      ev(i, if (i % 2 == 0) "A" else "B",
+        (i % 20).toDouble + (if (i % 2 == 0) 0 else 30)))
+    val b2 = (300L until 500L).map(i =>
+      ev(i, if (i % 2 == 0) "A" else "B",
+        (i % 20).toDouble + (if (i % 2 == 0) 0 else 30)))
+    val dir = java.nio.file.Files.createTempDirectory("st29_").toString
+    val mem = MemoryStream[Ev]
+    mem.addData(b1)
+    val q1 = EventStreams.statsOnArrival(mem.toDF(), "event_type", "value",
+      s"$dir/t", s"$dir/cp")
+    q1.awaitTermination()
+    mem.addData(b2)
+    val q2 = EventStreams.statsOnArrival(mem.toDF(), "event_type", "value",
+      s"$dir/t", s"$dir/cp")
+    q2.awaitTermination()
+    // linear merge law: streamed table == one build over full history
+    val streamed = spark.read.parquet(s"$dir/t").select("g", "n", "s1", "s2")
+    val direct = graft.ops.Hypothesis.statsTable(
+      (b1 ++ b2).toDF(), "event_type", col("value"))
+    streamed.exceptAll(direct).count() shouldBe 0L
+    direct.exceptAll(streamed).count() shouldBe 0L
+    // live A/B probe: a +50-shifted arriving cohort shows a strongly
+    // negative t against the corpus stats, per group, no corpus re-read
+    val shifted = (0L until 100L).map(i =>
+      ev(9000 + i, if (i % 2 == 0) "A" else "B",
+        (i % 20).toDouble + (if (i % 2 == 0) 0 else 30) + 50))
+    val probe = EventStreams.statsWelchRead(spark, s"$dir/t",
+      shifted.toDF(), "event_type", "value")
+      .collect().map(r => r.getString(0) -> r.getDouble(5)).toMap
+    probe.keySet shouldBe Set("A", "B")
+    probe.values.foreach(_ should be < -10.0)
+    // replay refused (addition is not idempotent); empty batch skipped
+    EventStreams.statsMergeBatch(b2.toDF(), "event_type", "value",
+      s"$dir/t", 1L) shouldBe false
+    EventStreams.statsMergeBatch(b1.take(0).toDF(), "event_type", "value",
+      s"$dir/t", 99L) shouldBe false
+  }
+
   test("ST17 streaming CDC byte-delta: exact copy reports zero new bytes") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ext.Multimodal
