@@ -127,15 +127,28 @@ object LinearSketches {
        GROUP BY 1, 2"""
   }
 
-  /** Per-row (r, bucket, sign) generator for the AMS rows: bucket salt
-    * "|a{r}", sign salt "|s{r}" (±1 from hash parity).
+  /** Exact integer `c div d` for 0 ≤ c < 1e8: the double quotient of two
+    * integers this small is correctly rounded (multiples land exactly on
+    * their representable quotient; non-multiples sit ≥ 1/d above it,
+    * orders of magnitude beyond one ulp), so truncation ≡ floor ≡ the
+    * DuckDB `//` the twins use. Lets bucket AND sign come from disjoint
+    * digit ranges of ONE salted hash — one md5 per (token, row) instead
+    * of two, on both engines (measured: q223 was the priciest new-query
+    * bench line before this).
+    */
+  private def digitsDiv(c: Column, d: Long): Column =
+    (c / lit(d.toDouble)).cast("long")
+
+  /** Per-row (r, bucket, sign) generator for the AMS rows: one hash per
+    * row (salt "|a{r}") — bucket from the low digits (`h mod width`),
+    * sign from digit 5 (`(h div 10⁴) mod 2`, disjoint from any
+    * width ≤ 10⁴).
     */
   private def amsTriples(elem: Column, depth: Int, width: Int): Column =
     array((0 until depth).map { r =>
-      struct(lit(r).as("r"),
-        (TextHash.tokenHash(concat(elem, lit(s"|a$r"))) % width).as("b"),
-        (lit(1L) - lit(2L) *
-          (TextHash.tokenHash(concat(elem, lit(s"|s$r"))) % 2)).as("sg"))
+      val h = TextHash.tokenHash(concat(elem, lit(s"|a$r")))
+      struct(lit(r).as("r"), (h % width).as("b"),
+        (lit(1L) - lit(2L) * (digitsDiv(h, 10000L) % 2)).as("sg"))
     }: _*)
 
   /** AMS/count-sketch of `elemCol` per `groupCol`: sparse rows
@@ -191,11 +204,13 @@ object LinearSketches {
     */
   def amsF2Sql(from: String, groupExpr: String, groupName: String,
       elemExpr: String, depth: Int, width: Int): String = {
+    // inner projection computes the salted hash ONCE per (token, row) —
+    // the md5 is the cost center on both engines
     val rows = (0 until depth).map { r =>
-      s"SELECT $groupExpr AS $groupName, $r AS r, " +
-        s"${TextHash.tokenHashSql(s"$elemExpr || '|a$r'")} % $width AS b, " +
-        s"1 - 2 * (${TextHash.tokenHashSql(s"$elemExpr || '|s$r'")} % 2) AS sg " +
-        s"FROM $from"
+      s"SELECT $groupName, $r AS r, h % $width AS b, " +
+        s"1 - 2 * ((h // 10000) % 2) AS sg FROM " +
+        s"(SELECT $groupExpr AS $groupName, " +
+        s"${TextHash.tokenHashSql(s"$elemExpr || '|a$r'")} AS h FROM $from)"
     }.mkString(" UNION ALL ")
     s"""WITH sk AS (SELECT $groupName, r, b, CAST(sum(sg) AS BIGINT) AS c
                     FROM ($rows) GROUP BY 1, 2, 3),
@@ -218,11 +233,12 @@ object LinearSketches {
     */
   def featureHash(df: DataFrame, groupCol: String, elemCol: String,
       dim: Int): DataFrame = {
-    require(dim >= 2, s"featureHash: dim=$dim must be >= 2")
-    df.select(col(groupCol),
-        (TextHash.tokenHash(concat(col(elemCol), lit("|f"))) % dim).as("j"),
-        (lit(1L) - lit(2L) *
-          (TextHash.tokenHash(concat(col(elemCol), lit("|g"))) % 2)).as("sg"))
+    require(dim >= 2 && dim <= 1000000,
+      s"featureHash: dim=$dim outside [2, 1e6] (sign digit is h div 10^7 " +
+        "— the index must stay clear of it)")
+    val h = TextHash.tokenHash(concat(col(elemCol), lit("|f")))
+    df.select(col(groupCol), (h % dim).as("j"),
+        (lit(1L) - lit(2L) * (digitsDiv(h, 10000000L) % 2)).as("sg"))
       .groupBy(col(groupCol), col("j"))
       .agg(sum(col("sg")).as("v"))
   }
@@ -265,10 +281,12 @@ object LinearSketches {
     */
   def hashedCosineSql(from: String, groupExpr: String, groupName: String,
       elemExpr: String, dim: Int): String =
-    s"""WITH fv AS (SELECT $groupExpr AS g,
-               ${TextHash.tokenHashSql(s"$elemExpr || '|f'")} % $dim AS j,
-               1 - 2 * (${TextHash.tokenHashSql(s"$elemExpr || '|g'")} % 2) AS sg
+    s"""WITH fh AS (SELECT $groupExpr AS g,
+               ${TextHash.tokenHashSql(s"$elemExpr || '|f'")} AS h
              FROM $from),
+           fv AS (SELECT g, h % $dim AS j,
+               1 - 2 * ((h // 10000000) % 2) AS sg
+             FROM fh),
            v AS MATERIALIZED (SELECT g, j, CAST(sum(sg) AS BIGINT) AS v
              FROM fv GROUP BY 1, 2),
            nr AS (SELECT g, CAST(sum(v * v) AS BIGINT) AS nrm
