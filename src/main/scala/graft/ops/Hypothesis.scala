@@ -282,7 +282,14 @@ object Hypothesis {
     * `z = (2U_A − n_a·n_b) / (2σ)`. Groups where either cohort is empty
     * or σ² = 0 (all values tied) drop on both sides.
     */
-  def mannWhitneyU(df: DataFrame, groupCol: String, isA: Column,
+  /** Shared rank aggregate of the rank family ([[mannWhitneyU]],
+    * [[rocAuc]]): per group the cohort sizes, the DOUBLED tie-averaged
+    * rank sum of cohort A, and the tie term — all exact integers (ranks
+    * never materialize per row: per-DISTINCT-value cohort counts + the
+    * prior cumulative give the tied-average rank, and the ×2 cancels
+    * the halves).
+    */
+  private def rankAgg(df: DataFrame, groupCol: String, isA: Column,
       value: Column): DataFrame = {
     val perV = df.select(col(groupCol).as("g"), isA.cast("boolean").as("ia"),
         value.cast("double").as("v"))
@@ -292,7 +299,7 @@ object Hypothesis {
       .withColumn("t_v", col("na_v") + col("nb_v"))
     val wPrev = Window.partitionBy("g").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val agg = perV
+    perV
       .withColumn("prev", coalesce(sum("t_v").over(wPrev), lit(0L)))
       .groupBy("g")
       .agg(sum("na_v").as("n_a"), sum("nb_v").as("n_b"),
@@ -300,6 +307,11 @@ object Hypothesis {
           .as("r2_a"),
         sum(col("t_v") * col("t_v") * col("t_v") - col("t_v")).as("ties"))
       .filter(col("n_a") > 0 && col("n_b") > 0)
+  }
+
+  def mannWhitneyU(df: DataFrame, groupCol: String, isA: Column,
+      value: Column): DataFrame = {
+    val agg = rankAgg(df, groupCol, isA, value)
     val nn = col("n_a") + col("n_b")
     val u2 = col("r2_a") - col("n_a") * (col("n_a") + 1L)
     val sigma2 = (col("n_a") * col("n_b")).cast("double") / 12.0 *
@@ -312,6 +324,117 @@ object Hypothesis {
         graft.syntax.round6z(
           (u2 - col("n_a") * col("n_b")).cast("double") /
             (lit(2.0) * sqrt(sigma2))).as("z"))
+  }
+
+  /** ROC-AUC of `score` predicting boolean `label`, per group — EXACT
+    * (ties count ½, the trapezoidal convention) via the rank identity
+    * `AUC = U₊ / (n₊·n₋)` (Hanley & McNeil 1982): the probability a
+    * random positive outscores a random negative. Rides [[rankAgg]]'s
+    * exact integers — the doubled U divided once at the surface, so the
+    * full-corpus AUC needs one pass + one bounded window, never the
+    * n₊·n₋ pair materialization. The gate-tuning eval primitive for the
+    * quality/langid/PII classifier family.
+    */
+  def rocAuc(df: DataFrame, groupCol: String, label: Column,
+      score: Column): DataFrame = {
+    val agg = rankAgg(df, groupCol, label, score)
+    val u2 = col("r2_a") - col("n_a") * (col("n_a") + 1L)
+    agg.select(col("g").as(groupCol),
+      col("n_a").as("n_pos"), col("n_b").as("n_neg"),
+      graft.syntax.round6z(u2.cast("double") /
+        (lit(2L) * col("n_a") * col("n_b")).cast("double")).as("auc"))
+  }
+
+  /** DuckDB twin of [[rocAuc]] over `FROM $from`. */
+  def rocAucSql(from: String, groupExpr: String, groupName: String,
+      labelExpr: String, scoreExpr: String): String =
+    s"""WITH pv AS (SELECT $groupExpr AS g, CAST($scoreExpr AS DOUBLE) AS v,
+              CAST(sum(CASE WHEN $labelExpr THEN 1 ELSE 0 END) AS BIGINT)
+                AS na_v,
+              CAST(sum(CASE WHEN $labelExpr THEN 0 ELSE 1 END) AS BIGINT)
+                AS nb_v
+            FROM $from GROUP BY 1, 2),
+          pr AS (SELECT g, na_v, nb_v, na_v + nb_v AS t_v,
+                   coalesce(sum(na_v + nb_v) OVER (PARTITION BY g
+                     ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS prev
+                 FROM pv),
+          ag AS (SELECT g, CAST(sum(na_v) AS BIGINT) AS n_a,
+                   CAST(sum(nb_v) AS BIGINT) AS n_b,
+                   CAST(sum(na_v * (2 * prev + t_v + 1)) AS BIGINT) AS r2_a
+                 FROM pr GROUP BY 1
+                 HAVING sum(na_v) > 0 AND sum(nb_v) > 0)
+       SELECT g AS $groupName, n_a AS n_pos, n_b AS n_neg,
+              round(CAST(r2_a - n_a * (n_a + 1) AS DOUBLE) /
+                    CAST(2 * n_a * n_b AS DOUBLE), 6) + 0.0 AS auc
+       FROM ag"""
+
+  /** Confusion counts and precision/recall/F1 at each of a LADDER of
+    * score thresholds, per group — the table a gate-tuning pass reads
+    * next to [[rocAuc]]'s scalar: predict positive at `score ≥ t`.
+    * One scan × |thresholds| conditional integer sums (broadcast
+    * literal ladder, map-side combinable); the ratios are single
+    * divisions of exact longs. Degenerate cells yield NULL on both
+    * engines via the 0-denominator guard.
+    */
+  def confusionAtThresholds(df: DataFrame, groupCol: String, label: Column,
+      score: Column, thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty && thresholds.forall(t =>
+      java.lang.Double.isFinite(t)),
+      s"confusionAtThresholds: need finite thresholds, got $thresholds")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val t = broadcast(thresholds.toDF("thr"))
+    def ratio(num: Column, den: Column) =
+      when(den > 0, graft.syntax.round6z(num.cast("double") /
+        den.cast("double")))
+    val base = df.select(col(groupCol).as("g"),
+        label.cast("boolean").as("y"), score.cast("double").as("s"))
+      .crossJoin(t)
+      .groupBy(col("g").as(groupCol), col("thr"))
+      .agg(
+        sum(when(col("y") && col("s") >= col("thr"), 1L).otherwise(0L))
+          .as("tp"),
+        sum(when(!col("y") && col("s") >= col("thr"), 1L).otherwise(0L))
+          .as("fp"),
+        sum(when(col("y") && col("s") < col("thr"), 1L).otherwise(0L))
+          .as("fn"),
+        sum(when(!col("y") && col("s") < col("thr"), 1L).otherwise(0L))
+          .as("tn"))
+    base.select(col(groupCol), col("thr"), col("tp"), col("fp"),
+      col("fn"), col("tn"),
+      ratio(col("tp"), col("tp") + col("fp")).as("precision"),
+      ratio(col("tp"), col("tp") + col("fn")).as("recall"),
+      ratio(lit(2L) * col("tp"),
+        lit(2L) * col("tp") + col("fp") + col("fn")).as("f1"))
+  }
+
+  /** DuckDB twin of [[confusionAtThresholds]] over `FROM $from`. */
+  def confusionAtThresholdsSql(from: String, groupExpr: String,
+      groupName: String, labelExpr: String, scoreExpr: String,
+      thresholds: Seq[Double]): String = {
+    val ladder = thresholds.map(t => s"(CAST($t AS DOUBLE))")
+      .mkString(", ")
+    def ratio(num: String, den: String) =
+      s"CASE WHEN $den > 0 THEN round(CAST($num AS DOUBLE) / " +
+        s"CAST($den AS DOUBLE), 6) + 0.0 END"
+    s"""WITH b AS (SELECT $groupExpr AS g, ($labelExpr) AS y,
+              CAST($scoreExpr AS DOUBLE) AS s FROM $from),
+          c AS (SELECT g, t.thr,
+              CAST(sum(CASE WHEN y AND s >= t.thr THEN 1 ELSE 0 END)
+                AS BIGINT) AS tp,
+              CAST(sum(CASE WHEN NOT y AND s >= t.thr THEN 1 ELSE 0 END)
+                AS BIGINT) AS fp,
+              CAST(sum(CASE WHEN y AND s < t.thr THEN 1 ELSE 0 END)
+                AS BIGINT) AS fn,
+              CAST(sum(CASE WHEN NOT y AND s < t.thr THEN 1 ELSE 0 END)
+                AS BIGINT) AS tn
+            FROM b, (VALUES $ladder) t(thr) GROUP BY 1, 2)
+       SELECT g AS $groupName, thr, tp, fp, fn, tn,
+              ${ratio("tp", "tp + fp")} AS precision,
+              ${ratio("tp", "tp + fn")} AS recall,
+              ${ratio("2 * tp", "2 * tp + fp + fn")} AS f1
+       FROM c"""
   }
 
   /** DuckDB twin of [[mannWhitneyU]] over `FROM $from`. */

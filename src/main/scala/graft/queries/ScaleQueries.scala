@@ -1239,9 +1239,44 @@ object ScaleQueries {
       "documents", "source", "source", "n_chars", "doc_id % 7 = 0")),
   )
 
+  /** Q232 [X eval]: ROC-AUC of char length predicting the token-length
+    * gate, per source ([[graft.ops.Hypothesis.rocAuc]]) — EXACT via the
+    * rank identity AUC = U₊/(n₊·n₋) (ties ½): one pass + one bounded
+    * window, never the n₊·n₋ pair relation. The gate-tuning companion
+    * of q215's kappa (same two raters, now scored as a classifier).
+    */
+  val q232 = OracleQuery(
+    "q232_roc_auc",
+    (s, d) => graft.ops.Hypothesis.rocAuc(
+      Tables.documents(s, d), "source",
+      size(split(col("text"), " ")) >= 56, col("n_chars")),
+    Some(graft.ops.Hypothesis.rocAucSql(
+      "documents", "source", "source",
+      "len(string_split(text, ' ')) >= 56", "n_chars")),
+  )
+
+  /** Q233 [X eval]: confusion counts + precision/recall/F1 at a
+    * threshold ladder ([[graft.ops.Hypothesis.confusionAtThresholds]])
+    * — the operating-point table read next to q232's scalar AUC when
+    * tuning a gate: one scan × |ladder| conditional integer sums, the
+    * ratios single divisions of exact longs (NULL at 0 denominators on
+    * both engines).
+    */
+  val q233 = OracleQuery(
+    "q233_threshold_confusion",
+    (s, d) => graft.ops.Hypothesis.confusionAtThresholds(
+      Tables.documents(s, d), "source",
+      size(split(col("text"), " ")) >= 56, col("n_chars"),
+      Seq(250.0, 300.0, 330.0, 360.0, 420.0)),
+    Some(graft.ops.Hypothesis.confusionAtThresholdsSql(
+      "documents", "source", "source",
+      "len(string_split(text, ' ')) >= 56", "n_chars",
+      Seq(250.0, 300.0, 330.0, 360.0, 420.0))),
+  )
+
   val all: Seq[OracleQuery] =
     Seq(q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q133,
       q136, q175, q178, q193, q197, q198, q199, q201, q202, q205, q206,
       q212, q213, q214, q215, q216, q217, q222, q223, q224, q226, q227,
-      q228, q229, q231)
+      q228, q229, q231, q232, q233)
 }

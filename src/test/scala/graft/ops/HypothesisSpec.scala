@@ -117,6 +117,45 @@ class HypothesisSpec extends SparkSpec {
     out("c") shouldBe ((4L, 1.0, 0L))
   }
 
+  test("rocAuc: exact rank AUC with the half-credit tie convention") {
+    // g: pos {3,5} vs neg {1,4} → 3 of 4 pairs won → 0.75
+    // t: pos {2,3} vs neg {2} → (2,2) ties ½, (3,2) wins → 1.5/2 = 0.75
+    // p: perfect separation → 1.0;  r: reversed → 0.0
+    val df = Seq(
+      ("g", true, 3.0), ("g", true, 5.0), ("g", false, 1.0),
+      ("g", false, 4.0),
+      ("t", true, 2.0), ("t", true, 3.0), ("t", false, 2.0),
+      ("p", true, 9.0), ("p", false, 1.0),
+      ("r", true, 1.0), ("r", false, 9.0))
+      .toDF("g", "y", "s")
+    val out = Hypothesis.rocAuc(df, "g", col("y"), col("s"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    out("g") shouldBe ((2L, 2L, 0.75))
+    out("t") shouldBe ((2L, 1L, 0.75))
+    out("p") shouldBe ((1L, 1L, 1.0))
+    out("r") shouldBe ((1L, 1L, 0.0))
+  }
+
+  test("confusionAtThresholds: counts, ratios, and NULL at 0 denominators") {
+    val df = Seq(
+      ("g", true, 3.0), ("g", true, 5.0), ("g", false, 1.0),
+      ("g", false, 4.0)).toDF("g", "y", "s")
+    val out = Hypothesis.confusionAtThresholds(df, "g", col("y"),
+      col("s"), Seq(2.5, 10.0))
+      .collect().map(r => r.getDouble(1) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          Option(r.get(6)), Option(r.get(7)), Option(r.get(8))))).toMap
+    // t=2.5: tp 2 (3,5), fp 1 (4), fn 0, tn 1 → P 2/3, R 1, F1 0.8
+    out(2.5) shouldBe ((2L, 1L, 0L, 1L,
+      Some(0.666667), Some(1.0), Some(0.8)))
+    // t=10: nothing predicted positive → precision NULL, recall 0
+    out(10.0) shouldBe ((0L, 0L, 2L, 2L, None, Some(0.0), Some(0.0)))
+    an[IllegalArgumentException] should be thrownBy
+      Hypothesis.confusionAtThresholds(df, "g", col("y"), col("s"),
+        Seq(Double.NaN))
+  }
+
   test("quantilesFromEcdf: inverse CDF off a merged count table") {
     // values 1..10 once each: p50 → r=5 → v=5; p95 → r=ceil(9.5)=10 → v=10
     val a = Seq(1, 2, 3, 4, 5).map(_.toDouble).toDF("x")
