@@ -400,6 +400,53 @@ object TextAnalysis {
         first(col("n_s")).as("n_tok"))
   }
 
+  /** Per-slice Jensen-Shannon divergence vs the whole corpus — the
+    * SYMMETRIC, BOUNDED ([0, ln 2]) companion of [[sliceTokenKl]]:
+    * JSD(p‖q) = ½Σ p·ln(p/m) + ½Σ q·ln(q/m), m = (p+q)/2. KL explodes
+    * on rare slice tokens and is asymmetric; JSD is the data-recipe
+    * distance a mixture planner can actually compare across slices.
+    *
+    * The q-side sum runs over the FULL vocabulary, but tokens ABSENT
+    * from the slice (p = 0) have the closed form ½·q·ln 2 — so the
+    * relation stays the per-slice token table (the q88 shape, never
+    * slices × vocabulary): Σ_absent = ½·ln 2·(1 − Q_s) with
+    * Q_s = (Σ_{t∈s} cnt_w)/n_tot a single division of exact integers.
+    * Present-token terms go round(12)→DECIMAL (the q88 float route);
+    * ln 2 is a spelled-out literal on both engines (libm ln(2) parity
+    * is not guaranteed).
+    */
+  def sliceTokenJsd(docs: org.apache.spark.sql.DataFrame, sliceCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val Ln2 = 0.6931471805599453
+    val tok = docs.select(col(sliceCol),
+      explode(Dedup.tokens(col(textCol))).as("w"))
+    val sw = tok.groupBy(sliceCol, "w").agg(count(lit(1)).as("cnt_sw"))
+      .localCheckpoint() // three consumers — the q86 multi-reference rule
+    val wTot = sw.groupBy("w").agg(sum("cnt_sw").as("cnt_w"))
+    val sTot = sw.groupBy(sliceCol).agg(sum("cnt_sw").as("n_s"))
+    val tot = wTot.agg(sum("cnt_w").as("n_tot"))
+    val pS = col("cnt_sw").cast("double") / col("n_s").cast("double")
+    val pC = col("cnt_w").cast("double") / col("n_tot").cast("double")
+    val m = (pS + pC) / lit(2.0)
+    sw.join(broadcast(wTot), "w")
+      .join(broadcast(sTot), sliceCol)
+      .crossJoin(broadcast(tot))
+      .select(col(sliceCol),
+        round(pS * log(pS / m), 12).cast("decimal(32,12)").as("jp"),
+        round(pC * log(pC / m), 12).cast("decimal(32,12)").as("jq"),
+        col("cnt_w"), col("n_s"), col("n_tot"))
+      .groupBy(sliceCol)
+      .agg(sum("jp").as("__jp"), sum("jq").as("__jq"),
+        sum("cnt_w").as("__qs"), first("n_s").as("n_tok"),
+        first("n_tot").as("__nt"))
+      .select(col(sliceCol), col("n_tok"),
+        graft.syntax.round6z(
+          lit(0.5) * (col("__jp") + col("__jq")).cast("double") +
+            lit(0.5) * lit(Ln2) *
+              (lit(1.0) - col("__qs").cast("double") /
+                col("__nt").cast("double"))).as("jsd"))
+  }
+
   /** DSIR-style importance score (Data Selection with Importance
     * Resampling, Xie et al. 2023, arXiv:2302.03169, hashed-ngram variant
     * simplified to unigrams): per-document log importance ratio

@@ -144,4 +144,49 @@ object Profile {
       .select(col(maxCol), col("__m").as(minCol))
     df.join(front, Seq(maxCol, minCol), "left_semi")
   }
+
+  /** Gini concentration index of an integer-valued column per group —
+    * the corpus-skew read ("how unevenly is volume spread over docs /
+    * shards / sources"): `G = (2·Σᵢ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx)` over
+    * the ascending sort, ∈ [0, 1−1/n]. Every aggregate is an exact
+    * long — rank-position times value, group sums — and ties need NO
+    * tiebreak: equal values contribute the same Σ i·x under any
+    * permutation of their positions, so the per-group rank window is
+    * deterministic where it matters. One shuffle (the rank window =
+    * the group-by), single final division; exact below ~2^63 / x_max
+    * rank-weighted mass per group (the kappa-class bound). Zero-sum
+    * groups drop (G undefined).
+    */
+  def giniIndex(df: DataFrame, groupCol: String,
+      value: org.apache.spark.sql.Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy("__x")
+    df.select(col(groupCol), value.cast("long").as("__x"))
+      .withColumn("__i", row_number().over(w).cast("long"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum("__x").as("__sx"),
+        sum(col("__i") * col("__x")).as("__six"))
+      .filter(col("__sx") > 0)
+      .select(col(groupCol), col("n"),
+        graft.syntax.round6z(
+          (lit(2L) * col("__six") - (col("n") + 1L) * col("__sx"))
+            .cast("double") /
+            (col("n") * col("__sx")).cast("double")).as("gini"))
+  }
+
+  /** DuckDB twin of [[giniIndex]] over `FROM $from`. */
+  def giniIndexSql(from: String, groupExpr: String, groupName: String,
+      valueExpr: String): String =
+    s"""WITH b AS (SELECT $groupExpr AS g, CAST($valueExpr AS BIGINT) AS x
+            FROM $from),
+          r AS (SELECT g, x, CAST(row_number() OVER (PARTITION BY g
+                  ORDER BY x) AS BIGINT) AS i FROM b),
+          a AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(x) AS BIGINT) AS sx,
+                  CAST(sum(i * x) AS BIGINT) AS six
+                FROM r GROUP BY 1 HAVING sum(x) > 0)
+       SELECT g AS $groupName, n,
+              round(CAST(2 * six - (n + 1) * sx AS DOUBLE) /
+                    CAST(n * sx AS DOUBLE), 6) + 0.0 AS gini
+       FROM a"""
 }

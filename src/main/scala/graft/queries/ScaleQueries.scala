@@ -1274,9 +1274,66 @@ object ScaleQueries {
       Seq(250.0, 300.0, 330.0, 360.0, 420.0))),
   )
 
+  /** Q234 [X text]: per-source Jensen-Shannon divergence vs the corpus
+    * ([[graft.ext.TextAnalysis.sliceTokenJsd]]) — the SYMMETRIC BOUNDED
+    * recipe distance beside q88's KL (which explodes on rare slice
+    * tokens). The q-side vocabulary sum collapses to a closed form for
+    * slice-absent tokens (½·ln2·(1−Q_s), Q_s exact integers), so the
+    * relation stays the q88 per-slice token table; present terms ride
+    * the round(12)→DECIMAL route; ln 2 is a spelled-out literal (libm
+    * parity across engines is not guaranteed).
+    */
+  val q234 = OracleQuery(
+    "q234_source_jsd",
+    (s, d) => TextAnalysis.sliceTokenJsd(
+      Tables.documents(s, d), "source", "text"),
+    Some("""WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
+                   FROM documents),
+              sw AS MATERIALIZED (SELECT source, w,
+                     CAST(count(*) AS BIGINT) AS cnt_sw
+                   FROM tok GROUP BY 1, 2),
+              wt AS (SELECT w, CAST(sum(cnt_sw) AS BIGINT) AS cnt_w
+                   FROM sw GROUP BY 1),
+              st AS (SELECT source, CAST(sum(cnt_sw) AS BIGINT) AS n_s
+                   FROM sw GROUP BY 1),
+              tt AS (SELECT CAST(sum(cnt_w) AS BIGINT) AS n_tot FROM wt),
+              c AS (SELECT source, n_s, n_tot, cnt_w,
+                     CAST(round((CAST(cnt_sw AS DOUBLE)/CAST(n_s AS DOUBLE)) *
+                        ln((CAST(cnt_sw AS DOUBLE)/CAST(n_s AS DOUBLE)) /
+                           (((CAST(cnt_sw AS DOUBLE)/CAST(n_s AS DOUBLE)) +
+                             (CAST(cnt_w AS DOUBLE)/CAST(n_tot AS DOUBLE)))
+                            / 2.0)), 12) AS DECIMAL(32,12)) AS jp,
+                     CAST(round((CAST(cnt_w AS DOUBLE)/CAST(n_tot AS DOUBLE)) *
+                        ln((CAST(cnt_w AS DOUBLE)/CAST(n_tot AS DOUBLE)) /
+                           (((CAST(cnt_sw AS DOUBLE)/CAST(n_s AS DOUBLE)) +
+                             (CAST(cnt_w AS DOUBLE)/CAST(n_tot AS DOUBLE)))
+                            / 2.0)), 12) AS DECIMAL(32,12)) AS jq
+                   FROM sw JOIN wt USING (w) JOIN st USING (source), tt)
+         SELECT source, CAST(min(n_s) AS BIGINT) AS n_tok,
+                round(0.5 * CAST(sum(jp) + sum(jq) AS DOUBLE) +
+                      0.5 * 0.6931471805599453 *
+                      (1.0 - CAST(sum(cnt_w) AS DOUBLE) /
+                             CAST(min(n_tot) AS DOUBLE)), 6) + 0.0 AS jsd
+         FROM c GROUP BY source"""),
+  )
+
+  /** Q235 [X profile]: Gini concentration of document length per source
+    * ([[graft.ops.Profile.giniIndex]]) — the volume-skew read a shard
+    * planner wants ("is this source a few huge docs or many small
+    * ones"): exact rank-weighted integer sums, tie-order invariant by
+    * construction, one division at the surface.
+    */
+  val q235 = OracleQuery(
+    "q235_length_gini",
+    (s, d) => graft.ops.Profile.giniIndex(
+      Tables.documents(s, d), "source", col("n_chars")),
+    Some(graft.ops.Profile.giniIndexSql(
+      "documents", "source", "source", "n_chars")),
+  )
+
   val all: Seq[OracleQuery] =
     Seq(q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q133,
       q136, q175, q178, q193, q197, q198, q199, q201, q202, q205, q206,
       q212, q213, q214, q215, q216, q217, q222, q223, q224, q226, q227,
-      q228, q229, q231, q232, q233)
+      q228, q229, q231, q232, q233, q234, q235)
 }

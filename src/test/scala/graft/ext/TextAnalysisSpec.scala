@@ -116,4 +116,21 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => (r.getLong(1), r.getLong(3), r.getLong(5))).toSeq shouldBe
       Seq((0L, 2L, 2L), (1L, 0L, 2L))
   }
+
+  test("sliceTokenJsd: hand-computed two-slice divergence; bounded by ln 2") {
+    // A = {x,x}, B = {y,y}; corpus 50/50. JSD(P_A || corpus) for
+    // P=(1,0) vs Q=(.5,.5) = 0.5*ln(4/3) + 0.5*(0.5*ln(2/3) + 0.5*ln 2)
+    // = 0.215761 -- and by symmetry B matches A exactly.
+    val df = Seq((1L, "x x", "A"), (2L, "y y", "B"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.sliceTokenJsd(df, "source", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    out("A") shouldBe 0.215761 +- 1e-6
+    out("B") shouldBe out("A")
+    out.values.foreach(v => v should (be >= 0.0 and be <= 0.6931471805599453))
+    // a slice IDENTICAL to the corpus diverges by 0
+    val one = Seq((1L, "x y z", "only")).toDF("doc_id", "text", "source")
+    TextAnalysis.sliceTokenJsd(one, "source", "text")
+      .collect().head.getDouble(2) shouldBe 0.0
+  }
 }

@@ -96,4 +96,23 @@ class ProfileSpec extends SparkSpec {
     got shouldBe brute
     got shouldBe Set(2L, 3L, 7L, 8L) // 5/6 tie dominated by 3 (8 > 6, 80 ≤ 80)
   }
+
+  test("giniIndex: hand-computed concentration, tie invariance, equal = 0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      ("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L),   // G = 0.25
+      ("b", 5L), ("b", 5L),                          // equal -> 0
+      ("c", 0L), ("c", 0L), ("c", 10L)               // one holder -> 2/3
+    ).toDF("g", "x")
+    val out = Profile.giniIndex(df, "g", col("x"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    out("a") shouldBe ((4L, 0.25))
+    out("b") shouldBe ((2L, 0.0))
+    out("c")._2 shouldBe 0.666667 +- 1e-6
+    // zero-sum group drops
+    Profile.giniIndex(Seq(("z", 0L)).toDF("g", "x"), "g", col("x"))
+      .count() shouldBe 0L
+  }
 }
