@@ -1067,6 +1067,91 @@ object Soak {
       println(f"[soak] grid quantiles cells=$cells p50=${q(50)}%.2f")
     })
 
+    // round-14: WARC/WET ingestion at corpus scale — 1M docs serialized
+    // into 256 per-record-gzip shards (the Common Crawl layout the
+    // WarcCorpus reader maps to tasks) and parsed back by the
+    // record-boundary walker; parsed record/byte totals must equal the
+    // corpus totals exactly. Shards are ~4k docs (the mapGroups holds
+    // one shard, never the corpus), and records STREAM out of the parse.
+    time("warc shard round-trip (256 gz shards)")({
+      import spark.implicits._
+      val parsed = docs
+        .select((col("doc_id") % 256).cast("string").as("shard"),
+          col("doc_id"), col("text"))
+        .as[(String, Long, String)]
+        .groupByKey(_._1)
+        .mapGroups { (sh, it) =>
+          val ds = it.toSeq.sortBy(_._2)
+          val recs = ds.map { case (_, id, t) =>
+            ext.Warc.WarcRecord(Seq(
+              "WARC-Type" -> "conversion",
+              "WARC-Target-URI" -> s"http://graft.test/$id",
+              "WARC-Date" -> "2026-01-01T00:00:00Z",
+              "Content-Type" -> "text/plain"), t.getBytes("US-ASCII"))
+          }
+          (sh, ext.Warc.writeWarcGz(recs))
+        }
+        .flatMap { case (_, bytes) =>
+          ext.Warc.parseWarcGz(bytes).map(r => (1L, r.payload.length.toLong))
+        }
+        .toDF("one", "nb")
+        .agg(sum("one").as("recs"), sum("nb").as("bytes")).head()
+      val expected = docs
+        .agg(count(lit(1)).as("recs"), sum(length(col("text"))).as("bytes"))
+        .head()
+      assert(parsed.getLong(0) == expected.getLong(0) &&
+        parsed.getLong(1) == expected.getLong(1),
+        s"warc round-trip lost records/bytes: parsed $parsed vs $expected")
+    })
+
+    // round-14: the hypothesis family at 1M docs (q226/q231 shape) —
+    // the moment-stats table is LINEAR (merge ≡ cold rebuild
+    // bit-for-bit), its state is ≤ groups rows forever, and the Welch
+    // probe reads only the two tables, never corpus rows.
+    time("welch from merged stats (1M docs)")({
+      val ev = docs.select((col("doc_id") % 16).cast("string").as("g"),
+        size(split(col("text"), " ")).cast("long").as("x"), col("doc_id"))
+      val corpusT = ops.Hypothesis.statsTable(
+        ev.filter(col("doc_id") % 100 =!= 0), "g", col("x"))
+      val batchT = ops.Hypothesis.statsTable(
+        ev.filter(col("doc_id") % 100 === 0), "g", col("x"))
+        .localCheckpoint()
+      val merged = ops.Hypothesis.mergeStatsTables(corpusT, batchT)
+        .localCheckpoint()
+      val cold = ops.Hypothesis.statsTable(ev, "g", col("x"))
+      assert(merged.exceptAll(cold).count() == 0 &&
+        cold.exceptAll(merged).count() == 0,
+        "moment-stats merge != cold rebuild (linear law broken)")
+      assert(merged.count() == 16, "stats state must be = groups rows")
+      assert(ops.Hypothesis.welchFromStats(merged, batchT, "g").count() == 16,
+        "welch probe must yield one test per group")
+    })
+
+    // round-14: exact ROC-AUC at 1M rows (q232/q233 shape) — the rank
+    // identity's heavy relation is per-DISTINCT-(group, score), never
+    // the n₊·n₋ pair materialization (asserted), and an independent
+    // label lands the AUC at 0.5 within the 1M-sample band. The
+    // confusion ladder stays |groups|·|thresholds| rows.
+    time("roc-auc at 1M (rank identity)")({
+      val ev = docs.select((col("doc_id") % 8).cast("string").as("g"),
+        (pmod(xxhash64(col("doc_id")), lit(2)) === 0).as("y"),
+        size(split(col("text"), " ")).cast("double").as("s"))
+      val auc = ops.Hypothesis.rocAuc(ev, "g", col("y"), col("s"))
+        .localCheckpoint()
+      assert(auc.count() == 8, "one AUC per group")
+      val mm = auc.agg(min("auc"), max("auc")).head()
+      assert(mm.getDouble(0) > 0.45 && mm.getDouble(1) < 0.55,
+        s"independent label must give AUC ~ 0.5, got $mm")
+      val distinctVals = ev.select("g", "s").distinct().count()
+      assert(distinctVals <= 8L * 121,
+        s"rank machinery must stay per-distinct-value ($distinctVals)")
+      assert(ops.Hypothesis.confusionAtThresholds(ev, "g", col("y"),
+        col("s"), Seq(60.0, 80.0, 100.0)).count() == 24,
+        "confusion ladder must be groups x thresholds")
+      println(f"[soak] roc-auc band [${mm.getDouble(0)}%.4f, " +
+        f"${mm.getDouble(1)}%.4f], distinct (g,s) = $distinctVals")
+    })
+
     spark.stop()
   }
 }

@@ -176,16 +176,22 @@ object IndexStore {
     // NaN is the on-disk encoding of step=None, so a caller-provided NaN
     // (or non-positive/infinite step) would silently round-trip as a RAW
     // table — reject it loudly (the quantize contract requires a
-    // positive finite step anyway). Meta is written FIRST: a crash
-    // between the two writes then leaves a meta with no counts (an
-    // obvious unreadable partial) instead of a counts table that loads
-    // as raw and probes on the wrong grid.
+    // positive finite step anyway). Meta + counts are staged under one
+    // temp root and the WHOLE store directory swaps in atomically
+    // (Upsert.writeAtomicMulti) — per-table overwrites could crash
+    // between the two writes and leave new meta + old counts, which
+    // loads cleanly and probes on the wrong grid. A crash mid-swap
+    // leaves the prior store at `<path>.old`; [[loadEcdfTable]] calls
+    // `Upsert.recover` to restore it.
     require(step.forall(s => s > 0 && java.lang.Double.isFinite(s)),
       s"writeEcdfTable: step must be positive and finite, got $step")
-    counts.sparkSession.range(1)
-      .select(lit(step.getOrElse(Double.NaN)).as("step"))
-      .write.mode("overwrite").parquet(s"$path/meta")
-    counts.write.mode("overwrite").parquet(s"$path/counts")
+    val spark = counts.sparkSession
+    graft.ops.Upsert.writeAtomicMulti(spark, path, { root =>
+      spark.range(1)
+        .select(lit(step.getOrElse(Double.NaN)).as("step"))
+        .write.mode("overwrite").parquet(s"$root/meta")
+      counts.write.mode("overwrite").parquet(s"$root/counts")
+    })
   }
 
   /** Reload a persisted ECDF reference: (count table, grid step —
@@ -195,6 +201,7 @@ object IndexStore {
     */
   def loadEcdfTable(spark: SparkSession,
       path: String): (DataFrame, Option[Double]) = {
+    graft.ops.Upsert.recover(spark, path)
     val s = spark.read.parquet(s"$path/meta").head().getAs[Double]("step")
     (spark.read.parquet(s"$path/counts"),
       if (java.lang.Double.isNaN(s)) None else Some(s))

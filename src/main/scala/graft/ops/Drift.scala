@@ -373,7 +373,13 @@ object Drift {
     * identical on both engines; `ceil` of a double is integral, so the
     * long conversion is rounding-mode-proof). The cumulative window is
     * GLOBAL by construction — bounded by the grid cell count (the q205
-    * rule), never corpus rows.
+    * rule), never corpus rows. Caveat for RAW [[ecdfTable]] input: the
+    * count table is then corpus-DISTINCT-sized and the unpartitioned
+    * window funnels through one task — raw input is for small/bounded
+    * domains only (ints, enum codes, quantized upstream); a
+    * continuous-valued corpus at scale must come in quantized
+    * (`quantizedEcdfTable`) or through the grid-free KLL sketch
+    * ([[graft.ops.KllSketch]]), same posture as the PRF kFb ≤ 64 guard.
     */
   def quantilesFromEcdf(counts: DataFrame, pcts: Seq[Int]): DataFrame = {
     require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),

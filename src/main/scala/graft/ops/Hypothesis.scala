@@ -91,8 +91,8 @@ object Hypothesis {
         s"CAST(n$p - 1 AS DOUBLE)) / CAST(n$p AS DOUBLE))"
     val pooled = s"(${se2("a")} + ${se2("b")})"
     s"""WITH g AS (SELECT $groupExpr AS g, CAST(count(*) AS BIGINT) AS n,
-              CAST(sum(CAST($valueExpr AS BIGINT)) AS BIGINT) AS s1,
-              CAST(sum(CAST($valueExpr AS BIGINT) * CAST($valueExpr AS BIGINT))
+              CAST(sum(CAST(trunc($valueExpr) AS BIGINT)) AS BIGINT) AS s1,
+              CAST(sum(CAST(trunc($valueExpr) AS BIGINT) * CAST(trunc($valueExpr) AS BIGINT))
                    AS BIGINT) AS s2
             FROM $from GROUP BY 1 HAVING count(*) >= 2),
           p AS (SELECT a.g AS ga, b.g AS gb, a.n AS na, b.n AS nb,
@@ -188,8 +188,8 @@ object Hypothesis {
     val pooled = s"(${se2("a")} + ${se2("b")})"
     def statsCte(name: String, pred: String) =
       s"""$name AS (SELECT $groupExpr AS g, CAST(count(*) AS BIGINT) AS n,
-            CAST(sum(CAST($valueExpr AS BIGINT)) AS BIGINT) AS s1,
-            CAST(sum(CAST($valueExpr AS BIGINT) * CAST($valueExpr AS BIGINT))
+            CAST(sum(CAST(trunc($valueExpr) AS BIGINT)) AS BIGINT) AS s1,
+            CAST(sum(CAST(trunc($valueExpr) AS BIGINT) * CAST(trunc($valueExpr) AS BIGINT))
                  AS BIGINT) AS s2
           FROM $from WHERE $pred GROUP BY 1 HAVING count(*) >= 2)"""
     s"""WITH ${statsCte("sa", s"NOT ($isBExpr)")},

@@ -141,8 +141,13 @@ object LinearSketches {
 
   /** Per-row (r, bucket, sign) generator for the AMS rows: one hash per
     * row (salt "|a{r}") — bucket from the low digits (`h mod width`),
-    * sign from digit 5 (`(h div 10⁴) mod 2`, disjoint from any
-    * width ≤ 10⁴).
+    * sign from digit 5 (`(h div 10⁴) mod 2`). Bucket and sign are
+    * APPROXIMATELY independent: strictly disjoint digit ranges only when
+    * width divides 10⁴; for other widths ≤ 10⁴ (e.g. 256) the bucket
+    * residue leaks a little of digit 5, which is an estimator-variance
+    * nuance, never a parity one (both engines compute identically).
+    * [[amsSketch]] enforces width ≤ 10⁴ so the sign digit never sits
+    * BELOW the bucket modulus.
     */
   private def amsTriples(elem: Column, depth: Int, width: Int): Column =
     array((0 until depth).map { r =>
@@ -160,7 +165,8 @@ object LinearSketches {
       depth: Int, width: Int): DataFrame = {
     require(depth >= 1 && depth <= 9 && depth % 2 == 1,
       s"amsSketch: depth=$depth must be odd in [1,9] (median-of-rows)")
-    require(width >= 2, s"amsSketch: width=$width must be >= 2")
+    require(width >= 2 && width <= 10000,
+      s"amsSketch: width=$width must be in [2, 10000] (sign digit lives at 10^4)")
     df.select(col(groupCol),
         explode(amsTriples(col(elemCol), depth, width)).as("x"))
       .select(col(groupCol), col("x.r").as("r"), col("x.b").as("b"),

@@ -177,7 +177,7 @@ object Profile {
   /** DuckDB twin of [[giniIndex]] over `FROM $from`. */
   def giniIndexSql(from: String, groupExpr: String, groupName: String,
       valueExpr: String): String =
-    s"""WITH b AS (SELECT $groupExpr AS g, CAST($valueExpr AS BIGINT) AS x
+    s"""WITH b AS (SELECT $groupExpr AS g, CAST(trunc($valueExpr) AS BIGINT) AS x
             FROM $from),
           r AS (SELECT g, x, CAST(row_number() OVER (PARTITION BY g
                   ORDER BY x) AS BIGINT) AS i FROM b),

@@ -65,15 +65,29 @@ object Upsert {
     * instead — out of scope here; this helper is for the local/HDFS
     * single-writer case.
     */
-  def writeAtomic(df: DataFrame, path: String): Unit = {
-    val spark = df.sparkSession
+  def writeAtomic(df: DataFrame, path: String): Unit =
+    writeAtomicMulti(df.sparkSession, path,
+      stagingRoot => df.write.mode("overwrite").parquet(stagingRoot))
+
+  /** [[writeAtomic]] generalized to a TREE of tables under one root:
+    * `write(stagingRoot)` populates `<path>.staging` (any number of
+    * sub-tables — e.g. an ECDF store's `meta` + `counts`), then the
+    * whole root swaps in with the same two-rename protocol, so readers
+    * never observe a mixed old/new tree (the failure mode a per-table
+    * overwrite of a multi-table store cannot avoid). Same crash
+    * contract as [[writeAtomic]]: a crash between the renames leaves
+    * the prior tree at `<path>.old`, restored by [[recover]].
+    */
+  def writeAtomicMulti(spark: org.apache.spark.sql.SparkSession,
+      path: String, write: String => Unit): Unit = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
     val staging = new org.apache.hadoop.fs.Path(path + ".staging")
     val target = new org.apache.hadoop.fs.Path(path)
     val old = new org.apache.hadoop.fs.Path(path + ".old")
     recover(spark, path)
-    df.write.mode("overwrite").parquet(staging.toString)
+    if (fs.exists(staging)) fs.delete(staging, true)
+    write(staging.toString)
     // After recover(), `.old` alongside an existing target can only be
     // debris from a crash after a completed swap — safe to delete. It can
     // no longer be the sole copy of the table.

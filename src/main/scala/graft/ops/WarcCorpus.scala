@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.Warc
+
+/** WARC/WET shard ingestion — the Spark plumbing around the
+  * [[graft.ext.Warc]] codec ([[JsonlCorpus]]'s sibling for the crawl
+  * interchange format).
+  *
+  * Scale shape: one WARC shard = one task. `.warc.gz` is per-record-gzip
+  * but NOT block-splittable mid-file without an index, so the standard
+  * production layout (Common Crawl: ~64k shards of ~1 GB each) maps a
+  * shard to a partition via `binaryFile` — parallelism comes from shard
+  * COUNT, which at 100 TB is tens of thousands of tasks, far beyond any
+  * cluster's slot count. The whole shard is held in memory while
+  * parsing (binaryFile semantics); at the 1 GB convention that is within
+  * any sane executor sizing, and the record iterator streams OUT of the
+  * parse so downstream operators never hold more than a batch. Shards
+  * beyond ~2 GB (the Array[Byte] ceiling) must be re-sharded upstream —
+  * the parser fails loudly rather than truncating.
+  */
+object WarcCorpus {
+
+  /** One parsed record row: source shard path, record position within
+    * the shard, the header map (keys case-folded to lowercase, first
+    * value wins for duplicate names — use the codec for full fidelity),
+    * and the raw content block.
+    */
+  final case class WarcRow(file: String, rec_idx: Int,
+      headers: Map[String, String], payload: Array[Byte])
+
+  private def toRows(file: String, recs: Seq[Warc.WarcRecord]): Iterator[WarcRow] =
+    recs.iterator.zipWithIndex.map { case (r, i) =>
+      WarcRow(file, i,
+        r.headers.groupBy(_._1.toLowerCase(java.util.Locale.ROOT))
+          .map { case (k, vs) => k -> vs.head._2 }, r.payload)
+    }
+
+  /** Read WARC shards under `path` (a glob; e.g. `dir/\*.warc` or
+    * `dir/\*.warc.gz`) into (file, rec_idx, headers, payload) rows.
+    * `gz = true` splits per-record gzip members first.
+    */
+  def readWarc(spark: SparkSession, path: String,
+      gz: Boolean): Dataset[WarcRow] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (f, bytes) =>
+        toRows(f, if (gz) Warc.parseWarcGz(bytes) else Warc.parseWarc(bytes))
+      }
+  }
+
+  /** WET view: conversion records as a documents-like corpus
+    * (url, date, text — payload decoded as UTF-8). Non-conversion
+    * records (warcinfo, request/response, metadata) drop here; they are
+    * container bookkeeping, not corpus text.
+    */
+  def wetDocuments(rows: Dataset[WarcRow]): DataFrame = {
+    import rows.sparkSession.implicits._
+    rows.filter(r => r.headers.get("warc-type").contains("conversion"))
+      .map(r => (r.headers.getOrElse("warc-target-uri", ""),
+        r.headers.getOrElse("warc-date", ""),
+        new String(r.payload, "UTF-8")))
+      .toDF("url", "date", "text")
+  }
+}

@@ -26,7 +26,7 @@ object Registry {
   lazy val all: Seq[OracleQuery] =
     CoreQueries.all ++ ExtQueries.all ++ TrainQueries.all ++
       CurationQueries.all ++ ScaleQueries.all ++ RetrievalQueries.all ++
-      SimilarityQueries.all ++ MediaQueries.all
+      SimilarityQueries.all ++ MediaQueries.all ++ WarcQueries.all
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -1053,6 +1053,12 @@ object ScaleQueries {
   val q222 = OracleQuery(
     "q222_cms_estimate",
     (s, d) => {
+      // tok feeds three consumers, but a checkpoint here LOSES (QBench
+      // r14 idle-host A/B: 0.432 → 0.562 s min): the probe's
+      // doc_id % 101 filter pushes into the parquet scan when the plan
+      // stays lazy, and the re-run tokenize explode is cheaper than
+      // materializing the full token relation. Contrast q223, where the
+      // two consumers both need ALL tokens and the checkpoint wins.
       val tok = tokRel(s, d)
       val merged = graft.ops.LinearSketches.cmsMerge(
         graft.ops.LinearSketches.cmsSketch(
@@ -1081,7 +1087,10 @@ object ScaleQueries {
   val q223 = OracleQuery(
     "q223_ams_f2",
     (s, d) => {
-      val tok = tokRel(s, d)
+      // Both sketch builds consume ALL tokens — checkpoint once (q86
+      // multi-use-subplan rule; QBench r14 idle-host A/B:
+      // 3.754 → 3.547 s min).
+      val tok = tokRel(s, d).localCheckpoint()
       graft.ops.LinearSketches.amsF2Estimate(
         graft.ops.LinearSketches.amsMerge(
           graft.ops.LinearSketches.amsSketch(

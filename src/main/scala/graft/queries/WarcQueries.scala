@@ -1,0 +1,212 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.Warc
+
+/** WARC/WET ingestion queries [X] — hash-checked end-to-end through the
+  * REAL container codec ([[graft.ext.Warc]]), the q188 discipline
+  * applied to the crawl interchange format: each doc's deterministic
+  * content is serialized into actual ISO 28500 WARC bytes (and the
+  * Common Crawl per-record-gzip convention), parsed back by the real
+  * record-boundary walker, and the parsed-out facts are hash-matched
+  * against a twin that recomputes them ARITHMETICALLY from the raw
+  * table. A match proves the encode → (gzip →) parse chain is lossless
+  * through the container layout — a delimiter-scanning parser would
+  * trip over the warcinfo decoy (its content block quotes a
+  * `WARC/1.0` header line and must be skipped by Content-Length), and
+  * a magic-scanning gzip splitter would mis-split members.
+  */
+object WarcQueries {
+
+  private val WarcDate = "2026-01-01T00:00:00Z"
+
+  /** The synthetic per-doc WET shard: one warcinfo record (whose content
+    * block deliberately quotes a `WARC/1.0` line — the
+    * Content-Length-skip trap) + two conversion records holding the
+    * char-midpoint halves of the doc text (text is ASCII in this corpus,
+    * so char math ≡ byte math on both engines).
+    */
+  private def docRecords(id: Long, text: String): Seq[Warc.WarcRecord] = {
+    val h = text.length / 2
+    val info = Warc.WarcRecord(Seq(
+      "WARC-Type" -> "warcinfo",
+      "WARC-Record-ID" -> s"<urn:graft:$id:info>",
+      "WARC-Date" -> WarcDate,
+      "Content-Type" -> "application/warc-fields"),
+      "software: graft\r\nWARC/1.0\r\ndecoy: quoted record header\r\n"
+        .getBytes("US-ASCII"))
+    info +: Seq(text.substring(0, h), text.substring(h)).zipWithIndex.map {
+      case (t, i) =>
+        Warc.WarcRecord(Seq(
+          "WARC-Type" -> "conversion",
+          "WARC-Record-ID" -> s"<urn:graft:$id:$i>",
+          "WARC-Target-URI" -> s"http://graft.test/$id/$i",
+          "WARC-Date" -> WarcDate,
+          "Content-Type" -> "text/plain"),
+          t.getBytes("US-ASCII"))
+    }
+  }
+
+  /** Positional byte checksum Σ (i+1)·byte_i — order-sensitive, so a
+    * payload that survives it survived byte-for-byte IN ORDER (a plain
+    * byte sum would pass a shuffled payload). Mirrored in the twin as
+    * Σ i·ascii(c) over 1-based `generate_subscripts`.
+    */
+  private def posCk(p: Array[Byte]): Long = {
+    var s = 0L; var i = 0
+    while (i < p.length) { s += (i + 1).toLong * (p(i) & 0xff); i += 1 }
+    s
+  }
+
+  /** Parsed-back per-doc facts shared by q236/q237: record count (3 ⇒
+    * the decoy was length-skipped, not re-parsed), first conversion URI
+    * (string fidelity), per-segment byte counts and positional
+    * checksums (payload fidelity).
+    */
+  private def docSummary(id: Long, recs: Seq[Warc.WarcRecord])
+      : (Long, Int, String, Long, Long, Long, Long) = {
+    val conv = recs.filter(_.warcType.contains("conversion"))
+      .sortBy(_.header("WARC-Target-URI").getOrElse(""))
+    require(conv.size == 2, s"doc $id: expected 2 conversion records, got ${conv.size}")
+    (id, recs.size, conv.head.header("WARC-Target-URI").get,
+      conv(0).payload.length.toLong, conv(1).payload.length.toLong,
+      posCk(conv(0).payload), posCk(conv(1).payload))
+  }
+
+  private val summaryCols =
+    Seq("doc_id", "n_records", "uri_a", "bytes_a", "bytes_b", "ck_a", "ck_b")
+
+  private def summarySql(extra: String = ""): String =
+    s"""WITH d AS (SELECT doc_id, text, length(text) // 2 AS h,
+                     length(text) AS n FROM documents),
+          segs AS (SELECT doc_id, 0 AS seg, substring(text, 1, h) AS s
+                   FROM d
+                   UNION ALL
+                   SELECT doc_id, 1 AS seg, substring(text, h + 1, n - h)
+                   FROM d),
+          ck AS (SELECT doc_id, seg, CAST(length(s) AS BIGINT) AS nb,
+                   CAST(coalesce(sum(i * ascii(c)), 0) AS BIGINT) AS ck
+                 FROM (SELECT doc_id, seg, s,
+                         unnest(string_split(s, '')) AS c,
+                         generate_subscripts(string_split(s, ''), 1) AS i
+                       FROM segs)
+                 GROUP BY doc_id, seg, s)
+       SELECT d.doc_id, CAST(3 AS INTEGER) AS n_records,
+              'http://graft.test/' || d.doc_id || '/0' AS uri_a,
+              a.nb AS bytes_a, b.nb AS bytes_b,
+              a.ck AS ck_a, b.ck AS ck_b$extra
+       FROM d JOIN ck a ON a.doc_id = d.doc_id AND a.seg = 0
+              JOIN ck b ON b.doc_id = d.doc_id AND b.seg = 1"""
+
+  /** Q236 [X ingest]: uncompressed WARC round-trip — per doc, serialize
+    * the 3-record shard ([[docRecords]]) and parse it back with the
+    * record-boundary walker; output the parsed-out facts. The twin never
+    * sees a container byte: it recomputes everything from `documents`
+    * arithmetically, so the hash match is a proof the walker honored
+    * version lines, header folding, Content-Length skips (incl. the
+    * quoted-header decoy), and both CRLFCRLF terminators.
+    */
+  val q236 = OracleQuery(
+    "q236_warc_roundtrip",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          docSummary(id, Warc.parseWarc(Warc.writeWarc(docRecords(id, text))))
+        }
+        .toDF(summaryCols: _*)
+    },
+    Some(summarySql()),
+  )
+
+  /** Q237 [X ingest]: `.warc.gz` round-trip under the Common Crawl
+    * convention — each record its own gzip member, members concatenated;
+    * parsed back via the DEFLATE-driven member splitter (CRC32 + ISIZE
+    * verified per member). `n_members` = 3 certifies the boundary
+    * recovery; the rest certifies the decompressed records byte-for-byte
+    * (same twin as q236 — gzip is lossless, so the facts are identical).
+    */
+  val q237 = OracleQuery(
+    "q237_warc_gz_members",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val bytes = Warc.writeWarcGz(docRecords(id, text))
+          val members = Warc.splitGzipMembers(bytes)
+          val sum = docSummary(id, members.flatMap(Warc.parseWarc))
+          (sum._1, sum._2, sum._3, sum._4, sum._5, sum._6, sum._7,
+            members.size)
+        }
+        .toDF(summaryCols :+ "n_members": _*)
+    },
+    Some(summarySql(extra = ",\n              CAST(3 AS INTEGER) AS n_members")),
+  )
+
+  /** Q238 [X ingest]: multi-record WET shard per SOURCE — the shard
+    * shape a real crawl ships (one warcinfo + many conversion records in
+    * ONE gzip-member stream per shard). Docs serialize grouped by
+    * source, parse back through the full chain, doc ids are recovered
+    * from the WARC-Target-URI and text from the content block, and the
+    * reconstructed corpus aggregates per source. The twin aggregates
+    * `documents` directly: a match proves the shard round-trip preserved
+    * doc identity, byte counts, and tokenizable content across ~250-doc
+    * record streams, not just single-record files.
+    */
+  val q238 = OracleQuery(
+    "q238_wet_shard_ingest",
+    (s, d) => {
+      import s.implicits._
+      val parsed = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), col("text"))
+        .as[(String, Long, String)]
+        .groupByKey(_._1)
+        .mapGroups { (src, it) =>
+          val docs = it.toSeq.sortBy(_._2)
+          val info = Warc.WarcRecord(Seq(
+            "WARC-Type" -> "warcinfo",
+            "WARC-Record-ID" -> s"<urn:graft:$src:info>",
+            "WARC-Date" -> WarcDate,
+            "Content-Type" -> "application/warc-fields"),
+            s"software: graft\r\nshard: $src\r\n".getBytes("US-ASCII"))
+          val recs = info +: docs.map { case (_, id, t) =>
+            Warc.WarcRecord(Seq(
+              "WARC-Type" -> "conversion",
+              "WARC-Record-ID" -> s"<urn:graft:$id:0>",
+              "WARC-Target-URI" -> s"http://graft.test/$id",
+              "WARC-Date" -> WarcDate,
+              "Content-Type" -> "text/plain"),
+              t.getBytes("US-ASCII"))
+          }
+          (src, Warc.writeWarcGz(recs))
+        }
+        .flatMap { case (src, bytes) =>
+          Warc.parseWarcGz(bytes)
+            .filter(_.warcType.contains("conversion"))
+            .map { r =>
+              val uri = r.header("WARC-Target-URI").get
+              (src, uri.substring(uri.lastIndexOf('/') + 1).toLong,
+                new String(r.payload, "US-ASCII"))
+            }
+        }
+        .toDF("source", "doc_id", "text")
+      parsed.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        min("doc_id").as("min_doc"),
+        max("doc_id").as("max_doc"),
+        sum(length(col("text"))).cast("long").as("total_bytes"),
+        sum(size(split(col("text"), " "))).cast("long").as("total_toks"))
+    },
+    Some("""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+              CAST(sum(length(text)) AS BIGINT) AS total_bytes,
+              CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_toks
+            FROM documents GROUP BY 1"""),
+  )
+
+  val all: Seq[OracleQuery] = Seq(q236, q237, q238)
+}
