@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{DedupCluster, Packing, Sampling, TextAnalysis}
+import graft.ext.{DedupCluster, Packing, Sampling, TextAnalysis, UnigramLm}
 import graft.ext.TextHash.tokenHashSql
 
 /** Training-data pipeline operators beyond the per-document signatures in
@@ -1362,9 +1362,161 @@ object TrainQueries {
     },
   )
 
+  /** Learned state the unigram-LM certificates re-derive facts from
+    * (the [[BpeCapstone]] dynOracle seam): the vocab with EM scores and
+    * the corpus max word length (the twin's DP unroll depth), recorded
+    * by each query's run. `Registry.oracleSql` stays a `def`, so these
+    * are read after the run loop.
+    */
+  private object UnigramState {
+    @volatile var trainVocab: Option[Seq[UnigramLm.Piece]] = None
+    @volatile var encodeVocab: Option[(Seq[UnigramLm.Piece], Int)] = None
+    @volatile var packVocab: Option[(Seq[UnigramLm.Piece], Int)] = None
+  }
+  private val UniMaxPieceLen = 4
+  private val UniToksCte =
+    "toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w\n" +
+      "                  FROM documents)"
+
+  private def uniTrain(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, Seq[UnigramLm.Piece], Int) = {
+    val docs = Tables.documents(s, d)
+    val vocab = UnigramLm.train(docs, "text", vocabSize = 40, rounds = 3,
+      maxPieceLen = UniMaxPieceLen)
+    val maxW = UnigramLm.wordCounts(docs, "text")
+      .agg(max(length(col("w")))).head().getInt(0)
+    (docs, vocab, maxW)
+  }
+
+  /** Q239 [X tokenizer]: unigram-LM (SentencePiece) vocabulary induction
+    * — EM over all segmentations on the distinct-word table
+    * ([[graft.ext.UnigramLm.train]]: seed substrings → 3 EM rounds →
+    * prune to 40 keeping single chars → re-estimate). The certificate
+    * records the learned (rank, piece) list; the twin recomputes each
+    * piece's frequency-weighted positional substring count from
+    * `documents` — integer-exact, certifying every returned piece is a
+    * real corpus substring with the claimed seed mass and that ranks
+    * rode out of the run undisturbed. EM math itself is pinned by
+    * `UnigramLmSpec`'s hand-computed forward-backward fixture (the
+    * ANN-certificate division of labor: values by oracle, optimality by
+    * spec).
+    */
+  val q239 = OracleQuery(
+    "q239_unigram_train",
+    (s, d) => {
+      val (docs, vocab, _) = uniTrain(s, d)
+      UnigramState.trainVocab = Some(vocab)
+      import s.implicits._
+      val ranks = vocab.zipWithIndex
+        .map { case (p, i) => (i + 1, p.piece) }.toDF("rank", "piece")
+      ranks.join(
+          UnigramLm.seedPieces(UnigramLm.wordCounts(docs, "text"),
+            UniMaxPieceLen), "piece")
+        .select(col("rank"), col("piece"), col("cnt").as("pat_cnt"))
+    },
+    None,
+    dynOracle = () => UnigramState.trainVocab.map { vocab =>
+      def q(lit: String) = "'" + lit.replace("'", "''") + "'"
+      val values = vocab.zipWithIndex
+        .map { case (p, i) => s"(${i + 1}, ${q(p.piece)})" }
+        .mkString(", ")
+      s"""WITH v(rank, piece) AS (VALUES $values),
+            wds AS (SELECT w, CAST(count(*) AS BIGINT) AS f
+                    FROM (SELECT unnest(string_split(text, ' ')) AS w
+                          FROM documents) GROUP BY 1),
+            pos AS (SELECT w, f,
+                      unnest(generate_series(1, CAST(length(w) AS BIGINT)))
+                        AS i
+                    FROM wds)
+         SELECT v.rank, v.piece, CAST(sum(p.f) AS BIGINT) AS pat_cnt
+         FROM v JOIN pos p
+           ON substring(p.w, CAST(p.i AS INTEGER), length(v.piece)) = v.piece
+         GROUP BY 1, 2"""
+    },
+  )
+
+  /** Q240 [X tokenizer]: unigram-LM ENCODE — Viterbi segmentation of
+    * every distinct word under the trained vocab, rolled up per doc
+    * (n_words, n_chars, n_pieces). The twin RE-RUNS THE VITERBI DP
+    * ITSELF in SQL over the recorded vocab literals
+    * ([[graft.ext.UnigramLm.viterbiSqlCtes]]): identical float
+    * additions, identical pinned tie comparator, one materialized CTE
+    * per position — so the hash match certifies the segmentation math,
+    * not just bookkeeping (n_chars doubles as the lossless-segmentation
+    * invariant Σ|pieces| = |word|).
+    */
+  val q240 = OracleQuery(
+    "q240_unigram_encode",
+    (s, d) => {
+      val (docs, vocab, maxW) = uniTrain(s, d)
+      UnigramState.encodeVocab = Some((vocab, maxW))
+      UnigramLm.tokenCounts(docs, "doc_id", "text", vocab, UniMaxPieceLen)
+    },
+    None,
+    dynOracle = () => UnigramState.encodeVocab.map { case (vocab, maxW) =>
+      s"""WITH $UniToksCte,
+            wds AS (SELECT DISTINCT w FROM toks),
+            ${UnigramLm.viterbiSqlCtes(vocab, maxW, UniMaxPieceLen)}
+         SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                CAST(sum(length(t.w)) AS BIGINT) AS n_chars,
+                CAST(sum(s2.np) AS BIGINT) AS n_pieces
+         FROM toks t JOIN seg s2 USING (w)
+         GROUP BY 1"""
+    },
+  )
+
+  /** Q241 [X tokenizer]: the unigram-LM PACK capstone — q218's
+    * trained-tokenizer → budgeted-window chain with the second tokenizer
+    * family: train → Viterbi token counts → 512-token window segments
+    * per source. The twin composes the full SQL Viterbi with q218's
+    * window arithmetic, so one hash match certifies the entire
+    * train → encode → pack pipeline for unigram-LM, closing the "BPE
+    * only" gap on the training-prep side.
+    */
+  val q241 = OracleQuery(
+    "q241_unigram_pack_capstone",
+    (s, d) => {
+      val (docs, vocab, maxW) = uniTrain(s, d)
+      UnigramState.packVocab = Some((vocab, maxW))
+      Packing.windowSegments(
+        docs.select(col("doc_id"), col("source"))
+          .join(UnigramLm.tokenCounts(docs, "doc_id", "text", vocab,
+            UniMaxPieceLen), "doc_id")
+          .select(col("doc_id"), col("source"), col("n_pieces")),
+        "doc_id", "source", col("n_pieces"), budget = 512L)
+    },
+    None,
+    dynOracle = () => UnigramState.packVocab.map { case (vocab, maxW) =>
+      s"""WITH $UniToksCte,
+            wds AS (SELECT DISTINCT w FROM toks),
+            ${UnigramLm.viterbiSqlCtes(vocab, maxW, UniMaxPieceLen)},
+            cnt AS (SELECT t.doc_id, CAST(sum(s2.np) AS BIGINT) AS n
+                    FROM toks t JOIN seg s2 USING (w) GROUP BY 1),
+            d AS (SELECT dd.source AS grp, c.doc_id, c.n
+                  FROM cnt c JOIN documents dd USING (doc_id)
+                  WHERE c.n > 0),
+            o AS (SELECT grp, doc_id, n,
+                    CAST(sum(n) OVER (PARTITION BY grp ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      - n AS BIGINT) AS off
+                  FROM d),
+            f AS (SELECT grp, doc_id, n, off,
+                    unnest(generate_series(off // 512,
+                      (off + n - 1) // 512)) AS window_id
+                  FROM o)
+         SELECT grp AS source, doc_id, window_id,
+                greatest(off - window_id * 512, 0) AS start_tok,
+                least(off + n - window_id * 512, 512) AS end_tok,
+                off >= window_id * 512 AS is_doc_start,
+                off + n <= (window_id + 1) * 512 AS is_doc_end
+         FROM f"""
+    },
+  )
+
   val all: Seq[OracleQuery] =
     Seq(q41, q42, q42b, q43, q44, q45, q46, q47, q48, q49, q50,
       q53, q54, q55, q56, q57, q120, q121, q122, q123, q124, q125, q126,
       q127, q128, q129, q130, q131, q132, q134, q137, q138, q140, q141,
-      q142, q153, q154, q163, q165, q166, q167, q209, q210, q211, q218)
+      q142, q153, q154, q163, q165, q166, q167, q209, q210, q211, q218,
+      q239, q240, q241)
 }
