@@ -1067,6 +1067,34 @@ object Soak {
       println(f"[soak] grid quantiles cells=$cells p50=${q(50)}%.2f")
     })
 
+    // round-14: the GRID-FREE rank sketch at 1M values (q242) — merge of
+    // two shard sketches must equal the cold rebuild BIT-FOR-BIT (the
+    // value-set is {k smallest hashes}, counts are linear — the proof in
+    // rankSketchMerge), state stays ≤ k rows per group forever, and the
+    // self-normalized quantile read tracks the true uniform percentiles
+    // with no pre-declared grid/range.
+    time("rank sketch merge law + quantiles (1M)")({
+      val k = 1024
+      val vs = spark.range(nDocs).select(col("id"),
+        (col("id") % 4).cast("string").as("g"),
+        pmod(xxhash64(col("id")), lit(1000000)).cast("long").as("v"))
+      val merged = ops.Sketches.rankSketchMerge(
+        ops.Sketches.rankSketch(vs.filter(col("id") % 7 === 0), "g", "v", k),
+        ops.Sketches.rankSketch(vs.filter(col("id") % 7 =!= 0), "g", "v", k),
+        "g", k).localCheckpoint()
+      val cold = ops.Sketches.rankSketch(vs, "g", "v", k)
+      assert(merged.exceptAll(cold).count() == 0 &&
+        cold.exceptAll(merged).count() == 0,
+        "rank sketch merge != cold rebuild")
+      assert(merged.count() <= 4L * k, "rank sketch state exceeds k per group")
+      val q = ops.Sketches.quantilesFromRankSketch(merged, "g", Seq(50))
+        .agg(min("v_q"), max("v_q")).head()
+      // uniform on [0, 1e6) -> p50 near 5e5 within the O(1/sqrt(k)) band
+      assert(q.getLong(0) > 400000 && q.getLong(1) < 600000,
+        s"grid-free p50 off a uniform [0,1e6) sample out of band: $q")
+      println(s"[soak] rank sketch p50 band [${q.getLong(0)}, ${q.getLong(1)}]")
+    })
+
     // round-14: WARC/WET ingestion at corpus scale — 1M docs serialized
     // into 256 per-record-gzip shards (the Common Crawl layout the
     // WarcCorpus reader maps to tasks) and parsed back by the

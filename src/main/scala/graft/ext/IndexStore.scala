@@ -232,4 +232,33 @@ object IndexStore {
       .orderBy("pos").collect().map(_.getAs[Long]("threshold")).toSeq
     (spark.read.parquet(s"$path/buckets"), ts)
   }
+
+  /** Persist a grid-free rank sketch ([[graft.ops.Sketches.rankSketch]])
+    * WITH its k — k is the merge contract (merging sketches of
+    * different k re-ranks to the smaller one's semantics, which is a
+    * different sketch than either side persisted), so it rides along
+    * like the ECDF grid step. Atomic whole-store swap (the
+    * [[writeEcdfTable]] crash rule: sketch and meta must never mix
+    * across a crash).
+    */
+  def writeRankSketch(sketch: DataFrame, k: Int, path: String): Unit = {
+    require(k > 0, s"writeRankSketch: k=$k")
+    val spark = sketch.sparkSession
+    graft.ops.Upsert.writeAtomicMulti(spark, path, { root =>
+      spark.range(1).select(lit(k).as("k"))
+        .write.mode("overwrite").parquet(s"$root/meta")
+      sketch.write.mode("overwrite").parquet(s"$root/sketch")
+    })
+  }
+
+  /** Reload a persisted rank sketch: (sketch table, k). Feed straight to
+    * [[graft.ops.Sketches.rankSketchMerge]] with the loaded k (the
+    * O(batch + k) incremental-quantile path) or to
+    * `quantilesFromRankSketch`.
+    */
+  def loadRankSketch(spark: SparkSession, path: String): (DataFrame, Int) = {
+    graft.ops.Upsert.recover(spark, path)
+    val k = spark.read.parquet(s"$path/meta").head().getAs[Int]("k")
+    (spark.read.parquet(s"$path/sketch"), k)
+  }
 }

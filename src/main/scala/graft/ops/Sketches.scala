@@ -129,4 +129,104 @@ object Sketches {
             .otherwise(lit((k - 1).toDouble * space) /
               col("h_k").cast("double"))).as("est_distinct"))
   }
+
+  // -------------------------------------------------- rank/quantile KMV
+
+  /** GRID-FREE mergeable rank sketch: the bottom-k VALUE sample with
+    * EXACT counts — k distinct values with the smallest 63-bit portable
+    * hash per group, each carrying its exact total multiplicity
+    * (distinct-value sampling: Gibbons, VLDB 2001, with the KMV
+    * adaptive rate of Bar-Yossef et al. 2002). Quantiles read off the
+    * sampled cumulative mass ([[quantilesFromRankSketch]]) with NO
+    * pre-declared grid, range, or step — the case the quantized-ECDF
+    * family ([[Drift.quantizedEcdfTable]]) leaves open.
+    *
+    * Why this and not KLL/t-digest: their compactions are
+    * order-dependent (a merge tree and a cold rebuild retain different
+    * items even with de-randomized coins), so "merge ≡ cold rebuild"
+    * could only be asserted approximately. This sketch is a pure
+    * FUNCTION OF THE MULTISET: the kept value set is {k smallest
+    * hashes} and the counts are linear sums, so
+    * `merge(sketch(A), sketch(B)) == sketch(A ∪ B)` holds BIT-FOR-BIT
+    * (proof in [[rankSketchMerge]]) — the property that lets the q242
+    * certificate and the merge-law spec check it exactly, the same
+    * contract as every other member of the incremental family.
+    *
+    * Accuracy contract (documented, by design): values are sampled
+    * uniformly over the DISTINCT-value set, so rank estimates are
+    * self-normalized ratio estimates with error O(1/√k) in sampled-mass
+    * share — tight for continuous/high-cardinality columns (every cnt
+    * small), DEGRADED when single values carry large mass shares (a
+    * missed heavy value shifts all ranks by its share). Low-cardinality
+    * or heavy-hitter domains belong to the exact grid family instead;
+    * this sketch's domain is the "continuous values, unknown range" one.
+    *
+    * Scale shape: one (group, value) count aggregate (map-side
+    * combinable), one per-group window over distinct values, k rows per
+    * group FOREVER. Values hash via their canonical string form, so any
+    * orderable atomic type rides.
+    */
+  def rankSketch(df: DataFrame, groupCol: String, valueCol: String, k: Int)
+      : DataFrame = {
+    require(k > 0, s"rankSketch: k=$k must be positive")
+    df.select(col(groupCol), col(valueCol).as("v"))
+      .groupBy(col(groupCol), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("h", TextHash.tokenHash63(col("v").cast("string")))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(groupCol).orderBy("h")))
+      .filter(col("rn") <= k)
+      .select(col(groupCol), col("v"), col("cnt"), col("h"))
+  }
+
+  /** Merge two rank sketches (same k) into the sketch of the union —
+    * O(k) per group per side, bit-equal to a cold rebuild. Proof: a
+    * value in the union's k smallest hashes is in the top-k of EVERY
+    * shard it occurs in (a shard's distinct set is a subset of the
+    * union's, so k smaller hashes in the shard would be k smaller
+    * hashes in the union), hence its shard counts all survive and sum
+    * to the exact global count; values outside the union's top-k are
+    * dropped by the re-rank regardless of their counts. ∎
+    */
+  def rankSketchMerge(a: DataFrame, b: DataFrame, groupCol: String, k: Int)
+      : DataFrame = {
+    require(k > 0, s"rankSketchMerge: k=$k must be positive")
+    val cols = Seq(col(groupCol), col("v"), col("cnt"), col("h"))
+    a.select(cols: _*).unionByName(b.select(cols: _*))
+      .groupBy(col(groupCol), col("v"), col("h"))
+      .agg(sum("cnt").as("cnt"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(groupCol).orderBy("h")))
+      .filter(col("rn") <= k)
+      .select(col(groupCol), col("v"), col("cnt"), col("h"))
+  }
+
+  /** Percentile ladder from a rank sketch: per group, order the SAMPLED
+    * values, cumulative-sum their exact counts, and return for each
+    * percentile the smallest sampled value whose cumulative sampled
+    * mass reaches ceil(p/100 · sampled total) — the
+    * [[Drift.quantilesFromEcdf]] left-continuous inverse applied to the
+    * sample (self-normalized: no distinct-count estimate enters).
+    * O(k · |pcts|) per group; the window is grid-free but k-bounded by
+    * construction.
+    */
+  def quantilesFromRankSketch(sketch: DataFrame, groupCol: String,
+      pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"quantilesFromRankSketch: percentiles must be in [1,100], got $pcts")
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy(groupCol).orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = sketch.select(col(groupCol), col("v"), col("cnt"))
+      .withColumn("cum", sum("cnt").over(w))
+      .join(sketch.groupBy(groupCol).agg(sum("cnt").as("tot")), groupCol)
+    cum.crossJoin(broadcast(pcts.toDF("pct")))
+      .withColumn("r", greatest(lit(1L),
+        ceil(col("pct").cast("double") / 100.0 * col("tot").cast("double"))
+          .cast("long")))
+      .filter(col("cum") >= col("r"))
+      .groupBy(col(groupCol), col("pct"))
+      .agg(min(col("v")).as("v_q"))
+  }
 }

@@ -1340,9 +1340,83 @@ object ScaleQueries {
       "documents", "source", "source", "n_chars")),
   )
 
+  /** The (source, pct, v_q) ladder q242's certificate re-derives exact
+    * ranks for (the dynOracle seam).
+    */
+  private object RankSketchState {
+    @volatile var ladder: Option[Seq[(String, Int, Long)]] = None
+  }
+
+  /** Q242 [X sketch]: GRID-FREE quantiles off a persisted + merged rank
+    * sketch ([[graft.ops.Sketches.rankSketch]] — bottom-k value sample
+    * with exact counts, k=64): corpus sketch → `IndexStore.writeRankSketch`
+    * → load → merge the 10% batch's sketch (O(batch + k), bit-equal to a
+    * cold rebuild — the law `RankSketchSpec` pins) → percentile ladder
+    * with NO pre-declared grid/range/step (the case q228's quantized
+    * ECDF leaves open). Certificate: the run records the returned
+    * (source, pct, v_q) rows; the twin recomputes each value's EXACT
+    * corpus rank and group count — so every reported quantile's true
+    * rank is driver-checked, while the ≤-O(1/√k) rank-error guarantee is
+    * owned by the spec (the ANN division of labor).
+    */
+  val q242 = OracleQuery(
+    "q242_rank_sketch_quantiles",
+    (s, d) => {
+      val k = 64
+      val docs = Tables.documents(s, d).select(col("source"), col("doc_id"),
+        length(col("text")).cast("long").as("v"))
+      val outPath = java.nio.file.Files.createTempDirectory("graft_rsk_")
+      val store = outPath.toString + "/rs"
+      graft.ext.IndexStore.writeRankSketch(
+        graft.ops.Sketches.rankSketch(
+          docs.filter(col("doc_id") % 10 =!= 0), "source", "v", k),
+        k, store)
+      val (loaded, kLoaded) = graft.ext.IndexStore.loadRankSketch(s, store)
+      val merged = graft.ops.Sketches.rankSketchMerge(loaded,
+        graft.ops.Sketches.rankSketch(
+          docs.filter(col("doc_id") % 10 === 0), "source", "v", kLoaded),
+        "source", kLoaded)
+      val ladder = graft.ops.Sketches.quantilesFromRankSketch(
+        merged, "source", Seq(10, 50, 90))
+      val rows = ladder.collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+      RankSketchState.ladder = Some(rows)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(outPath).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      import s.implicits._
+      val lit3 = rows.toDF("source", "pct", "v_q")
+      val rex = lit3.join(docs, Seq("source"))
+        .filter(col("v") <= col("v_q"))
+        .groupBy("source", "pct", "v_q")
+        .agg(count(lit(1)).as("r_exact"))
+      rex.join(docs.groupBy("source").agg(count(lit(1)).as("n")), "source")
+        .select(col("source"), col("pct"), col("v_q"), col("r_exact"),
+          col("n"))
+    },
+    None,
+    dynOracle = () => RankSketchState.ladder.map { rows =>
+      def q(lit: String) = "'" + lit.replace("'", "''") + "'"
+      val values = rows.map { case (src, p, v) => s"(${q(src)}, $p, ${v}::BIGINT)" }
+        .mkString(", ")
+      s"""WITH l(source, pct, v_q) AS (VALUES $values),
+            d AS (SELECT source, CAST(length(text) AS BIGINT) AS v
+                  FROM documents),
+            n AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+                  FROM d GROUP BY 1),
+            r AS (SELECT l.source, l.pct, l.v_q,
+                    CAST(sum(CASE WHEN d.v <= l.v_q THEN 1 ELSE 0 END)
+                      AS BIGINT) AS r_exact
+                  FROM l JOIN d USING (source) GROUP BY 1, 2, 3)
+         SELECT r.source, r.pct, r.v_q, r.r_exact, n.n
+         FROM r JOIN n USING (source)"""
+    },
+  )
+
   val all: Seq[OracleQuery] =
     Seq(q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q133,
       q136, q175, q178, q193, q197, q198, q199, q201, q202, q205, q206,
       q212, q213, q214, q215, q216, q217, q222, q223, q224, q226, q227,
-      q228, q229, q231, q232, q233, q234, q235)
+      q228, q229, q231, q232, q233, q234, q235, q242)
 }

@@ -163,4 +163,81 @@ class SketchesSpec extends SparkSpec {
     val r = Agreement.cohenKappa(df, "g", col("a"), col("b")).head
     r.isNullAt(8) shouldBe true
   }
+
+  // ------------------------------------------------- grid-free rank KMV
+
+  // two groups of skew-free continuous-ish values with duplicates:
+  // group g0 holds v = id % 500 (each value ×4), g1 holds id % 700
+  private lazy val vals = spark.range(0, 4000)
+    .select(concat(lit("g"), col("id") % 2).as("grp"),
+      when(col("id") % 2 === 0, (col("id") / 2) % 500)
+        .otherwise((col("id") / 2) % 700).cast("long").as("v"))
+
+  test("rankSketch: k rows per group, exact counts for kept values") {
+    val sk = Sketches.rankSketch(vals, "grp", "v", k = 64)
+    val rows = sk.collect()
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      rs.length shouldBe 64
+      rs.map(_.getLong(2)).distinct.length should be >= 1
+    }
+    // counts are EXACT: check every kept value against a direct count
+    val direct = vals.groupBy("grp", "v").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    rows.foreach { r =>
+      r.getLong(2) shouldBe direct((r.getString(0), r.getLong(1)))
+    }
+  }
+
+  test("rankSketch merge law: merge of split sketches == cold rebuild") {
+    val a = vals.filter(col("v") % 3 === 0)
+    val b = vals.filter(col("v") % 3 =!= 0)
+    val merged = Sketches.rankSketchMerge(
+      Sketches.rankSketch(a, "grp", "v", 64),
+      Sketches.rankSketch(b, "grp", "v", 64), "grp", 64)
+    val full = Sketches.rankSketch(vals, "grp", "v", 64)
+    merged.exceptAll(full).count() shouldBe 0L
+    full.exceptAll(merged).count() shouldBe 0L
+    // and the harder split: the SAME value occurring on both sides must
+    // come out with the SUMMED exact count (split by row range, not value)
+    val left = spark.range(0, 2000).select(
+      concat(lit("g"), col("id") % 2).as("grp"),
+      when(col("id") % 2 === 0, (col("id") / 2) % 500)
+        .otherwise((col("id") / 2) % 700).cast("long").as("v"))
+    val right = spark.range(2000, 4000).select(
+      concat(lit("g"), col("id") % 2).as("grp"),
+      when(col("id") % 2 === 0, (col("id") / 2) % 500)
+        .otherwise((col("id") / 2) % 700).cast("long").as("v"))
+    val merged2 = Sketches.rankSketchMerge(
+      Sketches.rankSketch(left, "grp", "v", 64),
+      Sketches.rankSketch(right, "grp", "v", 64), "grp", 64)
+    merged2.exceptAll(full).count() shouldBe 0L
+    full.exceptAll(merged2).count() shouldBe 0L
+  }
+
+  test("quantilesFromRankSketch: grid-free ladder tracks true quantiles") {
+    // uniform values ⇒ the sampled-mass inverse CDF should land within
+    // a few percent of the true percentile value at k=256 of 500/700
+    // distinct values (deterministic hashes, so the bound is fixed).
+    val q = Sketches.quantilesFromRankSketch(
+      Sketches.rankSketch(vals, "grp", "v", 256), "grp", Seq(10, 50, 90))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    def truthFor(m: Long, p: Int): Double = m * p / 100.0
+    for ((grp, m) <- Seq(("g0", 500L), ("g1", 700L)); p <- Seq(10, 50, 90)) {
+      val got = q((grp, p)).toDouble
+      math.abs(got - truthFor(m, p)) should be <= (0.12 * m)
+    }
+  }
+
+  test("rankSketch persists and reloads through IndexStore (k rides along)") {
+    val dir = java.nio.file.Files.createTempDirectory("rsk-spec")
+    val sk = Sketches.rankSketch(vals, "grp", "v", 32)
+    graft.ext.IndexStore.writeRankSketch(sk, 32, s"$dir/rs")
+    val (loaded, k) = graft.ext.IndexStore.loadRankSketch(spark, s"$dir/rs")
+    k shouldBe 32
+    loaded.exceptAll(sk).count() shouldBe 0L
+    sk.exceptAll(loaded).count() shouldBe 0L
+    // and a second write over the same path swaps atomically
+    graft.ext.IndexStore.writeRankSketch(sk, 32, s"$dir/rs")
+    graft.ext.IndexStore.loadRankSketch(spark, s"$dir/rs")._2 shouldBe 32
+  }
 }
