@@ -378,17 +378,26 @@ object Hypothesis {
     * engines via the 0-denominator guard.
     */
   def confusionAtThresholds(df: DataFrame, groupCol: String, label: Column,
+      score: Column, thresholds: Seq[Double]): DataFrame =
+    confusionRatios(
+      confusionCounts(df, groupCol, label, score, thresholds), groupCol)
+
+  /** The integer half of [[confusionAtThresholds]]: per (group,
+    * threshold) the exact tp/fp/fn/tn counts. LINEAR — counts of A ∪ B
+    * are the element-wise SUMS ([[mergeConfusion]]), the
+    * [[statsTable]]/[[LinearSketches.cmsSketch]] mergeability class —
+    * which is what lets ST30 keep the gate-tuning table live per batch.
+    * O(groups · thresholds) rows forever.
+    */
+  def confusionCounts(df: DataFrame, groupCol: String, label: Column,
       score: Column, thresholds: Seq[Double]): DataFrame = {
     require(thresholds.nonEmpty && thresholds.forall(t =>
       java.lang.Double.isFinite(t)),
-      s"confusionAtThresholds: need finite thresholds, got $thresholds")
+      s"confusionCounts: need finite thresholds, got $thresholds")
     val spark = df.sparkSession
     import spark.implicits._
     val t = broadcast(thresholds.toDF("thr"))
-    def ratio(num: Column, den: Column) =
-      when(den > 0, graft.syntax.round6z(num.cast("double") /
-        den.cast("double")))
-    val base = df.select(col(groupCol).as("g"),
+    df.select(col(groupCol).as("g"),
         label.cast("boolean").as("y"), score.cast("double").as("s"))
       .crossJoin(t)
       .groupBy(col("g").as(groupCol), col("thr"))
@@ -401,7 +410,29 @@ object Hypothesis {
           .as("fn"),
         sum(when(!col("y") && col("s") < col("thr"), 1L).otherwise(0L))
           .as("tn"))
-    base.select(col(groupCol), col("thr"), col("tp"), col("fp"),
+  }
+
+  /** Merge two [[confusionCounts]] tables (same threshold ladder):
+    * element-wise addition — exact through any tree shape.
+    */
+  def mergeConfusion(a: DataFrame, b: DataFrame, groupCol: String)
+      : DataFrame = {
+    val cols = Seq(col(groupCol), col("thr"), col("tp"), col("fp"),
+      col("fn"), col("tn"))
+    a.select(cols: _*).unionByName(b.select(cols: _*))
+      .groupBy(col(groupCol), col("thr"))
+      .agg(sum("tp").as("tp"), sum("fp").as("fp"),
+        sum("fn").as("fn"), sum("tn").as("tn"))
+  }
+
+  /** Precision/recall/F1 surface over a [[confusionCounts]] table —
+    * single divisions of exact longs, NULL on degenerate cells.
+    */
+  def confusionRatios(counts: DataFrame, groupCol: String): DataFrame = {
+    def ratio(num: Column, den: Column) =
+      when(den > 0, graft.syntax.round6z(num.cast("double") /
+        den.cast("double")))
+    counts.select(col(groupCol), col("thr"), col("tp"), col("fp"),
       col("fn"), col("tn"),
       ratio(col("tp"), col("tp") + col("fp")).as("precision"),
       ratio(col("tp"), col("tp") + col("fn")).as("recall"),

@@ -946,6 +946,51 @@ class EventStreamsSpec extends SparkSpec {
       s"$dir/t", 99L) shouldBe false
   }
 
+  test("ST30 streaming confusion matrix: streamed merge ≡ cold rebuild; live ratios") {
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, t: String, v: Double) =
+      Ev(id, id % 7, t, new Timestamp(id * 1000), v, "{}")
+    // classifier outcomes: score = id%40, true label = id%3==0 (derived
+    // in-stream), two groups, three gate thresholds
+    val b1 = (0L until 300L).map(i =>
+      ev(i, if (i % 2 == 0) "A" else "B", (i % 40).toDouble))
+    val b2 = (300L until 500L).map(i =>
+      ev(i, if (i % 2 == 0) "A" else "B", (i % 40).toDouble))
+    val thr = Seq(10.0, 20.0, 30.0)
+    def labeled(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("y", col("event_id") % 3 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("st30_").toString
+    val mem = MemoryStream[Ev]
+    mem.addData(b1)
+    val q1 = EventStreams.confusionOnArrival(labeled(mem.toDF()),
+      "event_type", "y", "value", thr, s"$dir/t", s"$dir/cp")
+    q1.awaitTermination()
+    mem.addData(b2)
+    val q2 = EventStreams.confusionOnArrival(labeled(mem.toDF()),
+      "event_type", "y", "value", thr, s"$dir/t", s"$dir/cp")
+    q2.awaitTermination()
+    // linear merge law: streamed table == one count over full history
+    val streamed = spark.read.parquet(s"$dir/t")
+      .select("event_type", "thr", "tp", "fp", "fn", "tn")
+    val direct = graft.ops.Hypothesis.confusionCounts(
+      labeled((b1 ++ b2).toDF()), "event_type", col("y"), col("value"), thr)
+    streamed.exceptAll(direct).count() shouldBe 0L
+    direct.exceptAll(streamed).count() shouldBe 0L
+    // state bound: groups × thresholds rows, forever
+    streamed.count() shouldBe 2L * thr.size
+    // live gate-tuning read == the q233 batch surface over full history
+    val live = EventStreams.confusionRead(spark, s"$dir/t", "event_type")
+    val batchSurface = graft.ops.Hypothesis.confusionAtThresholds(
+      labeled((b1 ++ b2).toDF()), "event_type", col("y"), col("value"), thr)
+    live.exceptAll(batchSurface).count() shouldBe 0L
+    batchSurface.exceptAll(live).count() shouldBe 0L
+    // replay refused (addition is not idempotent); empty batch skipped
+    EventStreams.confusionMergeBatch(labeled(b2.toDF()), "event_type",
+      "y", "value", thr, s"$dir/t", 1L) shouldBe false
+    EventStreams.confusionMergeBatch(labeled(b1.take(0).toDF()),
+      "event_type", "y", "value", thr, s"$dir/t", 99L) shouldBe false
+  }
+
   test("ST17 streaming CDC byte-delta: exact copy reports zero new bytes") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ext.Multimodal
