@@ -17,6 +17,35 @@ import org.apache.spark.sql.functions._
   * come from the caller — [[IvfIndex.build]]'s k-means for real corpora, a
   * deterministic seed set for oracle-checked tests.
   *
+  * WHY FIXED-k CELLS, not density clustering (HDBSCAN-family), at
+  * 100 TB — the deliberate production shape, not an omission:
+  *  1. The dedup decision is a LOCAL τ-ball question ("is any neighbor
+  *     within cosine ≥ τ"), not a cluster-shape question. Any partition
+  *     whose cells are larger than the τ-ball answers it exactly for
+  *     in-cell pairs; density estimation buys recall only at CELL
+  *     BOUNDARIES, which is a probe-width question (IVF nprobe > 1 /
+  *     multi-assignment), not a clustering-algorithm question.
+  *  2. Density methods need the k-NN graph — itself the O(n²)-ish
+  *     computation this operator exists to avoid; at 1000 executors the
+  *     mutual-reachability construction is the bottleneck, and its own
+  *     ANN approximation reintroduces exactly the cell structure used
+  *     here.
+  *  3. Fixed centroids make the at-rest form FROZEN: the incremental
+  *     member scores a batch in O(batch · n/k) against persisted cells
+  *     with bit-stable semantics (the whole incremental-family
+  *     contract). Density re-clustering re-labels the corpus on every
+  *     refresh — nothing downstream can be incremental against it.
+  *
+  * The real operational risk of fixed k is MIS-SIZED CELLS (k too small
+  * → a cell's n_c² blows up; k too large → τ-balls straddle borders).
+  * That is made observable rather than guessed: [[cellSizeAudit]]
+  * reports the exact quadratic cost and the skew BEFORE the self-join
+  * runs, and the remedies are both inside the same fixed-k design —
+  * raise k / re-fit centroids on a sample (cheap: one IvfIndex.build),
+  * or recurse: run [[assign]]+[[dropList]] within an oversized cell with
+  * sub-centroids, which composes because the keeper rule (lowest id)
+  * is order- and partition-free.
+  *
   * All vector math runs through the native codegen'd dot product; scores
   * are rounded to 6 before every comparison/ordering so results are
   * engine-stable (the q47/q48 ulp lesson).
@@ -45,6 +74,32 @@ object SemDedup {
       .filter(col("__rn") === 1)
       .select("vid", "v", "nrm", "cid")
   }
+
+  /** Cell-size audit for an [[assign]]ed corpus — the mischosen-k
+    * detector (see the object scaladoc): per-cell member counts plus the
+    * corpus-level facts a partition planner reads BEFORE paying for the
+    * cluster-local self-join: total pair count Σ n_c·(n_c−1)/2 (the
+    * exact [[dropList]] join size), the largest cell (the straggler
+    * task), and the largest cell's share of all pairs (the skew ratio —
+    * near 1.0 means one task IS the job and k must rise or that cell
+    * must recurse). One aggregate over n rows; output k+1 rows.
+    */
+  def cellSizeAudit(assigned: DataFrame): DataFrame =
+    assigned.groupBy("cid").agg(count(lit(1)).as("n_c"))
+      .select(col("cid"), col("n_c"),
+        (col("n_c") * (col("n_c") - 1) / lit(2)).cast("long")
+          .as("cell_pairs"))
+
+  /** One-row skew summary of a [[cellSizeAudit]]: the exact total
+    * self-join size, the straggler cell, and its share of all pairs.
+    */
+  def cellSkewSummary(audit: DataFrame): DataFrame =
+    audit.agg(
+      sum(col("cell_pairs")).as("total_pairs"),
+      max(col("n_c")).as("max_cell"),
+      graft.syntax.round6z(max(col("cell_pairs")).cast("double") /
+        greatest(sum(col("cell_pairs")), lit(1L)).cast("double"))
+        .as("max_pair_share"))
 
   /** SemDeDup drop list over an [[assign]]ed corpus: vector `b` is dropped
     * when some same-cluster vector `a < b` has rounded cosine ≥

@@ -333,6 +333,25 @@ class ScaleOpsSpec extends SparkSpec {
     loose shouldBe Set(12L, 13L)
   }
 
+  test("cellSizeAudit reports exact self-join size and skew before the join") {
+    // cells of 3, 2, 1 members -> pairs 3, 1, 0; straggler share 3/4
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.01f)), (2L, Seq(1.0f, 0.02f)), (3L, Seq(1.0f, 0.03f)),
+      (4L, Seq(0.01f, 1.0f)), (5L, Seq(0.02f, 1.0f)),
+      (6L, Seq(-1.0f, -1.1f))).toDF("vec_id", "embedding")
+    val cents = Seq((0L, vec(1.0, 0.0)), (1L, vec(0.0, 1.0)),
+      (2L, vec(-1.0, -1.0))).toDF("cid", "cv")
+    val audit = SemDedup.cellSizeAudit(
+      SemDedup.assign(emb, "embedding", "vec_id", cents))
+    val byCell = audit.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    byCell shouldBe Map(0L -> ((3L, 3L)), 1L -> ((2L, 1L)), 2L -> ((1L, 0L)))
+    val s = SemDedup.cellSkewSummary(audit).head()
+    s.getLong(0) shouldBe 4L   // total pairs = exact dropList join size
+    s.getLong(1) shouldBe 3L   // straggler cell
+    s.getDouble(2) shouldBe 0.75 +- 1e-9
+  }
+
   test("incrementalDropList drops batch near-dups of the corpus, keeps novel") {
     // Corpus (frozen): 20 on the x-axis, 21 on the y-axis.
     // Batch: 30 ≈ x-axis (near-dup of 20), 31 well off both (novel).
