@@ -127,6 +127,48 @@ object TextAnalysis {
     trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
 
+  /** HTML → text extraction — the WET-GENERATION step between a crawl's
+    * response records ([[graft.ops.WarcCorpus]]) and clean corpus text.
+    * Deterministic pinned recipe, pure codegen'd column ops (no UDF —
+    * the 100 TB form): (1) drop script/style ELEMENTS whole (their
+    * content is code, not text; non-greedy dotall case-insensitive span), (2) strip every
+    * remaining tag to a space, (3) decode the five core entities with
+    * `&amp;` LAST — decoding it first would create new entities out of
+    * literal text like `&amp;lt;` and double-decode (`&amp;lt;` means
+    * the TEXT "&lt;"), (4) collapse whitespace, trim. Entity-encoded
+    * brackets in content survive as text by construction (tags strip
+    * BEFORE entities decode). The regexes stay inside the
+    * Java-regex ∩ RE2 common dialect so the DuckDB twin
+    * ([[htmlToTextSql]]) is exact.
+    */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      "(?si)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noTags = regexp_replace(noScript, "<[^>]*>", " ")
+    val entities = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+    val decoded = entities.foldLeft(noTags) { case (acc, (e, r)) =>
+      replace(acc, lit(e), lit(r))
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** DuckDB twin of [[htmlToText]] over an SQL expression — same regex
+    * chain (RE2 accepts the shared dialect; 'g' flag spelled out, the
+    * q45 rule) and the same entity order.
+    */
+  def htmlToTextSql(expr: String): String = {
+    val noScript =
+      s"regexp_replace($expr, '(?si)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g')"
+    val noTags = s"regexp_replace($noScript, '<[^>]*>', ' ', 'g')"
+    val entities = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "''", "&nbsp;" -> " ", "&amp;" -> "&")
+    val decoded = entities.foldLeft(noTags) { case (acc, (e, r)) =>
+      s"replace($acc, '$e', '$r')"
+    }
+    s"trim(regexp_replace($decoded, '\\s+', ' ', 'g'))"
+  }
+
   /** Per-document unigram log-probability under the corpus' own unigram
     * distribution (Σ ln(cnt(w)/N) over the document's tokens) — a
     * self-supervised fluency score: rare-token-heavy documents score low.

@@ -208,5 +208,57 @@ object WarcQueries {
             FROM documents GROUP BY 1"""),
   )
 
-  val all: Seq[OracleQuery] = Seq(q236, q237, q238)
+  /** Q243 [X ingest]: HTML → text extraction
+    * ([[graft.ext.TextAnalysis.htmlToText]]) — the WET-generation step a
+    * crawl pipeline runs between WARC response records and clean corpus
+    * text. Each doc's text is wrapped in a deterministic page exercising
+    * every rule: an UPPERCASE STYLE element (case-insensitive span
+    * removal), a script whose content contains `<`, quotes, and an
+    * entity (element dropped whole, not tag-stripped), tag attributes,
+    * entity-encoded brackets and `&amp;` in CONTENT (must survive as
+    * text — tags strip before entities decode), and whitespace runs.
+    * Both engines run their own regex engines over the same page; the
+    * hash match pins the recipe to the Java-regex ∩ RE2 dialect.
+    */
+  val q243 = OracleQuery(
+    "q243_html_to_text",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val id = col("doc_id").cast("string")
+      val len = length(col("text"))
+      val h = (len / lit(2)).cast("int")
+      val first = substring(col("text"), lit(1), h)
+      val second = substring(col("text"), h + 1, len - h)
+      val html = concat(
+        lit("<HTML><head><title>Doc "), id,
+        lit("</title><STYLE>body { color: \"red\"; }</STYLE></head>" +
+          "<body data-x=\"1\"><h1>Doc "), id,
+        lit("</h1> <p>"), first,
+        lit("</p><script type=\"text/js\">if (1 < 2) { x = \"&amp;\"; }" +
+          "</script><p>"), second,
+        lit("  &amp; tail &lt;b&gt; &#39;q&#39;&nbsp;end</p></body></html>"))
+      docs.select(col("doc_id"),
+        graft.ext.TextAnalysis.htmlToText(html).as("wet_text"))
+        .withColumn("n_chars", length(col("wet_text")).cast("long"))
+    },
+    Some {
+      val idStr = "CAST(doc_id AS VARCHAR)"
+      val html =
+        "'<HTML><head><title>Doc ' || " + idStr +
+          " || '</title><STYLE>body { color: \"red\"; }</STYLE></head>" +
+          "<body data-x=\"1\"><h1>Doc ' || " + idStr +
+          " || '</h1> <p>' || substring(text, 1, length(text) // 2)" +
+          " || '</p><script type=\"text/js\">if (1 < 2) { x = \"&amp;\"; }" +
+          "</script><p>' || substring(text, length(text) // 2 + 1, " +
+          "length(text) - length(text) // 2)" +
+          " || '  &amp; tail &lt;b&gt; &#39;q&#39;&nbsp;end</p></body></html>'"
+      s"""SELECT doc_id,
+              ${graft.ext.TextAnalysis.htmlToTextSql(html)} AS wet_text,
+              CAST(length(${graft.ext.TextAnalysis.htmlToTextSql(html)})
+                AS BIGINT) AS n_chars
+         FROM documents"""
+    },
+  )
+
+  val all: Seq[OracleQuery] = Seq(q236, q237, q238, q243)
 }

@@ -133,4 +133,17 @@ class TextAnalysisSpec extends SparkSpec {
     TextAnalysis.sliceTokenJsd(one, "source", "text")
       .collect().head.getDouble(2) shouldBe 0.0
   }
+  test("htmlToText: pinned recipe — elements, tags, entities, order") {
+    import spark.implicits._
+    val page = "<HTML><head><STYLE>b { x: \"r\"; }</STYLE></head>" +
+      "<body a=\"1\"><p>alpha</p><script>if (1 < 2) { z = \"&amp;\"; }" +
+      "</script><p>beta  &amp; tail &lt;b&gt; &#39;q&#39;&nbsp;end</p>" +
+      "<p>&amp;lt;literal</p></body></html>"
+    val got = Seq(page).toDF("h")
+      .select(TextAnalysis.htmlToText(col("h"))).head.getString(0)
+    // script/style dropped whole (the `<` inside script never leaks);
+    // entity-coded brackets survive as TEXT; &amp; decodes LAST so
+    // "&amp;lt;" means the literal text "&lt;", not "<"
+    got shouldBe "alpha beta & tail <b> 'q' end &lt;literal"
+  }
 }

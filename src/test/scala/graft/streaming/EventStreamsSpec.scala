@@ -991,6 +991,45 @@ class EventStreamsSpec extends SparkSpec {
       "event_type", "y", "value", thr, s"$dir/t", 99L) shouldBe false
   }
 
+  test("ST31 streaming rank sketch: streamed merge ≡ cold rebuild; live quantiles") {
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, t: String, v: Double) =
+      Ev(id, id % 7, t, new Timestamp(id * 1000), v, "{}")
+    // continuous-ish values (id % 97 — 97 distinct per group), k = 32
+    val b1 = (0L until 400L).map(i =>
+      ev(i, if (i % 2 == 0) "A" else "B", (i % 97).toDouble))
+    val b2 = (400L until 700L).map(i =>
+      ev(i, if (i % 2 == 0) "A" else "B", (i % 97).toDouble))
+    val dir = java.nio.file.Files.createTempDirectory("st31_").toString
+    val mem = MemoryStream[Ev]
+    mem.addData(b1)
+    EventStreams.rankSketchOnArrival(mem.toDF(), "event_type", "value",
+      32, s"$dir/t", s"$dir/cp").awaitTermination()
+    mem.addData(b2)
+    EventStreams.rankSketchOnArrival(mem.toDF(), "event_type", "value",
+      32, s"$dir/t", s"$dir/cp").awaitTermination()
+    // merge law live: streamed table == one sketch over full history
+    val streamed = spark.read.parquet(s"$dir/t")
+      .select("event_type", "v", "cnt", "h")
+    val direct = graft.ops.Sketches.rankSketch(
+      (b1 ++ b2).toDF(), "event_type", "value", 32)
+    streamed.exceptAll(direct).count() shouldBe 0L
+    direct.exceptAll(streamed).count() shouldBe 0L
+    streamed.count() should be <= 64L // ≤ k per group forever
+    // live ladder == batch ladder off the same (cold) sketch
+    val live = EventStreams.rankQuantilesRead(spark, s"$dir/t",
+      "event_type", Seq(50))
+    val batchLadder = graft.ops.Sketches.quantilesFromRankSketch(
+      direct, "event_type", Seq(50))
+    live.exceptAll(batchLadder).count() shouldBe 0L
+    batchLadder.exceptAll(live).count() shouldBe 0L
+    // replay refused (counts add); empty batch skipped
+    EventStreams.rankSketchMergeBatch(b2.toDF(), "event_type", "value",
+      32, s"$dir/t", 1L) shouldBe false
+    EventStreams.rankSketchMergeBatch(b1.take(0).toDF(), "event_type",
+      "value", 32, s"$dir/t", 99L) shouldBe false
+  }
+
   test("ST17 streaming CDC byte-delta: exact copy reports zero new bytes") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ext.Multimodal
