@@ -249,4 +249,36 @@ object Warc {
     */
   def parseWarcGz(bytes: Array[Byte]): Seq[WarcRecord] =
     splitGzipMembers(bytes).flatMap(parseWarc)
+
+  /** Split an HTTP-response content block (what a `WARC-Type: response`
+    * record of a real crawl carries — `Content-Type: application/http`)
+    * into (status line, headers, body): status line to the first CRLF,
+    * header lines to the empty line, body = everything after, BY OFFSET
+    * — the body is bytes (images, gzipped HTML), never line-walked.
+    * Loud failures: a block with no CRLFCRLF split, or a status line
+    * that is not `HTTP/<v> <code> …`. The header map is ordered like
+    * [[WarcRecord.headers]]; status code returns parsed.
+    */
+  def httpResponseParts(block: Array[Byte])
+      : (Int, Seq[(String, String)], Array[Byte]) = {
+    var i = 0
+    while (i + 3 < block.length &&
+        !(block(i) == '\r' && block(i + 1) == '\n' &&
+          block(i + 2) == '\r' && block(i + 3) == '\n')) i += 1
+    if (i + 3 >= block.length)
+      fail(0, "HTTP response block without CRLFCRLF header terminator")
+    val head = new String(block, 0, i, "US-ASCII")
+    val lines = head.split("\r\n", -1)
+    val status = lines.head
+    if (!status.matches("HTTP/\\d(\\.\\d)? \\d{3}.*"))
+      fail(0, s"malformed HTTP status line '${status.take(40)}'")
+    val code = status.split(" ", 3)(1).toInt
+    val headers = lines.tail.toSeq.map { l =>
+      val c = l.indexOf(':')
+      if (c <= 0) fail(0, s"malformed HTTP header line '${l.take(40)}'")
+      (l.substring(0, c), l.substring(c + 1).trim)
+    }
+    (code, headers,
+      java.util.Arrays.copyOfRange(block, i + 4, block.length))
+  }
 }

@@ -260,5 +260,85 @@ object WarcQueries {
     },
   )
 
-  val all: Seq[OracleQuery] = Seq(q236, q237, q238, q243)
+  /** The deterministic trap-rich page q243/q244 wrap each doc's text in
+    * — the JVM string twin of q243's Column construction (and of both
+    * queries' SQL `||` chains): any drift between the three shows up as
+    * an immediate hash mismatch.
+    */
+  private def pageFor(id: Long, text: String): String = {
+    val h = text.length / 2
+    "<HTML><head><title>Doc " + id +
+      "</title><STYLE>body { color: \"red\"; }</STYLE></head>" +
+      "<body data-x=\"1\"><h1>Doc " + id + "</h1> <p>" +
+      text.substring(0, h) +
+      "</p><script type=\"text/js\">if (1 < 2) { x = \"&amp;\"; }" +
+      "</script><p>" + text.substring(h) +
+      "  &amp; tail &lt;b&gt; &#39;q&#39;&nbsp;end</p></body></html>"
+  }
+
+  /** Q244 [X ingest]: the CRAWL-TO-CLEAN-TEXT capstone — the chain a
+    * real Common Crawl ingest runs, end to end in one plan: each doc's
+    * page rides as an HTTP RESPONSE inside a `WARC-Type: response`
+    * record (status line + HTTP headers + HTML body — what actual crawl
+    * WARCs carry; WET is derived downstream), gzipped per record; then
+    * member-split → record walk → [[graft.ext.Warc.httpResponseParts]]
+    * (body recovered BY OFFSET after the CRLFCRLF, an HTTP header
+    * echoed out) → [[graft.ext.TextAnalysis.htmlToText]] → token count.
+    * The twin rebuilds the page in SQL and replays extraction +
+    * counting — a hash match certifies WARC framing, gzip boundaries,
+    * HTTP splitting, and HTML extraction COMPOSED, not just each alone.
+    */
+  val q244 = OracleQuery(
+    "q244_response_record_capstone",
+    (s, d) => {
+      import s.implicits._
+      val parsed = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val html = pageFor(id, text)
+          val httpBlock =
+            ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+              s"X-Graft-Doc: $id\r\n\r\n").getBytes("US-ASCII") ++
+              html.getBytes("US-ASCII")
+          val rec = Warc.WarcRecord(Seq(
+            "WARC-Type" -> "response",
+            "WARC-Record-ID" -> s"<urn:graft:$id:resp>",
+            "WARC-Target-URI" -> s"http://graft.test/$id",
+            "WARC-Date" -> WarcDate,
+            "Content-Type" -> "application/http; msgtype=response"), httpBlock)
+          val back = Warc.parseWarcGz(Warc.writeWarcGz(Seq(rec))).head
+          val (code, headers, body) = Warc.httpResponseParts(back.payload)
+          val echo = headers.collectFirst {
+            case (k, v) if k.equalsIgnoreCase("X-Graft-Doc") => v
+          }.getOrElse("?")
+          (id, code, echo, new String(body, "US-ASCII"))
+        }
+        .toDF("doc_id", "status", "doc_echo", "html")
+      parsed.select(col("doc_id"), col("status"), col("doc_echo"),
+          graft.ext.TextAnalysis.htmlToText(col("html")).as("wet_text"))
+        .select(col("doc_id"), col("status"), col("doc_echo"),
+          length(col("wet_text")).cast("long").as("n_chars"),
+          size(split(col("wet_text"), " ")).cast("long").as("n_toks"))
+    },
+    Some {
+      val idStr = "CAST(doc_id AS VARCHAR)"
+      val html =
+        "'<HTML><head><title>Doc ' || " + idStr +
+          " || '</title><STYLE>body { color: \"red\"; }</STYLE></head>" +
+          "<body data-x=\"1\"><h1>Doc ' || " + idStr +
+          " || '</h1> <p>' || substring(text, 1, length(text) // 2)" +
+          " || '</p><script type=\"text/js\">if (1 < 2) { x = \"&amp;\"; }" +
+          "</script><p>' || substring(text, length(text) // 2 + 1, " +
+          "length(text) - length(text) // 2)" +
+          " || '  &amp; tail &lt;b&gt; &#39;q&#39;&nbsp;end</p></body></html>'"
+      val wet = graft.ext.TextAnalysis.htmlToTextSql(html)
+      s"""SELECT doc_id, CAST(200 AS INTEGER) AS status,
+              CAST(doc_id AS VARCHAR) AS doc_echo,
+              CAST(length($wet) AS BIGINT) AS n_chars,
+              CAST(len(string_split($wet, ' ')) AS BIGINT) AS n_toks
+         FROM documents"""
+    },
+  )
+
+  val all: Seq[OracleQuery] = Seq(q236, q237, q238, q243, q244)
 }

@@ -121,4 +121,23 @@ class WarcSpec extends AnyFunSuite with Matchers {
     back.map(r => new String(r.payload, "US-ASCII")) shouldBe
       (0 until 4).map(i => s"doc $i")
   }
+  test("httpResponseParts: status/headers/body split BY OFFSET") {
+    val body = Array[Byte](1, 2, '\r', '\n', '\r', '\n', 3) // binary, with a fake split inside
+    val block = ("HTTP/1.1 301 Moved\r\nLocation: /x\r\n" +
+      "Content-Type: image/png\r\n\r\n").getBytes("US-ASCII") ++ body
+    val (code, headers, got) = Warc.httpResponseParts(block)
+    code shouldBe 301
+    headers shouldBe Seq("Location" -> "/x", "Content-Type" -> "image/png")
+    got shouldBe body // split at the FIRST CRLFCRLF; body bytes untouched
+  }
+
+  test("httpResponseParts: loud failures") {
+    an[IllegalArgumentException] should be thrownBy
+      Warc.httpResponseParts("HTTP/1.1 200 OK\r\nA: b".getBytes("US-ASCII"))
+    an[IllegalArgumentException] should be thrownBy
+      Warc.httpResponseParts("ICY 200 OK\r\n\r\n".getBytes("US-ASCII"))
+    an[IllegalArgumentException] should be thrownBy
+      Warc.httpResponseParts(
+        "HTTP/1.1 200 OK\r\nnocolonhere\r\n\r\n".getBytes("US-ASCII"))
+  }
 }
