@@ -1139,10 +1139,13 @@ object Soak {
     time("welch from merged stats (1M docs)")({
       val ev = docs.select((col("doc_id") % 16).cast("string").as("g"),
         size(split(col("text"), " ")).cast("long").as("x"), col("doc_id"))
+      // split modulus 101 is COPRIME with the 16 groups (the q231
+      // lesson, re-learned here: a %100 batch over %16 groups covers
+      // only the {0,4,8,12} residues — gcd 4)
       val corpusT = ops.Hypothesis.statsTable(
-        ev.filter(col("doc_id") % 100 =!= 0), "g", col("x"))
+        ev.filter(col("doc_id") % 101 =!= 0), "g", col("x"))
       val batchT = ops.Hypothesis.statsTable(
-        ev.filter(col("doc_id") % 100 === 0), "g", col("x"))
+        ev.filter(col("doc_id") % 101 === 0), "g", col("x"))
         .localCheckpoint()
       val merged = ops.Hypothesis.mergeStatsTables(corpusT, batchT)
         .localCheckpoint()
