@@ -1158,6 +1158,33 @@ object Soak {
         "welch probe must yield one test per group")
     })
 
+    // round-14: the unigram-LM tokenizer at 1M docs — EM runs on the
+    // DISTINCT-WORD table (10k words: the corpus contributes exactly one
+    // pass), the trained vocab persists and reloads through IndexStore,
+    // and the encode conserves words and chars EXACTLY over the ~80M
+    // corpus tokens (the lossless-segmentation invariant — every piece
+    // sequence concatenates back to its word).
+    time("unigram-lm train + encode (1M docs)")({
+      val vocab = ext.UnigramLm.train(docs, "text", vocabSize = 512,
+        rounds = 2, maxPieceLen = 4)
+      val dir = java.nio.file.Files.createTempDirectory("soak_uni_")
+      ext.IndexStore.writeUnigramVocab(spark, vocab, 4, s"$dir/v")
+      val (loaded, m) = ext.IndexStore.loadUnigramVocab(spark, s"$dir/v")
+      assert(loaded == vocab && m == 4, "unigram vocab store round-trip")
+      val counts = ext.UnigramLm.tokenCounts(docs, "doc_id", "text",
+        loaded, m)
+        .agg(sum("n_words").as("w"), sum("n_chars").as("c"),
+          sum("n_pieces").as("p")).head()
+      val truth = docs.select(explode(split(col("text"), " ")).as("w"))
+        .agg(count(lit(1)), sum(length(col("w")))).head()
+      assert(counts.getLong(0) == truth.getLong(0) &&
+        counts.getLong(1) == truth.getLong(1),
+        "word/char conservation through the unigram encode broke")
+      assert(counts.getLong(2) >= counts.getLong(0), "pieces >= words")
+      println(s"[soak] unigram vocab=${loaded.size} " +
+        s"words=${counts.getLong(0)} pieces=${counts.getLong(2)}")
+    })
+
     // round-14: exact ROC-AUC at 1M rows (q232/q233 shape) — the rank
     // identity's heavy relation is per-DISTINCT-(group, score), never
     // the n₊·n₋ pair materialization (asserted), and an independent

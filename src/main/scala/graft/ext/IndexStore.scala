@@ -261,4 +261,45 @@ object IndexStore {
     val k = spark.read.parquet(s"$path/meta").head().getAs[Int]("k")
     (spark.read.parquet(s"$path/sketch"), k)
   }
+
+  /** Persist a trained unigram-LM vocabulary
+    * ([[graft.ext.UnigramLm.train]]) WITH its maxPieceLen — the encode
+    * contract (Viterbi scans spans up to that length; a different bound
+    * is a different tokenizer), so it rides in meta like the ECDF grid
+    * step. Rank = the pinned (score desc, piece asc) order, persisted
+    * explicitly so the loaded vocab reproduces ties byte-for-byte.
+    * Atomic whole-store swap.
+    */
+  def writeUnigramVocab(spark: SparkSession,
+      vocab: Seq[graft.ext.UnigramLm.Piece], maxPieceLen: Int,
+      path: String): Unit = {
+    require(vocab.nonEmpty && maxPieceLen >= 1,
+      s"writeUnigramVocab: ${vocab.size} pieces, maxPieceLen=$maxPieceLen")
+    import spark.implicits._
+    graft.ops.Upsert.writeAtomicMulti(spark, path, { root =>
+      spark.range(1).select(lit(maxPieceLen).as("max_piece_len"))
+        .write.mode("overwrite").parquet(s"$root/meta")
+      vocab.zipWithIndex
+        .map { case (p, i) => (i + 1, p.piece, p.score) }
+        .toDF("rank", "piece", "score")
+        .write.mode("overwrite").parquet(s"$root/vocab")
+    })
+  }
+
+  /** Reload a persisted unigram vocab: (pieces in rank order,
+    * maxPieceLen). Feed straight to
+    * [[graft.ext.UnigramLm.tokenCounts]] — a later session encodes with
+    * zero retraining (the gram-index at-rest contract for tokenizers).
+    */
+  def loadUnigramVocab(spark: SparkSession,
+      path: String): (Seq[graft.ext.UnigramLm.Piece], Int) = {
+    graft.ops.Upsert.recover(spark, path)
+    val m = spark.read.parquet(s"$path/meta").head()
+      .getAs[Int]("max_piece_len")
+    val vocab = spark.read.parquet(s"$path/vocab")
+      .orderBy("rank").collect()
+      .map(r => graft.ext.UnigramLm.Piece(r.getAs[String]("piece"),
+        r.getAs[Double]("score"))).toSeq
+    (vocab, m)
+  }
 }

@@ -102,4 +102,20 @@ class UnigramLmSpec extends SparkSpec {
     m(1L) shouldBe ((2L, 6L, 2L)) // "abab"=1 piece, "cd"=1 piece
     m(2L) shouldBe ((3L, 6L, 3L))
   }
+  test("vocab persists and reloads through IndexStore (rank + maxPieceLen)") {
+    import spark.implicits._
+    val docs = Seq((1L, "abab cd abab"), (2L, "cd cd")).toDF("doc_id", "text")
+    val vocab = UnigramLm.train(docs, "text", vocabSize = 6, rounds = 2,
+      maxPieceLen = 4)
+    val dir = java.nio.file.Files.createTempDirectory("uni-store")
+    graft.ext.IndexStore.writeUnigramVocab(spark, vocab, 4, s"$dir/v")
+    val (loaded, m) = graft.ext.IndexStore.loadUnigramVocab(spark, s"$dir/v")
+    m shouldBe 4
+    loaded shouldBe vocab // rank order AND scores byte-for-byte
+    // a fresh session encodes identically off the loaded vocab
+    val a = UnigramLm.tokenCounts(docs, "doc_id", "text", vocab, 4)
+    val b = UnigramLm.tokenCounts(docs, "doc_id", "text", loaded, m)
+    a.exceptAll(b).count() shouldBe 0L
+    b.exceptAll(a).count() shouldBe 0L
+  }
 }
