@@ -45,4 +45,30 @@ object Curation {
         count(lit(1)).as("n_docs"),
         sum(TextAnalysis.tokenCount(col(textCol))).as("n_tokens"))
   }
+
+  /** Registrable host of a URL column — `scheme://host[:port]/…` →
+    * `host` (port stripped, lower-cased). Codegen'd regexp; empty string
+    * for non-URL garbage (a loud null would poison the cap's partition
+    * key — garbage groups together and gets capped like any other host,
+    * which is exactly the crawl posture).
+    */
+  def urlHost(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    lower(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1))
+
+  /** PER-HOST DOCUMENT CAP — the crawl-curation primitive between dedup
+    * and mixture: keep at most `cap` documents per host, smallest
+    * `orderCol` first (a deterministic total order — pass the doc id).
+    * One window whose `row_number ≤ cap` plans a partial
+    * `WindowGroupLimit` BEFORE the exchange (the q14/q208 rule), so only
+    * cap·hosts rows shuffle — a mega-host contributes cap rows to the
+    * exchange no matter how many billions it crawled.
+    */
+  def perHostCap(docs: DataFrame, urlCol: String, orderCol: String,
+      cap: Int): DataFrame = {
+    require(cap >= 1, s"perHostCap: cap=$cap")
+    val w = Window.partitionBy(urlHost(col(urlCol))).orderBy(col(orderCol))
+    docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap)
+      .drop("__rn")
+  }
 }

@@ -699,7 +699,41 @@ object CurationQueries {
            AND nt.bkt = vol.bkt"""),
   )
 
+  /** Q245 [X curation]: PER-HOST DOCUMENT CAP
+    * ([[graft.ext.Curation.perHostCap]]) — the crawl-curation primitive
+    * (no domain may dominate the mixture): deterministic synthetic URLs
+    * with mixed-case hosts and ports (both must normalize away), capped
+    * at 5 docs per host by doc id. The window's `row_number ≤ cap` plans
+    * a partial WindowGroupLimit before the exchange, so only cap·hosts
+    * rows shuffle — asserted by the q14 precedent; the twin replays the
+    * host extraction + rank in SQL.
+    */
+  val q245 = OracleQuery(
+    "q245_per_host_cap",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        concat(lit("http://Host"), (col("doc_id") % 37).cast("string"),
+          lit(".Test:8080/p/"), col("doc_id").cast("string")).as("url"))
+      graft.ext.Curation.perHostCap(docs, "url", "doc_id", cap = 5)
+        .select(col("doc_id"),
+          graft.ext.Curation.urlHost(col("url")).as("host"))
+    },
+    Some("""WITH u AS (SELECT doc_id,
+                 'http://Host' || CAST(doc_id % 37 AS VARCHAR) ||
+                   '.Test:8080/p/' || CAST(doc_id AS VARCHAR) AS url
+               FROM documents),
+            h AS (SELECT doc_id,
+                 lower(regexp_extract(url,
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS host
+               FROM u),
+            r AS (SELECT doc_id, host,
+                 row_number() OVER (PARTITION BY host ORDER BY doc_id)
+                   AS rn
+               FROM h)
+         SELECT doc_id, host FROM r WHERE rn <= 5"""),
+  )
+
   val all: Seq[OracleQuery] = Seq(q59, q60, q61, q62, q63, q64, q65, q66,
     q67, q68, q69, q70, q71, q72, q73, q74, q164, q173, q179, q180, q195,
-    q220)
+    q220, q245)
 }
