@@ -883,4 +883,22 @@ class TrainOpsSpec extends SparkSpec {
     th("small") should be > t1("small")._1
     th("small") should be < 0.5
   }
+  test("perHostCap: ports/case normalize; garbage URLs cap as one group") {
+    import spark.implicits._
+    val docs = (0L until 20L).map { i =>
+      val url =
+        if (i % 5 == 4) s"not a url $i"
+        else s"http://HOST${i % 2}.Test:${8000 + i}/p/$i"
+      (i, url)
+    }.toDF("doc_id", "url")
+    val kept = Curation.perHostCap(docs, "url", "doc_id", cap = 3)
+      .select(col("doc_id"), Curation.urlHost(col("url")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    // 2 real hosts (case+port folded) + the empty-host garbage group
+    kept.map(_._2).distinct.sorted.toSeq shouldBe Seq("", "host0.test", "host1.test")
+    kept.groupBy(_._2).foreach { case (_, rs) => rs.length should be <= 3 }
+    // smallest doc ids win within each host
+    kept.filter(_._2 == "host0.test").map(_._1).sorted.toSeq shouldBe Seq(0L, 2L, 6L)
+    kept.filter(_._2 == "").map(_._1).sorted.toSeq shouldBe Seq(4L, 9L, 14L)
+  }
 }
