@@ -168,13 +168,17 @@ object Sketches {
     */
   def rankSketch(df: DataFrame, groupCol: String, valueCol: String, k: Int)
       : DataFrame = {
+    // rank order is (h, v) — the v tiebreak makes the kept set a total
+    // order even under a hash collision at the k boundary (the
+    // no-tiebreak-no-determinism rule); the merge-law proof needs the
+    // kept set to be a pure function of the multiset, which (h, v) is.
     require(k > 0, s"rankSketch: k=$k must be positive")
     df.select(col(groupCol), col(valueCol).as("v"))
       .groupBy(col(groupCol), col("v"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("h", TextHash.tokenHash63(col("v").cast("string")))
-      .withColumn("rn",
-        row_number().over(Window.partitionBy(groupCol).orderBy("h")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(groupCol).orderBy(col("h"), col("v"))))
       .filter(col("rn") <= k)
       .select(col(groupCol), col("v"), col("cnt"), col("h"))
   }
@@ -195,8 +199,8 @@ object Sketches {
     a.select(cols: _*).unionByName(b.select(cols: _*))
       .groupBy(col(groupCol), col("v"), col("h"))
       .agg(sum("cnt").as("cnt"))
-      .withColumn("rn",
-        row_number().over(Window.partitionBy(groupCol).orderBy("h")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(groupCol).orderBy(col("h"), col("v"))))
       .filter(col("rn") <= k)
       .select(col(groupCol), col("v"), col("cnt"), col("h"))
   }
