@@ -378,8 +378,9 @@ object Drift {
     * window funnels through one task — raw input is for small/bounded
     * domains only (ints, enum codes, quantized upstream); a
     * continuous-valued corpus at scale must come in quantized
-    * (`quantizedEcdfTable`) or through the grid-free KLL sketch
-    * ([[graft.ops.KllSketch]]), same posture as the PRF kFb ≤ 64 guard.
+    * (`quantizedEcdfTable`) or through the grid-free rank sketch
+    * ([[graft.ops.Sketches.rankSketch]]), same posture as the PRF
+    * kFb ≤ 64 guard.
     */
   def quantilesFromEcdf(counts: DataFrame, pcts: Seq[Int]): DataFrame = {
     require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
