@@ -66,4 +66,58 @@ object WarcCorpus {
         new String(r.payload, "UTF-8")))
       .toDF("url", "date", "text")
   }
+
+  /** WET EXPORT — the sink half of the interchange story: write a
+    * (url, date, text) corpus as `shards` seekable `.warc.gz` files
+    * (one warcinfo + one conversion record per doc, every record its
+    * own gzip member — the layout [[readWarc]] and any standard WARC
+    * reader consume). Sharding is an explicit `repartition(shards)` (the
+    * [[JsonlCorpus.write]] rule: downstream loaders parallelize by
+    * file, so the file count is a stated choice); each task STREAMS its
+    * records straight into one `part-NNNNN.warc.gz` through the Hadoop
+    * FS — no per-partition buffering of the shard, so shard size is
+    * disk-bounded, not memory-bounded. Record order within a shard
+    * follows the partition iterator (WARC attaches no meaning to record
+    * order; the manifest family owns content checksums).
+    */
+  def writeWet(docs: DataFrame, path: String, shards: Int,
+      warcDate: String = "2026-01-01T00:00:00Z"): Unit = {
+    require(shards >= 1, s"writeWet: shards=$shards")
+    val spark = docs.sparkSession
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(path)
+    root.getFileSystem(serConf.value).mkdirs(root)
+    docs.select(col("url"), col("date"), col("text"))
+      .repartition(shards)
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val file = new org.apache.hadoop.fs.Path(path,
+          f"part-$pid%05d.warc.gz")
+        val fs = file.getFileSystem(serConf.value)
+        val out = fs.create(file, true)
+        try {
+          def member(r: Warc.WarcRecord): Unit = {
+            val gz = new java.util.zip.GZIPOutputStream(out)
+            gz.write(Warc.writeRecord(r)); gz.finish()
+          }
+          member(Warc.WarcRecord(Seq(
+            "WARC-Type" -> "warcinfo",
+            "WARC-Record-ID" -> s"<urn:graft:shard:$pid>",
+            "WARC-Date" -> warcDate,
+            "Content-Type" -> "application/warc-fields"),
+            "software: graft\r\n".getBytes("US-ASCII")))
+          it.foreach { row =>
+            member(Warc.WarcRecord(Seq(
+              "WARC-Type" -> "conversion",
+              "WARC-Target-URI" -> row.getString(0),
+              "WARC-Date" ->
+                (if (row.isNullAt(1) || row.getString(1).isEmpty) warcDate
+                 else row.getString(1)),
+              "Content-Type" -> "text/plain"),
+              row.getString(2).getBytes("UTF-8")))
+          }
+        } finally out.close()
+      }
+  }
 }

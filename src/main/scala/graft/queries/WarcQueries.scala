@@ -340,5 +340,56 @@ object WarcQueries {
     },
   )
 
-  val all: Seq[OracleQuery] = Seq(q236, q237, q238, q243, q244)
+  /** Q246 [X ingest]: WET EXPORT → FILESYSTEM → IMPORT — the sink half
+    * ([[graft.ops.WarcCorpus.writeWet]]) certified through REAL files:
+    * the corpus exports as 8 `.warc.gz` shards (source encoded in the
+    * URL host), `binaryFile` + the member splitter read them back, and
+    * the reconstructed corpus aggregates per source against the direct
+    * `documents` twin. Where q236–q238 prove the CODEC in memory, this
+    * proves the on-disk interchange: any standard WARC reader could
+    * consume what the sink wrote. Collect-and-clean (20 rows) so no
+    * corpus copy leaks into /tmp per run.
+    */
+  val q246 = OracleQuery(
+    "q246_wet_export_import",
+    (s, d) => {
+      val outPath = java.nio.file.Files.createTempDirectory("graft_wet_")
+      val out = outPath.toString + "/wet"
+      graft.ops.WarcCorpus.writeWet(
+        Tables.documents(s, d).select(
+          concat(lit("http://"), col("source"), lit(".test/"),
+            col("doc_id").cast("string")).as("url"),
+          lit(WarcDate).as("date"), col("text")),
+        out, shards = 8)
+      val back = graft.ops.WarcCorpus.wetDocuments(
+        graft.ops.WarcCorpus.readWarc(s, s"$out/*.warc.gz", gz = true))
+        .select(
+          regexp_extract(col("url"), "^http://([^.]+)\\.test/", 1)
+            .as("source"),
+          regexp_extract(col("url"), "/([0-9]+)$", 1).cast("long")
+            .as("doc_id"),
+          col("text"))
+      val agg = back.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        min("doc_id").as("min_doc"),
+        max("doc_id").as("max_doc"),
+        sum(length(col("text"))).cast("long").as("total_bytes"),
+        sum(size(split(col("text"), " "))).cast("long").as("total_toks"))
+      val rows = agg.collect().toSeq
+      val cleaned = s.createDataFrame(
+        s.sparkContext.parallelize(rows, 1), agg.schema)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(outPath).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      cleaned
+    },
+    Some("""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+              CAST(sum(length(text)) AS BIGINT) AS total_bytes,
+              CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_toks
+            FROM documents GROUP BY 1"""),
+  )
+
+  val all: Seq[OracleQuery] = Seq(q236, q237, q238, q243, q244, q246)
 }

@@ -60,4 +60,24 @@ class WarcCorpusSpec extends SparkSpec {
     an[org.apache.spark.SparkException] should be thrownBy
       WarcCorpus.readWarc(spark, s"$dir/*.warc.gz", gz = true).count()
   }
+  test("writeWet -> readWarc round-trips the corpus across shards") {
+    import spark.implicits._
+    val docs = (0L until 37L).map(i =>
+      (s"http://graft.test/$i", "", s"doc $i body with several words"))
+      .toDF("url", "date", "text")
+    val dir = java.nio.file.Files.createTempDirectory("wet-out")
+    WarcCorpus.writeWet(docs, s"$dir/wet", shards = 4)
+    val files = new java.io.File(s"$dir/wet").listFiles()
+      .filter(_.getName.endsWith(".warc.gz"))
+    files.length shouldBe 4
+    val back = WarcCorpus.wetDocuments(
+      WarcCorpus.readWarc(spark, s"$dir/wet/*.warc.gz", gz = true))
+    back.count() shouldBe 37L
+    val got = back.collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    got("http://graft.test/5") shouldBe "doc 5 body with several words"
+    // warcinfo per shard is bookkeeping, not corpus
+    WarcCorpus.readWarc(spark, s"$dir/wet/*.warc.gz", gz = true)
+      .count() shouldBe 41L // 37 conversion + 4 warcinfo
+  }
 }
