@@ -139,8 +139,11 @@ object TextAnalysis {
     * brackets in content survive as text by construction (tags strip
     * BEFORE entities decode). The regexes stay inside the
     * Java-regex ∩ RE2 common dialect so the DuckDB twin
-    * ([[htmlToTextSql]]) is exact.
+    * ([[htmlToTextSql]]) is exact — including the whitespace collapse,
+    * whose class is spelled out explicitly because `\s` itself is NOT
+    * dialect-common: Java's includes vertical tab 0x0B, RE2's does not.
     */
+  private val WsClass = "[ \\t\\n\\r\\f\\x0B]+"
   def htmlToText(html: Column): Column = {
     val noScript = regexp_replace(html,
       "(?si)<(script|style)[^>]*>.*?</(script|style)>", " ")
@@ -150,7 +153,7 @@ object TextAnalysis {
     val decoded = entities.foldLeft(noTags) { case (acc, (e, r)) =>
       replace(acc, lit(e), lit(r))
     }
-    trim(regexp_replace(decoded, "\\s+", " "))
+    trim(regexp_replace(decoded, WsClass, " "))
   }
 
   /** DuckDB twin of [[htmlToText]] over an SQL expression — same regex
@@ -166,7 +169,7 @@ object TextAnalysis {
     val decoded = entities.foldLeft(noTags) { case (acc, (e, r)) =>
       s"replace($acc, '$e', '$r')"
     }
-    s"trim(regexp_replace($decoded, '\\s+', ' ', 'g'))"
+    s"trim(regexp_replace($decoded, '$WsClass', ' ', 'g'))"
   }
 
   /** Per-document unigram log-probability under the corpus' own unigram

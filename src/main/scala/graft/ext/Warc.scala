@@ -92,15 +92,31 @@ object Warc {
     out.toByteArray
   }
 
+  /** Write `bytes` onto `out` as ONE complete gzip member, releasing the
+    * member's Deflater immediately. `finish()` alone leaves the Deflater's
+    * native buffers for the GC cleaner — a task streaming millions of
+    * members accumulates unbounded native memory between GCs — so this
+    * goes through `close()` (which ends the default Deflater) behind a
+    * close-shield that keeps the shared underlying stream open.
+    */
+  def gzipMember(out: java.io.OutputStream, bytes: Array[Byte]): Unit = {
+    val underlying = out
+    val shield = new java.io.FilterOutputStream(underlying) {
+      override def write(b: Array[Byte], off: Int, len: Int): Unit =
+        underlying.write(b, off, len)
+      override def close(): Unit = flush()
+    }
+    val gz = new GZIPOutputStream(shield)
+    gz.write(bytes)
+    gz.close() // finish member + end Deflater; shield keeps `out` open
+  }
+
   /** Serialize as the Common Crawl `.warc.gz` convention: each record
     * its own gzip member, members concatenated.
     */
   def writeWarcGz(records: Seq[WarcRecord]): Array[Byte] = {
     val out = new ByteArrayOutputStream()
-    records.foreach { r =>
-      val gz = new GZIPOutputStream(out)
-      gz.write(writeRecord(r)); gz.finish()
-    }
+    records.foreach(r => gzipMember(out, writeRecord(r)))
     out.toByteArray
   }
 

@@ -397,6 +397,11 @@ object Hypothesis {
     val spark = df.sparkSession
     import spark.implicits._
     val t = broadcast(thresholds.toDF("thr"))
+    // A NULL label or score satisfies none of the four `when` arms and
+    // would silently vanish from tp+fp+fn+tn (invisible forever in
+    // ST30's additive state) — count them in the same pass and fail
+    // loudly instead. The guard is a filter on an assert_true column so
+    // the optimizer cannot prune it.
     df.select(col(groupCol).as("g"),
         label.cast("boolean").as("y"), score.cast("double").as("s"))
       .crossJoin(t)
@@ -409,7 +414,13 @@ object Hypothesis {
         sum(when(col("y") && col("s") < col("thr"), 1L).otherwise(0L))
           .as("fn"),
         sum(when(!col("y") && col("s") < col("thr"), 1L).otherwise(0L))
-          .as("tn"))
+          .as("tn"),
+        sum(when(col("y").isNull || col("s").isNull, 1L).otherwise(0L))
+          .as("_n_null"))
+      .where(assert_true(col("_n_null") === 0L,
+        lit("confusionCounts: rows with NULL label or score present " +
+          "(filter or impute them explicitly upstream)")).isNull)
+      .drop("_n_null")
   }
 
   /** Merge two [[confusionCounts]] tables (same threshold ladder):

@@ -86,13 +86,20 @@ object WarcQueries {
                    UNION ALL
                    SELECT doc_id, 1 AS seg, substring(text, h + 1, n - h)
                    FROM d),
-          ck AS (SELECT doc_id, seg, CAST(length(s) AS BIGINT) AS nb,
-                   CAST(coalesce(sum(i * ascii(c)), 0) AS BIGINT) AS ck
-                 FROM (SELECT doc_id, seg, s,
-                         unnest(string_split(s, '')) AS c,
-                         generate_subscripts(string_split(s, ''), 1) AS i
-                       FROM segs)
-                 GROUP BY doc_id, seg, s)
+          -- LEFT JOIN from segs so an EMPTY segment (length(text) <= 1)
+          -- still yields its (nb=0, ck=0) row: unnest of an empty split
+          -- emits zero rows, and a bare GROUP BY over them would drop
+          -- the segment and the inner join below would drop the doc.
+          ck AS (SELECT segs.doc_id, segs.seg,
+                   CAST(length(segs.s) AS BIGINT) AS nb,
+                   CAST(coalesce(sum(e.i * ascii(e.c)), 0) AS BIGINT) AS ck
+                 FROM segs LEFT JOIN
+                   (SELECT doc_id, seg,
+                      unnest(string_split(s, '')) AS c,
+                      generate_subscripts(string_split(s, ''), 1) AS i
+                    FROM segs) e
+                   ON e.doc_id = segs.doc_id AND e.seg = segs.seg
+                 GROUP BY segs.doc_id, segs.seg, segs.s)
        SELECT d.doc_id, CAST(3 AS INTEGER) AS n_records,
               'http://graft.test/' || d.doc_id || '/0' AS uri_a,
               a.nb AS bytes_a, b.nb AS bytes_b,
