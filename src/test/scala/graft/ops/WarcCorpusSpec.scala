@@ -80,4 +80,31 @@ class WarcCorpusSpec extends SparkSpec {
     WarcCorpus.readWarc(spark, s"$dir/wet/*.warc.gz", gz = true)
       .count() shouldBe 41L // 37 conversion + 4 warcinfo
   }
+
+  test("writeWet commit protocol: manifest written, incomplete dirs refused") {
+    import spark.implicits._
+    val docs = (0L until 9L).map(i =>
+      (s"http://graft.test/$i", "", s"doc $i")).toDF("url", "date", "text")
+    val dir = java.nio.file.Files.createTempDirectory("wet-commit")
+    val out = s"$dir/wet"
+    WarcCorpus.writeWet(docs, out, shards = 2)
+    // Job commit: _SUCCESS lists every shard, no temp files remain.
+    val names = new java.io.File(out).listFiles().map(_.getName).toSet
+    names should contain(WarcCorpus.SuccessMarker)
+    names.count(_.startsWith("_tmp-part-")) shouldBe 0
+    val listed = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, WarcCorpus.SuccessMarker)), "UTF-8")
+      .split("\n").filter(_.nonEmpty).toSet
+    listed shouldBe Set("part-00000.warc.gz", "part-00001.warc.gz")
+    // A leftover temp shard (interrupted write) is refused loudly.
+    val tmp = java.nio.file.Paths.get(out, "_tmp-part-00001-42.warc.gz")
+    java.nio.file.Files.write(tmp, Array[Byte](1, 2, 3))
+    an[IllegalArgumentException] should be thrownBy
+      WarcCorpus.readWarc(spark, s"$out/*.warc.gz", gz = true).count()
+    java.nio.file.Files.delete(tmp)
+    // A manifest-listed shard gone missing is refused loudly.
+    java.nio.file.Files.delete(java.nio.file.Paths.get(out, "part-00001.warc.gz"))
+    an[IllegalArgumentException] should be thrownBy
+      WarcCorpus.readWarc(spark, s"$out/*.warc.gz", gz = true).count()
+  }
 }
