@@ -733,7 +733,96 @@ object CurationQueries {
          SELECT doc_id, host FROM r WHERE rn <= 5"""),
   )
 
+  /** Shared by q247/q248: deterministic MESSY synthetic URLs exercising
+    * every [[graft.ext.Curation.canonicalUrl]] rule. Groups of 3
+    * consecutive doc ids (g = doc_id / 3) carry three differently-messed
+    * renderings of the SAME logical page — scheme/host case, `:80`
+    * default port, `%2f` vs `%2F` escapes, `/index.html` vs `/`,
+    * shuffled query params with `utm_*`/`gclid` trackers, a fragment —
+    * so canonicalization must collapse each group to one form. Every
+    * 7th group's third member is non-URL garbage (the passthrough arm).
+    */
+  private def messyUrl = {
+    val v = col("doc_id") % 3
+    val g = floor(col("doc_id") / lit(3)).cast("long")
+    val h = (g % 23).cast("string")
+    val gs = g.cast("string")
+    when(v === 2 && g % 7 === 0, concat(lit("not a url "), gs))
+      .when(v === 0, concat(lit("http://www.site"), h,
+        lit(".example.com/p%2fq/doc"), gs,
+        lit("/index.html?b=2&a=1&utm_source=feed")))
+      .when(v === 1, concat(lit("HTTP://WWW.Site"), h,
+        lit(".EXAMPLE.COM:80/p%2Fq/doc"), gs,
+        lit("/?a=1&utm_campaign=x&b=2&gclid=g123#section-2")))
+      .otherwise(concat(lit("hTtp://www.site"), h,
+        lit(".example.com/p%2fq/doc"), gs, lit("/?b=2&a=1")))
+  }
+
+  /** The DuckDB twin of [[messyUrl]] (same CASE arms, `//` integer div
+    * ≡ Spark's floor over nonnegative ids).
+    */
+  private val messyUrlSql =
+    """CASE WHEN doc_id % 3 = 2 AND (doc_id // 3) % 7 = 0
+            THEN 'not a url ' || CAST(doc_id // 3 AS VARCHAR)
+          WHEN doc_id % 3 = 0
+            THEN 'http://www.site' || CAST((doc_id // 3) % 23 AS VARCHAR)
+              || '.example.com/p%2fq/doc' || CAST(doc_id // 3 AS VARCHAR)
+              || '/index.html?b=2&a=1&utm_source=feed'
+          WHEN doc_id % 3 = 1
+            THEN 'HTTP://WWW.Site' || CAST((doc_id // 3) % 23 AS VARCHAR)
+              || '.EXAMPLE.COM:80/p%2Fq/doc' || CAST(doc_id // 3 AS VARCHAR)
+              || '/?a=1&utm_campaign=x&b=2&gclid=g123#section-2'
+          ELSE 'hTtp://www.site' || CAST((doc_id // 3) % 23 AS VARCHAR)
+              || '.example.com/p%2fq/doc' || CAST(doc_id // 3 AS VARCHAR)
+              || '/?b=2&a=1' END"""
+
+  /** Q247 [X curation]: URL CANONICALIZATION
+    * ([[graft.ext.Curation.canonicalUrl]]) — the normal form URL-level
+    * dedup keys on. The twin rebuilds the same messy URLs and replays
+    * the whole pinned recipe in SQL ([[graft.ext.Curation.canonicalUrlSql]]):
+    * a hash match proves fragment drop, `%xx` case normalization,
+    * scheme/host fold, default-port strip, `/index.html` collapse,
+    * tracking-param drop, and byte-order param sort all agree
+    * byte-for-byte across engines.
+    */
+  val q247 = OracleQuery(
+    "q247_url_canonical",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), messyUrl.as("url"))
+      .select(col("doc_id"),
+        graft.ext.Curation.canonicalUrl(col("url")).as("canon_url")),
+    Some(s"""WITH raw AS (SELECT doc_id, $messyUrlSql AS url
+                          FROM documents)
+             SELECT doc_id, ${graft.ext.Curation.canonicalUrlSql("url")}
+                      AS canon_url
+             FROM raw"""),
+  )
+
+  /** Q248 [X curation]: EXACT URL-LEVEL DEDUP
+    * ([[graft.ext.Curation.urlDedup]]) keyed on the canonical form —
+    * each 3-messy-renderings group must collapse to its min-doc_id
+    * keeper (garbage rows survive as their own keys). The `row_number
+    * = 1` window plans a partial WindowGroupLimit before the exchange
+    * (the q245/q14 rule), so one row per canonical URL shuffles.
+    */
+  val q248 = OracleQuery(
+    "q248_url_dedup",
+    (s, d) => graft.ext.Curation.urlDedup(
+      Tables.documents(s, d).select(col("doc_id"), messyUrl.as("url")),
+      "url", "doc_id"),
+    Some(s"""WITH raw AS (SELECT doc_id, $messyUrlSql AS url
+                          FROM documents),
+                c AS (SELECT doc_id, url,
+                        ${graft.ext.Curation.canonicalUrlSql("url")} AS cu
+                      FROM raw),
+                r AS (SELECT doc_id, url,
+                        row_number() OVER (PARTITION BY cu ORDER BY doc_id)
+                          AS rn
+                      FROM c)
+             SELECT doc_id, url FROM r WHERE rn = 1"""),
+  )
+
   val all: Seq[OracleQuery] = Seq(q59, q60, q61, q62, q63, q64, q65, q66,
     q67, q68, q69, q70, q71, q72, q73, q74, q164, q173, q179, q180, q195,
-    q220, q245)
+    q220, q245, q247, q248)
 }

@@ -900,5 +900,67 @@ class TrainOpsSpec extends SparkSpec {
     // smallest doc ids win within each host
     kept.filter(_._2 == "host0.test").map(_._1).sorted.toSeq shouldBe Seq(0L, 2L, 6L)
     kept.filter(_._2 == "").map(_._1).sorted.toSeq shouldBe Seq(4L, 9L, 14L)
+    // row_number <= cap plans the partial group limit BEFORE the
+    // exchange — only cap·hosts rows shuffle (the q14/q208 rule)
+    Curation.perHostCap(docs, "url", "doc_id", cap = 3)
+      .queryExecution.executedPlan.toString should include("WindowGroupLimit")
+  }
+
+  test("canonicalUrl: every pinned rule on adversarial inputs") {
+    import spark.implicits._
+    val cases = Seq(
+      // scheme/host case fold + default port strip (http:80)
+      "HTTP://WWW.Example.COM:80/a" -> "http://www.example.com/a",
+      // https:443 strips; https:80 does NOT
+      "https://Ex.com:443/a" -> "https://ex.com/a",
+      "https://ex.com:80/a" -> "https://ex.com:80/a",
+      // non-default port kept
+      "http://ex.com:8080/a" -> "http://ex.com:8080/a",
+      // fragment drop; empty path -> /
+      "http://ex.com#frag" -> "http://ex.com/",
+      // %xx hex uppercased; malformed % runs untouched
+      "http://ex.com/p%2fq%zz%a" -> "http://ex.com/p%2Fq%zz%a",
+      // trailing /index.html -> / ; mid-path index.html kept
+      "http://ex.com/d/index.html" -> "http://ex.com/d/",
+      "http://ex.com/index.html/x" -> "http://ex.com/index.html/x",
+      // query: empties dropped, utm_*/gclid (case-folded names) dropped,
+      // byte-order sort, emptied query drops '?'
+      "http://ex.com/a?b=2&&a=1&UTM_source=x&GClid=9" ->
+        "http://ex.com/a?a=1&b=2",
+      "http://ex.com/a?utm_campaign=x" -> "http://ex.com/a",
+      "http://ex.com/a?" -> "http://ex.com/a",
+      // value case preserved; only the NAME folds for the deny check
+      "http://ex.com/a?Key=VaL" -> "http://ex.com/a?Key=VaL",
+      // '?' inside query stays query; later '#' still a fragment
+      "http://ex.com/a?x=1?y=2#z" -> "http://ex.com/a?x=1?y=2",
+      // non-URL garbage passes through trimmed
+      "  not a url  " -> "not a url",
+      "relative/path?utm_source=x" -> "relative/path?utm_source=x",
+    )
+    val got = cases.map(_._1).toDF("url")
+      .select(col("url"), Curation.canonicalUrl(col("url")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) =>
+      withClue(s"canonicalUrl($in): ") { got(in) shouldBe want }
+    }
+  }
+
+  test("urlDedup: canonical-form groups keep the min-order doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "http://EX.com:80/a?b=2&a=1"),
+      (1L, "http://ex.com/a?a=1&utm_source=z&b=2#f"),
+      (2L, "http://ex.com/a?a=1&b=2"),
+      (3L, "http://ex.com/other"),
+      (4L, "garbage"),
+      (5L, "garbage"),
+    ).toDF("doc_id", "url")
+    val deduped = Curation.urlDedup(docs, "url", "doc_id")
+    val kept = deduped.select("doc_id").as[Long].collect().sorted.toSeq
+    kept shouldBe Seq(0L, 3L, 4L)
+    // the rn = 1 window over the canonical-url EXPRESSION key still
+    // plans the partial group limit before the exchange
+    deduped.queryExecution.executedPlan.toString should
+      include("WindowGroupLimit")
   }
 }
