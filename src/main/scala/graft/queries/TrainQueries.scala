@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{DedupCluster, Packing, Sampling, TextAnalysis, UnigramLm}
+import graft.ext.{DedupCluster, Packing, Sampling, TextAnalysis, UnigramLm, WordPiece}
 import graft.ext.TextHash.tokenHashSql
 
 /** Training-data pipeline operators beyond the per-document signatures in
@@ -1513,10 +1513,178 @@ object TrainQueries {
     },
   )
 
+  /** WordPiece shared state: the trained merges/vocab are MEMOIZED per
+    * sf directory (the GramIndex don't-rebuild-per-stage rule — q249,
+    * q250 and q251 all start from the same 16-merge train, so one JVM
+    * trains once), and the certificate facts each query's twin needs
+    * are recorded the [[UnigramState]] way.
+    */
+  private object WpState {
+    val cache = scala.collection.concurrent.TrieMap
+      .empty[String, (Seq[(Int, String, String, String, Long)],
+        Seq[String], Int)]
+    @volatile var trainMerges: Option[Seq[(Int, String)]] = None
+    @volatile var encodeVocab: Option[(Seq[String], Int)] = None
+    @volatile var packVocab: Option[(Seq[String], Int)] = None
+  }
+
+  private def wpTrain(s: org.apache.spark.sql.SparkSession, d: String)
+      : (Seq[(Int, String, String, String, Long)], Seq[String], Int) =
+    WpState.cache.getOrElseUpdate(d, {
+      val docs = Tables.documents(s, d)
+      val merges = WordPiece.train(docs, "text", k = 16).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toSeq
+      val vocab = WordPiece.vocabulary(docs, "text",
+        merges.map(m => (m._2, m._3, m._4)))
+      val maxW = UnigramLm.wordCounts(docs, "text")
+        .agg(max(length(col("w")))).head().getInt(0)
+      (merges, vocab, maxW)
+    })
+
+  /** Q249 [X tokenizer]: WordPiece vocabulary induction
+    * ([[graft.ext.WordPiece.train]] — the Schuster & Nakajima
+    * likelihood-ratio merge loop, 16 merges). The certificate records
+    * the learned merged pieces; the twin recomputes each piece's
+    * POSITION-CLASSED corpus support from `documents` (a `##` piece
+    * counts frequency-weighted interior occurrences i ≥ 2, a
+    * word-initial piece counts prefix occurrences only) — integer-exact,
+    * certifying every merged piece is a real corpus substring in its
+    * claimed position class. The merge-rule math itself is spec-pinned
+    * (`TrainOpsSpec` hand-computed score sequence).
+    */
+  val q249 = OracleQuery(
+    "q249_wordpiece_train",
+    (s, d) => {
+      val (merges, _, _) = wpTrain(s, d)
+      WpState.trainMerges = Some(merges.map(m => (m._1, m._4)))
+      import s.implicits._
+      val m = merges.map { case (r, _, _, merged, _) =>
+        val raw = merged.stripPrefix(graft.ext.WordPiece.Cont)
+        (r, merged, raw, raw.length,
+          merged.startsWith(graft.ext.WordPiece.Cont))
+      }.toDF("rank", "piece", "raw", "ls", "cont")
+      val words = Tables.documents(s, d)
+        .select(explode(graft.ext.Dedup.tokens(col("text"))).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("f"))
+      val pos = words.select(col("w"), col("f"),
+        explode(sequence(lit(1), length(col("w")))).as("i"))
+      pos.join(broadcast(m),
+          substring(col("w"), col("i"), col("ls")) === col("raw") &&
+            (col("cont") && col("i") >= 2 || !col("cont") && col("i") === 1))
+        .groupBy("rank", "piece")
+        .agg(sum("f").cast("long").as("pat_cnt"))
+    },
+    None,
+    dynOracle = () => WpState.trainMerges.map { merges =>
+      def q(lit: String) = "'" + lit.replace("'", "''") + "'"
+      val values = merges.map { case (r, p) =>
+        val raw = p.stripPrefix(graft.ext.WordPiece.Cont)
+        s"($r, ${q(p)}, ${q(raw)}, ${raw.length}, " +
+          s"${p.startsWith(graft.ext.WordPiece.Cont)})"
+      }.mkString(", ")
+      s"""WITH v(rank, piece, raw, ls, cont) AS (VALUES $values),
+            wds AS (SELECT w, CAST(count(*) AS BIGINT) AS f
+                    FROM (SELECT unnest(string_split(text, ' ')) AS w
+                          FROM documents) WHERE w <> '' GROUP BY 1),
+            pos AS (SELECT w, f,
+                      unnest(generate_series(1, CAST(length(w) AS BIGINT)))
+                        AS i
+                    FROM wds)
+         SELECT v.rank, v.piece, CAST(sum(p.f) AS BIGINT) AS pat_cnt
+         FROM v JOIN pos p
+           ON substring(p.w, CAST(p.i AS INTEGER), v.ls) = v.raw
+          AND ((v.cont AND p.i >= 2) OR ((NOT v.cont) AND p.i = 1))
+         GROUP BY 1, 2"""
+    },
+  )
+
+  /** Q250 [X tokenizer]: WordPiece ENCODE — greedy longest-match-first
+    * segmentation of every distinct word under the trained vocab
+    * ([[graft.ext.WordPiece.tokenCounts]]), rolled up per doc. The twin
+    * RE-RUNS THE GREEDY DP in SQL over the recorded vocab literals
+    * ([[graft.ext.WordPiece.greedySqlCtes]]) — one materialized hop CTE
+    * per position, longest match picked by the identical `ls DESC`
+    * rule, unmatchable words LEFT-JOIN into the one-[UNK] count. All
+    * integer: the hash match certifies the segmentation with no float
+    * parity question at all.
+    */
+  val q250 = OracleQuery(
+    "q250_wordpiece_encode",
+    (s, d) => {
+      val (_, vocab, maxW) = wpTrain(s, d)
+      WpState.encodeVocab = Some((vocab, maxW))
+      WordPiece.tokenCounts(Tables.documents(s, d), "doc_id", "text", vocab)
+    },
+    None,
+    dynOracle = () => WpState.encodeVocab.map { case (vocab, maxW) =>
+      s"""WITH toks AS (SELECT doc_id, w FROM (
+                  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                  FROM documents) WHERE w <> ''),
+            wds AS (SELECT DISTINCT w FROM toks),
+            ${WordPiece.greedySqlCtes(vocab, maxW)}
+         SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                CAST(sum(length(t.w)) AS BIGINT) AS n_chars,
+                CAST(sum(coalesce(s2.np, 1)) AS BIGINT) AS n_pieces
+         FROM toks t LEFT JOIN seg s2 USING (w)
+         GROUP BY 1"""
+    },
+  )
+
+  /** Q251 [X tokenizer]: the WordPiece PACK capstone — train → greedy
+    * token counts → 512-token window segments per source (the
+    * q218/q241 chain with the third tokenizer family). One hash match
+    * certifies train → encode → pack end-to-end for WordPiece.
+    */
+  val q251 = OracleQuery(
+    "q251_wordpiece_pack_capstone",
+    (s, d) => {
+      val (_, vocab, maxW) = wpTrain(s, d)
+      WpState.packVocab = Some((vocab, maxW))
+      val docs = Tables.documents(s, d)
+      Packing.windowSegments(
+        docs.select(col("doc_id"), col("source"))
+          .join(WordPiece.tokenCounts(docs, "doc_id", "text", vocab),
+            "doc_id")
+          .select(col("doc_id"), col("source"), col("n_pieces")),
+        "doc_id", "source", col("n_pieces"), budget = 512L)
+    },
+    None,
+    dynOracle = () => WpState.packVocab.map { case (vocab, maxW) =>
+      s"""WITH toks AS (SELECT doc_id, w FROM (
+                  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                  FROM documents) WHERE w <> ''),
+            wds AS (SELECT DISTINCT w FROM toks),
+            ${WordPiece.greedySqlCtes(vocab, maxW)},
+            cnt AS (SELECT t.doc_id,
+                      CAST(sum(coalesce(s2.np, 1)) AS BIGINT) AS n
+                    FROM toks t LEFT JOIN seg s2 USING (w) GROUP BY 1),
+            d AS (SELECT dd.source AS grp, c.doc_id, c.n
+                  FROM cnt c JOIN documents dd USING (doc_id)
+                  WHERE c.n > 0),
+            o AS (SELECT grp, doc_id, n,
+                    CAST(sum(n) OVER (PARTITION BY grp ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      - n AS BIGINT) AS off
+                  FROM d),
+            f AS (SELECT grp, doc_id, n, off,
+                    unnest(generate_series(off // 512,
+                      (off + n - 1) // 512)) AS window_id
+                  FROM o)
+         SELECT grp AS source, doc_id, window_id,
+                greatest(off - window_id * 512, 0) AS start_tok,
+                least(off + n - window_id * 512, 512) AS end_tok,
+                off >= window_id * 512 AS is_doc_start,
+                off + n <= (window_id + 1) * 512 AS is_doc_end
+         FROM f"""
+    },
+  )
+
   val all: Seq[OracleQuery] =
     Seq(q41, q42, q42b, q43, q44, q45, q46, q47, q48, q49, q50,
       q53, q54, q55, q56, q57, q120, q121, q122, q123, q124, q125, q126,
       q127, q128, q129, q130, q131, q132, q134, q137, q138, q140, q141,
       q142, q153, q154, q163, q165, q166, q167, q209, q210, q211, q218,
-      q239, q240, q241)
+      q239, q240, q241, q249, q250, q251)
 }

@@ -721,6 +721,59 @@ class TrainOpsSpec extends SparkSpec {
     m(1) shouldBe ((2, "aa", "aa", 2L))
   }
 
+  test("WordPiece.train: hand-computed normalized-score merge sequence") {
+    // corpus words: hug×3, pug×1, bun×1. Round 1: every pair scores
+    // 0.2 — e.g. (h,##u) 3/(3·5) ties (b,##u) 1/(1·5) — and the
+    // (s1, s2) lex tiebreak picks (##u,##g) ('#' < letters). Round 2:
+    // (b,##u) and (##u,##n) score 1/(1·1) = 1.0, BEATING the
+    // frequency-heavier (h,##ug) 3/(3·4) — the normalized score
+    // preferring predictive-over-frequent is what separates WordPiece
+    // from BPE, and the tiebreak picks (##u,##n). Then (b,##un) at 1.0,
+    // (h,##ug) at 0.25 over (p,##ug) by s1, finally (p,##ug), exhaust.
+    val df = Seq((1L, "hug hug pug"), (2L, "hug bun")).toDF("doc_id", "text")
+    val m = WordPiece.train(df, "text", 10).orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    m shouldBe Array(
+      (1, "##u", "##g", "##ug", 4L),
+      (2, "##u", "##n", "##un", 1L),
+      (3, "b", "##un", "bun", 1L),
+      (4, "h", "##ug", "hug", 3L),
+      (5, "p", "##ug", "pug", 1L))
+  }
+
+  test("WordPiece.encodeWord: greedy longest match, ## classes, [UNK]") {
+    // longest match beats any shorter decomposition
+    WordPiece.encodeWord("ab", Set("a", "##b", "ab"), 2) shouldBe Seq("ab")
+    WordPiece.encodeWord("ab", Set("a", "##b"), 2) shouldBe
+      Seq("a", "##b")
+    // position class is strict: "ug" (word-initial) may NOT serve as a
+    // continuation — only "##ug" can
+    WordPiece.encodeWord("bug", Set("b", "ug", "##u", "##g"), 2) shouldBe
+      Seq("b", "##u", "##g")
+    WordPiece.encodeWord("bug", Set("b", "##ug"), 2) shouldBe
+      Seq("b", "##ug")
+    // any unmatched position collapses the WHOLE word to one [UNK]
+    WordPiece.encodeWord("hugs", Set("hug", "h", "##u", "##g"), 3) shouldBe
+      Seq(WordPiece.Unk)
+  }
+
+  test("WordPiece.tokenCounts: encode under the trained vocab") {
+    val df = Seq((1L, "hug hug pug"), (2L, "hug bun")).toDF("doc_id", "text")
+    val merges = WordPiece.train(df, "text", 10).orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3))).toSeq
+    val vocab = WordPiece.vocabulary(df, "text", merges)
+    vocab should contain allOf ("hug", "pug", "bun", "##ug", "##un",
+      "h", "p", "b", "##u", "##g", "##n")
+    val out = WordPiece.tokenCounts(df, "doc_id", "text", vocab)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // every trained word encodes as its single merged piece
+    out(1L) shouldBe ((3L, 9L, 3L))
+    out(2L) shouldBe ((2L, 6L, 2L))
+  }
+
   test("Bpe.tokenCounts: encode under learned merges is self-consistent") {
     val df = Seq((1L, "aaaa ab aaaa"), (2L, "ab c")).toDF("doc_id", "text")
     val merges = Bpe.train(df, "text", 2).orderBy("rank").collect()
