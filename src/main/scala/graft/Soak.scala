@@ -26,11 +26,16 @@ object Soak {
 
   /** Deterministic word-soup documents: ~40-120 tokens from a 10k-word
     * vocabulary; every 100th doc duplicates its predecessor (dedup bait).
+    * `seedOffset` shifts the text seeds so a caller can mint documents
+    * guaranteed NOVEL relative to the default corpus (seed spaces
+    * disjoint by construction).
     */
-  def syntheticDocs(spark: SparkSession, n: Long): DataFrame = {
+  def syntheticDocs(spark: SparkSession, n: Long,
+      seedOffset: Long = 0L): DataFrame = {
     val base = spark.range(n).select(col("id").as("doc_id"),
       // duplicate every 100th document's seed → exact-dup pairs
-      when(col("id") % 100 === 99, col("id") - 1).otherwise(col("id")).as("seed"))
+      (when(col("id") % 100 === 99, col("id") - 1).otherwise(col("id"))
+        + seedOffset).as("seed"))
     base.select(col("doc_id"),
       concat_ws(" ",
         transform(
@@ -1208,6 +1213,88 @@ object Soak {
         "confusion ladder must be groups x thresholds")
       println(f"[soak] roc-auc band [${mm.getDouble(0)}%.4f, " +
         f"${mm.getDouble(1)}%.4f], distinct (g,s) = $distinctVals")
+    })
+
+    // round-15: ST32 — the streaming crawl door at scale. 1% of the
+    // corpus volume arrives as 16 REAL `.warc.gz` shards in a landing
+    // dir (half exact corpus dups, half guaranteed-novel seeds), drains
+    // through the file stream in 4-shard micro-batches, and every batch
+    // renders the 4-signal gate verdict against the FROZEN structures
+    // (the shared gramIdx + simhash signatures + segment index the
+    // corpus paid for once). Bounded per-batch cost is structural —
+    // each batch parses ≤ maxFilesPerTrigger shards and probes frozen
+    // state — and asserted: per-batch rows never exceed the 4-shard
+    // ceiling, the dup arm is rejected to a doc, the novel arm admits.
+    time("streaming warc gate (16 shards, 4-shard batches)")({
+      import spark.implicits._
+      val nArr = nDocs / 200 // per arm
+      val sig = Dedup.simHash64Signature(docs, "doc_id", "text")
+        .localCheckpoint()
+      val keyed = docs.select(col("doc_id"),
+        substring(col("text"), 1, 24).as("pfx"))
+      val editIdx = ext.Fuzzy.segmentIndex(keyed, "doc_id", "pfx", 2)
+        .localCheckpoint()
+      val arrive = syntheticDocs(spark, nArr) // seeds ⊂ corpus → dups
+        .unionByName(syntheticDocs(spark, nArr, seedOffset = 7 * nDocs)
+          .withColumn("doc_id", col("doc_id") + nDocs)) // novel seeds
+      val dir = java.nio.file.Files.createTempDirectory("soak_st32_")
+      arrive.select((col("doc_id") % 16).as("sh"), col("doc_id"),
+          col("text"))
+        .as[(Long, Long, String)]
+        .groupByKey(_._1)
+        .mapGroups { (sh, it) =>
+          (sh, ext.Warc.writeWarcGz(it.map { case (_, id, t) =>
+            ext.Warc.WarcRecord(Seq(
+              "WARC-Type" -> "conversion",
+              "WARC-Target-URI" -> s"http://t/$id",
+              "WARC-Date" -> "2026-01-01T00:00:00Z",
+              "Content-Type" -> "text/plain"), t.getBytes("US-ASCII"))
+          }.toSeq))
+        }
+        .collect()
+        .foreach { case (sh, b) =>
+          java.nio.file.Files.write(dir.resolve(f"s$sh%02d.warc.gz"), b)
+        }
+      val perBatch =
+        scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Double)]()
+      val q = streaming.EventStreams.warcGateOnArrival(
+        streaming.EventStreams.readWarcShardStream(spark, dir.toString,
+          maxFilesPerTrigger = 4),
+        gramIdx, sig, docs, editIdx, keyed, editKeyLen = 24, k = 2,
+        tauNum = 4, tauDen = 5) { v =>
+        val t0 = System.nanoTime()
+        val agg = v.select(
+            regexp_extract(col("url"), "/([0-9]+)$", 1).cast("long")
+              .as("id"), col("admit"))
+          .agg(count(lit(1)),
+            sum(when(col("id") < nArr && col("admit"), 1L).otherwise(0L)),
+            sum(when(col("id") >= nDocs && col("admit"), 1L).otherwise(0L)))
+          .head()
+        perBatch.synchronized {
+          perBatch += ((agg.getLong(0), agg.getLong(1), agg.getLong(2),
+            (System.nanoTime() - t0) / 1e9))
+        }
+      }
+      q.processAllAvailable()
+      q.stop()
+      val (rows, dupAdmits, novelAdmits) =
+        (perBatch.map(_._1).sum, perBatch.map(_._2).sum,
+          perBatch.map(_._3).sum)
+      assert(rows == 2 * nArr, s"gate saw $rows of ${2 * nArr} arriving docs")
+      // 16 shards / 4 per trigger → multiple bounded batches; ceiling =
+      // 4 shards × (2·nArr/16 docs per shard, ±1 on the modulus)
+      assert(perBatch.size >= 4 && perBatch.forall(_._1 <= 4 * (nArr / 8 + 1)),
+        s"per-batch rows exceeded the 4-shard ceiling: ${perBatch.map(_._1)}")
+      assert(dupAdmits == 0, s"exact-dup arm leaked $dupAdmits admits")
+      assert(novelAdmits >= (nArr * 4) / 5,
+        s"novel arm admitted only $novelAdmits of $nArr")
+      perBatch.zipWithIndex.foreach { case ((n, _, _, s), i) =>
+        println(f"[soak]   st32 batch $i: $n%5d docs ${s}%6.2f s")
+      }
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
     })
 
     spark.stop()

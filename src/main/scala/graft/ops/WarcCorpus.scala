@@ -85,10 +85,19 @@ object WarcCorpus {
     */
   def readWarc(spark: SparkSession, path: String,
       gz: Boolean): Dataset[WarcRow] = {
-    import spark.implicits._
     preflight(spark, path)
-    spark.read.format("binaryFile").load(path)
-      .select(col("path"), col("content"))
+    parseShards(spark.read.format("binaryFile").load(path), gz)
+  }
+
+  /** The shard-parsing kernel shared by [[readWarc]] and the streaming
+    * ingest (ST32): (path, content) binary-file rows → parsed records.
+    * One shard = one task (the binaryFile partitioning), records stream
+    * out of the parse.
+    */
+  def parseShards(files: DataFrame, gz: Boolean): Dataset[WarcRow] = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (f, bytes) =>
         toRows(f, if (gz) Warc.parseWarcGz(bytes) else Warc.parseWarc(bytes))

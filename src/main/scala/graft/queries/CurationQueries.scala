@@ -822,7 +822,101 @@ object CurationQueries {
              SELECT doc_id, url FROM r WHERE rn = 1"""),
   )
 
+  /** Q252 [X curation]: ISOTONIC CALIBRATION of the logistic gate
+    * ([[graft.ext.QualityModel.isotonicBlocks]] — PAV over the bounded
+    * distinct-score table, exact long cross-multiplied pooling) plus
+    * the per-source reliability report
+    * ([[graft.ext.QualityModel.calibratedReliability]]: Brier + ECE
+    * with the PAV blocks as bins, every float term 2^-40-truncated so
+    * the sums are exact integers in any order — the q104 rule). The
+    * certificate records ONLY the fitted weights and the block
+    * BOUNDARIES; the twin re-scores every document, RECOMPUTES each
+    * block's (n, positives) from raw documents, and re-derives
+    * Brier/ECE — so a hash match certifies the pooled rates and both
+    * reliability metrics against the corpus, not against the run's own
+    * bookkeeping. PAV optimality/monotonicity is spec-pinned
+    * (`QualityModelSpec`), the ANN-certificate division of labor.
+    */
+  private object CalCert {
+    @volatile var state: Option[(graft.ext.QualityModel.LrModel,
+      Seq[graft.ext.QualityModel.CalBlock])] = None
+  }
+  val q252 = OracleQuery(
+    "q252_isotonic_calibration",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val m = graft.ext.QualityModel.fit(docs, "doc_id", "text",
+        col("lang") === "en")
+      val scored = graft.ext.QualityModel.score(docs, "doc_id", "text", m)
+        .join(docs.select(col("doc_id"), col("source"),
+          (col("lang") === "en").cast("int").as("y")), "doc_id")
+        .localCheckpoint() // feeds the PAV collect AND the report
+      val blocks = graft.ext.QualityModel.isotonicBlocks(
+        scored, "logit", col("y"))
+      CalCert.state = Some((m, blocks))
+      graft.ext.QualityModel.calibratedReliability(
+        scored, "source", "logit", col("y"), blocks)
+    },
+    None,
+    dynOracle = () => CalCert.state.map { case (m, blocks) =>
+      val Array(w1, w2, w3) = m.weights
+      def dl(x: Double) = s"CAST('${java.lang.Double.toString(x)}' AS DOUBLE)"
+      val values = blocks.zipWithIndex.map { case (b, i) =>
+        s"($i, ${dl(b.lo)}, ${dl(b.hi)})"
+      }.mkString(", ")
+      s"""WITH f AS (SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                 CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                   AS n_distinct,
+                 CAST(len(text) AS BIGINT) AS n_chars
+               FROM documents),
+            l AS (SELECT doc_id,
+                 CAST(n_tokens AS DOUBLE) * $w1 +
+                 CAST(n_distinct AS DOUBLE) * $w2 +
+                 CAST(n_chars AS DOUBLE) * $w3 + ${m.intercept} AS lg
+               FROM f),
+            sc AS (SELECT d.doc_id, d.source,
+                     CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y,
+                     round(l.lg, 6) + 0.0 AS s
+                   FROM l JOIN documents d USING (doc_id)),
+            vb(bid, lo, hi) AS (VALUES $values),
+            b AS (SELECT vb.bid, CAST(count(*) AS BIGINT) AS bn,
+                    CAST(sum(sc.y) AS BIGINT) AS bnp
+                  FROM sc JOIN vb ON sc.s >= vb.lo AND sc.s <= vb.hi
+                  GROUP BY 1),
+            r AS (SELECT sc.source, sc.y, vb.bid,
+                    CAST(b.bnp AS DOUBLE) / CAST(b.bn AS DOUBLE) AS p
+                  FROM sc JOIN vb ON sc.s >= vb.lo AND sc.s <= vb.hi
+                       JOIN b ON b.bid = vb.bid),
+            br AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                     sum(CAST(floor((p - CAST(y AS DOUBLE)) *
+                       (p - CAST(y AS DOUBLE)) * 1099511627776.0)
+                       AS BIGINT)) AS ts
+                   FROM r GROUP BY 1),
+            eg AS (SELECT source, bid, p,
+                     CAST(count(*) AS BIGINT) AS nbs,
+                     CAST(sum(y) AS BIGINT) AS npbs
+                   FROM r GROUP BY 1, 2, 3),
+            en AS (SELECT source, p, nbs, npbs,
+                     CAST(sum(nbs) OVER (PARTITION BY source) AS BIGINT)
+                       AS nsrc
+                   FROM eg),
+            ec AS (SELECT source,
+                     sum(CAST(floor(abs(p -
+                       CAST(npbs AS DOUBLE) / CAST(nbs AS DOUBLE)) *
+                       (CAST(nbs AS DOUBLE) / CAST(nsrc AS DOUBLE)) *
+                       1099511627776.0) AS BIGINT)) AS ts
+                   FROM en GROUP BY 1)
+         SELECT br.source, br.n_docs,
+                round(CAST(br.ts AS DOUBLE) / CAST(br.n_docs AS DOUBLE)
+                  / 1099511627776.0, 6) + 0.0 AS brier,
+                round(CAST(ec.ts AS DOUBLE) / 1099511627776.0, 6) + 0.0
+                  AS ece
+         FROM br JOIN ec USING (source)"""
+    },
+  )
+
   val all: Seq[OracleQuery] = Seq(q59, q60, q61, q62, q63, q64, q65, q66,
     q67, q68, q69, q70, q71, q72, q73, q74, q164, q173, q179, q180, q195,
-    q220, q245, q247, q248)
+    q220, q245, q247, q248, q252)
 }

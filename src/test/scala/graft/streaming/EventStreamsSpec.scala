@@ -1306,4 +1306,113 @@ class EventStreamsSpec extends SparkSpec {
     java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$dir/t", "part-00000.parquet")) shouldBe "not parquet"
   }
+
+  test("ST32 streaming WARC ingestion: shard files -> 4-signal gate ≡ batch") {
+    import graft.ext.{Dedup, Fuzzy, Warc}
+    val corpus = Seq(
+      (1L, "alpha beta gam w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"),
+      (2L, "k1 k2 k3 k4 k5 k6 k7 k8 k9 k10 k11 k12 k13 k14")
+    ).toDF("doc_id", "text")
+    def keyed(df: DataFrame) = df.select(col("doc_id"), col("text"),
+      substring(col("text"), 1, 16).as("pfx"))
+    val idx = Dedup.gramIndex(corpus, "doc_id", "text", n = 2)
+    val sig = Dedup.simHash64Signature(corpus, "doc_id", "text")
+      .localCheckpoint()
+    val editIdx = Fuzzy.segmentIndex(keyed(corpus), "doc_id", "pfx", 2)
+      .localCheckpoint()
+    val editCorpus = keyed(corpus).select(col("doc_id"), col("pfx"))
+      .localCheckpoint()
+    // two shard waves of REAL per-record-gzip WARC bytes
+    def shard(docs: Seq[(String, String)]): Array[Byte] =
+      Warc.writeWarcGz(
+        Warc.WarcRecord(Seq("WARC-Type" -> "warcinfo",
+          "WARC-Date" -> "2026-01-01T00:00:00Z"),
+          "software: graft\r\n".getBytes("US-ASCII")) +:
+        docs.map { case (url, text) => Warc.WarcRecord(Seq(
+          "WARC-Type" -> "conversion",
+          "WARC-Target-URI" -> url,
+          "WARC-Date" -> "2026-01-01T00:00:00Z",
+          "Content-Type" -> "text/plain"), text.getBytes("UTF-8")) })
+    val dir = java.nio.file.Files.createTempDirectory("st32_")
+    java.nio.file.Files.write(dir.resolve("s0.warc.gz"), shard(Seq(
+      // near-dup of corpus doc 1 (jaccard signal), and a novel doc
+      "http://t/a" -> "alpha beta gam q1 q2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12",
+      "http://t/b" -> "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 z11 z12 z13 z14")))
+    val got = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    val q = EventStreams.warcGateOnArrival(
+      EventStreams.readWarcShardStream(spark, dir.toString,
+        maxFilesPerTrigger = 1),
+      idx, sig, corpus, editIdx, editCorpus, editKeyLen = 16, k = 2) { v =>
+      got.synchronized { got ++= v.collect() }
+    }
+    q.processAllAvailable()
+    // second wave lands while the stream runs: an exact corpus dup
+    java.nio.file.Files.write(dir.resolve("s1.warc.gz"), shard(Seq(
+      "http://t/c" -> "k1 k2 k3 k4 k5 k6 k7 k8 k9 k10 k11 k12 k13 k14")))
+    q.processAllAvailable()
+    q.stop()
+    val byUrl = got.map(r => r.getAs[String]("url") ->
+      ((r.getAs[Boolean]("exact_dup"), r.getAs[Boolean]("jac_dup"),
+        r.getAs[Boolean]("admit"), r.getAs[String]("text")))).toMap
+    byUrl should have size 3
+    byUrl("http://t/a")._2 shouldBe true  // jaccard hit rejects
+    byUrl("http://t/a")._3 shouldBe false
+    byUrl("http://t/b") shouldBe ((false, false, true,
+      "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 z11 z12 z13 z14")) // novel admits, text intact
+    byUrl("http://t/c")._1 shouldBe true  // exact dup rejects
+    byUrl("http://t/c")._3 shouldBe false
+    // stream ≡ batch: one warcGateBatch over ALL landed shards agrees
+    val batchV = EventStreams.warcGateBatch(
+      spark.read.format("binaryFile").option("pathGlobFilter", "*.warc.gz")
+        .load(dir.toString),
+      idx, sig, corpus, editIdx, editCorpus, editKeyLen = 16, k = 2)
+      .collect().map(r => r.getAs[String]("url") ->
+        ((r.getAs[Boolean]("exact_dup"), r.getAs[Boolean]("jac_dup"),
+          r.getAs[Boolean]("admit"), r.getAs[String]("text")))).toMap
+    byUrl shouldBe batchV
+  }
+
+  test("ST33 streaming per-host cap: FCFS admits ≡ batch cap; replay refused; O(hosts) state") {
+    implicit val sqlCtx = spark.sqlContext
+    // 2 real hosts + garbage; arrival order == doc_id order so the
+    // streamed FCFS verdicts must equal the batch perHostCap keeper set
+    def urlOf(i: Long): String =
+      if (i % 5 == 4) s"not a url $i"
+      else s"http://Host${i % 2}.Test:${8000 + i}/p/$i"
+    val b1 = (0L until 12L).map(i => (i, urlOf(i)))
+    val b2 = (12L until 20L).map(i => (i, urlOf(i)))
+    val dir = java.nio.file.Files.createTempDirectory("st33_").toString
+    val mem = MemoryStream[(Long, String)]
+    val admitted = scala.collection.mutable.ArrayBuffer[Long]()
+    def run(): Unit = {
+      val q = EventStreams.hostCapOnArrival(
+        mem.toDF().toDF("doc_id", "url"), "doc_id", "url", "doc_id",
+        cap = 3, s"$dir/t", s"$dir/cp") { v =>
+        admitted.synchronized {
+          admitted ++= v.filter(col("admit")).select("doc_id")
+            .collect().map(_.getLong(0))
+        }
+      }
+      q.awaitTermination()
+    }
+    mem.addData(b1); run()
+    mem.addData(b2); run()
+    val batchKeep = graft.ext.Curation.perHostCap(
+      (b1 ++ b2).toDF("doc_id", "url"), "url", "doc_id", cap = 3)
+      .select("doc_id").as[Long].collect().toSet
+    admitted.toSet shouldBe batchKeep
+    // state is O(hosts): 3 rows (host0, host1, garbage ""), counts at cap
+    val state = EventStreams.hostCapRead(spark, s"$dir/t")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    state.keySet shouldBe Set("", "host0.test", "host1.test")
+    state.values.foreach(_ shouldBe 3L)
+    // replay guard: a re-applied batch id is refused, state unchanged
+    EventStreams.hostCapMergeBatch(b2.toDF("doc_id", "url"), "doc_id",
+      "url", "doc_id", 3, s"$dir/t", 0L) shouldBe None
+    EventStreams.hostCapRead(spark, s"$dir/t")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap shouldBe state
+    // empty batch: no write, no verdicts
+    EventStreams.hostCapMergeBatch(b1.take(0).toDF("doc_id", "url"),
+      "doc_id", "url", "doc_id", 3, s"$dir/t", 99L) shouldBe None
+  }
 }
