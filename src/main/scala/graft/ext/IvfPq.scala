@@ -20,6 +20,23 @@ import org.apache.spark.sql.functions._
   * doubles — kilobytes), scans only probed cells, shortlists k·refine by
   * ADC distance, and exact-rescores the shortlist against the original
   * vectors (one broadcast-size join).
+  *
+  * WHY NO GRAPH ANN (HNSW/NSG) — a deliberate architecture decision,
+  * not a gap: graph search is a sequential chain of RANDOM-ACCESS
+  * neighbor hops (each hop reads the adjacency list of the node the
+  * previous hop chose), which presumes the whole graph behind a
+  * pointer-chasing memory — exactly what a shared-nothing Spark cluster
+  * does not offer. Sharding the graph puts most hops on a remote
+  * partition (a network round-trip per hop), and expressing the walk
+  * relationally makes each hop a self-join — a shuffle per hop, hundreds
+  * per query. Cell-pruned IVFADC is the Spark-native equivalent posture:
+  * the "routing" step is one broadcast centroid argmin (replacing the
+  * graph's upper layers), and the "search" step is an embarrassingly
+  * parallel scan of nprobe partition-pruned cells (replacing the base
+  * layer walk) — every operation a scan or a broadcast, none a
+  * pointer chase. Single-node engines rightly pick HNSW; a 1000-executor
+  * engine reading 100 TB rightly picks this. (The same trade is why
+  * [[graft.ext.SemDedup]] clusters with k-means cells, not a graph.)
   */
 object IvfPq {
 

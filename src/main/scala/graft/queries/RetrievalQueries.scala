@@ -4,8 +4,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 import graft.Tables
-import graft.ext.{PqIndex, Retrieval, Similarity, TextAnalysis}
+import graft.ext.{Opq, PqIndex, Retrieval, Similarity, TextAnalysis}
 import graft.ops.Graph
+import graft.syntax.round6z
 
 /** Round-4 (continued): retrieval and structure operators — BM25 lexical
   * search, per-slice distribution divergence, bounded BFS over a derived
@@ -958,8 +959,50 @@ object RetrievalQueries {
       pPos = 3, kNeg = 7)),
   )
 
+  /** Q253 [X, certificate]: OPQ rotation — the alternating
+    * rotate→quantize→Procrustes loop ([[graft.ext.Opq]]) learns an
+    * orthogonal R that decorrelates PQ's subspaces, then the corpus is
+    * projected through the broadcast literal R with the codegen'd
+    * sequential dot (the q172 PCA-projection shape). CERTIFICATE oracle:
+    * the run records R; the twin recomputes EVERY rotated coordinate from
+    * the raw embeddings and the recorded matrix with `list_dot_product`
+    * (identical left-to-right fold; Double.toString literals round-trip
+    * exactly), one scan via a list comprehension + zipped
+    * unnest/generate_subscripts. Rotation OPTIMALITY (orthogonality,
+    * planted-rotation recovery, MSE improvement) is pinned by `OpqSpec`
+    * — the q74/q91/q172 division of labor.
+    */
+  private object OpqCert {
+    @volatile var r: Option[Array[Array[Double]]] = None
+  }
+  val q253 = OracleQuery(
+    "q253_opq_rotate",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val r = Opq.trainRotation(emb, "embedding", "vec_id",
+        m = 8, ksub = 16, alternations = 2, maxIter = 5)
+      OpqCert.r = Some(r)
+      Opq.rotate(emb, "embedding", "vec_id", r)
+        .select(col("vec_id"), posexplode(col("y")).as(Seq("j", "yr")))
+        .select(col("vec_id"), col("j"), round6z(col("yr")).as("y_r"))
+    },
+    None,
+    dynOracle = () => OpqCert.r.map { r =>
+      val d = r.length
+      val rcols = (0 until d).map(j =>
+        "[" + r.map(row => row(j).toString).mkString(", ") + "]")
+      s"""SELECT vec_id,
+                 CAST(generate_subscripts(ys, 1) - 1 AS INT) AS j,
+                 unnest(ys) AS y_r
+          FROM (SELECT vec_id,
+                  [round(list_dot_product(CAST(embedding AS DOUBLE[]), rc), 6) + 0.0
+                   FOR rc IN [${rcols.mkString(",\n")}]] AS ys
+                FROM embeddings)"""
+    },
+  )
+
   val all: Seq[OracleQuery] =
     Seq(q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98,
       q99, q100, q101, q102, q151, q152, q155, q161, q162, q168, q169,
-      q183, q194, q196, q200, q207, q208, q230)
+      q183, q194, q196, q200, q207, q208, q230, q253)
 }
