@@ -398,5 +398,57 @@ object WarcQueries {
             FROM documents GROUP BY 1"""),
   )
 
-  val all: Seq[OracleQuery] = Seq(q236, q237, q238, q243, q244, q246)
+  /** Q254 [X]: TFRECORD export → import round trip — the TF training
+    * interchange sink ([[graft.ops.TfRecord]], the JSONL/WET siblings'
+    * third format): every doc serialized as a framed `tf.train.Example`
+    * (int64 scalar + bytes + PACKED int64 list + PACKED float32 list
+    * features — all four wire shapes on every record), written as 4
+    * committed shards, read back by the strict CRC-verifying parser,
+    * and emitted per-doc. The twin never sees the round trip (plain
+    * SELECT over documents) — a hash match proves the
+    * proto-encode → frame → shard → parse chain loses nothing. Float
+    * parity: the f32 feature is `float(n_chars)/4` (exact: n_chars <
+    * 2^24 and a power-of-two divisor), widened back to double on both
+    * sides.
+    */
+  val q254 = OracleQuery(
+    "q254_tfrecord_roundtrip",
+    (s, d) => {
+      import org.apache.spark.sql.types._
+      val outPath = java.nio.file.Files.createTempDirectory("graft_tfr_")
+      val out = outPath.toString + "/tfr"
+      graft.ops.TfRecord.write(
+        Tables.documents(s, d).select(
+          col("doc_id"), col("text"), col("source"), col("n_chars"),
+          transform(split(col("text"), " "), w => length(w).cast("long"))
+            .as("toks"),
+          array((col("n_chars").cast("float") / lit(4)).cast("float"))
+            .as("f")),
+        out, shards = 4)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("source", StringType), StructField("n_chars", LongType),
+        StructField("toks", ArrayType(LongType)),
+        StructField("f", ArrayType(FloatType))))
+      val back = graft.ops.TfRecord.read(s, out, schema)
+        .select(col("doc_id"), col("text"), col("source"), col("n_chars"),
+          aggregate(col("toks"), lit(0L), (a, x) => a + x).as("tok_sum"),
+          element_at(col("f"), 1).cast("double").as("f0"))
+      val rows = back.collect().toSeq
+      val cleaned = s.createDataFrame(
+        s.sparkContext.parallelize(rows, 1), back.schema)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(outPath).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      cleaned
+    },
+    Some("""SELECT doc_id, text, source, n_chars,
+              CAST(list_sum(list_transform(string_split(text, ' '),
+                w -> length(w))) AS BIGINT) AS tok_sum,
+              CAST(CAST(n_chars AS FLOAT) / 4 AS DOUBLE) AS f0
+            FROM documents"""),
+  )
+
+  val all: Seq[OracleQuery] = Seq(q236, q237, q238, q243, q244, q246, q254)
 }
