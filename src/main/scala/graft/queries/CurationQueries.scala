@@ -916,7 +916,28 @@ object CurationQueries {
     },
   )
 
+  /** Q255 [X]: dictionary tagging — the Aho-Corasick blocklist /
+    * topic-lexicon scan ([[graft.ext.Tagger]]): ONE automaton pass per
+    * doc for the whole dictionary, leftmost-non-overlapping counts per
+    * pattern. The dictionary is overlap-adversarial on purpose (prefix
+    * family ta/table/able, pattern-inside-pattern, a multi-word entry
+    * with a shared boundary). The twin counts by the replace
+    * length-diff — a DIFFERENT algorithm with provably identical
+    * semantics (greedy left-to-right non-overlap), so the cross-engine
+    * hash match pins the automaton's skip/fail behavior, not just the
+    * happy path. `TaggerSpec` pins automaton ≡ indexOf-loop ≡ relational
+    * scan engine-internally.
+    */
+  private val TagDict = Seq("a", "ta", "able", "a a", "row", "par")
+  val q255 = OracleQuery(
+    "q255_dictionary_tags",
+    (s, d) => graft.ext.Tagger.tagCountsAuto(
+      Tables.documents(s, d), "doc_id", "text", TagDict),
+    Some(graft.ext.Tagger.tagCountsSql(
+      "documents", "doc_id", "text", TagDict)),
+  )
+
   val all: Seq[OracleQuery] = Seq(q59, q60, q61, q62, q63, q64, q65, q66,
     q67, q68, q69, q70, q71, q72, q73, q74, q164, q173, q179, q180, q195,
-    q220, q245, q247, q248, q252)
+    q220, q245, q247, q248, q252, q255)
 }
