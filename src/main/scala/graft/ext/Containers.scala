@@ -549,4 +549,47 @@ object Containers {
     }
     Frame(w, h, px)
   }
+
+  // ------------------------------------------------------ MIME sniffing
+
+  /** Content-type from MAGIC BYTES — the "what is this payload really"
+    * gate a crawl pipeline runs before routing bytes to a decoder
+    * (served Content-Type headers lie; the bytes don't). Detects every
+    * container this engine writes ([[wavBytes]]/[[aviBytes]]/
+    * [[bmpBytes]]/[[pngBytes]]/[[jpegBytes]]/gzip members/WARC) plus a
+    * conservative text/plain heuristic (first ≤512 bytes all printable
+    * ASCII or common whitespace, nonempty). Everything else —
+    * including an empty payload, a bare "RIFF" with a foreign form
+    * type, or a truncated magic — is `application/octet-stream`, never
+    * a guess: misrouting bytes to a decoder is how garbage becomes
+    * training data.
+    */
+  def sniffMime(bytes: Array[Byte]): String = {
+    def at(i: Int): Int = bytes(i) & 0xFF
+    def ascii(from: Int, s: String): Boolean =
+      bytes.length >= from + s.length &&
+        s.indices.forall(k => at(from + k) == s.charAt(k).toInt)
+    if (ascii(0, "RIFF") && bytes.length >= 12) {
+      if (ascii(8, "WAVE")) "audio/x-wav"
+      else if (ascii(8, "AVI ")) "video/x-msvideo"
+      else "application/octet-stream"
+    }
+    else if (bytes.length >= 8 && at(0) == 0x89 && ascii(1, "PNG") &&
+      at(4) == 0x0D && at(5) == 0x0A && at(6) == 0x1A && at(7) == 0x0A)
+      "image/png"
+    else if (bytes.length >= 3 && at(0) == 0xFF && at(1) == 0xD8 &&
+      at(2) == 0xFF) "image/jpeg"
+    else if (ascii(0, "BM") && bytes.length >= 18 &&
+      Seq(12, 40, 56, 108, 124).contains(at(14)) && at(15) == 0 &&
+      at(16) == 0 && at(17) == 0) "image/bmp" // "BM" alone is weak magic:
+      // require a known DIB header size so text starting "BM…" stays text
+    else if (bytes.length >= 2 && at(0) == 0x1F && at(1) == 0x8B)
+      "application/gzip"
+    else if (ascii(0, "WARC/")) "application/warc"
+    else if (bytes.nonEmpty && bytes.take(512).forall { b =>
+      val u = b & 0xFF
+      (u >= 0x20 && u < 0x7F) || u == '\t' || u == '\n' || u == '\r'
+    }) "text/plain"
+    else "application/octet-stream"
+  }
 }

@@ -889,6 +889,56 @@ object MediaQueries {
          FROM b"""),
   )
 
+  /** Q256 [X]: MIME sniffing — content-type from MAGIC BYTES
+    * ([[graft.ext.Containers.sniffMime]]), the route-before-decode gate
+    * (served Content-Type headers lie; the bytes don't). Each doc's
+    * payload is built by a REAL container writer chosen by
+    * `doc_id % 8` — WAV, BMP, PNG, JPEG, a gzip member, plain ASCII,
+    * NUL-bearing binary, AVI — and sniffed back; the twin derives the
+    * expected type from the branch arithmetic alone, so a hash match
+    * proves every writer emits its format's true magic AND the sniffer
+    * routes each one correctly (a transposed PNG signature byte or a
+    * "data at byte 8" RIFF assumption would misroute a whole residue
+    * class). Adversarial non-payload cases (foreign RIFF form, "BM"
+    * prose, truncated magic) are spec-pinned in `ContainersSpec`.
+    */
+  val q256 = OracleQuery(
+    "q256_mime_sniff",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id")).as[Long].map { id =>
+        val payload: Array[Byte] = (id % 8).toInt match {
+          case 0 => graft.ext.Containers.wavBytes(
+            Array.tabulate(16)(j => ((id + j) % 100).toInt))
+          case 1 => graft.ext.Containers.bmpBytes(Multimodal.Frame(5, 3,
+            Array.tabulate(15)(i => ((id + i) % 256).toInt)))
+          case 2 => graft.ext.Containers.pngBytes(Multimodal.Frame(4, 4,
+            Array.tabulate(16)(i => ((id * 7 + i) % 256).toInt)))
+          case 3 => graft.ext.Containers.jpegBytes(Multimodal.Frame(8, 8,
+            Array.tabulate(64)(i => ((id + 3 * i) % 256).toInt)))
+          case 4 =>
+            val bos = new java.io.ByteArrayOutputStream()
+            val gz = new java.util.zip.GZIPOutputStream(bos)
+            gz.write(s"doc $id".getBytes("UTF-8")); gz.close()
+            bos.toByteArray
+          case 5 => s"plain text for doc $id".getBytes("US-ASCII")
+          case 6 => Array[Byte](0, -1, (id % 256).toByte, 42)
+          case _ => graft.ext.Containers.aviBytes(Seq(Multimodal.Frame(4, 2,
+            Array.tabulate(8)(i => ((id + i) % 256).toInt))))
+        }
+        (id, graft.ext.Containers.sniffMime(payload))
+      }.toDF("doc_id", "mime")
+    },
+    Some("""SELECT doc_id, CASE CAST(doc_id % 8 AS INT)
+              WHEN 0 THEN 'audio/x-wav' WHEN 1 THEN 'image/bmp'
+              WHEN 2 THEN 'image/png' WHEN 3 THEN 'image/jpeg'
+              WHEN 4 THEN 'application/gzip' WHEN 5 THEN 'text/plain'
+              WHEN 6 THEN 'application/octet-stream'
+              ELSE 'video/x-msvideo' END AS mime
+            FROM documents"""),
+  )
+
   val all: Seq[OracleQuery] = Seq(q158, q159, q160, q176, q177, q181, q182,
-    q184, q185, q186, q187, q188, q189, q190, q191, q192, q203, q204, q219)
+    q184, q185, q186, q187, q188, q189, q190, q191, q192, q203, q204, q219,
+    q256)
 }

@@ -194,4 +194,38 @@ class ContainersSpec extends AnyFunSuite with Matchers {
     an[IllegalArgumentException] should be thrownBy
       Containers.pngBytes(Frame(2, 2, Array(0, 1, 2, 300))) // out-of-range px
   }
+
+  test("sniffMime: every own container + adversarial non-payloads") {
+    import Containers.sniffMime
+    sniffMime(Containers.wavBytes(Array(1, 2, 3))) shouldBe "audio/x-wav"
+    sniffMime(Containers.aviBytes(Seq(Frame(2, 2, Array(0, 1, 2, 3))))) shouldBe
+      "video/x-msvideo"
+    sniffMime(Containers.bmpBytes(Frame(3, 2, Array(0, 1, 2, 3, 4, 5)))) shouldBe
+      "image/bmp"
+    sniffMime(Containers.pngBytes(Frame(2, 2, Array(0, 50, 100, 200)))) shouldBe
+      "image/png"
+    sniffMime(Containers.jpegBytes(Frame(8, 8, Array.fill(64)(128)))) shouldBe
+      "image/jpeg"
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write("x".getBytes); gz.close()
+    sniffMime(bos.toByteArray) shouldBe "application/gzip"
+    sniffMime("WARC/1.0\r\nWARC-Type: conversion\r\n".getBytes("US-ASCII")) shouldBe
+      "application/warc"
+    sniffMime("ordinary prose, tabs\tand\nnewlines".getBytes("US-ASCII")) shouldBe
+      "text/plain"
+    // adversarial: weak or foreign magics must NOT route to a decoder
+    sniffMime(Array.empty[Byte]) shouldBe "application/octet-stream"
+    sniffMime("RIFF1234WEBP".getBytes("US-ASCII")) shouldBe
+      "application/octet-stream" // foreign RIFF form type
+    sniffMime("RIFFxxWA".getBytes("US-ASCII")) shouldBe
+      "text/plain" // truncated before the form type: not a container,
+      // and all-printable bytes ARE plausibly text (file(1) agrees)
+    sniffMime("BMW dealers near me".getBytes("US-ASCII")) shouldBe
+      "text/plain" // "BM" prose: DIB-size check keeps it text
+    val pngTrunc = Containers.pngBytes(Frame(2, 2, Array(0, 1, 2, 3))).take(7)
+    sniffMime(pngTrunc) shouldBe "application/octet-stream"
+    sniffMime(Array[Byte](0x1F, 0x00)) shouldBe "application/octet-stream"
+    sniffMime(Array[Byte](0, 65, 66)) shouldBe "application/octet-stream"
+  }
 }
