@@ -77,6 +77,38 @@ object Drift {
         round((pa - pb) * log(pa / pb), 6).as("psi_term"))
   }
 
+  /** The frozen side of the incremental/streaming drift check: one
+    * count pass over the reference cohort → (group, bucket, n_ref),
+    * persisted once (IndexStore/parquet), probed forever.
+    */
+  def referenceCounts(df: DataFrame, groupCol: String,
+      bucket: Column): DataFrame =
+    df.groupBy(col(groupCol), bucket.as("bucket"))
+      .agg(count(lit(1)).as("n_ref"))
+
+  /** PER-GROUP PSI from two COUNT tables — the shared kernel of the
+    * batch referenced probe and the ST34 live read: `ref` (group,
+    * bucket, n_ref) vs `live` (group, bucket, n_live), shares within
+    * each group. Same contract as [[psiTerms]]: buckets empty on either
+    * side are omitted (their unsmoothed term is undefined) — the inner
+    * join IS that rule, since count tables carry only positive rows.
+    * The per-group totals are group-cardinality-bounded aggregates,
+    * broadcast back. PSI terms are products of same-sign factors, so
+    * every rounded output is ≥ +0.0 — no signed-zero hazard.
+    */
+  def psiOfCounts(ref: DataFrame, live: DataFrame,
+      groupCol: String): DataFrame = {
+    val rt = ref.groupBy(groupCol).agg(sum("n_ref").as("__tr"))
+    val lt = live.groupBy(groupCol).agg(sum("n_live").as("__tl"))
+    val pr = col("n_ref").cast("double") / col("__tr")
+    val pl = col("n_live").cast("double") / col("__tl")
+    ref.join(live, Seq(groupCol, "bucket"))
+      .join(broadcast(rt), Seq(groupCol))
+      .join(broadcast(lt), Seq(groupCol))
+      .select(col(groupCol), col("bucket"), col("n_ref"), col("n_live"),
+        round((pr - pl) * log(pr / pl), 6).as("psi_term"))
+  }
+
   /** PEARSON CHI-SQUARE test of independence between two categorical
     * columns, with Cramér's V — the statistical complement of the PSI
     * drift terms: PSI watches one dimension move over time, chi-square

@@ -1414,9 +1414,54 @@ object ScaleQueries {
     },
   )
 
+  private val refPsiThresholds: Seq[Long] =
+    Seq(50L, 100L, 150L, 200L, 250L, 300L, 350L, 400L)
+
+  /** Q257 [X]: PER-GROUP referenced PSI — the batch mirror of the ST34
+    * streaming drift read ([[Drift.psiOfCounts]]): a frozen reference
+    * count table (event_id % 3 ≠ 0 cohort, one [[Drift.referenceCounts]]
+    * pass) probed by the live cohort's counts, PSI terms per
+    * (event_type, bucket). q78's two-cohort PSI made per-group and
+    * split into the persist-once/probe-forever shape; same float
+    * discipline (the term is a product of same-sign factors — every
+    * rounded output ≥ +0.0, no signed-zero hazard; all float math
+    * happens once per bucket row).
+    */
+  val q257 = OracleQuery(
+    "q257_referenced_psi",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val bucket = Drift.bucketOf(col("value"), refPsiThresholds)
+      val ref = Drift.referenceCounts(
+        ev.filter(col("event_id") % 3 =!= 0), "event_type", bucket)
+      val live = ev.filter(col("event_id") % 3 === 0)
+        .groupBy(col("event_type"), bucket.as("bucket"))
+        .agg(count(lit(1)).as("n_live"))
+      Drift.psiOfCounts(ref, live, "event_type")
+    },
+    Some(s"""WITH b AS (SELECT event_type,
+                   ${Drift.bucketSql("value", refPsiThresholds)} AS bucket,
+                   event_id % 3 = 0 AS lv
+                 FROM events),
+            r AS (SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n_ref
+                  FROM b WHERE NOT lv GROUP BY 1, 2),
+            l AS (SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n_live
+                  FROM b WHERE lv GROUP BY 1, 2),
+            rt AS (SELECT event_type, CAST(sum(n_ref) AS BIGINT) AS tr
+                   FROM r GROUP BY 1),
+            lt AS (SELECT event_type, CAST(sum(n_live) AS BIGINT) AS tl
+                   FROM l GROUP BY 1)
+         SELECT event_type, bucket, n_ref, n_live,
+                round((CAST(n_ref AS DOUBLE) / tr - CAST(n_live AS DOUBLE) / tl) *
+                      ln((CAST(n_ref AS DOUBLE) / tr) /
+                         (CAST(n_live AS DOUBLE) / tl)), 6) AS psi_term
+         FROM r JOIN l USING (event_type, bucket)
+              JOIN rt USING (event_type) JOIN lt USING (event_type)"""),
+  )
+
   val all: Seq[OracleQuery] =
     Seq(q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q133,
       q136, q175, q178, q193, q197, q198, q199, q201, q202, q205, q206,
       q212, q213, q214, q215, q216, q217, q222, q223, q224, q226, q227,
-      q228, q229, q231, q232, q233, q234, q235, q242)
+      q228, q229, q231, q232, q233, q234, q235, q242, q257)
 }

@@ -1030,6 +1030,56 @@ class EventStreamsSpec extends SparkSpec {
       "value", 32, s"$dir/t", 99L) shouldBe false
   }
 
+  test("ST34 streaming drift: streamed merge ≡ cold rebuild; live PSI vs frozen reference") {
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, t: String, v: Double) =
+      Ev(id, id % 7, t, new Timestamp(id * 1000), v, "{}")
+    // frozen reference cohort: uniform-ish values; live stream drifts high
+    val refRows = (0L until 600L).map(i =>
+      ev(i, if (i % 2 == 0) "A" else "B", (i % 50).toDouble))
+    val b1 = (1000L until 1300L).map(i =>
+      ev(i, if (i % 2 == 0) "A" else "B", (i % 50).toDouble + 10.0))
+    val b2 = (1300L until 1500L).map(i =>
+      ev(i, if (i % 2 == 0) "A" else "B", (i % 50).toDouble + 20.0))
+    val thr = Seq(10L, 20L, 30L, 40L)
+    val dir = java.nio.file.Files.createTempDirectory("st34_").toString
+    val mem = MemoryStream[Ev]
+    mem.addData(b1)
+    EventStreams.driftOnArrival(mem.toDF(), "event_type", "value", thr,
+      s"$dir/t", s"$dir/cp").awaitTermination()
+    mem.addData(b2)
+    EventStreams.driftOnArrival(mem.toDF(), "event_type", "value", thr,
+      s"$dir/t", s"$dir/cp").awaitTermination()
+    // linear merge law: streamed counts == one count over full history
+    val streamed = spark.read.parquet(s"$dir/t")
+      .select("event_type", "bucket", "n_live")
+    val direct = (b1 ++ b2).toDF()
+      .groupBy(col("event_type"),
+        graft.ops.Drift.bucketOf(col("value"), thr).as("bucket"))
+      .agg(count(lit(1)).as("n_live"))
+    streamed.exceptAll(direct).count() shouldBe 0L
+    direct.exceptAll(streamed).count() shouldBe 0L
+    // state bound: groups × (|thresholds|+1) rows, forever
+    streamed.count() should be <= (2L * (thr.size + 1))
+    // live alarm read == the batch psiOfCounts over full history
+    val ref = graft.ops.Drift.referenceCounts(refRows.toDF(), "event_type",
+      graft.ops.Drift.bucketOf(col("value"), thr))
+    val live = EventStreams.driftRead(spark, s"$dir/t", "event_type", ref)
+    val batchPsi = graft.ops.Drift.psiOfCounts(ref, direct, "event_type")
+    live.exceptAll(batchPsi).count() shouldBe 0L
+    batchPsi.exceptAll(live).count() shouldBe 0L
+    // the drift is actually visible: some per-group PSI sum is large
+    val alarm = live.groupBy("event_type")
+      .agg(sum("psi_term").as("psi")).collect()
+      .map(r => r.getDouble(1)).max
+    alarm should be > 0.1
+    // replay refused (addition is not idempotent); empty batch skipped
+    EventStreams.driftMergeBatch(b2.toDF(), "event_type", "value", thr,
+      s"$dir/t", 1L) shouldBe false
+    EventStreams.driftMergeBatch(b1.take(0).toDF(), "event_type", "value",
+      thr, s"$dir/t", 99L) shouldBe false
+  }
+
   test("ST17 streaming CDC byte-delta: exact copy reports zero new bytes") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ext.Multimodal
