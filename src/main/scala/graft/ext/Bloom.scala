@@ -1,0 +1,111 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bloom filter over a key set — the crawl-frontier membership structure
+  * ("have we seen this URL?") at 100 TB: the full URL set is terabytes,
+  * the filter is `m` BITS (megabytes for billions of keys), probes are
+  * O(k) word lookups against a broadcast/persisted word table, and the
+  * one-sided error is the RIGHT side for a frontier (a false positive
+  * skips a re-crawl; a false negative — impossible here — would re-crawl
+  * forever).
+  *
+  * Layout: 63 bits per word (`(w, bits)` rows, absent word = 0) — bit 63
+  * is deliberately unused so every word and every mask stays a
+  * NON-NEGATIVE long, which keeps the DuckDB twin in plain BIGINT
+  * arithmetic (no HUGEINT two's-complement step) and the Spark side off
+  * the ANSI bit-63 traps. Masks go through `shiftleft(1L, bit)` (OR'd,
+  * never added — the q111 rule); the twin uses a 63-row literal
+  * (bit, mask) VALUES table of spelled-out powers of two.
+  *
+  * Hashing: double hashing over the [[TextHash.tokenHash63]] portable
+  * hash (exact SQL twin exists): `pos_i = (h1 + i·h2') mod m` with
+  * `h2' = (h2 mod 2^61)·2 + 1` — ODD, so for the required power-of-two
+  * `m` the probe sequence walks a full cycle (an even step would orbit a
+  * subgroup and waste k). All arithmetic stays below 2^63 on both
+  * engines.
+  *
+  * The state law is `∨` (bit_or) — IDEMPOTENT, unlike every count-based
+  * streaming state in this engine: merging the same batch twice is a
+  * no-op, so the streaming form (ST35) needs NO replay guard — the one
+  * on-arrival structure where at-least-once delivery is exactly-once
+  * state for free.
+  */
+object Bloom {
+
+  /** `mBits` must be a power of two (the odd-step full-cycle argument
+    * above); `k` probes per key.
+    */
+  final case class Params(mBits: Long = 1L << 18, k: Int = 5) {
+    require(mBits > 0 && (mBits & (mBits - 1)) == 0,
+      s"Bloom: mBits=$mBits must be a power of two")
+    require(k >= 1 && k <= 16, s"Bloom: k=$k out of range")
+  }
+
+  private def maskOf(bit: Column): Column =
+    call_function("shiftleft", lit(1L), bit.cast("int"))
+
+  /** The k (word, mask-bit) probe positions for a key, as an exploded
+    * relation: (…input cols…, w, bit).
+    */
+  private def positions(df: DataFrame, keyCol: String, p: Params): DataFrame = {
+    val h1 = TextHash.tokenHash63(col(keyCol)) % lit(p.mBits)
+    val h2 = (TextHash.tokenHash63(concat(col(keyCol), lit("|h2")))
+      % lit(2305843009213693952L)) * 2 + 1 // odd, < 2^62
+    val b2 = h2 % lit(p.mBits)
+    val posArr = array((0 until p.k).map(i =>
+      pmod(h1 + lit(i.toLong) * b2, lit(p.mBits))): _*)
+    df.withColumn("__pos", explode(posArr))
+      .withColumn("w", (col("__pos") / 63L).cast("long"))
+      .withColumn("bit", (col("__pos") % 63L).cast("int"))
+      .drop("__pos")
+  }
+
+  /** Build the word table (w, bits) from a key column — one explode +
+    * one bit_or aggregate; rows ≤ mBits/63 regardless of corpus size.
+    */
+  def build(df: DataFrame, keyCol: String, p: Params = Params()): DataFrame =
+    positions(df.select(col(keyCol)), keyCol, p)
+      .groupBy("w")
+      .agg(bit_or(maskOf(col("bit"))).as("bits"))
+
+  /** Merge word tables by `∨` — idempotent AND commutative, so shard
+    * builds union freely and replays are no-ops.
+    */
+  def merge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("w").agg(bit_or(col("bits")).as("bits"))
+
+  /** Probe: per input row, `maybe_present` = all k bits set. The word
+    * table is filter-sized (≤ mBits/63 rows) — broadcast it; the stream
+    * side stays a narrow explode + local aggregate back to one row per
+    * key occurrence. No false negatives BY CONSTRUCTION for any key
+    * that went through [[build]].
+    */
+  def probe(df: DataFrame, keyCol: String, idCol: String, words: DataFrame,
+      p: Params = Params()): DataFrame =
+    positions(df.select(col(idCol), col(keyCol)), keyCol, p)
+      .join(broadcast(words), Seq("w"), "left")
+      .withColumn("__hit",
+        when(coalesce(col("bits"), lit(0L)).bitwiseAND(maskOf(col("bit")))
+          =!= 0L, 1).otherwise(0))
+      .groupBy(col(idCol), col(keyCol))
+      .agg((min(col("__hit")) === 1).as("maybe_present"))
+
+  /** The DuckDB twin pieces — the same math, textually. `maskValues` is
+    * the 63-row (bit, mask) literal table; [[posSql]] yields one row per
+    * (input row, probe i) with columns w, bit.
+    */
+  def maskValuesSql: String =
+    (0 until 63).map(b => s"($b, ${1L << b})").mkString("(VALUES ", ", ", ") mask(bit, mask)")
+
+  def posSql(keyExpr: String, p: Params): String = {
+    val h1 = s"(${TextHash.tokenHash63Sql(keyExpr)} % ${p.mBits})"
+    val h2 = s"(((${TextHash.tokenHash63Sql(s"$keyExpr || '|h2'")}" +
+      s" % 2305843009213693952) * 2 + 1) % ${p.mBits})"
+    s"""SELECT *, ($h1 + i * $h2) % ${p.mBits} // 63 AS w,
+               ($h1 + i * $h2) % ${p.mBits} % 63 AS bit
+        FROM __keys CROSS JOIN
+          (VALUES ${(0 until p.k).map(i => s"($i)").mkString(", ")}) pi(i)"""
+  }
+}

@@ -937,7 +937,55 @@ object CurationQueries {
       "documents", "doc_id", "text", TagDict)),
   )
 
+  /** Q258 [X]: BLOOM-FILTER frontier membership
+    * ([[graft.ext.Bloom]]) — the "have we crawled this URL?" structure:
+    * the crawled cohort's URLs (doc_id % 3 ≠ 0 — coprime with the
+    * source modulus) build the 2^18-bit filter, then EVERY doc's URL
+    * probes it. The twin recomputes the whole filter in SQL — same
+    * double-hashed positions off the portable 63-bit hash, same 63-bit
+    * words via bit_or over the literal mask table — so the hash match
+    * certifies build AND probe bit-for-bit, including the false
+    * positives (whatever they are, both engines must agree on them).
+    * No-false-negative law: every crawled URL must come back
+    * maybe_present (spec-pinned too).
+    */
+  val q258 = OracleQuery(
+    "q258_bloom_frontier",
+    (s, d) => {
+      val p = graft.ext.Bloom.Params()
+      val urls = Tables.documents(s, d).select(col("doc_id"),
+        concat(lit("http://h"), (col("doc_id") % 97).cast("string"),
+          lit(".test/p/"), col("doc_id").cast("string")).as("url"))
+      val words = graft.ext.Bloom.build(
+        urls.filter(col("doc_id") % 3 =!= 0), "url", p)
+      graft.ext.Bloom.probe(urls, "url", "doc_id", words, p)
+        .select(col("doc_id"), col("maybe_present"),
+          (col("doc_id") % 3 =!= 0).as("present"))
+    },
+    Some {
+      val p = graft.ext.Bloom.Params()
+      s"""WITH __keys AS (SELECT doc_id,
+                 'http://h' || CAST(doc_id % 97 AS VARCHAR) || '.test/p/' ||
+                   CAST(doc_id AS VARCHAR) AS url
+               FROM documents),
+          pos AS (${graft.ext.Bloom.posSql("url", p)}),
+          words AS (SELECT w, bit_or(mask) AS bits
+                    FROM pos JOIN ${graft.ext.Bloom.maskValuesSql}
+                      USING (bit)
+                    WHERE doc_id % 3 <> 0 GROUP BY w),
+          chk AS (SELECT pos.doc_id,
+                    min(CASE WHEN (COALESCE(words.bits, 0) & mask.mask) <> 0
+                        THEN 1 ELSE 0 END) AS hit
+                  FROM pos LEFT JOIN words USING (w)
+                    JOIN ${graft.ext.Bloom.maskValuesSql} USING (bit)
+                  GROUP BY pos.doc_id)
+       SELECT doc_id, hit = 1 AS maybe_present,
+              doc_id % 3 <> 0 AS present
+       FROM chk"""
+    },
+  )
+
   val all: Seq[OracleQuery] = Seq(q59, q60, q61, q62, q63, q64, q65, q66,
     q67, q68, q69, q70, q71, q72, q73, q74, q164, q173, q179, q180, q195,
-    q220, q245, q247, q248, q252, q255)
+    q220, q245, q247, q248, q252, q255, q258)
 }

@@ -1,0 +1,66 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** [X] Bloom frontier membership: no false negatives, sane false
+  * positives at a deliberately overloaded size, idempotent merge, and
+  * shard-build ≡ whole-build — the engine-internal half of q258's
+  * cross-engine pin.
+  */
+class BloomSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def urls(ids: Range) =
+    ids.map(i => (i.toLong, s"http://h${i % 11}.test/p/$i")).toDF("id", "url")
+
+  test("no false negatives, ever") {
+    val p = Bloom.Params()
+    val corpus = urls(0 until 500)
+    val words = Bloom.build(corpus, "url", p).localCheckpoint()
+    val got = Bloom.probe(corpus, "url", "id", words, p)
+      .filter(!col("maybe_present")).count()
+    got shouldBe 0L
+  }
+
+  test("false positives exist at an overloaded size but stay bounded") {
+    // m = 1024 bits, n = 200 keys, k = 3: p_bit ≈ 0.44, fpr ≈ 9% — big
+    // enough to observe deterministically, far from all-ones
+    val p = Bloom.Params(mBits = 1L << 10, k = 3)
+    val words = Bloom.build(urls(0 until 200), "url", p).localCheckpoint()
+    val absent = urls(10000 until 11000)
+    val fp = Bloom.probe(absent, "url", "id", words, p)
+      .filter(col("maybe_present")).count()
+    fp should be > 0L    // the structure is probabilistic, not a set
+    fp should be < 400L  // and not saturated
+  }
+
+  test("merge is idempotent and shard-build ≡ whole-build") {
+    val p = Bloom.Params(mBits = 1L << 12, k = 4)
+    val a = urls(0 until 150)
+    val b = urls(150 until 300)
+    val whole = Bloom.build(urls(0 until 300), "url", p)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sharded = Bloom.merge(Bloom.build(a, "url", p),
+      Bloom.build(b, "url", p))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sharded shouldBe whole
+    // ∨ is idempotent: re-merging a shard changes nothing
+    val again = Bloom.merge(Bloom.merge(Bloom.build(a, "url", p),
+      Bloom.build(b, "url", p)), Bloom.build(b, "url", p))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    again shouldBe whole
+    // every word is a non-negative 63-bit long (bit 63 unused by layout)
+    whole.values.foreach(_ should be >= 0L)
+  }
+
+  test("empty filter probes all-false; params validated loudly") {
+    val p = Bloom.Params(mBits = 1L << 12, k = 4)
+    val empty = Seq.empty[(Long, Long)].toDF("w", "bits")
+    Bloom.probe(urls(0 until 20), "url", "id", empty, p)
+      .filter(col("maybe_present")).count() shouldBe 0L
+    intercept[IllegalArgumentException] { Bloom.Params(mBits = 1000) }
+    intercept[IllegalArgumentException] { Bloom.Params(k = 0) }
+  }
+}

@@ -1080,6 +1080,38 @@ class EventStreamsSpec extends SparkSpec {
       thr, s"$dir/t", 99L) shouldBe false
   }
 
+  test("ST35 streaming frontier: OR-merge ≡ cold build; replay is a no-op by algebra") {
+    implicit val sqlCtx = spark.sqlContext
+    val p = graft.ext.Bloom.Params(mBits = 1L << 12, k = 4)
+    val b1 = (0L until 150L).map(i => ArrivingDoc(i, s"http://h${i % 9}.test/p/$i"))
+    val b2 = (150L until 300L).map(i => ArrivingDoc(i, s"http://h${i % 9}.test/p/$i"))
+    val dir = java.nio.file.Files.createTempDirectory("st35_").toString
+    val mem = MemoryStream[ArrivingDoc]
+    mem.addData(b1)
+    EventStreams.frontierOnArrival(mem.toDF().withColumnRenamed("text", "url"),
+      "url", p, s"$dir/t", s"$dir/cp").awaitTermination()
+    mem.addData(b2)
+    EventStreams.frontierOnArrival(mem.toDF().withColumnRenamed("text", "url"),
+      "url", p, s"$dir/t", s"$dir/cp").awaitTermination()
+    val all = (b1 ++ b2).toDF("doc_id", "url")
+    // streamed state == one cold build over full history
+    val streamed = spark.read.parquet(s"$dir/t")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cold = graft.ext.Bloom.build(all, "url", p)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    streamed shouldBe cold
+    // REPLAYING a batch is a no-op by the ∨ law (no guard needed)
+    EventStreams.frontierMergeBatch(b2.toDF("doc_id", "url"), "url", p,
+      s"$dir/t") shouldBe true
+    spark.read.parquet(s"$dir/t")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe cold
+    // live probe: every merged key present, empty batch skipped
+    EventStreams.frontierRead(spark, s"$dir/t", all, "url", "doc_id", p)
+      .filter(!col("maybe_present")).count() shouldBe 0L
+    EventStreams.frontierMergeBatch(b1.take(0).toDF("doc_id", "url"),
+      "url", p, s"$dir/t") shouldBe false
+  }
+
   test("ST17 streaming CDC byte-delta: exact copy reports zero new bytes") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ext.Multimodal
