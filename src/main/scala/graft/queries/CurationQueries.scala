@@ -985,7 +985,75 @@ object CurationQueries {
     },
   )
 
+  /** Q259 [X]: ROBOTS.TXT GATE ([[graft.ext.Robots]]) — RFC 9309
+    * end-to-end: 12 hosts carry builder-authored robots BODIES (4
+    * classes: plain `*` group with a `$`-anchored Allow and a `*`
+    * wildcard; a graftbot-specific group that must ISOLATE from the
+    * `*` group; an empty file; a stacked-UA group with a mid-path
+    * wildcard — plus comments, mixed case, a Sitemap line), parsed by
+    * the REAL parser into the rule table, then every doc's URL gated by
+    * wildcard longest-match. The twin replays the match over the
+    * VALUES rule table the parser MUST produce — a parse bug, a
+    * mistranslated wildcard, or a broken tie rule all break the hash.
+    * `RobotsSpec` pins the parse and the gate corner cases by hand.
+    */
+  val q259 = OracleQuery(
+    "q259_robots_gate",
+    (s, d) => {
+      import s.implicits._
+      val urls = Tables.documents(s, d).select(col("doc_id"),
+        concat(lit("h"), (col("doc_id") % 12).cast("string")).as("host"),
+        element_at(array(lit("/private/ok"), lit("/private/secret"),
+          lit("/private/graft1"), lit("/tmpfile"), lit("/public/page"),
+          lit("/docs/a/private9")),
+          (col("doc_id") % 6).cast("int") + 1).as("path"))
+      val hosts = (0 until 12).map { hid =>
+        val content = hid % 4 match {
+          case 0 => "# host class 0\nUser-Agent: *\nDisallow: /private\n" +
+            "Allow: /private/ok$\ndisallow: /tmp*\n"
+          case 1 => "User-agent: *\nDisallow: /\n\n" +
+            "User-agent: graftbot\nAllow: /private/graft*\nDisallow: /\n"
+          case 2 => "# nothing to see\n"
+          case _ => "User-agent: otherbot\nUser-agent: *\n" +
+            "Disallow: /docs*private\nAllow: /docs\n" +
+            "Sitemap: http://example.test/map\n"
+        }
+        (s"h$hid", content)
+      }.toDF("host", "content")
+      val rules = graft.ext.Robots.ruleTable(hosts, "host", "content",
+        "GraftBot")
+      graft.ext.Robots.allowed(urls, "doc_id", "host", "path", rules)
+    },
+    Some("""WITH u AS (SELECT doc_id,
+                   'h' || CAST(doc_id % 12 AS VARCHAR) AS host,
+                   (doc_id % 12) % 4 AS hclass,
+                   CASE CAST(doc_id % 6 AS INT)
+                     WHEN 0 THEN '/private/ok' WHEN 1 THEN '/private/secret'
+                     WHEN 2 THEN '/private/graft1' WHEN 3 THEN '/tmpfile'
+                     WHEN 4 THEN '/public/page'
+                     ELSE '/docs/a/private9' END AS path
+                 FROM documents),
+            r AS (SELECT * FROM (VALUES
+                    (0, false, '/private', '/private%', 8),
+                    (0, true,  '/private/ok$', '/private/ok', 12),
+                    (0, false, '/tmp*', '/tmp%', 5),
+                    (1, true,  '/private/graft*', '/private/graft%', 15),
+                    (1, false, '/', '/%', 1),
+                    (3, false, '/docs*private', '/docs%private%', 13),
+                    (3, true,  '/docs', '/docs%', 5)
+                  ) v(hclass, allow, raw, pat, plen)),
+            c AS (SELECT u.doc_id, r.allow,
+                    row_number() OVER (PARTITION BY u.doc_id
+                      ORDER BY r.plen DESC, r.allow DESC, r.raw ASC) AS rk
+                  FROM u JOIN r ON u.hclass = r.hclass
+                                AND u.path LIKE r.pat)
+         SELECT u.doc_id, u.host, u.path,
+                COALESCE(c.allow, true) AS allowed
+         FROM u LEFT JOIN (SELECT doc_id, allow FROM c WHERE rk = 1) c
+           USING (doc_id)"""),
+  )
+
   val all: Seq[OracleQuery] = Seq(q59, q60, q61, q62, q63, q64, q65, q66,
     q67, q68, q69, q70, q71, q72, q73, q74, q164, q173, q179, q180, q195,
-    q220, q245, q247, q248, q252, q255, q258)
+    q220, q245, q247, q248, q252, q255, q258, q259)
 }
