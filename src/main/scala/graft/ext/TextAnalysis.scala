@@ -172,6 +172,35 @@ object TextAnalysis {
     s"trim(regexp_replace($decoded, '$WsClass', ' ', 'g'))"
   }
 
+  /** Anchor hrefs out of an HTML body — `<a … href="…">` values in
+    * document order. The pattern lives in the Java∩RE2 common dialect
+    * ([[htmlToText]]'s rule; a literal space, never `\s`), so the
+    * DuckDB twin is the SAME string through `regexp_extract_all`.
+    */
+  val LinkHrefPattern = "<a [^>]*href=\"([^\"]*)\""
+  def linkHrefs(html: Column): Column =
+    regexp_extract_all(html, lit(LinkHrefPattern), lit(1))
+
+  /** Resolve an href to its TARGET HOST against the page's host — the
+    * link-graph projection of RFC 3986 resolution (absolute →  its
+    * authority, protocol-relative `//h/…` → that authority, everything
+    * else — rooted or relative — stays on the page's host). Hosts fold
+    * to lowercase. [[linkHostSql]] is the textual twin.
+    */
+  def linkHost(href: Column, baseHost: Column): Column =
+    when(href.rlike("^https?://"),
+      lower(regexp_extract(href, "^https?://([^/]+)", 1)))
+      .when(href.startsWith("//"),
+        lower(regexp_extract(href, "^//([^/]+)", 1)))
+      .otherwise(baseHost)
+
+  def linkHostSql(href: String, baseHost: String): String =
+    s"""CASE WHEN regexp_matches($href, '^https?://')
+           THEN lower(regexp_extract($href, '^https?://([^/]+)', 1))
+         WHEN $href LIKE '//%'
+           THEN lower(regexp_extract($href, '^//([^/]+)', 1))
+         ELSE $baseHost END"""
+
   /** Per-document unigram log-probability under the corpus' own unigram
     * distribution (Σ ln(cnt(w)/N) over the document's tokens) — a
     * self-supervised fluency score: rare-token-heavy documents score low.

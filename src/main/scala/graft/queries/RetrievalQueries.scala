@@ -1001,8 +1001,99 @@ object RetrievalQueries {
     },
   )
 
+  /** q260's twin: the SAME unrolled-rounds text as [[pageRankSql]] over
+    * an edge base that replays the link extraction — `regexp_extract_all`
+    * of the shared Java∩RE2 href pattern, then the
+    * [[TextAnalysis.linkHostSql]] resolution CASE. `$` anchors are
+    * escaped `$$` for the interpolator (the q45 class of trap).
+    */
+  private def hostRankSql(iters: Int, damping: Double): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""c$i AS (SELECT e.dst AS node,
+                 SUM(CAST(round(r${i - 1}.r / od.outdeg, 12) AS DECIMAL(38,12))) AS s
+               FROM e JOIN r${i - 1} ON r${i - 1}.node = e.src
+                      JOIN od ON od.src = e.src
+               GROUP BY 1),
+          r$i AS (SELECT nodes.node,
+                 round((CAST(1.0 AS DOUBLE) - $damping) / nn.n +
+                       $damping * CAST(coalesce(c$i.s, 0) AS DOUBLE), 9) AS r
+               FROM nodes LEFT JOIN c$i ON c$i.node = nodes.node, nn)"""
+    }.mkString(",\n          ")
+    s"""WITH docs AS (SELECT doc_id,
+                 'h' || CAST(doc_id % 12 AS VARCHAR) || '.test' AS bh,
+                 '<html><body><p>doc</p>' ||
+                 '<a href="http://h' || CAST((doc_id * 3 + 1) % 12 AS VARCHAR) || '.test/page1">x</a>' ||
+                 '<a class="z" href="/local/path">y</a>' ||
+                 '<a href="//h' || CAST((doc_id * 5 + 2) % 12 AS VARCHAR) || '.test/pr">z</a>' ||
+                 '<a href="relative/sub">w</a>' ||
+                 '<a href="https://h' || CAST((doc_id * 7 + 4) % 12 AS VARCHAR) || '.test/deep">q</a>' ||
+                 '</body></html>' AS html
+               FROM documents),
+          lnk AS (SELECT bh, unnest(regexp_extract_all(html,
+                   '${TextAnalysis.LinkHrefPattern}', 1)) AS href
+               FROM docs),
+          hosts AS (SELECT bh, ${TextAnalysis.linkHostSql("href", "bh")} AS dh
+               FROM lnk),
+          e AS (SELECT DISTINCT
+                  CAST(regexp_extract(bh, '^h([0-9]+)[.]test$$', 1) AS BIGINT) AS src,
+                  CAST(regexp_extract(dh, '^h([0-9]+)[.]test$$', 1) AS BIGINT) AS dst
+               FROM hosts),
+          od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+               FROM e GROUP BY 1),
+          nodes AS (SELECT DISTINCT node FROM
+                    (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+          nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+          r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS r FROM nodes, nn),
+          $rounds
+        SELECT node, round(r, 6) AS pr FROM r$iters"""
+  }
+
+  /** Q260 [X]: HTML link graph → host PageRank — the crawl-analytics
+    * composition (prioritize hosts by link centrality): per-doc
+    * synthetic HTML carries absolute, rooted, protocol-relative, and
+    * relative anchors; the REAL extractor
+    * ([[TextAnalysis.linkHrefs]]/[[TextAnalysis.linkHost]]) projects
+    * each to its target host, and [[graft.ops.Graph.pageRank]] ranks
+    * the 12-host graph over 3 damped rounds. The twin replays
+    * extraction, resolution, AND the unrolled rounds — a missed anchor
+    * form or a broken resolution branch changes the edge set and the
+    * fixpoint, so the hash certifies the whole chain.
+    */
+  val q260 = OracleQuery(
+    "q260_link_hostrank",
+    (s, d) => {
+      val html = concat(
+        lit("<html><body><p>doc</p>"),
+        lit("<a href=\"http://h"),
+        ((col("doc_id") * 3 + 1) % 12).cast("string"),
+        lit(".test/page1\">x</a>"),
+        lit("<a class=\"z\" href=\"/local/path\">y</a>"),
+        lit("<a href=\"//h"),
+        ((col("doc_id") * 5 + 2) % 12).cast("string"),
+        lit(".test/pr\">z</a>"),
+        lit("<a href=\"relative/sub\">w</a>"),
+        lit("<a href=\"https://h"),
+        ((col("doc_id") * 7 + 4) % 12).cast("string"),
+        lit(".test/deep\">q</a>"),
+        lit("</body></html>"))
+      val pages = Tables.documents(s, d).select(
+        concat(lit("h"), (col("doc_id") % 12).cast("string"),
+          lit(".test")).as("bh"),
+        html.as("html"))
+      val links = pages.select(col("bh"),
+        explode(TextAnalysis.linkHrefs(col("html"))).as("href"))
+      val edges = links.select(
+        regexp_extract(col("bh"), "^h([0-9]+)[.]test$", 1)
+          .cast("long").as("src"),
+        regexp_extract(TextAnalysis.linkHost(col("href"), col("bh")),
+          "^h([0-9]+)[.]test$", 1).cast("long").as("dst"))
+      graft.ops.Graph.pageRank(edges, "src", "dst", iters = 3)
+    },
+    Some(hostRankSql(3, 0.85)),
+  )
+
   val all: Seq[OracleQuery] =
     Seq(q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98,
       q99, q100, q101, q102, q151, q152, q155, q161, q162, q168, q169,
-      q183, q194, q196, q200, q207, q208, q230, q253)
+      q183, q194, q196, q200, q207, q208, q230, q253, q260)
 }

@@ -146,4 +146,24 @@ class TextAnalysisSpec extends SparkSpec {
     // "&amp;lt;" means the literal text "&lt;", not "<"
     got shouldBe "alpha beta & tail <b> 'q' end &lt;literal"
   }
+
+  test("linkHrefs + linkHost: anchor forms and host resolution") {
+    import spark.implicits._
+    val html = """<html><a href="http://A.Test/x">1</a>
+      <a class="c" id="i" href="/rooted">2</a>
+      <a href="//Proto.test/y">3</a><a href="rel/sub">4</a>
+      <a href="https://sec.test/z?q=1">5</a><p>no links here</p>
+      <area href="/not-an-anchor"></html>"""
+    val df = Seq((0L, html, "base.test")).toDF("id", "html", "bh")
+    val hrefs = df.select(explode(TextAnalysis.linkHrefs(col("html"))).as("h"))
+      .collect().map(_.getString(0)).toSeq
+    hrefs shouldBe Seq("http://A.Test/x", "/rooted", "//Proto.test/y",
+      "rel/sub", "https://sec.test/z?q=1")
+    val hosts = df.select(explode(TextAnalysis.linkHrefs(col("html"))).as("h"),
+        col("bh"))
+      .select(TextAnalysis.linkHost(col("h"), col("bh")).as("dst"))
+      .collect().map(_.getString(0)).toSeq
+    hosts shouldBe Seq("a.test", "base.test", "proto.test", "base.test",
+      "sec.test")
+  }
 }
