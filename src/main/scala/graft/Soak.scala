@@ -1297,6 +1297,74 @@ object Soak {
         .foreach(java.nio.file.Files.deleteIfExists(_))
     })
 
+    // round-15: dictionary tagging at 1M docs — ONE automaton pass per
+    // doc for a 300-entry dictionary (the scan form would re-walk each
+    // doc 300×); correctness spot-checked against the relational form
+    // on a 1/97 sample, throughput on the full corpus.
+    time("aho-corasick tagging (1M docs, 300 patterns)")({
+      val dict = (0 until 295).map(k => s"w${k * 37 % 10000}") ++
+        Seq("w1 w2", "w33 w44", "w555 w666", "w7 w8 w9", "w12 w34")
+      val tags = ext.Tagger.tagCountsAuto(docs, "doc_id", "text", dict)
+      val n = tags.agg(count(lit(1)), sum("n_hits")).head()
+      assert(n.getLong(0) > 0L && n.getLong(1) > n.getLong(0),
+        s"tagger found no multi-hit mass: $n")
+      val sample = docs.filter(col("doc_id") % 97 === 0)
+      val a = ext.Tagger.tagCountsAuto(sample, "doc_id", "text", dict)
+      val b = ext.Tagger.tagCountsScan(sample, "doc_id", "text", dict)
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+        "automaton ≠ relational scan on the sample")
+    })
+
+    // round-15: Bloom frontier at 1M keys (m = 2^24 bits → ≤ 266k state
+    // rows): zero false negatives by law; novel-key FP rate must sit
+    // near the analytic (1 − e^{−kn/m})^k ≈ 0.0014, far below 1%.
+    time("bloom frontier (1M build, 2M probe)")({
+      val p = ext.Bloom.Params(mBits = 1L << 24, k = 5)
+      val crawled = spark.range(nDocs).select(col("id"),
+        concat(lit("http://h"), (col("id") % 50021).cast("string"),
+          lit(".test/p/"), col("id").cast("string")).as("url"))
+      val words = ext.Bloom.build(crawled, "url", p).cache()
+      assert(words.count() <= p.mBits / 63 + 1, "word table exceeded bound")
+      val novel = spark.range(nDocs).select((col("id") + nDocs).as("id"),
+        concat(lit("http://h"), (col("id") % 50021).cast("string"),
+          lit(".test/NOVEL/"), col("id").cast("string")).as("url"))
+      val probed = ext.Bloom.probe(crawled.unionByName(novel), "url", "id",
+        words, p)
+      val r = probed.agg(
+        sum(when(col("id") < nDocs && !col("maybe_present"), 1L)
+          .otherwise(0L)).as("fn"),
+        sum(when(col("id") >= nDocs && col("maybe_present"), 1L)
+          .otherwise(0L)).as("fp")).head()
+      assert(r.getLong(0) == 0L, s"${r.getLong(0)} false negatives (LAW)")
+      assert(r.getLong(1) < nDocs / 100,
+        s"fp rate ${r.getLong(1)}/$nDocs above 1%")
+      words.unpersist()
+    })
+
+    // round-15: TFRecord sink/source at 1M records × 64 shards — the
+    // framed-proto codec at volume; conservation checked on count and
+    // the exact id-sum (any dropped/duplicated/corrupt record breaks it).
+    time("tfrecord round-trip (1M records, 64 shards)")({
+      val dir = java.nio.file.Files.createTempDirectory("soak_tfr_")
+      val out = dir.toString + "/t"
+      ops.TfRecord.write(docs.select(col("doc_id"), col("text")), out, 64)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      val back = ops.TfRecord.read(spark, out, schema)
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("ids"),
+          sum(length(col("text"))).as("chars")).head()
+      val want = docs.agg(count(lit(1)), sum("doc_id"),
+        sum(length(col("text")))).head()
+      assert(back == want, s"tfrecord round-trip drifted: $back vs $want")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    })
+
     spark.stop()
   }
 }
