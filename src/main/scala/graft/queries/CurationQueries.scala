@@ -1053,7 +1053,151 @@ object CurationQueries {
            USING (doc_id)"""),
   )
 
+  /** Q261 [X]: CRAWL-DOOR CAPSTONE — the round-15 gates composed in
+    * production order over one URL stream: (1) robots.txt permission
+    * (q259's rule classes, longest-match through the REAL parser),
+    * (2) frontier NOVELTY (q258's Bloom filter built from the
+    * already-crawled cohort — crawled docs probe their own URL and come
+    * back seen), (3) payload MIME sniff through the real container
+    * writers (q256 — only `text/plain` enters the text pipeline), and
+    * (4) the per-host politeness cap (q245's partial-WindowGroupLimit
+    * row_number) applied to survivors of 1–3. Every stage's verdict is
+    * a column, so the output is the reviewed-before-crawl audit table.
+    * The twin composes the four stages' own twin forms — any drift in
+    * any stage, or in their ORDER (the cap counts only 1–3 survivors),
+    * breaks the hash.
+    */
+  val q261 = OracleQuery(
+    "q261_crawl_door",
+    (s, d) => {
+      import s.implicits._
+      val p = graft.ext.Bloom.Params()
+      val base = Tables.documents(s, d).select(col("doc_id"),
+        concat(lit("h"), (col("doc_id") % 12).cast("string")).as("host"),
+        concat(element_at(array(lit("/private/ok"), lit("/private/secret"),
+          lit("/private/graft1"), lit("/tmpfile"), lit("/public/page"),
+          lit("/docs/a/private9")), (col("doc_id") % 6).cast("int") + 1),
+          lit("/"), col("doc_id").cast("string")).as("path"))
+        .withColumn("url",
+          concat(lit("http://"), col("host"), lit(".test"), col("path")))
+      // (1) robots
+      val hosts = (0 until 12).map { hid =>
+        val content = hid % 4 match {
+          case 0 => "User-Agent: *\nDisallow: /private\n" +
+            "Allow: /private/ok$\nDisallow: /tmp*\n"
+          case 1 => "User-agent: *\nDisallow: /\n\n" +
+            "User-agent: graftbot\nAllow: /private/graft*\nDisallow: /\n"
+          case 2 => "# empty\n"
+          case _ => "User-agent: otherbot\nUser-agent: *\n" +
+            "Disallow: /docs*private\nAllow: /docs\n"
+        }
+        (s"h$hid", content)
+      }.toDF("host", "content")
+      val robots = graft.ext.Robots.allowed(base, "doc_id", "host", "path",
+        graft.ext.Robots.ruleTable(hosts, "host", "content", "graftbot"))
+        .select(col("doc_id"), col("allowed").as("robots_ok"))
+      // (2) frontier novelty
+      val words = graft.ext.Bloom.build(
+        base.filter(col("doc_id") % 5 === 4), "url", p)
+      val novel = graft.ext.Bloom.probe(base, "url", "doc_id", words, p)
+        .select(col("doc_id"), (!col("maybe_present")).as("novel"))
+      // (3) MIME sniff through the real writers (q256's payloads)
+      val mimeOk = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .map { id =>
+          val payload: Array[Byte] = (id % 8).toInt match {
+            case 0 => graft.ext.Containers.wavBytes(
+              Array.tabulate(16)(j => ((id + j) % 100).toInt))
+            case 1 => graft.ext.Containers.bmpBytes(
+              graft.ext.Multimodal.Frame(5, 3,
+                Array.tabulate(15)(i => ((id + i) % 256).toInt)))
+            case 2 => graft.ext.Containers.pngBytes(
+              graft.ext.Multimodal.Frame(4, 4,
+                Array.tabulate(16)(i => ((id * 7 + i) % 256).toInt)))
+            case 3 => graft.ext.Containers.jpegBytes(
+              graft.ext.Multimodal.Frame(8, 8,
+                Array.tabulate(64)(i => ((id + 3 * i) % 256).toInt)))
+            case 4 =>
+              val bos = new java.io.ByteArrayOutputStream()
+              val gz = new java.util.zip.GZIPOutputStream(bos)
+              gz.write(s"doc $id".getBytes("UTF-8")); gz.close()
+              bos.toByteArray
+            case 5 => s"plain text for doc $id".getBytes("US-ASCII")
+            case 6 => Array[Byte](0, -1, (id % 256).toByte, 42)
+            case _ => graft.ext.Containers.aviBytes(Seq(
+              graft.ext.Multimodal.Frame(4, 2,
+                Array.tabulate(8)(i => ((id + i) % 256).toInt))))
+          }
+          (id, graft.ext.Containers.sniffMime(payload) == "text/plain")
+        }.toDF("doc_id", "mime_ok")
+      // (4) per-host cap over survivors of 1–3
+      val gated = base.join(robots, "doc_id").join(novel, "doc_id")
+        .join(mimeOk, "doc_id")
+      val w = Window.partitionBy(col("host")).orderBy(col("doc_id"))
+      val capped = gated
+        .filter(col("robots_ok") && col("novel") && col("mime_ok"))
+        .withColumn("__rk", row_number().over(w))
+        .select(col("doc_id"), (col("__rk") <= 20).as("admitted"))
+      gated.join(capped, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("host"), col("robots_ok"), col("novel"),
+          col("mime_ok"), coalesce(col("admitted"), lit(false)).as("admitted"))
+    },
+    Some {
+      val p = graft.ext.Bloom.Params()
+      s"""WITH __keys AS (SELECT doc_id,
+                 'h' || CAST(doc_id % 12 AS VARCHAR) AS host,
+                 (doc_id % 12) % 4 AS hclass,
+                 CASE CAST(doc_id % 6 AS INT)
+                   WHEN 0 THEN '/private/ok' WHEN 1 THEN '/private/secret'
+                   WHEN 2 THEN '/private/graft1' WHEN 3 THEN '/tmpfile'
+                   WHEN 4 THEN '/public/page'
+                   ELSE '/docs/a/private9' END
+                   || '/' || CAST(doc_id AS VARCHAR) AS path
+               FROM documents),
+          u AS (SELECT *, 'http://' || host || '.test' || path AS url
+                FROM __keys),
+          rr AS (SELECT * FROM (VALUES
+                  (0, false, '/private', '/private%', 8),
+                  (0, true,  '/private/ok$$', '/private/ok', 12),
+                  (0, false, '/tmp*', '/tmp%', 5),
+                  (1, true,  '/private/graft*', '/private/graft%', 15),
+                  (1, false, '/', '/%', 1),
+                  (3, false, '/docs*private', '/docs%private%', 13),
+                  (3, true,  '/docs', '/docs%', 5)
+                ) v(hclass, allow, raw, pat, plen)),
+          rc AS (SELECT u.doc_id, rr.allow,
+                  row_number() OVER (PARTITION BY u.doc_id
+                    ORDER BY rr.plen DESC, rr.allow DESC, rr.raw ASC) AS rk
+                 FROM u JOIN rr ON u.hclass = rr.hclass
+                               AND u.path LIKE rr.pat),
+          rob AS (SELECT u.doc_id, COALESCE(rc.allow, true) AS robots_ok
+                  FROM u LEFT JOIN (SELECT doc_id, allow FROM rc
+                                    WHERE rk = 1) rc USING (doc_id)),
+          pos AS (${graft.ext.Bloom.posSql("url", p)
+          .replace("FROM __keys", "FROM u")}),
+          words AS (SELECT w, bit_or(mask) AS bits
+                    FROM pos JOIN ${graft.ext.Bloom.maskValuesSql}
+                      USING (bit)
+                    WHERE doc_id % 5 = 4 GROUP BY w),
+          nov AS (SELECT pos.doc_id,
+                    min(CASE WHEN (COALESCE(words.bits, 0) & mask.mask) <> 0
+                        THEN 1 ELSE 0 END) = 0 AS novel
+                  FROM pos LEFT JOIN words USING (w)
+                    JOIN ${graft.ext.Bloom.maskValuesSql} USING (bit)
+                  GROUP BY pos.doc_id),
+          g AS (SELECT u.doc_id, u.host, rob.robots_ok, nov.novel,
+                  CAST(doc_id % 8 AS INT) = 5 AS mime_ok
+                FROM u JOIN rob USING (doc_id) JOIN nov USING (doc_id)),
+          surv AS (SELECT doc_id,
+                    row_number() OVER (PARTITION BY host
+                      ORDER BY doc_id) <= 20 AS admitted
+                   FROM g WHERE robots_ok AND novel AND mime_ok)
+       SELECT g.doc_id, g.host, g.robots_ok, g.novel, g.mime_ok,
+              COALESCE(surv.admitted, false) AS admitted
+       FROM g LEFT JOIN surv USING (doc_id)"""
+    },
+  )
+
   val all: Seq[OracleQuery] = Seq(q59, q60, q61, q62, q63, q64, q65, q66,
     q67, q68, q69, q70, q71, q72, q73, q74, q164, q173, q179, q180, q195,
-    q220, q245, q247, q248, q252, q255, q258, q259)
+    q220, q245, q247, q248, q252, q255, q258, q259, q261)
 }
