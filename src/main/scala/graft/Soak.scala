@@ -1328,8 +1328,18 @@ object Soak {
       val novel = spark.range(nDocs).select((col("id") + nDocs).as("id"),
         concat(lit("http://h"), (col("id") % 50021).cast("string"),
           lit(".test/NOVEL/"), col("id").cast("string")).as("url"))
-      val probed = ext.Bloom.probe(crawled.unionByName(novel), "url", "id",
-        words, p)
+      // production probe shape: the filter densifies to a 2 MB array
+      // literal and the 2M-key probe is ONE narrow codegen'd pass — no
+      // explode, no join, no shuffle (the relational probe exists for
+      // the SQL twin; it pays a 15M-row shuffle here)
+      val dense = ext.Bloom.denseWords(words, p)
+      val probed = ext.Bloom.probeDense(crawled.unionByName(novel), "url",
+        "id", dense, p)
+      val spot = crawled.filter(col("id") % 4999 === 0)
+      val sa = ext.Bloom.probe(spot, "url", "id", words, p)
+      val sb = ext.Bloom.probeDense(spot, "url", "id", dense, p)
+      assert(sa.exceptAll(sb).count() == 0 && sb.exceptAll(sa).count() == 0,
+        "dense probe ≠ relational probe on the spot sample")
       val r = probed.agg(
         sum(when(col("id") < nDocs && !col("maybe_present"), 1L)
           .otherwise(0L)).as("fn"),

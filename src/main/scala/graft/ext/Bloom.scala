@@ -92,6 +92,54 @@ object Bloom {
       .groupBy(col(idCol), col(keyCol))
       .agg((min(col("__hit")) === 1).as("maybe_present"))
 
+  /** Densify a word table to the flat `Array[Long]` of all mBits/63
+    * words (absent = 0) — the PROBE-SIDE representation: the whole
+    * filter is mBits/8 bytes (2 MB at 2^24), i.e. a broadcast literal,
+    * not a relation. Bounded by construction; the require keeps a
+    * mis-sized call from materializing gigabytes on the driver.
+    */
+  def denseWords(words: DataFrame, p: Params): Array[Long] = {
+    require(p.mBits <= (1L << 30),
+      s"Bloom.denseWords: mBits=${p.mBits} too large to densify (> 2^30)")
+    val n = ((p.mBits + 62) / 63).toInt
+    val arr = new Array[Long](n)
+    words.select(col("w"), col("bits")).collect().foreach { r =>
+      arr(r.getLong(0).toInt) = r.getLong(1)
+    }
+    arr
+  }
+
+  /** Dense probe — the production shape for a stream probing a built
+    * filter: the word array rides along as ONE shared array literal and
+    * every check is codegen'd arithmetic (`element_at` + bitwiseAND on
+    * the k positions, b1/b2 computed once per row). NO explode, NO
+    * join, NO shuffle — a narrow map pass, unlike [[probe]] whose
+    * relational shape exists for the SQL twin and for filters too big
+    * to densify. Identical verdicts ([[BloomSpec]] pins dense ≡
+    * relational).
+    */
+  def probeDense(df: DataFrame, keyCol: String, idCol: String,
+      words: Array[Long], p: Params): DataFrame = {
+    require(words.length == ((p.mBits + 62) / 63).toInt,
+      s"Bloom.probeDense: word array length ${words.length} does not " +
+        s"match mBits=${p.mBits}")
+    val wlit = lit(words)
+    val b1 = TextHash.tokenHash63(col(keyCol)) % lit(p.mBits)
+    val b2 = (TextHash.tokenHash63(concat(col(keyCol), lit("|h2")))
+      % lit(2305843009213693952L)) * 2 + 1
+    val hit = (0 until p.k).map { i =>
+      val pos = pmod(col("__b1") + lit(i.toLong) * col("__b2"), lit(p.mBits))
+      (element_at(wlit, (pos / 63L).cast("int") + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L),
+          (pos % 63L).cast("int"))) =!= 0L)
+    }.reduce(_ && _)
+    df.select(col(idCol), col(keyCol))
+      .withColumn("__b1", b1)
+      .withColumn("__b2", b2 % lit(p.mBits))
+      .withColumn("maybe_present", hit)
+      .drop("__b1", "__b2")
+  }
+
   /** The DuckDB twin pieces — the same math, textually. `maskValues` is
     * the 63-row (bit, mask) literal table; [[posSql]] yields one row per
     * (input row, probe i) with columns w, bit.

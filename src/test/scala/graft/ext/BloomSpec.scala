@@ -63,4 +63,19 @@ class BloomSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Bloom.Params(mBits = 1000) }
     intercept[IllegalArgumentException] { Bloom.Params(k = 0) }
   }
+
+  test("probeDense ≡ relational probe, including which false positives") {
+    val p = Bloom.Params(mBits = 1L << 10, k = 3)
+    val words = Bloom.build(urls(0 until 200), "url", p).localCheckpoint()
+    val dense = Bloom.denseWords(words, p)
+    val cand = urls(0 until 1200)
+    val a = Bloom.probe(cand, "url", "id", words, p)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val b = Bloom.probeDense(cand, "url", "id", dense, p)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    b shouldBe a
+    intercept[IllegalArgumentException] {
+      Bloom.probeDense(cand, "url", "id", dense.take(3), p)
+    }
+  }
 }
