@@ -40,6 +40,12 @@ object Bloom {
   final case class Params(mBits: Long = 1L << 18, k: Int = 5) {
     require(mBits > 0 && (mBits & (mBits - 1)) == 0,
       s"Bloom: mBits=$mBits must be a power of two")
+    // 2^40 bits = 128 GiB of filter — far past any sane single filter
+    // (shard above that) and the bound under which every probe-position
+    // term is provably exact: i·b2 < 16·2^40 = 2^44 (no ANSI overflow)
+    // and positions stay below 2^53 (exact even through double math).
+    require(mBits <= (1L << 40),
+      s"Bloom: mBits=$mBits > 2^40 — shard the filter instead")
     require(k >= 1 && k <= 16, s"Bloom: k=$k out of range")
   }
 
@@ -57,7 +63,7 @@ object Bloom {
     val posArr = array((0 until p.k).map(i =>
       pmod(h1 + lit(i.toLong) * b2, lit(p.mBits))): _*)
     df.withColumn("__pos", explode(posArr))
-      .withColumn("w", (col("__pos") / 63L).cast("long"))
+      .withColumn("w", expr("__pos DIV 63")) // integer DIV — exact at any mBits
       .withColumn("bit", (col("__pos") % 63L).cast("int"))
       .drop("__pos")
   }
@@ -129,6 +135,8 @@ object Bloom {
       % lit(2305843009213693952L)) * 2 + 1
     val hit = (0 until p.k).map { i =>
       val pos = pmod(col("__b1") + lit(i.toLong) * col("__b2"), lit(p.mBits))
+      // double div is exact here: pos < mBits <= 2^40 (Params bound), so
+      // pos/63 carries ~2^-19 ulp error vs a >= 1/63 gap to any integer.
       (element_at(wlit, (pos / 63L).cast("int") + 1)
         .bitwiseAND(call_function("shiftleft", lit(1L),
           (pos % 63L).cast("int"))) =!= 0L)

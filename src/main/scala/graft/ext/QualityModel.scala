@@ -137,13 +137,23 @@ object QualityModel {
     val spark = scored.sparkSession
     import spark.implicits._
     val Scale = 1099511627776.0 // 2^40
+    // Binning is TOTAL over scores (standard isotonic extrapolation):
+    // block i owns [lo_i, lo_{i+1}) with the first lo at -inf and the
+    // last hi at +inf, so calibrating a cohort other than the one that
+    // produced the blocks — the normal production use of a calibrator —
+    // never silently drops rows. Same-cohort assignment is unchanged:
+    // an observed score s of block i has lo_i <= s <= hi_i < lo_{i+1}.
     val bdf = broadcast(blocks.zipWithIndex.map { case (b, i) =>
-      (i, b.lo, b.hi, b.n, b.np)
+      val lo = if (i == 0) Double.NegativeInfinity else b.lo
+      val hi = if (i == blocks.length - 1) Double.PositiveInfinity
+        else blocks(i + 1).lo
+      (i, lo, hi, b.n, b.np)
     }.toDF("bid", "lo", "hi", "bn", "bnp"))
     val rows = scored
       .select(col(sourceCol).as("src"), col(scoreCol).as("s"),
         label.cast("long").as("y"))
-      .join(bdf, col("s") >= col("lo") && col("s") <= col("hi"))
+      .join(bdf, col("s") >= col("lo") &&
+        (col("s") < col("hi") || col("hi") === Double.PositiveInfinity))
       .withColumn("p",
         col("bnp").cast("double") / col("bn").cast("double"))
     val brier = rows

@@ -65,6 +65,11 @@ object ShardSink {
       writePartition: (Int, java.io.OutputStream, Iterator[Row]) => Unit): Unit = {
     require(shards >= 1, s"$label: shards=$shards")
     val spark = df.sparkSession
+    // The delete-then-rename task commit is only safe with exactly one
+    // live attempt per partition: fail loudly instead of racing.
+    require(!spark.conf.get("spark.speculation", "false").toBoolean,
+      s"$label: writeSharded requires spark.speculation=false " +
+        "(delete-then-rename task commit races concurrent attempts)")
     val serConf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val root = new org.apache.hadoop.fs.Path(path)
@@ -92,7 +97,15 @@ object ShardSink {
         require(fs.rename(tmp, file),
           s"$label: could not commit $tmp to $file")
       }
-    // Job commit: the manifest names every shard (preflight checks it).
+    // Job commit. Every shard has committed by now, so any TmpPrefix
+    // survivor is dead-attempt debris (a task that died mid-write and
+    // was retried under a new attempt id): sweep it so one transient
+    // retry can't leave a preflight-poisoning temp next to a complete,
+    // manifest-listed corpus.
+    rootFs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith(TmpPrefix))
+      .foreach(rootFs.delete(_, false))
+    // The manifest names every shard (preflight checks it).
     val manifest = (0 until shards).map(shardName).mkString("", "\n", "\n")
     val mOut = rootFs.create(
       new org.apache.hadoop.fs.Path(root, SuccessMarker), true)

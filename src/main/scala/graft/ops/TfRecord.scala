@@ -272,7 +272,13 @@ object TfRecord {
 
   // ------------------------------------------------------ column mapping
 
-  private def rowFeat(dt: DataType, name: String, row: Row, i: Int): Feat =
+  private def rowFeat(dt: DataType, name: String, row: Row, i: Int): Feat = {
+    // tf.train.Example has no null encoding — refuse loudly by column
+    // name (the double-column refusal's discipline), not with a bare
+    // NullPointerException deep inside a write task.
+    if (row.isNullAt(i)) throw new IllegalArgumentException(
+      s"TfRecord: column '$name' is NULL — tf.train.Example has no null " +
+        "encoding; filter or coalesce before writing")
     dt match {
       case LongType => I64s(Seq(row.getLong(i)))
       case IntegerType => I64s(Seq(row.getInt(i).toLong))
@@ -293,6 +299,7 @@ object TfRecord {
       case other => throw new IllegalArgumentException(
         s"TfRecord: unsupported column type $other for '$name'")
     }
+  }
 
   private def featValue(dt: DataType, name: String, f: Feat): Any = {
     def one[T](vs: Seq[T]): T = {

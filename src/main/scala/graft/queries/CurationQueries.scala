@@ -861,8 +861,13 @@ object CurationQueries {
     dynOracle = () => CalCert.state.map { case (m, blocks) =>
       val Array(w1, w2, w3) = m.weights
       def dl(x: Double) = s"CAST('${java.lang.Double.toString(x)}' AS DOUBLE)"
+      // Same total-binning rule as calibratedReliability: block i owns
+      // [lo_i, lo_{i+1}), first lo = -inf, last hi = +inf.
       val values = blocks.zipWithIndex.map { case (b, i) =>
-        s"($i, ${dl(b.lo)}, ${dl(b.hi)})"
+        val lo = if (i == 0) Double.NegativeInfinity else b.lo
+        val hi = if (i == blocks.length - 1) Double.PositiveInfinity
+          else blocks(i + 1).lo
+        s"($i, ${dl(lo)}, ${dl(hi)})"
       }.mkString(", ")
       s"""WITH f AS (SELECT doc_id,
                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -882,11 +887,13 @@ object CurationQueries {
             vb(bid, lo, hi) AS (VALUES $values),
             b AS (SELECT vb.bid, CAST(count(*) AS BIGINT) AS bn,
                     CAST(sum(sc.y) AS BIGINT) AS bnp
-                  FROM sc JOIN vb ON sc.s >= vb.lo AND sc.s <= vb.hi
+                  FROM sc JOIN vb ON sc.s >= vb.lo
+                    AND (sc.s < vb.hi OR vb.hi = CAST('Infinity' AS DOUBLE))
                   GROUP BY 1),
             r AS (SELECT sc.source, sc.y, vb.bid,
                     CAST(b.bnp AS DOUBLE) / CAST(b.bn AS DOUBLE) AS p
-                  FROM sc JOIN vb ON sc.s >= vb.lo AND sc.s <= vb.hi
+                  FROM sc JOIN vb ON sc.s >= vb.lo
+                    AND (sc.s < vb.hi OR vb.hi = CAST('Infinity' AS DOUBLE))
                        JOIN b ON b.bid = vb.bid),
             br AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
                      sum(CAST(floor((p - CAST(y AS DOUBLE)) *
