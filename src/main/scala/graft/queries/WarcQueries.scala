@@ -450,5 +450,70 @@ object WarcQueries {
             FROM documents"""),
   )
 
-  val all: Seq[OracleQuery] = Seq(q236, q237, q238, q243, q244, q246, q254)
+  /** The chrome-rich page q262 wraps each doc's text in — shared
+    * literal PIECES build both the Column and the SQL `||` chain, so
+    * the two cannot drift. Every boilerplate class is planted: nav
+    * list items (short), a link-wall block and a link-dense footer
+    * (nav by link density), a heading (short), a script whose CONTENT
+    * is a high-stopword fake `<p>` block (must vanish whole — if the
+    * script survived to the splitter it would fabricate a `good`
+    * block and shift every count), and two content blocks carrying
+    * the doc's own text (classified good/low by the doc's own
+    * stopword density — the gate discriminates per document, it is
+    * not a fixture constant). No piece contains a single quote (they
+    * ride inside SQL string literals).
+    */
+  private val Cp0 = "<html><head><title>Doc "
+  private val Cp1 = "</title><style>p { margin: 0 }</style></head><body>" +
+    "<nav><ul><li><a href=\"/\">Home</a></li>" +
+    "<li><a href=\"/about\">About</a></li></ul>" +
+    "<p><a href=\"/arch\">Archive of older articles</a> " +
+    "<a href=\"/cat\">Catalog of all products</a> " +
+    "<a href=\"/dir\">Directory of member pages</a></p></nav>" +
+    "<h1>Doc overview page</h1><p>"
+  private val Cp2 = "</p><script>var x = \"<p>the the the of of it is a " +
+    "long fake block of text</p>\";</script><div>"
+  private val Cp3 = " &amp; the end of it</div><footer><p>" +
+    "<a href=\"/privacy\">Privacy policy and terms</a> " +
+    "<a href=\"/imprint\">Imprint plus legal notice text</a> (c)</p>" +
+    "</footer></body></html>"
+
+  /** Q262 [X curation]: MAIN-CONTENT EXTRACTION
+    * ([[graft.ext.MainContent]]) — the jusText-style block-level
+    * boilerplate classifier between q243's whole-page strip and the
+    * corpus: split on block tags, classify each block by clean
+    * length, link density (integer cross-multiplied), and stopword
+    * density, keep the content blocks in document order. The twin
+    * replays the full recipe (same split regex, same cleanup chain,
+    * same integer comparisons) over the same reconstructed page, so
+    * the hash match certifies splitting, anchor-span accounting,
+    * per-block tokenization, classification, AND the ordered
+    * reassembly — per document, against chrome planted to trip each
+    * rule.
+    */
+  val q262 = OracleQuery(
+    "q262_main_content",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val id = col("doc_id").cast("string")
+      val len = length(col("text"))
+      val h = (len / lit(2)).cast("int")
+      val page = concat(lit(Cp0), id, lit(Cp1),
+        substring(col("text"), lit(1), h), lit(Cp2),
+        substring(col("text"), h + 1, len - h), lit(Cp3))
+      graft.ext.MainContent.extract(docs, "doc_id", page)
+    },
+    Some {
+      val page = s"'$Cp0' || CAST(doc_id AS VARCHAR) || '$Cp1' || " +
+        "substring(text, 1, length(text) // 2) || " +
+        s"'$Cp2' || " +
+        "substring(text, length(text) // 2 + 1, " +
+        "length(text) - length(text) // 2) || " +
+        s"'$Cp3'"
+      graft.ext.MainContent.extractSql("documents", "doc_id", page)
+    },
+  )
+
+  val all: Seq[OracleQuery] =
+    Seq(q236, q237, q238, q243, q244, q246, q254, q262)
 }
