@@ -37,18 +37,43 @@ object Robots {
     */
   final case class Rule(agents: Seq[String], allow: Boolean, raw: String)
 
+  /** One group's `Crawl-delay`, in MILLISECONDS (exact integer — no
+    * float seconds ride through the engine; values carry ≤ 3 decimal
+    * places, the rest are malformed and ignored).
+    */
+  final case class GroupDelay(agents: Seq[String], delayMs: Long)
+
+  /** Everything a robots.txt body yields: the per-group Allow/Disallow
+    * rules, per-group crawl-delays, the GLOBAL `Sitemap:` URLs (the
+    * sitemaps protocol scopes them to the file, not to a group), and
+    * every agent token that started a group (for group-existence
+    * checks).
+    */
+  final case class RobotsFile(rules: Seq[Rule], delays: Seq[GroupDelay],
+    sitemaps: Seq[String], agentsSeen: Set[String])
+
+  private val DelayValue = "^([0-9]{1,7})(?:\\.([0-9]{1,3}))?$".r
+
   /** Parse one robots.txt body. Directives are case-insensitive;
     * `#` comments and unknown directives are ignored; consecutive
-    * `User-agent` lines stack into one group; an `Allow:`/`Disallow:`
-    * with an EMPTY value is "no rule" per the RFC (an empty Disallow
-    * historically means allow-all), so it is dropped; rules before any
+    * `User-agent` lines stack into one group (ANY other directive
+    * closes the stack); an `Allow:`/`Disallow:` with an EMPTY value is
+    * "no rule" per the RFC (an empty Disallow historically means
+    * allow-all), so it is dropped; group directives before any
     * `User-agent` line are ignored (they belong to no group).
+    * `Crawl-delay` values are decimal seconds with up to 3 fraction
+    * digits, kept as exact milliseconds; a later delay in the same
+    * group overrides an earlier one only at selection time (both rows
+    * are emitted; consumers take the max — the conservative read).
     */
-  def parse(content: String): Seq[Rule] = {
-    val out = Seq.newBuilder[Rule]
+  def parseFull(content: String): RobotsFile = {
+    val rules = Seq.newBuilder[Rule]
+    val delays = Seq.newBuilder[GroupDelay]
+    val sitemaps = Seq.newBuilder[String]
+    val seen = Set.newBuilder[String]
     var agents = Vector.empty[String]
     var inRules = false // false while stacking consecutive UA lines
-    content.split("\n", -1).foreach { line0 =>
+    (if (content == null) "" else content).split("\n", -1).foreach { line0 =>
       val line = line0.takeWhile(_ != '#').trim
       val ci = line.indexOf(':')
       if (ci > 0) {
@@ -58,18 +83,36 @@ object Robots {
         directive match {
           case "user-agent" =>
             if (inRules) { agents = Vector.empty; inRules = false }
-            if (value.nonEmpty)
-              agents = agents :+ value.toLowerCase(java.util.Locale.ROOT)
+            if (value.nonEmpty) {
+              val tok = value.toLowerCase(java.util.Locale.ROOT)
+              agents = agents :+ tok
+              seen += tok
+            }
           case "allow" | "disallow" =>
             inRules = true
             if (agents.nonEmpty && value.nonEmpty)
-              out += Rule(agents, directive == "allow", value)
+              rules += Rule(agents, directive == "allow", value)
+          case "crawl-delay" =>
+            inRules = true
+            if (agents.nonEmpty) value match {
+              case DelayValue(ip, fp) =>
+                val frac = Option(fp).getOrElse("").padTo(3, '0')
+                delays += GroupDelay(agents, ip.toLong * 1000L + frac.toLong)
+              case _ => // malformed value — ignored like an unknown line
+            }
+          case "sitemap" =>
+            inRules = true // closes UA stacking like any non-UA line
+            if (value.nonEmpty) sitemaps += value
           case _ => inRules = true // unknown directive closes UA stacking
         }
       }
     }
-    out.result()
+    RobotsFile(rules.result(), delays.result(), sitemaps.result(),
+      seen.result())
   }
+
+  /** The Allow/Disallow rules of a body (the original surface). */
+  def parse(content: String): Seq[Rule] = parseFull(content).rules
 
   /** robots pattern → SQL LIKE pattern (see object doc). */
   def likePattern(raw: String): String = {
@@ -106,6 +149,49 @@ object Robots {
             (host, r.allow, r.raw, likePattern(r.raw), r.raw.length))
         }
     rules.toDF(hostCol, "allow", "raw", "pat", "plen")
+  }
+
+  /** Per-host POLITENESS SCHEDULE for one crawler token:
+    * (hostCol, delay_ms). Group selection is strict RFC "my group OR
+    * the * group, never both", decided by group EXISTENCE
+    * ([[RobotsFile.agentsSeen]]): if ANY group names `agent`, only
+    * those groups' delays apply — a token-specific group WITHOUT a
+    * crawl-delay means "no delay directive for me", not "inherit the
+    * * group's". Multiple selected delays take the MAX (the
+    * conservative read). Hosts with no applicable delay emit no row —
+    * the consumer coalesces its own default.
+    */
+  def delayTable(robots: DataFrame, hostCol: String, contentCol: String,
+      agent: String): DataFrame = {
+    val spark = robots.sparkSession
+    import spark.implicits._
+    val tok = agent.toLowerCase(java.util.Locale.ROOT)
+    robots.select(col(hostCol).cast("string"), col(contentCol))
+      .as[(String, String)]
+      .flatMap { case (host, content) =>
+        val f = parseFull(content)
+        val chosen =
+          if (f.agentsSeen.contains(tok)) f.delays.filter(_.agents.contains(tok))
+          else f.delays.filter(_.agents.contains("*"))
+        if (chosen.isEmpty) None
+        else Some((host, chosen.map(_.delayMs).max))
+      }
+      .toDF(hostCol, "delay_ms")
+  }
+
+  /** Per-host sitemap URLs (hostCol, sitemap) in file order — GLOBAL
+    * per the sitemaps protocol, independent of any agent group.
+    */
+  def sitemapTable(robots: DataFrame, hostCol: String,
+      contentCol: String): DataFrame = {
+    val spark = robots.sparkSession
+    import spark.implicits._
+    robots.select(col(hostCol).cast("string"), col(contentCol))
+      .as[(String, String)]
+      .flatMap { case (host, content) =>
+        parseFull(content).sitemaps.map(u => (host, u))
+      }
+      .toDF(hostCol, "sitemap")
   }
 
   /** Gate URLs: per (id, host, path), `allowed` by RFC 9309

@@ -1204,7 +1204,102 @@ object CurationQueries {
     },
   )
 
+  /** Q263 [X]: POLITENESS SCHEDULE + SITEMAP FRONTIER SEEDING — the
+    * operational rest of RFC 9309 beside q259's permission gate. Each
+    * host's robots body carries a `Crawl-delay` landscape chosen to
+    * trip every selection rule ([[graft.ext.Robots.delayTable]]): a
+    * plain `*` delay (class 0 → 2000 ms), a graftbot group that must
+    * OVERRIDE the `*` group's 10 s with its own 0.5 s (class 1 →
+    * 500 ms), no file (class 2 → consumer default), and — the subtle
+    * one — a graftbot group WITHOUT a delay next to a `*` group WITH
+    * one (class 3): my-group-exists means the `*` delay must NOT
+    * apply (→ default). Each host also publishes a sitemap
+    * ([[graft.ext.Sitemaps]]) listing its docs (gzipped on odd hosts),
+    * parsed back by the real StAX reader; the per-host fetch schedule
+    * assigns slot (rank−1)·delay. The twin recomputes everything from
+    * `documents` arithmetic — a wrong delay parse, a broken group
+    * rule, a dropped/mangled sitemap entry (lastmod/priority ride
+    * verbatim), or a bad schedule all break the hash.
+    */
+  val q263 = OracleQuery(
+    "q263_politeness_sitemap",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val robots = (0 until 12).map { hid =>
+        val content = hid % 4 match {
+          case 0 => "User-Agent: *\nCrawl-delay: 2\nDisallow: /private\n" +
+            s"Sitemap: http://h$hid.test/sitemap.xml\n"
+          case 1 => "User-agent: *\nCrawl-delay: 10\n\n" +
+            "User-agent: graftbot\nCrawl-delay: 0.5\nDisallow: /\n"
+          case 2 => "# no directives here\n"
+          case _ => "User-agent: graftbot\nDisallow: /x\n\n" +
+            "User-agent: *\nCrawl-delay: 7\n"
+        }
+        (s"h$hid", content)
+      }.toDF("host", "content")
+      val delays = graft.ext.Robots.delayTable(
+        robots, "host", "content", "GraftBot")
+      val maps = graft.ext.Robots.sitemapTable(robots, "host", "content")
+        .groupBy("host").agg(count(lit(1)).as("n_maps"))
+      val bodies = docs
+        .select(col("doc_id"), (col("doc_id") % 12).cast("int").as("hid"))
+        .as[(Long, Int)]
+        .groupByKey(_._2)
+        .mapGroups { (hid, it) =>
+          val ids = it.map(_._1).toSeq.sorted
+          val sb = new StringBuilder(
+            "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+              "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n")
+          ids.foreach { id =>
+            sb.append("<url><loc>http://h").append(hid)
+              .append(".test/p/").append(id)
+              .append("</loc><lastmod>2026-01-")
+              .append("%02d".format(id % 28 + 1))
+              .append("</lastmod><priority>0.").append(id % 10)
+              .append("</priority></url>\n")
+          }
+          sb.append("</urlset>\n")
+          val raw = sb.toString.getBytes("UTF-8")
+          val gz = hid % 2 == 1
+          (s"h$hid", if (gz) graft.ext.Sitemaps.gzip(raw) else raw, gz)
+        }
+        .toDF("host", "body", "gz")
+      graft.ext.Sitemaps.seeds(bodies, "host", "body", "gz")
+        .filter(col("kind") === "url")
+        .withColumn("doc_id",
+          regexp_extract(col("loc"), "/p/([0-9]+)$", 1).cast("long"))
+        .join(delays, Seq("host"), "left")
+        .join(maps, Seq("host"), "left")
+        .withColumn("delay_ms", coalesce(col("delay_ms"), lit(1000L)))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("host")).orderBy(col("doc_id"))))
+        .select(col("doc_id"), col("host"), col("lastmod"), col("priority"),
+          col("delay_ms"),
+          ((col("__rn") - 1) * col("delay_ms")).cast("long").as("sched_ms"),
+          coalesce(col("n_maps"), lit(0L)).as("n_maps"))
+    },
+    Some("""WITH u AS (SELECT doc_id,
+                   'h' || CAST(doc_id % 12 AS VARCHAR) AS host,
+                   (doc_id % 12) % 4 AS hc
+                 FROM documents),
+            dl AS (SELECT *, CASE hc WHEN 0 THEN 2000 WHEN 1 THEN 500
+                              ELSE 1000 END AS delay_ms
+                   FROM u),
+            r AS (SELECT *, row_number() OVER (PARTITION BY host
+                              ORDER BY doc_id) AS rn
+                  FROM dl)
+         SELECT doc_id, host,
+                '2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                  AS lastmod,
+                '0.' || CAST(doc_id % 10 AS VARCHAR) AS priority,
+                CAST(delay_ms AS BIGINT) AS delay_ms,
+                CAST((rn - 1) * delay_ms AS BIGINT) AS sched_ms,
+                CAST(CASE WHEN hc = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_maps
+         FROM r"""),
+  )
+
   val all: Seq[OracleQuery] = Seq(q59, q60, q61, q62, q63, q64, q65, q66,
     q67, q68, q69, q70, q71, q72, q73, q74, q164, q173, q179, q180, q195,
-    q220, q245, q247, q248, q252, q255, q258, q259, q261)
+    q220, q245, q247, q248, q252, q255, q258, q259, q261, q263)
 }
