@@ -60,10 +60,17 @@ object Bpe {
   /** Learn the top `k` merges. Returns (rank, s1, s2, merged, cnt) in
     * merge order; stops early if the vocab runs out of pairs.
     */
-  def train(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+  def train(docs: DataFrame, textCol: String, k: Int): DataFrame =
+    trainFromVocab(initialVocab(docs, textCol), k)
+
+  /** The merge loop over ANY (sym, f) initial vocab — the shared core
+    * of char-level [[train]] and byte-level [[ByteBpe.train]] (the two
+    * differ only in how a word becomes its base symbols).
+    */
+  def trainFromVocab(vocab0: DataFrame, k: Int): DataFrame = {
     require(k > 0, s"Bpe.train: k=$k")
-    val spark = docs.sparkSession
-    var vocab = initialVocab(docs, textCol).localCheckpoint()
+    val spark = vocab0.sparkSession
+    var vocab = vocab0.localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, String, Long)]
     var exhausted = false

@@ -1681,10 +1681,69 @@ object TrainQueries {
     },
   )
 
+  /** Q264 [X train-prep]: BYTE-LEVEL BPE ([[graft.ext.ByteBpe]] — the
+    * GPT-2 tokenizer shape) trained and applied on a corpus AUGMENTED
+    * with multi-byte UTF-8 words (per-doc `caf` + 0–2 `é`, and `中a中`
+    * or `ñb` by parity), so the byte remap, cross-byte merges, and the
+    * no-UNK property all carry real weight. The certificate records
+    * the learned merges; the twin re-derives every count with a
+    * DIFFERENT remap mechanism — the fixture's non-ASCII characters
+    * replaced by their KNOWN GPT-2 byte expansions (`é`→`Ã©`,
+    * `ñ`→`Ã±`, `中`→`ä¸Ń`; printable ASCII is identity under
+    * bytes_to_unicode) — then replays the two-pass merge chain. A
+    * wrong byte mapping, a merge applied out of order, or a broken
+    * multi-byte split all break the hash. `ByteBpeSpec` pins the
+    * remap bijection and the char-vs-byte divergence by hand.
+    */
+  private object ByteBpeCert {
+    @volatile var merges: Option[Seq[(String, String)]] = None
+  }
+  private val ByteBpeAugSql =
+    "text || ' caf' || repeat('é', CAST(doc_id % 3 AS INT)) || ' ' || " +
+      "CASE WHEN doc_id % 2 = 1 THEN '中a中' ELSE 'ñb' END"
+  val q264 = OracleQuery(
+    "q264_byte_bpe",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val aug = docs.select(col("doc_id"),
+        concat(col("text"), lit(" caf"),
+          call_function("repeat", lit("é"), (col("doc_id") % 3).cast("int")),
+          lit(" "),
+          when(col("doc_id") % 2 === 1, lit("中a中")).otherwise(lit("ñb")))
+          .as("t"))
+      val ms = graft.ext.ByteBpe.train(aug, "t", k = 12).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      ByteBpeCert.merges = Some(ms)
+      graft.ext.ByteBpe.tokenCounts(aug, "doc_id", "t", ms)
+        .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"))
+    },
+    None,
+    dynOracle = () => ByteBpeCert.merges.map { ms =>
+      def q(lit: String) = "'" + lit.replace("'", "''") + "'"
+      val remapped = "replace(replace(replace(w, 'é', 'Ã©'), " +
+        "'ñ', 'Ã±'), '中', 'ä¸Ń')"
+      val chain = ms.foldLeft(
+        s"' ' || array_to_string(string_split($remapped, ''), ' ') || ' '") {
+        case (e, (s1, s2)) =>
+          val (pat, rep) = (q(s" $s1 $s2 "), q(s" $s1$s2 "))
+          s"replace(replace($e, $pat, $rep), $pat, $rep)"
+      }
+      s"""WITH aug AS (SELECT doc_id, $ByteBpeAugSql AS t FROM documents),
+            toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS w
+                     FROM aug),
+            wds AS (SELECT DISTINCT w FROM toks),
+            enc AS MATERIALIZED (SELECT w,
+                  len(string_split(trim($chain), ' ')) AS n_sym FROM wds)
+         SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                CAST(sum(e.n_sym) AS BIGINT) AS n_bpe_tokens
+         FROM toks t JOIN enc e USING (w) GROUP BY 1"""
+    },
+  )
+
   val all: Seq[OracleQuery] =
     Seq(q41, q42, q42b, q43, q44, q45, q46, q47, q48, q49, q50,
       q53, q54, q55, q56, q57, q120, q121, q122, q123, q124, q125, q126,
       q127, q128, q129, q130, q131, q132, q134, q137, q138, q140, q141,
       q142, q153, q154, q163, q165, q166, q167, q209, q210, q211, q218,
-      q239, q240, q241, q249, q250, q251)
+      q239, q240, q241, q249, q250, q251, q264)
 }
