@@ -344,6 +344,107 @@ object Packing {
               off + n <= (window_id + 1) * $budget AS is_doc_end
        FROM f"""
 
+  /** FIRST-FIT-DECREASING sequence packing — the padding-minimizing
+    * alternative to [[packSequences]]'s concat-and-chop for trainers
+    * that cannot mask attention across documents: no document is ever
+    * split; each lands whole in one fixed-`budget` sequence, and the
+    * classic FFD greedy (items by length descending, each into the
+    * lowest-numbered bin it fits — a new bin is just the first empty
+    * one, so bins number in open order) keeps the padding waste within
+    * the textbook 11/9·OPT+6/9 bound.
+    *
+    * FFD is inherently sequential, so the distributed form is
+    * PER-BUCKET: the caller pre-buckets the corpus (source shards,
+    * octet groups — any deterministic bounded grouping), each bucket
+    * packs independently inside one `flatMapGroups` task, and
+    * cross-bucket parallelism is the scale axis (the [[packShards]]
+    * argument: a single global FFD would serialize 100 TB through one
+    * state). Determinism: items sort by (len DESC, id ASC) — a total
+    * order.
+    *
+    * Output (groupCol, idCol, n_tok, seq_id, off): bin index in open
+    * order per bucket and the document's token offset within its bin.
+    * Documents longer than `budget` are refused loudly (chop first —
+    * [[graft.ext.Chunker]]); zero/negative lengths likewise.
+    */
+  def ffdPack(df: DataFrame, idCol: String, groupCol: String,
+      nTok: Column, budget: Long): DataFrame = {
+    require(budget > 0, s"ffdPack: budget=$budget")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(groupCol).cast("string"), col(idCol).cast("long"),
+        nTok.cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (g, it) =>
+        val items = it.map(t => (t._2, t._3)).toVector
+        items.foreach { case (id, len) =>
+          require(len > 0 && len <= budget,
+            s"ffdPack: item $id has n_tok=$len outside (0, $budget] — " +
+              "chop oversized documents before packing")
+        }
+        val sorted = items.sortBy { case (id, len) => (-len, id) }
+        val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+        sorted.map { case (id, len) =>
+          val j = fills.indexWhere(_ + len <= budget)
+          val bin = if (j < 0) { fills += 0L; fills.length - 1 } else j
+          val off = fills(bin)
+          fills(bin) += len
+          (g, id, len, bin.toLong, off)
+        }
+      }
+      .toDF(groupCol, idCol, "n_tok", "seq_id", "off")
+  }
+
+  /** DuckDB twin builder for [[ffdPack]] over buckets of at most
+    * `maxItems` documents: the greedy is UNROLLED — one CTE per rank,
+    * carrying the ≤ `maxItems` bin fills as columns (the q240
+    * bounded-DP discipline), with DuckDB's lateral column aliases
+    * picking the first fitting bin. `itemsCte` must expose
+    * (bucket, doc_id, n_tok); emits the final
+    * (bucket, doc_id, n_tok, seq_id, off) select.
+    */
+  def ffdPackSql(itemsCte: String, budget: Long, maxItems: Int): String = {
+    require(maxItems >= 1 && maxItems <= 16,
+      s"ffdPackSql: maxItems=$maxItems out of the unrollable range")
+    val ks = 1 to maxItems
+    val pivot = ks.map(k =>
+      s"max(CASE WHEN k = $k THEN doc_id END) AS id$k,\n" +
+        s"           max(CASE WHEN k = $k THEN n_tok END) AS l$k")
+      .mkString(",\n           ")
+    val f0 = ks.map(k => s"CAST(0 AS BIGINT) AS f0_$k").mkString(", ")
+    val steps = ks.map { i =>
+      val prev = i - 1
+      val bin = ks.map(j => s"WHEN f${prev}_$j + l$i <= $budget THEN $j")
+        .mkString(" ")
+      val fills = ks.map(j =>
+        s"CASE WHEN b$i = $j THEN f${prev}_$j + l$i ELSE f${prev}_$j END " +
+          s"AS f${i}_$j").mkString(",\n             ")
+      val off = ks.map(j => s"WHEN b$i = $j THEN f${prev}_$j")
+        .mkString(" ")
+      s"""st$i AS (SELECT *,
+             CASE WHEN l$i IS NULL THEN NULL $bin END AS b$i,
+             CASE $off END AS o$i,
+             $fills
+           FROM st$prev)"""
+    }.mkString(",\n          ")
+    val unpivot = ks.map(i =>
+      s"""SELECT bucket, id$i AS doc_id, l$i AS n_tok,
+              CAST(b$i - 1 AS BIGINT) AS seq_id, o$i AS off
+         FROM st$maxItems WHERE id$i IS NOT NULL""").mkString(
+      "\n          UNION ALL\n          ")
+    s"""WITH $itemsCte,
+          srt AS (SELECT *, row_number() OVER (PARTITION BY bucket
+                    ORDER BY n_tok DESC, doc_id) AS k
+                  FROM items),
+          st0 AS (SELECT bucket,
+           $pivot,
+           $f0
+                  FROM srt GROUP BY bucket),
+          $steps
+       $unpivot"""
+  }
+
   def topKConcat(df: DataFrame, groupCol: String, order: Seq[Column],
       payload: Column, k: Int, sep: String): DataFrame = {
     val w = Window.partitionBy(groupCol).orderBy(order: _*)

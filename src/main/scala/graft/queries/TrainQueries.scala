@@ -1740,10 +1740,49 @@ object TrainQueries {
     },
   )
 
+  /** Q265 [X train-prep]: FIRST-FIT-DECREASING sequence packing
+    * ([[graft.ext.Packing.ffdPack]]) — the padding-minimizing,
+    * never-split-a-document alternative to q140/q211's concat-and-chop:
+    * per-source octet buckets (row_number DIV 8 — deterministic,
+    * bounded, the distributed FFD shape), greedy first-fit over
+    * length-descending docs into 160-token sequences. The twin UNROLLS
+    * the greedy — 8 CTE steps carrying all 8 bin fills as columns
+    * ([[graft.ext.Packing.ffdPackSql]], the q240 bounded-DP
+    * discipline) — so the hash match certifies the sort order, every
+    * first-fit decision, bin open order, and intra-bin offsets, not
+    * just aggregate fill. `TrainOpsSpec` pins validity, determinism,
+    * and the padding-vs-baseline win.
+    */
+  val q265 = OracleQuery(
+    "q265_ffd_pack",
+    (s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        size(graft.ext.Dedup.tokens(col("text"))).cast("long").as("n_tok"))
+      val bucketed = base
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("source").orderBy("doc_id")))
+        .withColumn("bucket", concat(col("source"), lit("#"),
+          expr("CAST((__rn - 1) DIV 8 AS STRING)")))
+      graft.ext.Packing.ffdPack(
+        bucketed, "doc_id", "bucket", col("n_tok"), budget = 160L)
+    },
+    Some(graft.ext.Packing.ffdPackSql(
+      """items AS (SELECT doc_id,
+               source || '#' || CAST((rn - 1) // 8 AS VARCHAR) AS bucket,
+               n_tok
+             FROM (SELECT doc_id, source,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY doc_id) AS rn
+                   FROM documents))""",
+      budget = 160L, maxItems = 8)),
+  )
+
   val all: Seq[OracleQuery] =
     Seq(q41, q42, q42b, q43, q44, q45, q46, q47, q48, q49, q50,
       q53, q54, q55, q56, q57, q120, q121, q122, q123, q124, q125, q126,
       q127, q128, q129, q130, q131, q132, q134, q137, q138, q140, q141,
       q142, q153, q154, q163, q165, q166, q167, q209, q210, q211, q218,
-      q239, q240, q241, q249, q250, q251, q264)
+      q239, q240, q241, q249, q250, q251, q264, q265)
 }

@@ -1016,4 +1016,53 @@ class TrainOpsSpec extends SparkSpec {
     deduped.queryExecution.executedPlan.toString should
       include("WindowGroupLimit")
   }
+
+  test("ffdPack: hand-pinned greedy — order, exact-fit, open order, offsets") {
+    // C=160, lens desc: 100,60,50,40,30 → bin0=[100,60] (exact fit),
+    // bin1=[50,40,30]
+    val df = Seq((1L, 100L), (2L, 60L), (3L, 50L), (4L, 40L), (5L, 30L))
+      .toDF("id", "nt").withColumn("grp", lit("g"))
+    val got = Packing.ffdPack(df, "id", "grp", $"nt", 160L)
+      .collect().map(r => r.getLong(1) -> (r.getLong(3), r.getLong(4)))
+      .toMap
+    got shouldBe Map(1L -> (0L, 0L), 2L -> (0L, 100L),
+      3L -> (1L, 0L), 4L -> (1L, 50L), 5L -> (1L, 90L))
+  }
+
+  test("ffdPack: valid, deterministic, and beats one-doc-per-seq padding") {
+    val df = (1L to 200L).map(i => (i, 10L + (i * 37) % 90, s"g${i % 4}"))
+      .toDF("id", "nt", "grp")
+    val C = 128L
+    val out = Packing.ffdPack(df, "id", "grp", $"nt", C)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    out.length shouldBe 200
+    // validity: per (grp, seq) fills within budget, offsets contiguous
+    out.groupBy(t => (t._1, t._4)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._5)
+      sorted.map(_._3).sum should be <= C
+      sorted.foldLeft(0L) { case (expOff, (_, _, nt, _, off)) =>
+        off shouldBe expOff; expOff + nt
+      }
+    }
+    // determinism: a second run is identical
+    Packing.ffdPack(df, "id", "grp", $"nt", C)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sorted shouldBe out.sorted
+    // padding beats the no-split baseline (one doc per sequence) and
+    // bins meet the volume lower bound
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val bins = rows.map(_._4).distinct.length
+      val total = rows.map(_._3).sum
+      bins should be >= ((total + C - 1) / C).toInt
+      bins should be < rows.length // strictly fewer seqs than docs
+    }
+    // oversize and nonpositive items are refused loudly
+    an[Exception] should be thrownBy Packing.ffdPack(
+      Seq((1L, 200L, "g")).toDF("id", "nt", "grp"), "id", "grp", $"nt", C)
+      .collect()
+    an[Exception] should be thrownBy Packing.ffdPack(
+      Seq((1L, 0L, "g")).toDF("id", "nt", "grp"), "id", "grp", $"nt", C)
+      .collect()
+  }
 }
