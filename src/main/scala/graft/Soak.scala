@@ -1351,6 +1351,53 @@ object Soak {
       words.unpersist()
     })
 
+    // round-16: SHARDED Bloom frontier at m = 2^32 total bits (16
+    // shards × 2^28) — past the single-broadcast dense cap, the
+    // billions-of-URLs form. The probe is ONE co-partitioned cogroup
+    // shuffle of the 2M probe rows (each carrying its k positions —
+    // never the k-exploded join), and each task densifies only its own
+    // 34 MB shard. Laws: word rows bounded by inserted positions (not
+    // by m), zero false negatives, novel FP ≈ 0 at this density, and
+    // the cogroup's task-local arithmetic ≡ the per-shard relational
+    // probe on a spot sample.
+    time("sharded bloom frontier (2^32 bits, 16 shards, 1M/2M)")({
+      val S = 16
+      val p = ext.Bloom.Params(mBits = 1L << 28, k = 5)
+      val crawled = spark.range(nDocs).select(col("id"),
+        concat(lit("http://h"), (col("id") % 50021).cast("string"),
+          lit(".test/p/"), col("id").cast("string")).as("url"))
+      val words = ext.Bloom.buildSharded(crawled, "url", S, p).cache()
+      val wc = words.count()
+      assert(wc <= nDocs * p.k,
+        s"sharded word table $wc exceeds the inserted-position bound")
+      val novel = spark.range(nDocs).select((col("id") + nDocs).as("id"),
+        concat(lit("http://h"), (col("id") % 50021).cast("string"),
+          lit(".test/NOVEL/"), col("id").cast("string")).as("url"))
+      val probed = ext.Bloom.probeSharded(
+        crawled.unionByName(novel), "url", "id", words, S, p)
+      val r = probed.agg(
+        sum(when(col("id") < nDocs && !col("maybe_present"), 1L)
+          .otherwise(0L)).as("fn"),
+        sum(when(col("id") >= nDocs && col("maybe_present"), 1L)
+          .otherwise(0L)).as("fp")).head()
+      assert(r.getLong(0) == 0L, s"${r.getLong(0)} false negatives (LAW)")
+      assert(r.getLong(1) < nDocs / 100,
+        s"fp rate ${r.getLong(1)}/$nDocs above 1%")
+      // spot sample: cogroup verdicts ≡ per-shard relational probes
+      val spot = crawled.filter(col("id") % 4999 === 0)
+        .withColumn("s", ext.Bloom.shardOf(col("url"), S)).cache()
+      val sa = ext.Bloom.probeSharded(spot, "url", "id", words, S, p)
+        .select("id", "maybe_present")
+      val sb = (0 until S).map { sh =>
+        ext.Bloom.probe(spot.filter(col("s") === sh), "url", "id",
+          words.filter(col("s") === sh).drop("s"), p)
+          .select("id", "maybe_present")
+      }.reduce(_.unionByName(_))
+      assert(sa.exceptAll(sb).count() == 0 && sb.exceptAll(sa).count() == 0,
+        "sharded cogroup probe ≠ per-shard relational probe on the sample")
+      spot.unpersist(); words.unpersist()
+    })
+
     // round-15: TFRecord sink/source at 1M records × 64 shards — the
     // framed-proto codec at volume; conservation checked on count and
     // the exact id-sum (any dropped/duplicated/corrupt record breaks it).

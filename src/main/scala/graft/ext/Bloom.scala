@@ -148,6 +148,105 @@ object Bloom {
       .drop("__b1", "__b2")
   }
 
+  // ------------------------------------------------------------------
+  // Sharded frontier — the form PAST the single-broadcast dense cap.
+  //
+  // A billions-of-URLs frontier needs m ≈ 10^10 bits: too big to
+  // broadcast whole, and the relational probe's exploded join (k rows
+  // per key, join, re-aggregate) is exactly the shuffle the dense path
+  // was built to kill. The sharded form splits the KEY SPACE: shard
+  // s = hash(key·salt) mod S (an INDEPENDENT salt — a power-of-two S
+  // sharing low bits with the position hash would correlate shard and
+  // positions and cluster the filter), each shard an ordinary
+  // [[Params]]-sized filter over its own keys. A key's k positions all
+  // live in its own shard, so the probe co-partitions ONE shuffle of
+  // probe rows (each carrying its k precomputed positions — k longs,
+  // not k exploded rows) against the co-shuffled shard word tables,
+  // densifies each shard once per task (mBits/63 longs, the per-shard
+  // dense cap), and answers every probe with local array arithmetic.
+  // The merge law is unchanged: ∨ per (shard, word) — idempotent,
+  // commutative, replay-free.
+  // ------------------------------------------------------------------
+
+  /** Key → shard routing (independent salt, see above). */
+  def shardOf(key: Column, shards: Int): Column =
+    pmod(TextHash.tokenHash63(concat(key, lit("|shard"))),
+      lit(shards.toLong)).cast("int")
+
+  /** Build the sharded word table (s, w, bits); each shard is an
+    * independent `p`-sized filter over its routed keys. With
+    * shards = 1 this is exactly [[build]]'s table plus a zero shard
+    * column (the positions ignore the shard salt) — the spec-pinned
+    * equivalence.
+    */
+  def buildSharded(df: DataFrame, keyCol: String, shards: Int,
+      p: Params = Params()): DataFrame = {
+    require(shards >= 1, s"Bloom.buildSharded: shards=$shards")
+    positions(df.select(col(keyCol))
+        .withColumn("__s", shardOf(col(keyCol), shards)), keyCol, p)
+      .groupBy(col("__s").as("s"), col("w"))
+      .agg(bit_or(maskOf(col("bit"))).as("bits"))
+  }
+
+  /** Merge sharded word tables — ∨ per (shard, word). */
+  def mergeSharded(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("s", "w").agg(bit_or(col("bits")).as("bits"))
+
+  /** Co-partitioned dense probe of a sharded filter: ONE shuffle of
+    * probe rows (id, key, k positions) cogrouped with the shard word
+    * tables; each task densifies its shard (≤ mBits/63 longs — the
+    * require keeps a shard past the densify budget from materializing)
+    * and probes locally. Output (idCol, keyCol, maybe_present), one
+    * row per input row; no false negatives for built keys by
+    * construction. The position arithmetic is the SAME column math as
+    * [[probe]]/[[probeDense]]; only the word lookup moves task-local.
+    */
+  def probeSharded(df: DataFrame, keyCol: String, idCol: String,
+      words: DataFrame, shards: Int, p: Params = Params()): DataFrame = {
+    require(p.mBits <= (1L << 30),
+      s"Bloom.probeSharded: per-shard mBits=${p.mBits} too large to " +
+        "densify (> 2^30) — raise the shard count instead")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nW = ((p.mBits + 62) / 63).toInt
+    val h1 = TextHash.tokenHash63(col(keyCol)) % lit(p.mBits)
+    val b2 = ((TextHash.tokenHash63(concat(col(keyCol), lit("|h2")))
+      % lit(2305843009213693952L)) * 2 + 1) % lit(p.mBits)
+    val probes = df
+      .select(col(idCol).cast("long"), col(keyCol).cast("string"))
+      .withColumn("__s", shardOf(col(keyCol), shards))
+      .withColumn("__h1", h1)
+      .withColumn("__b2", b2)
+      .withColumn("__pos", array((0 until p.k).map(i =>
+        pmod(col("__h1") + lit(i.toLong) * col("__b2"), lit(p.mBits))): _*))
+      .select(col(idCol), col(keyCol), col("__s"), col("__pos"))
+      .as[(Long, String, Int, Seq[Long])]
+    val ws = words.select(col("s").cast("int"), col("w"), col("bits"))
+      .as[(Int, Long, Long)]
+    probes.groupByKey(_._3).cogroup(ws.groupByKey(_._1)) {
+      case (_, ps, wit) =>
+        val arr = new Array[Long](nW)
+        wit.foreach(t => arr(t._2.toInt) = t._3)
+        ps.map(t => (t._1, t._2, t._4.forall(pos =>
+          (arr((pos / 63L).toInt) & (1L << (pos % 63L).toInt)) != 0L)))
+    }.toDF(idCol, keyCol, "maybe_present")
+  }
+
+  /** DuckDB twin of the sharded position relation — [[posSql]] plus the
+    * shard column from the salted hash.
+    */
+  def posShardedSql(keyExpr: String, shards: Int, p: Params): String = {
+    val h1 = s"(${TextHash.tokenHash63Sql(keyExpr)} % ${p.mBits})"
+    val h2 = s"(((${TextHash.tokenHash63Sql(s"$keyExpr || '|h2'")}" +
+      s" % 2305843009213693952) * 2 + 1) % ${p.mBits})"
+    val sh = s"(${TextHash.tokenHash63Sql(s"$keyExpr || '|shard'")} % $shards)"
+    s"""SELECT *, $sh AS s,
+               ($h1 + i * $h2) % ${p.mBits} // 63 AS w,
+               ($h1 + i * $h2) % ${p.mBits} % 63 AS bit
+        FROM __keys CROSS JOIN
+          (VALUES ${(0 until p.k).map(i => s"($i)").mkString(", ")}) pi(i)"""
+  }
+
   /** The DuckDB twin pieces — the same math, textually. `maskValues` is
     * the 63-row (bit, mask) literal table; [[posSql]] yields one row per
     * (input row, probe i) with columns w, bit.

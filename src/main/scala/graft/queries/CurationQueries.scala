@@ -1299,7 +1299,55 @@ object CurationQueries {
          FROM r"""),
   )
 
+  /** Q266 [X]: SHARDED BLOOM FRONTIER ([[graft.ext.Bloom.buildSharded]]
+    * / [[probeSharded]]) — the form past the single-broadcast dense
+    * cap: keys route to 4 independent shard filters by a salted hash,
+    * and the probe is the CO-PARTITIONED COGROUP (one shuffle of probe
+    * rows carrying precomputed positions; each task densifies only its
+    * shard). The twin replays the ENTIRE sharded structure relationally
+    * in SQL — salted shard routing, per-shard positions, 63-bit words,
+    * the (s, w) join — so the hash match certifies that the cogroup's
+    * task-local array arithmetic is bit-identical to the relational
+    * algebra, including which false positives each shard admits.
+    * No-false-negative law spec-pinned alongside shard≡whole at S=1.
+    */
+  val q266 = OracleQuery(
+    "q266_sharded_bloom",
+    (s, d) => {
+      val p = graft.ext.Bloom.Params(mBits = 1L << 14, k = 5)
+      val urls = Tables.documents(s, d).select(col("doc_id"),
+        concat(lit("http://h"), (col("doc_id") % 97).cast("string"),
+          lit(".test/p/"), col("doc_id").cast("string")).as("url"))
+      val words = graft.ext.Bloom.buildSharded(
+        urls.filter(col("doc_id") % 3 =!= 0), "url", shards = 4, p)
+      graft.ext.Bloom.probeSharded(urls, "url", "doc_id", words, 4, p)
+        .select(col("doc_id"), col("maybe_present"),
+          (col("doc_id") % 3 =!= 0).as("present"))
+    },
+    Some {
+      val p = graft.ext.Bloom.Params(mBits = 1L << 14, k = 5)
+      s"""WITH __keys AS (SELECT doc_id,
+                 'http://h' || CAST(doc_id % 97 AS VARCHAR) || '.test/p/' ||
+                   CAST(doc_id AS VARCHAR) AS url
+               FROM documents),
+          pos AS (${graft.ext.Bloom.posShardedSql("url", 4, p)}),
+          words AS (SELECT s, w, bit_or(mask) AS bits
+                    FROM pos JOIN ${graft.ext.Bloom.maskValuesSql}
+                      USING (bit)
+                    WHERE doc_id % 3 <> 0 GROUP BY s, w),
+          chk AS (SELECT pos.doc_id,
+                    min(CASE WHEN (COALESCE(words.bits, 0) & mask.mask) <> 0
+                        THEN 1 ELSE 0 END) AS hit
+                  FROM pos LEFT JOIN words USING (s, w)
+                    JOIN ${graft.ext.Bloom.maskValuesSql} USING (bit)
+                  GROUP BY pos.doc_id)
+       SELECT doc_id, hit = 1 AS maybe_present,
+              doc_id % 3 <> 0 AS present
+       FROM chk"""
+    },
+  )
+
   val all: Seq[OracleQuery] = Seq(q59, q60, q61, q62, q63, q64, q65, q66,
     q67, q68, q69, q70, q71, q72, q73, q74, q164, q173, q179, q180, q195,
-    q220, q245, q247, q248, q252, q255, q258, q259, q261, q263)
+    q220, q245, q247, q248, q252, q255, q258, q259, q261, q263, q266)
 }

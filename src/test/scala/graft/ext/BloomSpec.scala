@@ -78,4 +78,58 @@ class BloomSpec extends SparkSpec {
       Bloom.probeDense(cand, "url", "id", dense.take(3), p)
     }
   }
+
+  test("sharded: no false negatives; S=1 words ≡ unsharded words") {
+    val p = Bloom.Params(mBits = 1L << 12, k = 4)
+    val corpus = urls(0 until 400)
+    val words = Bloom.buildSharded(corpus, "url", shards = 4, p)
+      .localCheckpoint()
+    Bloom.probeSharded(corpus, "url", "id", words, 4, p)
+      .filter(!col("maybe_present")).count() shouldBe 0L
+    // a single shard ignores the routing salt: the word table is the
+    // unsharded one plus a zero shard column
+    val one = Bloom.buildSharded(corpus, "url", shards = 1, p)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    one.forall(_._1 == 0) shouldBe true
+    one.map(t => t._2 -> t._3).toMap shouldBe
+      Bloom.build(corpus, "url", p)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("probeSharded ≡ per-shard relational probe, false positives and all") {
+    val p = Bloom.Params(mBits = 1L << 10, k = 3)
+    val S = 4
+    val corpus = urls(0 until 200)
+    val words = Bloom.buildSharded(corpus, "url", S, p).localCheckpoint()
+    val cand = urls(0 until 1200)
+      .withColumn("s", Bloom.shardOf(col("url"), S))
+    val got = Bloom.probeSharded(cand, "url", "id", words, S, p)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    // reference: probe each shard's keys against that shard's filter
+    // with the RELATIONAL path (a different mechanism end to end)
+    val ref = (0 until S).flatMap { s =>
+      Bloom.probe(cand.filter(col("s") === s), "url", "id",
+        words.filter(col("s") === s).drop("s"), p)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2))
+    }.toMap
+    got shouldBe ref
+    got.values.exists(_ == true) shouldBe true // some hits exist
+    got.values.exists(_ == false) shouldBe true // and some misses
+  }
+
+  test("mergeSharded: split builds ∨ to the whole; idempotent") {
+    val p = Bloom.Params(mBits = 1L << 12, k = 4)
+    val S = 3
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getInt(0), r.getLong(1)) -> r.getLong(2)
+    val whole = Bloom.buildSharded(urls(0 until 300), "url", S, p)
+      .collect().map(key).toMap
+    val merged = Bloom.mergeSharded(
+      Bloom.buildSharded(urls(0 until 150), "url", S, p),
+      Bloom.buildSharded(urls(150 until 300), "url", S, p))
+    merged.collect().map(key).toMap shouldBe whole
+    Bloom.mergeSharded(merged,
+      Bloom.buildSharded(urls(150 until 300), "url", S, p))
+      .collect().map(key).toMap shouldBe whole
+  }
 }
