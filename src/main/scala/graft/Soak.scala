@@ -1398,6 +1398,78 @@ object Soak {
       spot.unpersist(); words.unpersist()
     })
 
+    // round-16: the ST36 streaming crawl door at 2 × 500k-doc waves —
+    // all four gates per batch against persisted state. Wave 2
+    // re-presents 50k wave-1 URLs under new ids: every one whose
+    // original was ADMITTED must come back novel=false (the frontier's
+    // no-false-negative law, across a real state swap). Cap state stays
+    // O(hosts); per-wave wall time printed.
+    time("streaming crawl door (2 waves x 500k)")({
+      val nArr = nDocs / 2
+      val p = ext.Bloom.Params(mBits = 1L << 24, k = 5)
+      val cap = 300
+      val rules = ext.Robots.ruleTable(
+        spark.createDataFrame(
+          Seq(("hblock", "User-agent: *\nDisallow: /\n")))
+          .toDF("host", "content"),
+        "host", "content", "graftbot").localCheckpoint()
+      def mkWave(ids: org.apache.spark.sql.DataFrame) = ids.select(
+        col("id"),
+        when(col("src") % 97 === 0, lit("hblock"))
+          .otherwise(concat(lit("h"), (col("src") % 1009).cast("string")))
+          .as("host"),
+        concat(lit("/p/"), col("src").cast("string")).as("path"))
+        .withColumn("url",
+          concat(lit("http://"), col("host"), lit(".test"), col("path")))
+        .withColumn("payload",
+          when(col("src") % 11 === 0,
+            lit(Array[Byte](0, -1, 42)))
+            .otherwise(concat(lit("text "), col("src").cast("string"))
+              .cast("binary")))
+      val dir = java.nio.file.Files
+        .createTempDirectory("soak_st36_").toString
+      val w1 = mkWave(spark.range(nArr)
+        .select(col("id"), col("id").as("src")))
+      val t1 = System.nanoTime()
+      val v1 = streaming.EventStreams.crawlDoorMergeBatch(w1, "id", "host",
+        "path", "url", "payload", rules, p, cap,
+        s"$dir/frontier", s"$dir/cap", 0L).get.cache()
+      val adm1 = v1.filter(col("admitted"))
+        .select((col("id")).as("src0")).cache()
+      println(f"[soak]   st36 wave 1: ${v1.count()}%d verdicts, " +
+        f"${adm1.count()}%d admitted, ${(System.nanoTime() - t1) / 1e9}%.2f s")
+      val capRows = spark.read.parquet(s"$dir/cap").count()
+      assert(capRows <= 1011L, s"cap state $capRows rows exceeds O(hosts)")
+      val fRows = spark.read.parquet(s"$dir/frontier").count()
+      assert(fRows <= p.mBits / 63 + 1, s"frontier $fRows rows over bound")
+      // wave 2: fresh half + 50k re-presented wave-1 urls under new ids
+      val w2 = mkWave(
+        spark.range(nArr, nDocs).select(col("id"), col("id").as("src"))
+          .unionByName(spark.range(nArr / 10)
+            .select((col("id") + 2 * nDocs).as("id"), col("id").as("src"))))
+      val t2 = System.nanoTime()
+      val v2 = streaming.EventStreams.crawlDoorMergeBatch(w2, "id", "host",
+        "path", "url", "payload", rules, p, cap,
+        s"$dir/frontier", s"$dir/cap", 1L).get.cache()
+      println(f"[soak]   st36 wave 2: ${v2.count()}%d verdicts, " +
+        f"${(System.nanoTime() - t2) / 1e9}%.2f s")
+      // law: a re-presented url whose original was admitted is never
+      // novel (frontier no-false-negatives across the swap)
+      val leaked = v2.filter(col("id") >= 2 * nDocs && col("novel"))
+        .select((col("id") - 2 * nDocs).as("src0"))
+        .join(adm1, "src0").count()
+      assert(leaked == 0L, s"$leaked admitted wave-1 urls came back novel")
+      // replay refused on the cap guard; both states untouched
+      assert(streaming.EventStreams.crawlDoorMergeBatch(w2, "id", "host",
+        "path", "url", "payload", rules, p, cap,
+        s"$dir/frontier", s"$dir/cap", 1L).isEmpty, "replay not refused")
+      v1.unpersist(); v2.unpersist(); adm1.unpersist()
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator()
+        .asScala.toSeq.sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    })
+
     // round-15: TFRecord sink/source at 1M records × 64 shards — the
     // framed-proto codec at volume; conservation checked on count and
     // the exact id-sum (any dropped/duplicated/corrupt record breaks it).

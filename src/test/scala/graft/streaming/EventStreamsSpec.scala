@@ -1497,4 +1497,116 @@ class EventStreamsSpec extends SparkSpec {
     EventStreams.hostCapMergeBatch(b1.take(0).toDF("doc_id", "url"),
       "doc_id", "url", "doc_id", 3, s"$dir/t", 99L) shouldBe None
   }
+
+  test("ST36 streaming crawl door: stream ≡ wave-by-wave batch composition; cross-wave novelty; replay refused") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.{Bloom, Robots}
+    val p = Bloom.Params(mBits = 1L << 12, k = 4)
+    val cap = 2
+    val rules = Robots.ruleTable(Seq(
+      ("h0", "User-agent: *\nDisallow: /private\n"),
+      ("h2", "User-agent: *\nDisallow: /\n")
+    ).toDF("host", "content"), "host", "content", "graftbot")
+      .localCheckpoint()
+    def doc(id: Long, srcId: Long) = {
+      val host = s"h${srcId % 3}"
+      val path =
+        (if (srcId % 2 == 0) "/private/p" else "/public/p") + srcId
+      val payload =
+        if (srcId % 5 == 0) Array[Byte](0, -1, 42)
+        else s"text $srcId".getBytes("US-ASCII")
+      (id, host, path, s"http://$host.test$path", payload)
+    }
+    // wave 2 re-presents doc 1's and doc 4's urls under new ids — they
+    // were admitted in wave 1, so the frontier must flag them seen
+    val w1 = (0L until 12L).map(i => doc(i, i))
+    val w2 = (12L until 20L).map(i => doc(i, i)) ++
+      Seq(doc(101L, 1L), doc(104L, 4L))
+    val cols = Seq("id", "host", "path", "url", "payload")
+
+    // the q261-style BATCH composition, carried wave by wave through
+    // plain operators (no persisted state, no kernel code)
+    var refWords: Option[org.apache.spark.sql.DataFrame] = None
+    var refCounts = Map.empty[String, Long]
+    def refWave(rows: Seq[(Long, String, String, String, Array[Byte])])
+        : Map[Long, (Boolean, Boolean, Boolean, Boolean)] = {
+      val df = rows.toDF(cols: _*).localCheckpoint()
+      val rob = Robots.allowed(df, "id", "host", "path", rules)
+        .select(col("id"), col("allowed"))
+      val nov = refWords match {
+        case Some(ws) => Bloom.probe(df, "url", "id", ws, p)
+          .select(col("id"), (!col("maybe_present")).as("novel"))
+        case None => df.select(col("id")).withColumn("novel", lit(true))
+      }
+      val mime = rows.map { case (id, _, _, _, b) =>
+        (id, graft.ext.Containers.sniffMime(b) == "text/plain")
+      }.toDF("id", "mime_ok")
+      val gated = df.join(rob, "id").join(nov, "id").join(mime, "id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(3),
+          r.getBoolean(5), r.getBoolean(6), r.getBoolean(7)))
+        .sortBy(_._1)
+      val admits = scala.collection.mutable.Map.empty[String, Long]
+        .withDefaultValue(0L)
+      val out = gated.map { case (id, host, url, r_, n_, m_) =>
+        val surv = r_ && n_ && m_
+        val adm = surv &&
+          refCounts.getOrElse(host, 0L) + admits(host) + 1 <= cap
+        if (adm) admits(host) += 1
+        (id, url, (r_, n_, m_, adm))
+      }
+      refCounts = (refCounts.keySet ++ admits.keySet).map(h =>
+        h -> (refCounts.getOrElse(h, 0L) + admits(h))).toMap
+      val admittedUrls = out.filter(_._3._4).map(_._2)
+      if (admittedUrls.nonEmpty) {
+        val aw = Bloom.build(admittedUrls.toSeq.toDF("url"), "url", p)
+        refWords = Some(refWords.fold(aw)(Bloom.merge(_, aw))
+          .localCheckpoint())
+      }
+      out.map(t => t._1 -> t._3).toMap
+    }
+
+    val dir = java.nio.file.Files.createTempDirectory("st36_").toString
+    val mem = MemoryStream[(Long, String, String, String, Array[Byte])]
+    val got = scala.collection.mutable
+      .Map.empty[Long, (Boolean, Boolean, Boolean, Boolean)]
+    def run(): Unit = {
+      val q = EventStreams.crawlDoorOnArrival(
+        mem.toDF().toDF(cols: _*), "id", "host", "path", "url", "payload",
+        rules, p, cap, s"$dir/frontier", s"$dir/cap", s"$dir/cp") { v =>
+        got.synchronized {
+          v.collect().foreach(r => got(r.getLong(0)) =
+            (r.getBoolean(3), r.getBoolean(4), r.getBoolean(5),
+              r.getBoolean(6)))
+        }
+      }
+      q.awaitTermination()
+    }
+    mem.addData(w1); run()
+    val ref1 = refWave(w1)
+    got.toMap shouldBe ref1
+    mem.addData(w2); run()
+    val ref2 = refWave(w2)
+    got.toMap shouldBe (ref1 ++ ref2)
+    // the pinned corners: robots kills h0 /private and all of h2;
+    // re-presented wave-1 admits come back NOT novel; cap holds at 2
+    got(0L)._1 shouldBe false // h0 /private
+    got(2L)._1 shouldBe false // h2 disallow all
+    got(101L)._2 shouldBe false // doc 1's url seen in the frontier
+    got(104L)._2 shouldBe false
+    got(10L)._3 shouldBe false // binary payload sniffed out (10 % 5 = 0)
+    got(7L)._4 shouldBe false // h1's third survivor, over the cap
+    got(1L)._4 shouldBe true
+    got(4L)._4 shouldBe true
+    // replay: an already-applied batch id is refused before any state
+    // read; both states unchanged
+    val stateBefore = spark.read.parquet(s"$dir/cap").collect().toSet
+    EventStreams.crawlDoorMergeBatch(w2.toDF(cols: _*), "id", "host",
+      "path", "url", "payload", rules, p, cap,
+      s"$dir/frontier", s"$dir/cap", 0L) shouldBe None
+    spark.read.parquet(s"$dir/cap").collect().toSet shouldBe stateBefore
+    // empty batch: no verdicts, no writes
+    EventStreams.crawlDoorMergeBatch(w1.take(0).toDF(cols: _*), "id",
+      "host", "path", "url", "payload", rules, p, cap,
+      s"$dir/frontier", s"$dir/cap", 99L) shouldBe None
+  }
 }
