@@ -53,19 +53,27 @@ object Dedup {
   /** Every (id, n-gram) OCCURRENCE (not distinct) — the multiset form
     * behind [[ngramsExploded]] and the tf weights of
     * [[cosineSimilarityJoin]].
+    *
+    * Shape (round 16): the token ARRAY rides along the posexplode and each
+    * n-gram assembles via `element_at(toks, pos+k)` — O(1) array access in
+    * whole-stage codegen, NO per-document window. The previous `lead` window
+    * formulation paid a full Exchange(id) + Sort(id, pos) over every token
+    * occurrence of the corpus per gram-pipeline build (QBench A/B at sf0.1:
+    * q26 0.92 → 0.30 s min, q105 6.46 → 4.80, q103 8.88 → 7.29,
+    * q86 6.86 → 5.87 — every GramIndex query dropped ~1-1.7 s). The
+    * array column never materializes past the Generate — the pipelined
+    * partial aggregate consumes (id, g) rows in the same codegen loop.
     */
   private def ngramRows(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
-    val tok = df.select(col(idCol),
-      posexplode(tokens(col(textCol))).as(Seq("pos", "w0")))
-    val w = Window.partitionBy(idCol).orderBy("pos")
-    val withLeads = (1 until n).foldLeft(tok) { (acc, k) =>
-      acc.withColumn(s"w$k", lead(col("w0"), k).over(w))
-    }
-    withLeads
-      .filter(col(s"w${n - 1}").isNotNull)
+    val tok = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"),
+        posexplode(col("__toks")).as(Seq("pos", "w0")))
+    tok
+      .filter(col("pos") <= size(col("__toks")) - n)
       .select(col(idCol),
-        concat_ws(" ", (0 until n).map(k => col(s"w$k")): _*).as("g"))
+        concat_ws(" ", (0 until n).map(k =>
+          element_at(col("__toks"), col("pos") + k + 1)): _*).as("g"))
   }
 
   /** Dense long ids for a (g, gdf) vocabulary, ranked rarest-first so
@@ -690,6 +698,14 @@ object Dedup {
     */
   class GramIndex private[ext] (docs: DataFrame, idCol: String,
       textCol: String, val n: Int) {
+    /** Deliberately NOT checkpointed (round-16 A/B): both `dict` and `enc`
+      * consume it fully, but serializing the string-bearing tf relation
+      * into the block manager measured strictly worse than recomputing the
+      * (window-free, single-exchange) ngram pipeline twice — q86 5.87 →
+      * 6.49 s, q103 7.29 → 7.84, q105 4.80 → 5.24 min-of-5 at sf0.1 with
+      * the checkpoint. The multi-use rule (q86) applies to relations whose
+      * REBUILD is expensive; after the element_at rewrite this one isn't.
+      */
     private lazy val tf: DataFrame = ngramRows(docs, idCol, textCol, n)
       .groupBy(col(idCol).as("__id"), col("g"))
       .agg(count(lit(1)).as("w"))

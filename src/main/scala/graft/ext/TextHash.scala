@@ -20,10 +20,16 @@ object TextHash {
     (4256233L, 350377L),
     (5800079L, 499979L))
 
-  /** h(token) ∈ [0, 1e8): digits of md5 hex, zero-padded. */
+  /** h(token) ∈ [0, 1e8): digits of md5 hex, zero-padded. Letter-stripping
+    * is `translate` (single-pass table lookup), NOT `regexp_replace` — the
+    * two are character-for-character identical on `[a-f]` deletion, but the
+    * regex engine was measurable across the whole register (this hash runs
+    * 4×/token in simhash, k×/token in minhash); the DuckDB twin keeps its
+    * regexp spelling — the oracle needn't be fast, only equal.
+    */
   def tokenHash(c: Column): Column =
     substring(
-      concat(regexp_replace(md5(c), "[a-f]", ""), lit("00000000")), 1, 8)
+      concat(translate(md5(c), "abcdef", ""), lit("00000000")), 1, 8)
       .cast("long")
 
   /** DuckDB twin of [[tokenHash]] (note the 'g' flag — DuckDB's
