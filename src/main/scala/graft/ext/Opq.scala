@@ -62,18 +62,28 @@ object Opq {
   private[ext] def crossSums(a: DataFrame, aVec: String, b: DataFrame,
       bVec: String, idCol: String): Array[Array[Double]] = {
     val S = 1099511627776.0 // 2^40
-    val xe = a.select(col(idCol).as("__id"),
-      posexplode(Similarity.asDouble(col(aVec))).as(Seq("i", "xv")))
-    val qe = b.select(col(idCol).as("__id"),
-      posexplode(Similarity.asDouble(col(bVec))).as(Seq("j", "qv")))
-    val cells = xe.join(qe, "__id")
-      .groupBy("i", "j")
-      .agg(sum(floor(col("xv") * col("qv") * S).cast("long")).as("s"))
-      .collect()
-    val d = cells.iterator.map(r => math.max(r.getInt(0), r.getInt(1)))
-      .max + 1
+    // Explode ONLY the x side and aggregate one wide row per i with a sum
+    // column per j (round 16): the earlier both-sides-exploded self-join
+    // pushed #ids·d² rows through the aggregate (~33M at sf0.1) where this
+    // shape pushes #ids·d rows doing d multiply-floors each — identical
+    // exact-integer terms (floor(x·q·2^40) summed in any order), measured
+    // q253 7.08 → (see OPTIMIZATION_r16.md) at sf0.1.
+    val d = a.select(size(Similarity.asDouble(col(aVec)))).head().getInt(0)
+    val joined = a
+      .select(col(idCol).as("__id"), Similarity.asDouble(col(aVec)).as("xa"))
+      .join(b.select(col(idCol).as("__id"),
+        Similarity.asDouble(col(bVec)).as("qa")), "__id")
+      .select(posexplode(col("xa")).as(Seq("i", "xv")), col("qa"))
+    val sums = (0 until d).map(j =>
+      sum(floor(col("xv") * element_at(col("qa"), j + 1) * S).cast("long"))
+        .as(s"s$j"))
+    val rows = joined.groupBy("i").agg(sums.head, sums.tail: _*).collect()
     val m = Array.ofDim[Double](d, d)
-    cells.foreach(r => m(r.getInt(0))(r.getInt(1)) = r.getLong(2) / S)
+    rows.foreach { r =>
+      val i = r.getInt(0)
+      var j = 0
+      while (j < d) { m(i)(j) = r.getLong(j + 1) / S; j += 1 }
+    }
     m
   }
 
