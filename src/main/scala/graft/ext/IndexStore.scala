@@ -115,13 +115,25 @@ object IndexStore {
     * [[Dedup.GramIndex.append]]s in O(batch).
     */
   def writeGramIndex(index: Dedup.GramIndex, path: String): Unit = {
-    index.dict.write.mode("overwrite").parquet(s"$path/dict")
-    index.enc.write.mode("overwrite").parquet(s"$path/enc")
-    index.sets.write.mode("overwrite").parquet(s"$path/sets")
-    index.packed.write.mode("overwrite").parquet(s"$path/packed")
+    // The five writes are independent jobs over already-materialized
+    // checkpoints — submit them concurrently so each job's scheduling
+    // floor and write tail overlap (guide-§2.6 back-fill; the q91
+    // parallel-KMeans lesson applied to sinks). Futures force relation
+    // materialization in-thread first via the lazy vals' own locks, which
+    // is safe: each lazy val materializes exactly once.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val spark = index.dict.sparkSession
-    spark.range(1).select(lit(index.n).as("n"))
-      .write.mode("overwrite").parquet(s"$path/meta")
+    val writes = Seq(
+      ("dict", () => index.dict), ("enc", () => index.enc),
+      ("sets", () => index.sets), ("packed", () => index.packed),
+      ("meta", () => spark.range(1).select(lit(index.n).as("n"))))
+      .map { case (name, rel) =>
+        val df = rel() // resolve lazily-built relations in THIS thread
+        Future(df.write.mode("overwrite").parquet(s"$path/$name"))
+      }
+    writes.foreach(Await.result(_, Duration.Inf))
   }
 
   /** Reload a persisted gram index. The returned [[Dedup.GramIndex]]
