@@ -398,18 +398,28 @@ object Dedup {
       corpusTexts: DataFrame, batch: DataFrame, idCol: String,
       textCol: String, tauNum: Int = 1, tauDen: Int = 2,
       maxDist: Int = 3): DataFrame = {
+    // The jaccard and simhash signals each materialize eager checkpoints
+    // at CONSTRUCTION time (the GramIndex relations / the batch
+    // fingerprint pass) — independent job chains, so build them on
+    // concurrent threads and let the scheduler back-fill (guide-§2.6;
+    // the writeGramIndex lesson applied to the gate's front half).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val ex = batch
       .join(corpusTexts.select(col(textCol)).distinct(), Seq(textCol),
         "left_semi")
       .select(col(idCol)).withColumn("exact_dup", lit(true))
-    val jd = incrementalJaccardJoin(index, batch, idCol, textCol,
+    val jdF = Future(incrementalJaccardJoin(index, batch, idCol, textCol,
       tauNum, tauDen)
       .select(col("doc_a").as(idCol)).distinct()
-      .withColumn("jac_dup", lit(true))
-    val sd = incrementalSimHash64Pairs(corpusSig, batch, idCol, textCol,
-      maxDist)
+      .withColumn("jac_dup", lit(true)))
+    val sdF = Future(incrementalSimHash64Pairs(corpusSig, batch, idCol,
+      textCol, maxDist)
       .select(col("doc_a").as(idCol)).distinct()
-      .withColumn("sh_dup", lit(true))
+      .withColumn("sh_dup", lit(true)))
+    val jd = Await.result(jdF, Duration.Inf)
+    val sd = Await.result(sdF, Duration.Inf)
     batch.select(col(idCol))
       .join(ex, Seq(idCol), "left_outer")
       .join(jd, Seq(idCol), "left_outer")

@@ -667,13 +667,22 @@ object SimilarityQueries {
       val docs = Tables.documents(s, d)
       val corpus = docs.filter(col("doc_id") % 10 =!= 0)
       val batch = docs.filter(col("doc_id") % 10 === 0)
-      val gate = Dedup.ingestGate(
+      // The dedup gate and the LM gate both run materializing jobs at
+      // construction (eager checkpoints / the calibration count) over
+      // disjoint inputs — overlap them (guide-§2.6, the ingestGate
+      // pattern one level up).
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val gateF = Future(Dedup.ingestGate(
         Dedup.gramIndex(corpus, "doc_id", "text", n = 2),
         Dedup.simHash64Signature(corpus, "doc_id", "text"),
         corpus, batch, "doc_id", "text",
-        tauNum = 1, tauDen = 2, maxDist = 3)
-      val lm = graft.ext.TextAnalysis.calibratedLmGate(
-        corpus, batch, "doc_id", "text")
+        tauNum = 1, tauDen = 2, maxDist = 3))
+      val lmF = Future(graft.ext.TextAnalysis.calibratedLmGate(
+        corpus, batch, "doc_id", "text"))
+      val gate = Await.result(gateF, Duration.Inf)
+      val lm = Await.result(lmF, Duration.Inf)
       gate
         .join(lm.select(col("doc_id"), col("admit").as("lm_ok")),
           Seq("doc_id"), "left_outer")
