@@ -1087,10 +1087,13 @@ object ScaleQueries {
   val q223 = OracleQuery(
     "q223_ams_f2",
     (s, d) => {
-      // Both sketch builds consume ALL tokens — checkpoint once (q86
-      // multi-use-subplan rule; QBench r14 idle-host A/B:
-      // 3.754 → 3.547 s min).
-      val tok = tokRel(s, d).localCheckpoint()
+      // Round-16 re-A/B: the r14 checkpoint win (3.754 → 3.547 s) was
+      // measured when amsSketch's per-token hashes ran the regex path;
+      // with translate-based tokenHash the double explode is cheaper
+      // than serializing the token relation (3.01 → 2.77 s min-of-5
+      // without the checkpoint), so the q86 multi-use rule no longer
+      // binds here — same verdict as GramIndex.tf this round.
+      val tok = tokRel(s, d)
       graft.ops.LinearSketches.amsF2Estimate(
         graft.ops.LinearSketches.amsMerge(
           graft.ops.LinearSketches.amsSketch(
