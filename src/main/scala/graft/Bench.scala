@@ -73,7 +73,7 @@ object Bench {
     // real regression, so we take `runs` samples and report BOTH the min
     // (steady-state capability) and the median (typical) per query.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val spark = Sessions.tuned(SparkSession.builder())
+    val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")

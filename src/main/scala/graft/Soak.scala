@@ -56,7 +56,7 @@ object Soak {
     val nVecs = args.drop(1).headOption.map(_.toLong).getOrElse(200000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
-    val spark = Sessions.tuned(SparkSession.builder())
+    val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")

@@ -25,6 +25,41 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("h"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("dup_cnt"))
 
+  /** Candidate-pair dedup at FULL configured parallelism — the
+    * distinct-before-verify exchanges of every similarity join go through
+    * here. A plain `.distinct()` lets AQE coalesce the post-shuffle
+    * aggregate by BYTES (`parallelismFirst` target
+    * `max(total/parallelism, minPartitionSize=1m)`), and 16-byte long-pair
+    * rows compress so well that millions of raw matches collapse onto a
+    * handful of tasks: the q86 candidate dedup measured 4.3 s coalesced vs
+    * 0.87 s at full width (sf0.1, min-of-2 noop A/B), with the identical
+    * time when coalescing was disabled outright — the byte heuristic, not
+    * the work, was the bottleneck. An explicit
+    * `repartition(spark.sql.shuffle.partitions, keys)` pins the exchange
+    * width (AQE never coalesces a user-specified repartition), so the
+    * CPU-bound dedup keeps every core; `spark.sql.shuffle.partitions` is
+    * already the deployment's scale knob, so the pin is exactly as
+    * scale-adaptive as the rest of the plan. Deliberately NOT a session-
+    * wide `minPartitionSize` floor: that variant was measured to tax every
+    * small iterative query (~0.2-0.3 s per PageRank/HITS-shaped query —
+    * dozens of tiny stages each fragmenting into 32 tasks) while only
+    * these pair exchanges need the width.
+    */
+  private[graft] def atFullWidth(keys: String*)(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    df.repartition(p, keys.map(col): _*)
+  }
+
+  /** Pair dedup partitioned by `firstKey` ONLY (still a correct distinct —
+    * hash(doc_a) co-locates every copy of (doc_a, doc_b)), so the verify
+    * join that follows on `firstKey` consumes the dedup's partitioning
+    * as-is: one exchange serves both operators (guide-§2.4 shared
+    * exchange). Per-doc_a fan-out is bounded by candidate volume per doc,
+    * the same bound the verify join's own partitioning relies on.
+    */
+  private[graft] def distinctPairs(firstKey: String)(raw: DataFrame): DataFrame =
+    atFullWidth(firstKey)(raw).distinct()
+
   /** Whitespace tokens of a text column. */
   def tokens(text: Column): Column = split(text, " ")
 
@@ -277,13 +312,16 @@ object Dedup {
     */
   private[graft] def hammingNearDupPairs(sig: DataFrame, totalBits: Int,
       maxDist: Int): DataFrame = {
-    val banded = hammingBandKeys(sig, totalBits, maxDist)
+    // atFullWidth: see jaccardSetsAndCandidates (band buckets are the
+    // candidate fan-out here).
+    val banded = atFullWidth("band", "bk")(
+      hammingBandKeys(sig, totalBits, maxDist))
     val cand = banded.alias("a").join(banded.alias("b"),
       col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
         col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"),
         col("a.sh").as("sha"), col("b.sh").as("shb"))
-      .distinct()
+      .transform(distinctPairs("doc_a"))
     cand
       .withColumn("dist", bit_count(col("sha").bitwiseXOR(col("shb"))))
       .filter(col("dist") <= maxDist)
@@ -369,12 +407,14 @@ object Dedup {
     */
   private[graft] def hammingProbePairs(bSig: DataFrame, cSig: DataFrame,
       totalBits: Int, maxDist: Int): DataFrame = {
-    val cand = hammingBandKeys(bSig, totalBits, maxDist).alias("a")
-      .join(hammingBandKeys(cSig, totalBits, maxDist).alias("b"),
+    val cand = atFullWidth("band", "bk")(
+      hammingBandKeys(bSig, totalBits, maxDist)).alias("a")
+      .join(atFullWidth("band", "bk")(
+        hammingBandKeys(cSig, totalBits, maxDist)).alias("b"),
         col("a.band") === col("b.band") && col("a.bk") === col("b.bk"))
       .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"),
         col("a.sh").as("sha"), col("b.sh").as("shb"))
-      .distinct()
+      .transform(distinctPairs("doc_a"))
     cand
       .withColumn("dist", bit_count(col("sha").bitwiseXOR(col("shb"))))
       .filter(col("dist") <= maxDist)
@@ -854,8 +894,15 @@ object Dedup {
     val prefixLen = (col("nn") -
       floor((col("nn") * tauNum + (tauDen - 1)) / lit(tauDen.toDouble)) + 1)
       .cast("int")
-    val probes = sets.select(col("__id"), col("nn"),
-      posexplode(slice(col("gs"), lit(1), prefixLen)).as(Seq("pos", "gid")))
+    // Probe sides pinned to full width (atFullWidth): the gid exchange the
+    // join would insert anyway, but at a user-specified partition count AQE
+    // cannot coalesce — the merge-join's O(Σ bucket²) pair fan-out is
+    // CPU-bound, and AQE's byte heuristic (probe rows are a few compressed
+    // MB) was squeezing it onto a handful of tasks (the distinctPairs
+    // measurement). Same shuffle bytes, full parallelism.
+    val probes = atFullWidth("gid")(
+      sets.select(col("__id"), col("nn"),
+        posexplode(slice(col("gs"), lit(1), prefixLen)).as(Seq("pos", "gid"))))
     val cand = probes.alias("a").join(probes.alias("b"),
       col("a.gid") === col("b.gid") &&
         col("a.__id") < col("b.__id") &&
@@ -866,7 +913,7 @@ object Dedup {
           col("b.nn") - col("b.pos") - 1)) * (tauNum + tauDen) >=
           (col("a.nn") + col("b.nn")) * tauNum)
       .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
-      .distinct()
+      .transform(distinctPairs("doc_a"))
     (sets, cand)
   }
 
@@ -910,10 +957,12 @@ object Dedup {
     require(tauNum >= 1 && tauNum <= tauDen,
       s"cosineSimilarityJoin: need 0 < tauNum/tauDen <= 1, got $tauNum/$tauDen")
     val sets = index.packed
-    val probes = index.weighted
+    // atFullWidth: see jaccardSetsAndCandidates — pins the candidate
+    // join's gid exchange at full parallelism.
+    val probes = atFullWidth("gid")(index.weighted
       .filter(col("sufsq") * (tauDen.toLong * tauDen) >=
         col("n2") * (tauNum.toLong * tauNum))
-      .select(col("__id"), col("gid"), col("sufsq"), col("n2"))
+      .select(col("__id"), col("gid"), col("sufsq"), col("n2")))
     // Positional filter (Cauchy-Schwarz at the match): every common
     // feature of a qualifying pair sits at-or-after the SMALLEST common
     // gram in both rarest-first lists, so dot² ≤ sufsq_a·sufsq_b there;
@@ -934,7 +983,7 @@ object Dedup {
           col("a.n2").cast("double") * col("b.n2") *
             lit(tauNum.toDouble * tauNum * (1.0 - 1e-9)))
       .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
-      .distinct()
+      .transform(distinctPairs("doc_a"))
     cand
       .join(sets.select(col("__id").as("doc_a"), col("pk").as("pa"),
         col("n2").as("na2")), "doc_a")
@@ -987,10 +1036,13 @@ object Dedup {
     val prefixLen = (col("nn") -
       floor((col("nn") * tauNum + (tauDen - 1)) / lit(tauDen.toDouble)) + 1)
       .cast("int")
-    val probes = sets.select(col("__id"), col("nn"),
-      posexplode(slice(col("gs"), lit(1), prefixLen)).as(Seq("pos", "gid")))
-    val fullIndex = sets.select(col("__id"), col("nn"),
-      posexplode(col("gs")).as(Seq("pos", "gid")))
+    // atFullWidth on both join inputs: see jaccardSetsAndCandidates.
+    val probes = atFullWidth("gid")(
+      sets.select(col("__id"), col("nn"),
+        posexplode(slice(col("gs"), lit(1), prefixLen)).as(Seq("pos", "gid"))))
+    val fullIndex = atFullWidth("gid")(
+      sets.select(col("__id"), col("nn"),
+        posexplode(col("gs")).as(Seq("pos", "gid"))))
     // Positional filter (the q86 pattern): at the smallest common gram —
     // matched at ranks (pa, pb) — the pair can share at most
     // 1 + min(na−pa−1, nb−pb−1) grams; requiring that best case to reach
@@ -1004,7 +1056,7 @@ object Dedup {
           col("b.nn") - col("b.pos") - 1)) * tauDen >=
           col("a.nn") * tauNum)
       .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
-      .distinct()
+      .transform(distinctPairs("doc_a"))
     cand
       .join(sets.select(col("__id").as("doc_a"), col("gs").as("ga"),
         col("nn").as("na")), "doc_a")
@@ -1052,11 +1104,14 @@ object Dedup {
     def prefixLen = (col("nn") -
       floor((col("nn") * tauNum + (tauDen - 1)) / lit(tauDen.toDouble)) + 1)
       .cast("int")
-    val bProbes = bSets.select(col("__bid"), col("nn"),
-      posexplode(slice(col("gs"), lit(1), prefixLen)).as(Seq("pos", "gid")))
+    // atFullWidth on both join inputs: see jaccardSetsAndCandidates.
+    val bProbes = atFullWidth("gid")(
+      bSets.select(col("__bid"), col("nn"),
+        posexplode(slice(col("gs"), lit(1), prefixLen)).as(Seq("pos", "gid"))))
     val cSets = index.sets
-    val cProbes = cSets.select(col("__id"), col("nn"),
-      posexplode(slice(col("gs"), lit(1), prefixLen)).as(Seq("pos", "gid")))
+    val cProbes = atFullWidth("gid")(
+      cSets.select(col("__id"), col("nn"),
+        posexplode(slice(col("gs"), lit(1), prefixLen)).as(Seq("pos", "gid"))))
     val cand = bProbes.alias("a").join(cProbes.alias("b"),
       col("a.gid") === col("b.gid") &&
         col("a.nn") * tauNum <= col("b.nn") * tauDen &&
@@ -1065,7 +1120,7 @@ object Dedup {
           col("b.nn") - col("b.pos") - 1)) * (tauNum + tauDen) >=
           (col("a.nn") + col("b.nn")) * tauNum)
       .select(col("a.__bid").as("doc_a"), col("b.__id").as("doc_b"))
-      .distinct()
+      .transform(distinctPairs("doc_a"))
     cand
       .join(bSets.select(col("__bid").as("doc_a"), col("gs").as("ga"),
         col("nn").as("na")), "doc_a")
@@ -1130,11 +1185,14 @@ object Dedup {
     val prefixLen = (col("nn") -
       floor((col("nn") * tauNum + (tauDen - 1)) / lit(tauDen.toDouble)) + 1)
       .cast("int")
-    val bProbes = bSets.select(col("__bid"), col("nn"),
-      posexplode(slice(col("gs"), lit(1), prefixLen)).as(Seq("pos", "gid")))
+    // atFullWidth on both join inputs: see jaccardSetsAndCandidates.
+    val bProbes = atFullWidth("gid")(
+      bSets.select(col("__bid"), col("nn"),
+        posexplode(slice(col("gs"), lit(1), prefixLen)).as(Seq("pos", "gid"))))
     val cSets = index.sets
-    val cIndex = cSets.select(col("__id"), col("nn"),
-      posexplode(col("gs")).as(Seq("pos", "gid")))
+    val cIndex = atFullWidth("gid")(
+      cSets.select(col("__id"), col("nn"),
+        posexplode(col("gs")).as(Seq("pos", "gid"))))
     val cand = bProbes.alias("a").join(cIndex.alias("b"),
       col("a.gid") === col("b.gid") &&
         col("b.nn") * tauDen >= col("a.nn") * tauNum &&
@@ -1142,7 +1200,7 @@ object Dedup {
           col("b.nn") - col("b.pos") - 1)) * tauDen >=
           col("a.nn") * tauNum)
       .select(col("a.__bid").as("doc_a"), col("b.__id").as("doc_b"))
-      .distinct()
+      .transform(distinctPairs("doc_a"))
     cand
       .join(bSets.select(col("__bid").as("doc_a"), col("gs").as("ga"),
         col("nn").as("na")), "doc_a")
@@ -1199,10 +1257,11 @@ object Dedup {
     def probeFilter(df: DataFrame): DataFrame = df
       .filter(col("sufsq") * (tauDen.toLong * tauDen) >=
         col("n2") * (tauNum.toLong * tauNum))
-    val bProbes = probeFilter(bWeighted)
-      .select(col("__bid"), col("gid"), col("sufsq"), col("n2"))
-    val cProbes = probeFilter(index.weighted)
-      .select(col("__id"), col("gid"), col("sufsq"), col("n2"))
+    // atFullWidth on both join inputs: see jaccardSetsAndCandidates.
+    val bProbes = atFullWidth("gid")(probeFilter(bWeighted)
+      .select(col("__bid"), col("gid"), col("sufsq"), col("n2")))
+    val cProbes = atFullWidth("gid")(probeFilter(index.weighted)
+      .select(col("__id"), col("gid"), col("sufsq"), col("n2")))
     // Positional product filter + distinct-before-verify: see the
     // scaladoc notes in cosineSimilarityJoin / jaccardSimilarityJoin.
     val cand = bProbes.alias("a").join(cProbes.alias("b"),
@@ -1212,7 +1271,7 @@ object Dedup {
           col("a.n2").cast("double") * col("b.n2") *
             lit(tauNum.toDouble * tauNum * (1.0 - 1e-9)))
       .select(col("a.__bid").as("doc_a"), col("b.__id").as("doc_b"))
-      .distinct()
+      .transform(distinctPairs("doc_a"))
     cand
       .join(bPacked.select(col("__bid").as("doc_a"), col("pk").as("pa"),
         col("n2").as("na2")), "doc_a")
