@@ -33,6 +33,15 @@ import graft.ext.Multimodal.Frame
   */
 object Containers {
 
+  // ImageIO's default ImageInputStream/ImageOutputStream cache is a TEMP
+  // FILE per read/write call: with the codec stages spread across 32
+  // tasks, 5000 payloads × (encode + decode) create/delete 10k+ files in
+  // the temp dir and the kernel serializes the whole stage (measured
+  // round 17: parallel q204 ran SLOWER than serial until this was set).
+  // These payloads are kilobytes — memory-cached streams are strictly
+  // better. JVM-global, set once when the codec family first loads.
+  javax.imageio.ImageIO.setUseCache(false)
+
   // --------------------------------------------------------------- WAV
 
   /** Serialize 16-bit signed mono PCM samples into a real RIFF/WAVE

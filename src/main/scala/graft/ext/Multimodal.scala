@@ -24,6 +24,28 @@ object Multimodal {
   case class Frame(width: Int, height: Int, pixels: Array[Int])
 
   case class MediaRow(media_id: Long, payload: Array[Byte])
+
+  /** Ids of `df` spread at the configured shuffle parallelism — the front
+    * of every REAL-codec media pipeline (q188–q192, q203/q204/q219, q256).
+    * The documents table is a single parquet split at bench scale, so the
+    * per-row container encode + decode stages (ImageIO PNG/JPEG, DEFLATE,
+    * RIFF writers) inherit ONE scan task and run serial regardless of
+    * cores (driver-measured: q204 at 4.3 s with a c8/c32 scaling ratio of
+    * 0.69 — worse than flat, pure contention). Repartitioning the 8-byte
+    * id rows BEFORE payload generation spreads the CPU-bound codec work
+    * across `spark.sql.shuffle.partitions` (the deployment's scale knob,
+    * same rule as [[Dedup.atFullWidth]]); the heavy payloads are generated
+    * AFTER the exchange and never shuffled (guide §8: decide/place with
+    * small rows, create heavy bytes in place). Hash-partitioned by id
+    * (deterministic, no round-robin pre-sort).
+    */
+  def idsAtFullWidth(df: DataFrame, idCol: String): Dataset[Long] = {
+    import df.sparkSession.implicits._
+    val p = scala.util.Try(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+      .getOrElse(df.sparkSession.sparkContext.defaultParallelism)
+    df.select(col(idCol).cast("long")).as[Long].repartition(p, col(idCol))
+  }
   case class MediaFeature(media_id: Long, meta: MediaMeta,
       mean_px: Double, max_px: Int)
   case class FrameRow(media_id: Long, frame_idx: Int, mean_px: Double)

@@ -1109,6 +1109,8 @@ object CurationQueries {
       val novel = graft.ext.Bloom.probe(base, "url", "doc_id", words, p)
         .select(col("doc_id"), (!col("maybe_present")).as("novel"))
       // (3) MIME sniff through the real writers (q256's payloads)
+      // NOT widened (r17 A/B): q256's rationale — tiny payloads, and the
+      // exchange broke the gate's join pipelining (1.84 → 3.50 s measured).
       val mimeOk = Tables.documents(s, d).select(col("doc_id")).as[Long]
         .map { id =>
           val payload: Array[Byte] = (id % 8).toInt match {

@@ -430,7 +430,7 @@ object MediaQueries {
   private def wavMedia(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.Dataset[Multimodal.MediaRow] = {
     import s.implicits._
-    Tables.documents(s, d).select(col("doc_id")).as[Long].map { id =>
+    Multimodal.idsAtFullWidth(Tables.documents(s, d), "doc_id").map { id =>
       val n = 3200 + (id % 5).toInt * 160 + (id % 7).toInt
       val samples = Array.tabulate(n)(j =>
         (((id + 1) * 2654435761L + j.toLong * (40503L + 2L * id)) % 65536L).toInt - 32768)
@@ -500,6 +500,8 @@ object MediaQueries {
     "q189_bmp_container_phash",
     (s, d) => {
       import s.implicits._
+      // NOT widened (r17 A/B): the self-written BMP writer is too cheap
+      // per row for the id exchange to pay off (0.21 → 0.30 s measured).
       val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
         .map { id =>
           val w = 13 + (id % 9).toInt
@@ -657,6 +659,8 @@ object MediaQueries {
     "q192_avi_container_phash",
     (s, d) => {
       import s.implicits._
+      // NOT widened (r17 A/B): self-written AVI writer, same rationale as
+      // q189 (0.19 → 0.25 s measured with the exchange).
       val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
         .map { id =>
           val w = 13 + (id % 9).toInt
@@ -715,7 +719,7 @@ object MediaQueries {
     "q203_png_container_phash",
     (s, d) => {
       import s.implicits._
-      val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      val media = Multimodal.idsAtFullWidth(Tables.documents(s, d), "doc_id")
         .map { id =>
           val w = 12 + (id % 11).toInt
           val h = 10 + (id % 5).toInt
@@ -771,7 +775,7 @@ object MediaQueries {
     (s, d) => {
       import s.implicits._
       def media(shift: Int) =
-        Tables.documents(s, d).select(col("doc_id")).as[Long]
+        Multimodal.idsAtFullWidth(Tables.documents(s, d), "doc_id")
           .map { id =>
             val w = 12 + (id % 11).toInt
             val h = 10 + (id % 5).toInt
@@ -837,7 +841,7 @@ object MediaQueries {
     "q219_rgb_png_phash",
     (s, d) => {
       import s.implicits._
-      val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      val media = Multimodal.idsAtFullWidth(Tables.documents(s, d), "doc_id")
         .map { id =>
           val w = 12 + (id % 11).toInt
           val h = 10 + (id % 5).toInt
@@ -906,6 +910,8 @@ object MediaQueries {
     "q256_mime_sniff",
     (s, d) => {
       import s.implicits._
+      // NOT widened (r17 A/B): tiny per-row payloads (4×4..8×8), the id
+      // exchange costs more than the codec work (0.21 → 0.43 s measured).
       Tables.documents(s, d).select(col("doc_id")).as[Long].map { id =>
         val payload: Array[Byte] = (id % 8).toInt match {
           case 0 => graft.ext.Containers.wavBytes(
