@@ -46,7 +46,11 @@ object Dedup {
     * these pair exchanges need the width.
     */
   private[graft] def atFullWidth(keys: String*)(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // Try(...): the conf can be non-numeric on some platforms ("auto");
+    // fall back to the cluster's default parallelism rather than throw.
+    val p = scala.util.Try(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+      .getOrElse(df.sparkSession.sparkContext.defaultParallelism)
     df.repartition(p, keys.map(col): _*)
   }
 
@@ -312,16 +316,24 @@ object Dedup {
     */
   private[graft] def hammingNearDupPairs(sig: DataFrame, totalBits: Int,
       maxDist: Int): DataFrame = {
-    // atFullWidth: see jaccardSetsAndCandidates (band buckets are the
-    // candidate fan-out here).
-    val banded = atFullWidth("band", "bk")(
-      hammingBandKeys(sig, totalBits, maxDist))
+    // Deliberately NO atFullWidth pin and a PLAIN distinct here (round-17
+    // A/B, reverting the round-16 pin the driver measured as a ~0.91×
+    // loss on q111/q117): unlike the gram-join family, the pair rows
+    // carry their fingerprints along (sha/shb — the verify is a popcount
+    // on the row, not a join back to a per-doc relation), so there is no
+    // downstream join to reuse a doc_a exchange, and the dedup itself is
+    // cheap enough that AQE's byte-based coalescing is the right width.
+    // QBench min-of-5 at sf0.1, pin vs none: q111 3.18→3.12,
+    // q117 3.47→3.23, q149 1.60→1.48, q150 2.44→2.24, q156 1.73→1.43,
+    // q204 1.70→1.13; the gates (q118/q135/q139) were a wash across two
+    // paired runs.
+    val banded = hammingBandKeys(sig, totalBits, maxDist)
     val cand = banded.alias("a").join(banded.alias("b"),
       col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
         col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"),
         col("a.sh").as("sha"), col("b.sh").as("shb"))
-      .transform(distinctPairs("doc_a"))
+      .distinct()
     cand
       .withColumn("dist", bit_count(col("sha").bitwiseXOR(col("shb"))))
       .filter(col("dist") <= maxDist)
@@ -407,14 +419,14 @@ object Dedup {
     */
   private[graft] def hammingProbePairs(bSig: DataFrame, cSig: DataFrame,
       totalBits: Int, maxDist: Int): DataFrame = {
-    val cand = atFullWidth("band", "bk")(
-      hammingBandKeys(bSig, totalBits, maxDist)).alias("a")
-      .join(atFullWidth("band", "bk")(
-        hammingBandKeys(cSig, totalBits, maxDist)).alias("b"),
+    // No pins, plain distinct — same rationale and A/B as
+    // [[hammingNearDupPairs]].
+    val cand = hammingBandKeys(bSig, totalBits, maxDist).alias("a")
+      .join(hammingBandKeys(cSig, totalBits, maxDist).alias("b"),
         col("a.band") === col("b.band") && col("a.bk") === col("b.bk"))
       .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"),
         col("a.sh").as("sha"), col("b.sh").as("shb"))
-      .transform(distinctPairs("doc_a"))
+      .distinct()
     cand
       .withColumn("dist", bit_count(col("sha").bitwiseXOR(col("shb"))))
       .filter(col("dist") <= maxDist)

@@ -61,29 +61,29 @@ object Opq {
     */
   private[ext] def crossSums(a: DataFrame, aVec: String, b: DataFrame,
       bVec: String, idCol: String): Array[Array[Double]] = {
+    // Round-17 resolution of the round-16 one-side-explode rewrite: a
+    // direct micro-A/B of the two shapes over the real embeddings
+    // (min-of-7, sf0.1, same session) measured them IDENTICAL (new 0.452
+    // vs old 0.474 s per call — crossSums is ~0.5 s of q253's ~6.7 s; the
+    // alternation's seeded MLlib KMeans fits dominate), while the driver's
+    // round-16 bench had q253 slower with the rewrite in both its runs
+    // (6.20 → 6.79/6.86 s) and the whole-query QBench medians at HEAD
+    // agreed (old 6.98/7.30 vs new 7.95/8.52). Reverted to the
+    // both-sides-exploded shape: same exact-integer terms (order-free), a
+    // simpler plan, and the evidence-backed side of the tie.
     val S = 1099511627776.0 // 2^40
-    // Explode ONLY the x side and aggregate one wide row per i with a sum
-    // column per j (round 16): the earlier both-sides-exploded self-join
-    // pushed #ids·d² rows through the aggregate (~33M at sf0.1) where this
-    // shape pushes #ids·d rows doing d multiply-floors each — identical
-    // exact-integer terms (floor(x·q·2^40) summed in any order), measured
-    // q253 7.08 → (see OPTIMIZATION_r16.md) at sf0.1.
-    val d = a.select(size(Similarity.asDouble(col(aVec)))).head().getInt(0)
-    val joined = a
-      .select(col(idCol).as("__id"), Similarity.asDouble(col(aVec)).as("xa"))
-      .join(b.select(col(idCol).as("__id"),
-        Similarity.asDouble(col(bVec)).as("qa")), "__id")
-      .select(posexplode(col("xa")).as(Seq("i", "xv")), col("qa"))
-    val sums = (0 until d).map(j =>
-      sum(floor(col("xv") * element_at(col("qa"), j + 1) * S).cast("long"))
-        .as(s"s$j"))
-    val rows = joined.groupBy("i").agg(sums.head, sums.tail: _*).collect()
+    val xe = a.select(col(idCol).as("__id"),
+      posexplode(Similarity.asDouble(col(aVec))).as(Seq("i", "xv")))
+    val qe = b.select(col(idCol).as("__id"),
+      posexplode(Similarity.asDouble(col(bVec))).as(Seq("j", "qv")))
+    val cells = xe.join(qe, "__id")
+      .groupBy("i", "j")
+      .agg(sum(floor(col("xv") * col("qv") * S).cast("long")).as("s"))
+      .collect()
+    val d = cells.iterator.map(r => math.max(r.getInt(0), r.getInt(1)))
+      .max + 1
     val m = Array.ofDim[Double](d, d)
-    rows.foreach { r =>
-      val i = r.getInt(0)
-      var j = 0
-      while (j < d) { m(i)(j) = r.getLong(j + 1) / S; j += 1 }
-    }
+    cells.foreach(r => m(r.getInt(0))(r.getInt(1)) = r.getLong(2) / S)
     m
   }
 
