@@ -741,8 +741,9 @@ object Dedup {
   /** Shared gram-pipeline relations over ONE corpus, reused by the three
     * exact joins ([[jaccardSimilarityJoin]], [[cosineSimilarityJoin]],
     * [[containmentJoin]]): tokenize → n-gram → tf → rarest-first
-    * dictionary → per-doc encodings, built and MATERIALIZED once
-    * (`localCheckpoint` at every multi-use relation), so a session running
+    * dictionary → per-doc encodings, with the EXPENSIVE relations
+    * materialized once (`localCheckpoint` at dict/enc/sets; weighted and
+    * packed stay lazy — see their doc), so a session running
     * several joins — the normal shape of a dedup pass that wants both the
     * symmetric and containment views — pays the dictionary pipeline once
     * instead of once per join. All members are lazy: a jaccard-only caller
@@ -789,6 +790,19 @@ object Dedup {
       .agg(array_sort(collect_list(col("gid"))).as("gs"))
       .select(col("__id"), col("gs"), size(col("gs")).cast("long").as("nn"))
       .localCheckpoint()
+    /** Deliberately NOT checkpointed since round 17 (same rule as `tf`,
+      * re-A/B'd after the round-16 rebuild-vs-serialize lesson): both
+      * relations derive from the CHECKPOINTED `enc` in one window /
+      * grouped pass, the cosine self-join's two probe references
+      * canonicalize identically (exchange reuse), and the eager
+      * checkpoint job + block-manager serialization of array-bearing
+      * rows measured strictly worse than recomputing — interleaved
+      * QBench min-of-3 ×3 at sf0.1: q103 5.30 → 4.44 s, q114
+      * 5.67 → 4.73, q116 7.95 → 4.02 (the store's parquet write IS a
+      * materialization; the checkpoint doubled it). The multi-use rule
+      * (q86) applies to relations whose REBUILD is expensive — after the
+      * enc checkpoint these aren't.
+      */
     lazy val weighted: DataFrame = {
       // Suffix squared norm from each position (rarest-first order) and
       // the full squared norm — one doc-keyed window sort serves both.
@@ -798,13 +812,11 @@ object Dedup {
           .over(wOrd.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
         .withColumn("n2", sum(col("w") * col("w"))
           .over(Window.partitionBy("__id")))
-        .localCheckpoint()
     }
     lazy val packed: DataFrame = weighted
       .groupBy("__id")
       .agg(array_sort(collect_list(col("gid") * 65536L + col("w"))).as("pk"),
         min(col("n2")).as("n2"))
-      .localCheckpoint()
 
     /** A new [[GramIndex]] with `batch` documents APPENDED without
       * rebuilding the corpus pipeline — the index-maintenance analog of
