@@ -477,11 +477,25 @@ object Similarity {
     */
   def srpClusters(emb: DataFrame, vecCol: String, idCol: String,
       maxDist: Int = 3, localThreshold: Long = 100000L): DataFrame = {
+    val sig = srpSignature(emb, vecCol, idCol)
+      .select(col(idCol).as("__id"), col("sh"))
+      .localCheckpoint()
+    srpClustersFromSig(emb, idCol, sig, maxDist, localThreshold)
+  }
+
+  /** [[srpClusters]] over a PRECOMPUTED (materialized) signature table
+    * (`__id`, `sh`) — a session that also probes the same corpus's frozen
+    * signatures (the q157 shape) computes the signature pass once and
+    * feeds both consumers.
+    */
+  private[graft] def srpClustersFromSig(emb: DataFrame, idCol: String,
+      sig: DataFrame, maxDist: Int,
+      localThreshold: Long = 100000L): DataFrame = {
     // Materialize the edge list once — the size probe, contraction, CC
     // loop, and expansion each re-materialize their input (the
     // checkpoint-the-loop-INPUT rule).
-    val edges = srpNearDupPairs(emb, vecCol, idCol, maxDist)
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val edges = Dedup.hammingNearDupPairs(sig, 64, maxDist)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .localCheckpoint()
     DedupCluster.clustersFromEdges(emb, idCol, edges, localThreshold)
   }
@@ -498,9 +512,19 @@ object Similarity {
     */
   def assignToSrpClusters(corpusLabels: DataFrame, corpusSig: DataFrame,
       batch: DataFrame, vecCol: String, idCol: String,
-      maxDist: Int = 3): DataFrame = {
-    val adopted = incrementalSrpPairs(corpusSig, batch, vecCol, idCol,
-        maxDist)
+      maxDist: Int = 3): DataFrame =
+    adoptSrpClusters(corpusLabels,
+      incrementalSrpPairs(corpusSig, batch, vecCol, idCol, maxDist),
+      batch, idCol)
+
+  /** The adoption back half of [[assignToSrpClusters]] over PRECOMPUTED
+    * probe pairs — exposed so a caller that already built the pairs (e.g.
+    * overlapped with the label build on another thread, the q157 shape)
+    * shares one body with the plain entry point.
+    */
+  private[graft] def adoptSrpClusters(corpusLabels: DataFrame,
+      pairs: DataFrame, batch: DataFrame, idCol: String): DataFrame = {
+    val adopted = pairs
       .join(corpusLabels.select(col(idCol).as("id_b"),
         col("cluster_id").as("__cl")), "id_b")
       .groupBy(col("id_a")).agg(min(col("__cl")).as("__cl"))

@@ -1010,10 +1010,25 @@ object SimilarityQueries {
       val emb = Tables.embeddings(s, d)
       val corpus = emb.filter(col("vec_id") % 10 =!= 0)
       val batch = emb.filter(col("vec_id") % 10 === 0)
-      Similarity.assignToSrpClusters(
-        Similarity.srpClusters(corpus, "embedding", "vec_id", maxDist = 16),
-        Similarity.srpSignature(corpus, "embedding", "vec_id"),
-        batch, "embedding", "vec_id", maxDist = 16)
+      // One corpus signature pass feeds BOTH the cluster-label build and
+      // the frozen probe table (round 17 — it was computed twice), and
+      // the CC label loop overlaps the batch probe on threads (§2.6, the
+      // ingestGate pattern): the two job chains are independent until the
+      // adoption join.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val cSig = Similarity.srpSignature(corpus, "embedding", "vec_id")
+        .select(col("vec_id").as("__id"), col("sh"))
+        .localCheckpoint()
+      val labelsF = Future(Similarity.srpClustersFromSig(
+        corpus, "vec_id", cSig, maxDist = 16))
+      val pairsF = Future(Similarity.incrementalSrpPairs(
+        cSig.select(col("__id").as("vec_id"), col("sh")),
+        batch, "embedding", "vec_id", maxDist = 16).localCheckpoint())
+      val labels = Await.result(labelsF, Duration.Inf)
+      val pairs = Await.result(pairsF, Duration.Inf)
+      Similarity.adoptSrpClusters(labels, pairs, batch, "vec_id")
     },
     Some(s"""WITH RECURSIVE sig AS ($srpSql),
                  cs AS (SELECT * FROM sig WHERE vec_id % 10 != 0),
