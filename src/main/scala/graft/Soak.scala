@@ -275,6 +275,32 @@ object Soak {
         s"(true dups ~${nDocs / 100})")
       nCand
     })
+    // round-17: the pinned exchanges' SKEW posture. atFullWidth's explicit
+    // repartition (REPARTITION_BY_NUM) opts those exchanges out of AQE's
+    // OptimizeSkewedJoin, so a hot gid / hot doc_a would become an
+    // unsplittable straggler task. Assert the post-pin partition-row
+    // distribution stays balanced at the 1M shape: the gid probes are
+    // rarest-first prefix grams (structurally small buckets) and the
+    // candidate-pair dedup partitions by hash(doc_a) over ~corpus-many
+    // distinct doc_a values — both should hash near-uniform. max/median
+    // ≤ 4 is a loose straggler bound (uniform hashing measures ~1.0-1.1).
+    time("pinned exchange skew (gid probes / doc_a pairs)")({
+      def maxMed(df: org.apache.spark.sql.DataFrame, label: String): Unit = {
+        val counts = df.groupBy(spark_partition_id().as("p")).count()
+          .select(col("count")).collect().map(_.getLong(0)).sorted
+        val mx = counts.last
+        val med = counts(counts.length / 2)
+        val ratio = mx.toDouble / math.max(med, 1L)
+        assert(ratio <= 4.0,
+          s"pinned $label exchange skewed: max partition $mx vs median " +
+            s"$med (ratio $ratio > 4) — salt the pin keys")
+        println(f"[soak] pinned $label partitions: max=$mx med=$med " +
+          f"ratio=$ratio%.2f (bound 4.0)")
+      }
+      maxMed(Dedup.jaccardProbes(gramIdx, 1, 2), "gid-probe")
+      val (_, cand) = Dedup.jaccardSetsAndCandidates(gramIdx, 1, 2)
+      maxMed(cand, "doc_a-pair")
+    })
 
     // round-6: the incremental exact joins — probing the FROZEN 1M-doc
     // index with a 1% batch must be O(batch), and match volume must be
@@ -1413,8 +1439,12 @@ object Soak {
           Seq(("hblock", "User-agent: *\nDisallow: /\n")))
           .toDF("host", "content"),
         "host", "content", "graftbot").localCheckpoint()
+      // (round-17 fix: this stage shipped in the interrupted round-16
+      // build with `src` dropped by the select before the payload
+      // withColumn referenced it — an unresolved-column crash on first
+      // execution; the soak had not been run since the stage landed.)
       def mkWave(ids: org.apache.spark.sql.DataFrame) = ids.select(
-        col("id"),
+        col("id"), col("src"),
         when(col("src") % 97 === 0, lit("hblock"))
           .otherwise(concat(lit("h"), (col("src") % 1009).cast("string")))
           .as("host"),
@@ -1426,6 +1456,7 @@ object Soak {
             lit(Array[Byte](0, -1, 42)))
             .otherwise(concat(lit("text "), col("src").cast("string"))
               .cast("binary")))
+        .drop("src")
       val dir = java.nio.file.Files
         .createTempDirectory("soak_st36_").toString
       val w1 = mkWave(spark.range(nArr)

@@ -93,9 +93,14 @@ object Bpe {
         // merging cannot create new occurrences (patterns are
         // space-delimited whole symbols). Hence exactly two passes.
         val (pat, rep) = (lit(s" $s1 $s2 "), lit(s" $s1$s2 "))
+        // LAZY checkpoint (round 17, the DedupCluster CC-loop rule): it
+        // still cuts lineage (each round's plan is one double-replace
+        // over the previous round's cached blocks) but materializes as
+        // part of the NEXT round's pairCounts job — one job per merge
+        // round instead of two (the eager form paid k extra job floors).
         vocab = vocab
           .withColumn("sym", replace(replace(col("sym"), pat, rep), pat, rep))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         r += 1
       }
     }

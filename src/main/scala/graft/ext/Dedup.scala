@@ -44,6 +44,17 @@ object Dedup {
     * small iterative query (~0.2-0.3 s per PageRank/HITS-shaped query —
     * dozens of tiny stages each fragmenting into 32 tasks) while only
     * these pair exchanges need the width.
+    *
+    * Tradeoff (round-17 note): a user-specified repartition
+    * (REPARTITION_BY_NUM) also opts the exchange out of AQE's
+    * `OptimizeSkewedJoin`, so a hot key cannot be runtime-split here. For
+    * the gid probes that risk is structurally bounded — rarest-first
+    * prefix filtering makes probe buckets the SMALLEST gram buckets — and
+    * the soak's "pinned exchange skew" stage asserts the post-pin
+    * max/median partition-row ratio stays ≤ 4 at the 1M-doc shape
+    * (measured: gid probes 1.00, doc_a pairs 1.19; see Soak.scala). If
+    * a future corpus breaks that
+    * assertion, salt the pin keys before reaching for the session knob.
     */
   private[graft] def atFullWidth(keys: String*)(df: DataFrame): DataFrame = {
     // Try(...): the conf can be non-numeric on some platforms ("auto");
@@ -910,10 +921,13 @@ object Dedup {
       : (DataFrame, DataFrame) =
     jaccardSetsAndCandidates(gramIndex(docs, idCol, textCol, n), tauNum, tauDen)
 
-  private[graft] def jaccardSetsAndCandidates(index: GramIndex,
-      tauNum: Int, tauDen: Int): (DataFrame, DataFrame) = {
-    require(tauNum >= 1 && tauNum <= tauDen,
-      s"jaccardSimilarityJoin: need 0 < tauNum/tauDen <= 1, got $tauNum/$tauDen")
+  /** The pinned probe side of the jaccard candidate join — exposed so the
+    * soak harness can assert the PINNED exchange's partition balance
+    * directly (the pin opts this exchange out of AQE's skew splitting;
+    * see [[atFullWidth]]).
+    */
+  private[graft] def jaccardProbes(index: GramIndex, tauNum: Int,
+      tauDen: Int): DataFrame = {
     val sets = index.sets
     val prefixLen = (col("nn") -
       floor((col("nn") * tauNum + (tauDen - 1)) / lit(tauDen.toDouble)) + 1)
@@ -924,9 +938,17 @@ object Dedup {
     // CPU-bound, and AQE's byte heuristic (probe rows are a few compressed
     // MB) was squeezing it onto a handful of tasks (the distinctPairs
     // measurement). Same shuffle bytes, full parallelism.
-    val probes = atFullWidth("gid")(
+    atFullWidth("gid")(
       sets.select(col("__id"), col("nn"),
         posexplode(slice(col("gs"), lit(1), prefixLen)).as(Seq("pos", "gid"))))
+  }
+
+  private[graft] def jaccardSetsAndCandidates(index: GramIndex,
+      tauNum: Int, tauDen: Int): (DataFrame, DataFrame) = {
+    require(tauNum >= 1 && tauNum <= tauDen,
+      s"jaccardSimilarityJoin: need 0 < tauNum/tauDen <= 1, got $tauNum/$tauDen")
+    val sets = index.sets
+    val probes = jaccardProbes(index, tauNum, tauDen)
     val cand = probes.alias("a").join(probes.alias("b"),
       col("a.gid") === col("b.gid") &&
         col("a.__id") < col("b.__id") &&

@@ -61,6 +61,8 @@ object Retrieval {
       .agg(round(sum(col("c")).cast("double"), 6).as("score"))
       .orderBy(desc("score"), col(idCol))
       .limit(k)
+    // Unpartitioned window over the k SURVIVORS only (the limit above) —
+    // bounded by the query parameter, never the corpus.
     top.withColumn("rnk",
       row_number().over(Window.orderBy(desc("score"), col(idCol))))
   }
@@ -112,6 +114,10 @@ object Retrieval {
       posexplode(Dedup.tokens(col(textCol))).as(Seq("pos", "w")))
     val vocab = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), col("w")).limit(vocabSize)
+      // Unpartitioned window over the vocabSize survivors of the limit —
+      // bounded by the config constant, never the distinct-token relation
+      // (the top-vocabSize itself is TakeOrderedAndProject, per-partition
+      // heaps).
       .withColumn("tid",
         row_number().over(Window.orderBy(desc("cnt"), col("w"))).cast("long"))
       .select(col("w"), col("tid"))
